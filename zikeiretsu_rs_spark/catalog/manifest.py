@@ -1,0 +1,125 @@
+"""Per-metrics block manifest — the `_blocklist` analog.
+
+The reference keeps a compressed `blocklist/<metrics>.list` file of
+`BlockMetaInfo { block_timestamp: [since_sec, until_sec), timestamp_num }`
+entries sorted by `until_sec` (block_list/mod.rs:109-120,199-215), used
+for (a) time-range block pruning, (b) distinct-ts limit pushdown,
+(c) `.describe` / `.block_list` metadata queries.
+
+In the rebuild, (a) is served by Parquet partition pruning + row-group
+stats, so the manifest exists for (b) limit-aware file pruning and
+(c) metadata-query parity. It is a small JSON document per metrics —
+metrics are discovered by listing this directory, mirroring
+`fetch_all_metrics` scanning `blocklist/*.list` (storage/api/read.rs:33-81).
+
+Concurrency: writes go through a tempfile + atomic rename, the POSIX
+equivalent of the reference's lockfile-guarded read-modify-write
+(storage/api/write.rs:191-202). Multi-writer setups should serialize
+persists per metrics at the application level (as the reference does
+with its per-metrics lockfile).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass
+
+
+@dataclass(frozen=True)
+class BlockEntry:
+    """One persisted batch (reference BlockMetaInfo,
+    block_list/mod.rs:109-120). Ranges are nanosecond half-open
+    [since_nanos, until_nanos]... inclusive `until` like the reference's
+    block_timestamp (both bounds are observed data extremes)."""
+
+    since_nanos: int
+    until_nanos: int  # max observed ts (inclusive bound)
+    rows: int
+    distinct_ts: int  # reference `timestamp_num` (write.rs:176-182)
+    written_at_nanos: int
+    paths: tuple[str, ...] = ()  # dt partition dirs touched by this batch
+
+
+class Manifest:
+    def __init__(self, db_dir: str, metrics: str):
+        self.db_dir = db_dir
+        self.metrics = metrics
+        self.path = os.path.join(db_dir, "blocklist", f"{metrics}.json")
+
+    # -- read ----------------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def load(self) -> list[BlockEntry]:
+        if not self.exists():
+            return []
+        with open(self.path) as f:
+            doc = json.load(f)
+        return [
+            BlockEntry(
+                e["since_nanos"],
+                e["until_nanos"],
+                e["rows"],
+                e["distinct_ts"],
+                e["written_at_nanos"],
+                tuple(e.get("paths", ())),
+            )
+            for e in doc["blocks"]
+        ]
+
+    def updated_at_nanos(self) -> int:
+        if not self.exists():
+            return 0
+        with open(self.path) as f:
+            return json.load(f).get("updated_at_nanos", 0)
+
+    # -- write ---------------------------------------------------------
+    def add_entry(self, entry: BlockEntry, updated_at_nanos: int) -> None:
+        """Sorted insert by until_nanos (BlockList::add_blockmeta,
+        block_list/mod.rs:199-215), atomic rewrite."""
+        entries = self.load()
+        entries.append(entry)
+        entries.sort(key=lambda e: (e.until_nanos, e.since_nanos))
+        self._write(entries, updated_at_nanos)
+
+    def rewrite(self, entries: list[BlockEntry], updated_at_nanos: int) -> None:
+        entries = sorted(entries, key=lambda e: (e.until_nanos, e.since_nanos))
+        self._write(entries, updated_at_nanos)
+
+    def _write(self, entries: list[BlockEntry], updated_at_nanos: int) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        doc = {
+            "metrics": self.metrics,
+            "updated_at_nanos": updated_at_nanos,
+            "blocks": [dict(asdict(e), paths=list(e.paths)) for e in entries],
+        }
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(doc, f)
+            os.replace(tmp, self.path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    # -- queries -------------------------------------------------------
+    def range(self) -> tuple[int, int] | None:
+        """min since / max until over blocks (BlockList::range,
+        block_list/mod.rs:166-194)."""
+        entries = self.load()
+        if not entries:
+            return None
+        return min(e.since_nanos for e in entries), max(e.until_nanos for e in entries)
+
+    @staticmethod
+    def list_metrics(db_dir: str) -> list[str]:
+        """Discover metrics by listing manifest files
+        (fetch_all_metrics, storage/api/read.rs:33-81)."""
+        d = os.path.join(db_dir, "blocklist")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json")
+        )

@@ -1,0 +1,110 @@
+"""Translator: SearchMetricsQuery -> DataFrame expression chain.
+
+Reference pipeline equivalent (SURVEY §3.5): `Engine::search` /
+`search_dataframe` (storage/api/read.rs:172-280) becomes
+
+    read.parquet(block_dir)
+      -> dt partition filter        (block-list pruning, S1)
+      -> ts range filter            (block trim + in-memory slice, F5/F6)
+      -> distinct-ts limit          (L1-L4)
+      -> select/rename              (P1-P3)
+      -> optional RFC3339 rendering (D6)
+
+Everything stays in native Spark expressions (whole-stage codegen); the
+nanosecond RFC3339 formatter is built from string functions, not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datamodel import PARTITION_COLUMN, TS_COLUMN, field_column_names
+from ..datetime_util import NANOS_PER_DAY, NANOS_PER_SEC
+from ..operators.limits import limit_distinct_ts
+from .analyzer import LimitKind, SearchCondition, SearchMetricsQuery
+
+
+def _dt_string(nanos: int) -> str:
+    from datetime import date
+
+    days = nanos // NANOS_PER_DAY
+    return date.fromordinal(date(1970, 1, 1).toordinal() + days).isoformat()
+
+
+def apply_range_filter(df: DataFrame, cond: SearchCondition) -> DataFrame:
+    """[since, until) on the nano spine + the derived `dt` partition
+    key so Catalyst prunes partition directories before listing files."""
+    if cond.since_nanos is not None:
+        df = df.filter(F.col(TS_COLUMN) >= F.lit(cond.since_nanos))
+        if PARTITION_COLUMN in df.columns:
+            df = df.filter(
+                F.col(PARTITION_COLUMN) >= F.lit(_dt_string(cond.since_nanos))
+            )
+    if cond.until_nanos is not None:
+        df = df.filter(F.col(TS_COLUMN) < F.lit(cond.until_nanos))
+        if PARTITION_COLUMN in df.columns:
+            # until is exclusive but sits inside its day partition
+            df = df.filter(
+                F.col(PARTITION_COLUMN) <= F.lit(_dt_string(cond.until_nanos))
+            )
+    return df
+
+
+def rfc3339_col(ts: Column, offset_seconds: int) -> Column:
+    """Nano-precision RFC3339 rendering as a native expression chain
+    (reference TimestampNano::as_formated_datetime,
+    timestamp_nano.rs:58-71; offset applied additively like
+    dataseries_ref.rs:86-106). date_format drops sub-microsecond
+    digits, so the 9-digit fraction is rebuilt from the long column."""
+    local = ts + F.lit(offset_seconds * NANOS_PER_SEC)
+    secs = (local / NANOS_PER_SEC).cast("long")
+    # floor toward -inf for pre-epoch safety
+    secs = F.when(local < 0, ((local - (NANOS_PER_SEC - 1)) / NANOS_PER_SEC).cast("long")).otherwise(secs)
+    nanos_frac = local - secs * F.lit(NANOS_PER_SEC)
+    if offset_seconds == 0:
+        suffix = "+00:00"
+    else:
+        sign = "+" if offset_seconds >= 0 else "-"
+        a = abs(offset_seconds)
+        suffix = f"{sign}{a // 3600:02d}:{(a % 3600) // 60:02d}"
+    return F.concat(
+        F.date_format(F.timestamp_seconds(secs), "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit("."),
+        F.lpad(nanos_frac.cast("string"), 9, "0"),
+        F.lit(suffix),
+    )
+
+
+def translate_search(
+    spark: SparkSession, db_dir: str, q: SearchMetricsQuery, n_fields: int
+) -> DataFrame:
+    block_dir = f"{db_dir}/block/{q.metrics}"
+    df = spark.read.parquet(block_dir)
+    df = apply_range_filter(df, q.condition)
+
+    if q.condition.limit is not None:
+        df = limit_distinct_ts(
+            df, q.condition.limit.n, tail=(q.condition.limit.kind is LimitKind.TAIL)
+        )
+
+    physical = field_column_names(n_fields)
+    if q.field_selectors is None:
+        selected = physical
+        out_names = list(q.field_names) if q.field_names else [TS_COLUMN] + physical
+    else:
+        selected = [physical[i] for i in q.field_selectors]
+        assert q.field_names is not None
+        out_names = list(q.field_names)
+
+    df = df.select(TS_COLUMN, *selected).toDF(*out_names)
+    # results are always ts-ascending (SURVEY §2.4: no ORDER BY exists;
+    # data is served sorted). sortWithinPartitions keeps files' order;
+    # a global sort is applied only here at the output boundary.
+    df = df.orderBy(TS_COLUMN)
+
+    if q.format_datetime:
+        df = df.withColumn(
+            TS_COLUMN, rfc3339_col(F.col(TS_COLUMN), q.timezone.offset_seconds)
+        )
+    return df

@@ -1,0 +1,43 @@
+"""SparkSession factory with engine-wide defaults.
+
+Scale notes (designed for a 1000-executor cluster, tested on local[N]):
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting.
+- session timezone pinned to UTC so timestamp rendering matches the
+  DuckDB oracle and is deterministic across drivers.
+- `parquet.nanosAsLong`: Parquet TIMESTAMP(NANOS) columns (the driver's
+  `events.ts`) are read as LongType epoch-nanos — exactly the engine's
+  timestamp spine (Spark's TimestampType is only microsecond-precision).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "zikeiretsu_rs_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
