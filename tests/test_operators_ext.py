@@ -1,0 +1,182 @@
+"""Extension-operator tests: dedup, similarity, text, sessionize,
+multimodal plumbing — semantic invariants on small in-memory frames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from zikeiretsu_rs_spark.operators import (
+    aggregates,
+    dedup,
+    multimodal,
+    sessionize,
+    similarity,
+    text,
+)
+
+NS = 10**9
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different words entirely unrelated content here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        out = {r["rep_id"]: r["dup_count"] for r in dedup.exact_dedup(docs, "doc_id", "text").collect()}
+        assert out[1] == 2  # docs 1 and 4
+        assert out[2] == 1
+
+    def test_ngram_jaccard_finds_neardup(self, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 4) in got  # exact dup -> jaccard 1.0
+        assert (1, 2) in got  # near dup
+        assert (2, 4) in got
+        assert all(a < b for a, b in got)
+        j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+        assert j[(1, 4)] == 1.0
+
+    def test_minhash_agrees_with_exact_on_dups(self, docs):
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 4) in got
+        est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+        assert est[(1, 4)] == 1.0  # identical docs -> identical signatures
+
+    def test_simhash_exact_dup_distance_zero(self, docs):
+        pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+        ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+        assert ham.get((1, 4)) == 0
+
+    def test_shingle_count(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+        sh = dedup.word_shingles(df, "doc_id", "text", n=3).collect()
+        assert sorted(r["shingle"] for r in sh) == ["a b c", "b c d"]
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+            (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+            (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+
+    def test_topk_order(self, emb):
+        q = emb.where(F.col("vec_id") == 0)
+        out = similarity.cosine_topk(emb, q, k=3).collect()
+        assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+        assert out[0]["rank"] == 1 and out[0]["cosine"] > 0.99
+
+    def test_pairs_above(self, emb):
+        pairs = similarity.cosine_pairs_above(emb, 0.9).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+    def test_lsh_recall_on_clones(self, spark):
+        # identical vectors always share every bucket -> found
+        rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(3)] + [
+            (9, [-4.0, 3.0, -2.0, 1.0])
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+        q = emb.where(F.col("vec_id") == 0)
+        out = similarity.lsh_topk(emb, q, k=2, dim=4).collect()
+        assert [r["neighbor_id"] for r in out][:2] == [1, 2]
+
+
+class TestText:
+    def test_token_stats(self, docs):
+        out = {r["doc_id"]: r for r in text.token_stats(docs, "doc_id", "text").collect()}
+        assert out[5]["n_tokens"] == 1 and out[5]["n_chars"] == 5
+        assert out[1]["n_tokens"] == 9
+
+    def test_lang_id(self, spark):
+        rows = [
+            (1, "the cat and the dog is a pet"),
+            (2, "der hund und die katze ist gut"),
+            (3, "le chat et la maison est grande"),
+            (4, "xyz qqq zzz"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(df, "doc_id", "text").collect()}
+        assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+    def test_fingerprint_normalizes_whitespace(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world")], ["doc_id", "text"]
+        )
+        fps = [r["fingerprint"] for r in text.fingerprint(df, "doc_id", "text").collect()]
+        assert fps[0] == fps[1]
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        rows = [
+            (1, 0 * NS), (1, 60 * NS), (1, 4000 * NS),  # gap > 30m at 4000s? 30m=1800s -> yes
+            (2, 0 * NS),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts"])
+        out = sessionize.sessionize(df, 1800 * NS).orderBy("user_id", "session_id").collect()
+        u1 = [r for r in out if r["user_id"] == 1]
+        assert len(u1) == 2
+        assert u1[0]["n_events"] == 2 and u1[1]["n_events"] == 1
+        assert u1[0]["session_start"] == 0 and u1[0]["session_end"] == 60 * NS
+
+    def test_dup_ts_same_session(self, spark):
+        rows = [(1, 0), (1, 0), (1, 0)]
+        df = spark.createDataFrame(rows, ["user_id", "ts"])
+        out = sessionize.sessionize(df, 1800 * NS).collect()
+        assert len(out) == 1 and out[0]["n_events"] == 3
+
+
+class TestAggregates:
+    def test_time_bucket_decimal_exact(self, spark):
+        rows = [(0, "a", 0.1)] * 10  # 10 * 0.1 == 1.0 exactly under decimal
+        df = spark.createDataFrame(rows, ["ts", "k", "value"])
+        out = aggregates.time_bucket(df, 3600 * NS, ["k"], "value").collect()
+        assert out[0]["sum_value"] == 1.0
+        assert out[0]["avg_value"] == 0.1
+
+    def test_share_sums_to_one(self, spark):
+        rows = [("a", 1.0), ("a", 2.0), ("b", 3.0)]
+        df = spark.createDataFrame(rows, ["k", "value"])
+        out = aggregates.value_share_by_key(df, "k", "value").collect()
+        assert abs(sum(r["share"] for r in out) - 1.0) < 1e-12
+
+
+class TestMultimodal:
+    def test_decode_stub_plumbing(self, docs):
+        media = multimodal.synthesize_media_from_text(docs, "doc_id", "text")
+        out = multimodal.decode_image_stub(media)
+        rows = {r["media_id"]: r for r in out.collect()}
+        assert len(rows) == 5
+        assert all(r["ok"] for r in rows.values())
+        assert rows[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+        # deterministic fake dims: same payload -> same dims
+        assert rows[1]["width"] == rows[4]["width"]
+
+    def test_frame_sample(self, spark):
+        import pyspark.sql.functions as F2
+
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(b"x" * 320), "m")],
+            ["media_id", "kind", "payload", "mime"],
+        )
+        out = multimodal.frame_sample_stub(media, every_n=10).collect()
+        assert [r["frame_no"] for r in out] == [0, 10]

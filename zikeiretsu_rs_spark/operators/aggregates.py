@@ -1,0 +1,68 @@
+"""Time-bucket aggregation operators (north-star extension surface,
+SURVEY.md §7.2 step 7 — the reference dialect has no aggregations,
+§2.7).
+
+Scale notes: one hash-shuffle on (bucket, keys) with map-side partial
+aggregation; bucket arithmetic is pure integer math on the nano spine
+(whole-stage codegen, no UDF). Double sums go through DECIMAL
+accumulation so results are order-independent — at 100 TB a
+floating-point sum is nondeterministic across retries/partitionings,
+which breaks both testing and incremental rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NANOS_PER_SEC = 1_000_000_000
+
+
+def time_bucket(
+    df: DataFrame,
+    bucket_width_nanos: int,
+    group_cols: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window aggregate over the nano timestamp spine.
+
+    Output: bucket_start (nanos), *group_cols, n (count),
+    sum_value (exact via decimal), avg_value (sum/n as double).
+    """
+    bucket = (F.col(ts_col) - F.col(ts_col) % F.lit(bucket_width_nanos)).alias(
+        "bucket_start"
+    )
+    dec = F.col(value_col).cast("decimal(18,2)")
+    out = (
+        df.groupBy(bucket, *[F.col(c) for c in group_cols])
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec).alias("_sum_dec"),
+        )
+        .withColumn("sum_value", F.col("_sum_dec").cast("double"))
+        # double / long, NOT decimal / long: decimal-division scale rules
+        # are engine-specific, double division is IEEE-deterministic
+        .withColumn("avg_value", F.col("_sum_dec").cast("double") / F.col("n"))
+        .drop("_sum_dec")
+    )
+    return out
+
+
+def value_share_by_key(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key share of total: count + exact decimal sum + share of the
+    global total (one extra 1-row broadcast, no global window)."""
+    dec = F.col(value_col).cast("decimal(18,2)")
+    per_key = df.groupBy(key_col).agg(
+        F.count("*").alias("n"), F.sum(dec).alias("_sum_dec")
+    )
+    total = per_key.agg(F.sum("_sum_dec").alias("_total"))
+    return (
+        per_key.join(F.broadcast(total))
+        .withColumn("sum_value", F.col("_sum_dec").cast("double"))
+        .withColumn(
+            "share",
+            F.col("_sum_dec").cast("double") / F.col("_total").cast("double"),
+        )
+        .drop("_sum_dec", "_total")
+    )

@@ -1,0 +1,298 @@
+"""Deduplication operators for LLM-data-pipeline workloads.
+
+Four families, all shuffle-conscious:
+
+- exact_dedup: hash-groupBy on a content digest. One shuffle on the
+  digest; at 100 TB this is the cheapest possible formulation (the
+  digest is 16 bytes, not the document).
+- ngram_jaccard_pairs: exact word-n-gram Jaccard via a shingle
+  self-join. Exact but quadratic in colliding shingles — the oracle/
+  ground-truth path. `max_shingle_doc_freq` drops ubiquitous shingles
+  (stopword phrases) which is what keeps the join skew-free at scale.
+- minhash_lsh_pairs: MinHash signatures + banded LSH bucketing — the
+  100 TB path. Cost is linear in corpus size: k hash evaluations per
+  shingle (map-side), one groupBy per doc, one join keyed on
+  (band, band_signature) that only collides near-duplicates.
+- simhash64: 64-bit SimHash fingerprints + banded candidate join for
+  hamming-distance near-dups.
+
+All hashing uses Spark's built-in murmur3 (`F.hash`) / `F.xxhash64` —
+JVM-side, deterministic across runs and cluster sizes. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts by md5 digest: representative = min id.
+
+    Output: fingerprint, rep_id (min id), dup_count.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word-n-gram shingles per document: (id, shingle).
+    Tokenization = lowercase + whitespace split (matches the DuckDB
+    oracle formulation in the test suite)."""
+    ws = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    shingles = F.expr(
+        f"transform(sequence(0, size(_ws) - {n}), i -> "
+        + "concat_ws(' ', "
+        + ", ".join(f"_ws[i + {j}]" for j in range(n))
+        + "))"
+    )
+    return (
+        df.select(F.col(id_col), ws.alias("_ws"))
+        .where(F.size("_ws") >= n)
+        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >=
+    threshold). Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from exact integer
+    counts, so the resulting double is engine-independent.
+
+    `max_shingle_doc_freq`: drop shingles occurring in more than this
+    many documents before the self-join (skew guard; disabled for
+    oracle-parity runs, essential at scale).
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    if max_shingle_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_shingle_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Permutation j is simulated by murmur3 seeded with j
+    (`F.hash(lit(j), shingle)`); the signature component is the min over
+    the document's shingles. One groupBy with k min-aggregates — a
+    single shuffle of (id, k*4 bytes), independent of document length.
+
+    Output: id, mh0..mh{k-1}.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.hash(F.lit(j), F.col("shingle"))).alias(f"mh{j}") for j in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs.
+
+    k minhashes split into `bands` bands of r = k/bands rows; documents
+    colliding on any band's signature become candidates (classic
+    banding: P(candidate) = 1-(1-j^r)^b). Candidates are then scored by
+    estimated Jaccard = fraction of equal signature components, and
+    filtered at `threshold`.
+
+    Scale: the candidate join is keyed on (band, 64-bit signature) —
+    only near-duplicates collide, so the join output is ~linear in the
+    number of true duplicate pairs. No quadratic blowup.
+
+    Output: id_a, id_b, est_jaccard.
+    """
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    sig_arr = sig.select(
+        F.col(id_col), F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig")
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig_arr.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sig_a"))
+    sb = sig_arr.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.expr(
+                "size(filter(zip_with(_sig_a, _sig_b, (x, y) -> x = y), v -> v))"
+            )
+            / F.lit(float(k)),
+        )
+        .where(F.col("est_jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint from word-frequency vectors.
+
+    Per document: for every word w with count c and h = xxhash64(w),
+    each bit position b accumulates +c if bit b of h is set else -c;
+    the fingerprint sets bit b where the accumulator is positive.
+    Implemented as 64 conditional-sum aggregates over one word-count
+    groupBy — two shuffles total, no UDF, no per-bit explode.
+
+    Output: id, simhash (long).
+    """
+    ws = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = (
+        df.select(F.col(id_col), F.explode(ws).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("c"))
+            .otherwise(-F.col("c"))
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    acc = words.groupBy(id_col).agg(*bit_aggs)
+    fp = reduce(
+        lambda x, b: x + F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(63),  # bit 63 would overflow signed long via 1<<63; handle below
+        F.lit(0).cast("long"),
+    )
+    fp = fp + F.when(
+        F.col("_b63") > 0, F.lit(-(1 << 63)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return acc.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into `bands`
+    16-bit chunks; any pair within hamming distance < bands must agree
+    on at least one chunk, so the candidate join is an equi-join on
+    (chunk_index, chunk_value). Verification = popcount(xor) via the
+    built-in bit_count.
+
+    Output: id_a, id_b, hamming.
+    """
+    fp = simhash64(df, id_col, text_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col("x.simhash").alias("_ha"),
+            F.col("y.simhash").alias("_hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths:
+- cosine_topk: exact brute-force top-k — the correctness baseline. The
+  query side is broadcast (queries are small by construction); the
+  corpus side streams through a single projection + per-query-partition
+  top-k window. Linear in corpus size, embarrassingly parallel.
+- lsh_topk: random-hyperplane LSH bucketing — the 100 TB path. Each
+  vector hashes to a signature of sign-bits against `n_planes`
+  deterministic pseudo-random hyperplanes; candidates share a bucket,
+  then exact re-scoring only within buckets. `n_tables` independent
+  hash tables trade recall for cost.
+
+Dot products use `F.zip_with` + `F.aggregate` (JVM-side, no UDF). All
+floats are cast to double before arithmetic; scores are rounded to 6
+decimals so rank order is reproducible across engines/summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def with_double_vec(df: DataFrame, vec_col: str, out_col: str = "_vec") -> DataFrame:
+    return df.withColumn(out_col, F.col(vec_col).cast("array<double>"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Output: query_id, neighbor_id, cosine (rounded), rank. Self-matches
+    (query_id == neighbor_id) excluded. Ties broken by neighbor_id so
+    ranking is total and deterministic.
+    """
+    c = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_vec").alias("_cv")
+    )
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_vec").alias("_qv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_cv"), F.col("_qv"))
+                / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_pairs_above(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all (a < b) with cosine >=
+    threshold. Brute-force — pair with lsh_topk bucketing at scale.
+
+    Output: id_a, id_b, cosine (rounded 6).
+    """
+    v = with_double_vec(df, vec_col).select(
+        F.col(id_col), F.col("_vec"), _norm(F.col("_vec")).alias("_n")
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplane(plane: int, table: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component d is a
+    zero-centered value derived from murmur3(table, plane, d). Stable
+    across runs and cluster layouts (no RNG state)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (F.pmod(F.hash(F.lit(table), F.lit(plane), d), F.lit(10_000)) / 5_000.0)
+        - 1.0,
+    )
+
+
+def lsh_signature(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 3,
+    vec_col: str = "_vec",
+) -> DataFrame:
+    """Attach (table, bucket) rows per vector: bucket = sign-bit
+    signature against the table's hyperplanes, packed into a long."""
+    tables = []
+    for t in range(n_tables):
+        bits = [
+            F.when(_dot(F.col(vec_col), _hyperplane(p, t, dim)) >= 0, F.lit(1 << p))
+            .otherwise(F.lit(0))
+            .cast("long")
+            for p in range(n_planes)
+        ]
+        sig = bits[0]
+        for b in bits[1:]:
+            sig = sig + b
+        tables.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+    return df.withColumn("_tb", F.explode(F.array(*tables))).select(
+        "*", F.col("_tb.tbl").alias("tbl"), F.col("_tb.bucket").alias("bucket")
+    ).drop("_tb")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within shared LSH
+    buckets. Recall < 1.0 by design; raise n_tables for recall, raise
+    n_planes for selectivity.
+
+    Output: query_id, neighbor_id, cosine, rank (rank within retrieved
+    candidates).
+    """
+    c = lsh_signature(with_double_vec(corpus, vec_col), dim, n_planes, n_tables).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_vec").alias("_cv"), "tbl", "bucket"
+    )
+    q = lsh_signature(with_double_vec(queries, vec_col), dim, n_planes, n_tables).select(
+        F.col(id_col).alias("query_id"), F.col("_vec").alias("_qv"), "tbl", "bucket"
+    )
+    cand = (
+        c.join(q, ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_cv", "_qv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("_cv"), F.col("_qv")) / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for LLM-data-pipeline workloads: token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+
+Everything is built from native `pyspark.sql.functions` (JVM-side,
+whole-stage codegen) — no Python UDFs in any hot path. All derived
+ratios are computed from exact integer counts so a DuckDB oracle
+evaluating the same formula produces bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic. Deliberately small + deterministic; real language-ID would
+# be a fastText-style model behind a Pandas UDF.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    t = F.trim(F.lower(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """n_chars / n_tokens / avg token length (BPE-ish proxy: tokens =
+    whitespace words + punctuation splits are out of scope for the
+    synthetic corpus)."""
+    ws = words_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(ws).alias("n_tokens"),
+    ).withColumn(
+        "avg_token_len",
+        F.when(
+            F.col("n_tokens") > 0,
+            # exact ints -> identical double division in any engine
+            (F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / stopword-ratio quality heuristic. Output: id, n_chars,
+    n_tokens, stopword_ratio, quality (0..1)."""
+    ws = words_col(F.col(text_col))
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(ws, stop))
+    # distinct-stopword presence over word *positions* would need an
+    # explode; use the cheap containment count: how many marker words
+    # appear at least once.
+    out = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(ws).alias("n_tokens"),
+        n_stop.alias("n_stop_markers"),
+    )
+    return out.withColumn(
+        "stopword_ratio",
+        F.when(F.col("n_tokens") > 0, F.col("n_stop_markers") / F.col("n_tokens"))
+        .otherwise(F.lit(0.0)),
+    ).withColumn(
+        "quality",
+        F.least(
+            F.lit(1.0),
+            (F.col("n_tokens") / F.lit(100.0)) * F.lit(0.5)
+            + F.when(F.col("n_stop_markers") > 0, F.lit(0.5)).otherwise(F.lit(0.0)),
+        ),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic: score each candidate
+    language by how many of its marker words occur; highest count wins,
+    ties broken by language code; no markers -> 'und' (undetermined)."""
+    ws = words_col(F.col(text_col))
+    scores = [
+        F.size(
+            F.array_intersect(ws, F.array(*[F.lit(w) for w in markers]))
+        ).alias(f"_s_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("und")
+    # iterate in reverse code order so earlier codes win ties
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(
+            (F.col(f"_s_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.withColumn("pred_lang", pred).select(
+        id_col, "pred_lang", *[f"_s_{lang}" for lang in sorted(LANG_MARKERS)]
+    ).toDF(id_col, "pred_lang", *[f"score_{lang}" for lang in sorted(LANG_MARKERS)])
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized lowercase text. (The rolling-hash variant for
+    shingle-level fingerprints lives in dedup.py.)"""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))

@@ -1,0 +1,680 @@
+"""Driver-contract query suite: every operator from SURVEY.md §2 plus
+the large-scale pipeline extensions, each as a (Spark callable,
+DuckDB oracle SQL) pair over the driver's synthetic tables.
+
+Hash-stability rules (the driver compares order-insensitive value
+hashes, columns sorted by name):
+- the timestamp spine is epoch-nanos BIGINT on both sides
+  (`nanosAsLong` on Spark, `epoch_ns(ts)` in DuckDB);
+- every double aggregate goes through exact DECIMAL accumulation (or
+  per-row rounding to a fixed scale before decimal accumulation), then
+  one double cast/division — identical IEEE operands on both engines;
+- rational scores (jaccard, ratios) are integer-derived divisions,
+  identical in IEEE; cosines are rounded to 6 decimals;
+- ties in any ranking are broken by an id column so rank is total.
+
+The `ts_*` entries run the REAL dialect pipeline (parser -> analyzer ->
+condition -> translator operators) against `events` as the metrics
+table (FIXTURES.md F6): the WHERE fragment is compiled by the engine's
+own analyzer, not hand-translated.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datetime_util import NANOS_PER_SEC, now_utc_nanos
+from .operators import aggregates, dedup, multimodal, sessionize, similarity, text
+from .operators.limits import limit_distinct_ts
+from .query.analyzer import LimitKind, interpret
+from .query.parser import parse_query
+from .query.translator import apply_range_filter
+
+EMB_DIM = 64
+
+# ---------------------------------------------------------------------------
+# table loaders
+# ---------------------------------------------------------------------------
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # defensive runtime confs: the driver supplies its own session; pin
+    # the two settings oracle parity depends on (both runtime-settable)
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def events_ts_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` with the ts column as LongType epoch nanos — the
+    engine's canonical spine. Prefers the nanosAsLong read (exact); if
+    the ambient session read it as a timestamp, converts via
+    unix_micros (lossless here: the generator emits µs-aligned data)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = load(spark, sf_dir, "events")
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type != "bigint":
+        df = df.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000))
+    else:
+        # ORACLE COMPARABILITY: the generator emits true-nanosecond
+        # timestamps, but DuckDB reads Parquet TIMESTAMP(NANOS) at
+        # microsecond precision (epoch_ns returns µs*1000). The engine
+        # itself is nano-native (tests/test_engine_e2e.py); this suite
+        # truncates to the oracle's precision so both sides see the
+        # same spine.
+        df = df.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1000))
+    return df
+
+
+def _dialect_condition(where_fragment: str, tz: str | None = None):
+    """Compile a WHERE fragment through the real parser+analyzer and
+    return the SearchCondition (frozen now for determinism)."""
+    with_part = f"with tz = {tz} " if tz else ""
+    q = parse_query(f"{with_part}select * from events where {where_fragment}")
+    iq = interpret(q, now_utc_nanos())
+    return iq.condition
+
+
+def _dialect_events(spark, sf_dir, where_fragment, tz=None) -> DataFrame:
+    cond = _dialect_condition(where_fragment, tz)
+    df = apply_range_filter(events_ts_long(spark, sf_dir), cond)
+    if cond.limit is not None:
+        df = limit_distinct_ts(
+            df, cond.limit.n, tail=(cond.limit.kind is LimitKind.TAIL)
+        )
+    return df.select("event_id", "ts", "event_type", "value")
+
+
+def _oracle_events_range(
+    since: int | None, until: int | None, limit: tuple[str, int] | None = None
+) -> str:
+    conds = []
+    if since is not None:
+        conds.append(f"epoch_ns(ts) >= {since}")
+    if until is not None:
+        conds.append(f"epoch_ns(ts) < {until}")
+    where = " AND ".join(conds) if conds else "TRUE"
+    base = (
+        "SELECT event_id, epoch_ns(ts) AS ts, event_type, value "
+        f"FROM events WHERE {where}"
+    )
+    if limit is None:
+        return base
+    kind, n = limit
+    agg = "max" if kind == "head" else "min"
+    order = "ASC" if kind == "head" else "DESC"
+    cmp = "<=" if kind == "head" else ">="
+    return f"""
+WITH base AS ({base}),
+thr AS (SELECT {agg}(e) AS t FROM (
+    SELECT DISTINCT ts AS e FROM base ORDER BY e {order} LIMIT {n}))
+SELECT base.* FROM base, thr WHERE base.ts {cmp} thr.t
+"""
+
+
+# nanos helpers for literals used below (UTC)
+def _n(date: str, hh: int = 0, mm: int = 0) -> int:
+    from datetime import date as d
+
+    y, mo, dd = (int(x) for x in date.split("-"))
+    days = d(y, mo, dd).toordinal() - d(1970, 1, 1).toordinal()
+    return ((days * 86400) + hh * 3600 + mm * 60) * NANOS_PER_SEC
+
+
+# ---------------------------------------------------------------------------
+# reference-surface queries (events as the metrics table)
+# ---------------------------------------------------------------------------
+
+
+def q_ts_range_scan(spark, sf_dir):
+    """F1: ts in (t1, t2) — half-open range + projection."""
+    return _dialect_events(spark, sf_dir, "ts in ('2024-01-05', '2024-01-10')")
+
+
+def q_ts_gt(spark, sf_dir):
+    """F2: ts > t  ==  ts >= t+1ns."""
+    return _dialect_events(spark, sf_dir, "ts > '2024-01-28'")
+
+
+def q_ts_lte(spark, sf_dir):
+    """F3: ts <= t  ==  ts < t+1ns."""
+    return _dialect_events(spark, sf_dir, "ts <= '2024-01-03'")
+
+
+def q_ts_eq_day(spark, sf_dir):
+    """F4: day-accuracy equality -> 1-day window."""
+    return _dialect_events(spark, sf_dir, "ts = '2024-01-15'")
+
+
+def q_ts_eq_hour_jst(spark, sf_dir):
+    """F4+D5: hour-accuracy equality interpreted at +09:00."""
+    return _dialect_events(spark, sf_dir, "ts = '2024-01-15 09:00'", tz="+09:00")
+
+
+def q_ts_eq_minute(spark, sf_dir):
+    """F4: minute-accuracy equality -> 1-minute window."""
+    return _dialect_events(spark, sf_dir, "ts = '2024-01-15 12:30'")
+
+
+def q_ts_head_limit(spark, sf_dir):
+    """L1: first 100 distinct timestamps >= t (ties kept)."""
+    return _dialect_events(spark, sf_dir, "ts >=|100 '2024-01-15'")
+
+
+def q_ts_tail_limit(spark, sf_dir):
+    """L2: last 100 distinct timestamps <= t (ties kept)."""
+    return _dialect_events(spark, sf_dir, "ts <=|100 '2024-01-15'")
+
+
+def q_ts_delta_range(spark, sf_dir):
+    """D2/D3: range close via composite duration delta."""
+    return _dialect_events(spark, sf_dir, "ts in ('2024-01-20', 12 hours)")
+
+
+def q_metrics_list_style(spark, sf_dir):
+    """A1 analog on driver data: catalog of event streams."""
+    return (
+        events_ts_long(spark, sf_dir)
+        .select(F.col("event_type").alias("metrics"))
+        .distinct()
+    )
+
+
+def q_describe_style(spark, sf_dir):
+    """A2 analog: per-stream block_num/from/end (seconds granularity)."""
+    df = events_ts_long(spark, sf_dir)
+    return df.groupBy(F.col("event_type").alias("metrics")).agg(
+        F.count("*").alias("block_num"),
+        (F.min("ts") / NANOS_PER_SEC).cast("long").alias("from"),
+        (F.max("ts") / NANOS_PER_SEC).cast("long").alias("end"),
+        F.countDistinct("ts").alias("distinct_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# extension surface: aggregations / sessions / joins
+# ---------------------------------------------------------------------------
+
+HOUR_NANOS = 3600 * NANOS_PER_SEC
+
+
+def q_agg_time_bucket_1h(spark, sf_dir):
+    df = events_ts_long(spark, sf_dir)
+    return aggregates.time_bucket(df, HOUR_NANOS, ["event_type"], "value")
+
+
+def q_event_type_share(spark, sf_dir):
+    df = events_ts_long(spark, sf_dir)
+    return aggregates.value_share_by_key(df, "event_type", "value")
+
+
+def q_sessionize_30m(spark, sf_dir):
+    df = events_ts_long(spark, sf_dir)
+    return sessionize.sessionize(df, 30 * 60 * NANOS_PER_SEC)
+
+
+def q_top_users_by_value(spark, sf_dir):
+    from pyspark.sql import Window
+
+    df = events_ts_long(spark, sf_dir)
+    per_user = df.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("_s"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.orderBy(F.col("_s").desc(), F.col("user_id").asc())
+    # NOTE: global top-10 ranking; the un-keyed window only ever sees the
+    # pre-aggregated per-user rows (|users|, not |events|), and at true
+    # scale this becomes TakeOrderedAndProject via orderBy+limit anyway.
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "user_id",
+            F.col("_s").cast("double").alias("total_value"),
+            "n_events",
+            "rnk",
+        )
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (extension surface; reference has no
+    aggregations). Per-row double products rounded to a fixed scale,
+    then exact decimal accumulation."""
+    li = load(spark, sf_dir, "lineitem")
+    # all-DECIMAL per-row arithmetic: (12,2)*(1-(4,2)) -> scale 4 exact,
+    # * (1+(4,2)) -> scale 6 exact. No double rounding anywhere, so the
+    # accumulated sums are engine-independent (double rounding rules
+    # differ between engines; decimal arithmetic does not).
+    e_dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    d_dec = F.col("l_discount").cast("decimal(4,2)")
+    t_dec = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = e_dec * (F.lit(1).cast("decimal(3,2)") - d_dec)
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + t_dec)
+    out = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_sp"),
+            F.sum(disc_price).alias("_sdp"),
+            F.sum(charge).alias("_sc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("_sp").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+def q_revenue_by_segment(spark, sf_dir):
+    """Broadcast join orders x customer, aggregate by market segment."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(cust),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5-style multi-join: lineitem x orders x customer x nation
+    x region; dims broadcast, facts shuffle-join on keys."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q_part_brand_stats(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# extension surface: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, k=64, bands=16,
+        threshold=0.5,
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return similarity.cosine_pairs_above(
+        load(spark, sf_dir, "embeddings"), threshold=0.40
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, k=5, dim=EMB_DIM)
+
+
+def q_text_token_stats(spark, sf_dir):
+    return text.token_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_text_quality(spark, sf_dir):
+    return text.quality_score(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_text_lang_id(spark, sf_dir):
+    return text.lang_id(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return text.fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_multimodal_decode(spark, sf_dir):
+    media = multimodal.synthesize_media_from_text(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return multimodal.decode_image_stub(media)
+
+
+# ---------------------------------------------------------------------------
+# the catalog
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # reference surface
+    "ts_range_scan": q_ts_range_scan,
+    "ts_gt": q_ts_gt,
+    "ts_lte": q_ts_lte,
+    "ts_eq_day": q_ts_eq_day,
+    "ts_eq_hour_jst": q_ts_eq_hour_jst,
+    "ts_eq_minute": q_ts_eq_minute,
+    "ts_head_limit": q_ts_head_limit,
+    "ts_tail_limit": q_ts_tail_limit,
+    "ts_delta_range": q_ts_delta_range,
+    "metrics_list_style": q_metrics_list_style,
+    "describe_style": q_describe_style,
+    # aggregations / sessions / joins
+    "agg_time_bucket_1h": q_agg_time_bucket_1h,
+    "event_type_share": q_event_type_share,
+    "sessionize_30m": q_sessionize_30m,
+    "top_users_by_value": q_top_users_by_value,
+    "tpch_q1": q_tpch_q1,
+    "revenue_by_segment": q_revenue_by_segment,
+    "revenue_by_nation": q_revenue_by_nation,
+    "part_brand_stats": q_part_brand_stats,
+    # dedup / similarity / text / multimodal
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+
+def _oracle_dialect(fragment_name: str) -> str:
+    """Oracle SQL for the ts_* entries, computed from the SAME compiled
+    condition the Spark side uses (so both sides agree on the
+    nanosecond range by construction, while DuckDB independently
+    evaluates the data)."""
+    frag, tz = _DIALECT_FRAGMENTS[fragment_name]
+    cond = _dialect_condition(frag, tz)
+    limit = None
+    if cond.limit is not None:
+        limit = (
+            "head" if cond.limit.kind is LimitKind.HEAD else "tail",
+            cond.limit.n,
+        )
+    return _oracle_events_range(cond.since_nanos, cond.until_nanos, limit)
+
+
+_DIALECT_FRAGMENTS = {
+    "ts_range_scan": ("ts in ('2024-01-05', '2024-01-10')", None),
+    "ts_gt": ("ts > '2024-01-28'", None),
+    "ts_lte": ("ts <= '2024-01-03'", None),
+    "ts_eq_day": ("ts = '2024-01-15'", None),
+    "ts_eq_hour_jst": ("ts = '2024-01-15 09:00'", "+09:00"),
+    "ts_eq_minute": ("ts = '2024-01-15 12:30'", None),
+    "ts_head_limit": ("ts >=|100 '2024-01-15'", None),
+    "ts_tail_limit": ("ts <=|100 '2024-01-15'", None),
+    "ts_delta_range": ("ts in ('2024-01-20', 12 hours)", None),
+}
+
+_STOP_EN = ", ".join(f"'{w}'" for w in text.LANG_MARKERS["en"])
+
+
+def oracle_sql() -> dict[str, str]:
+    sqls: dict[str, str] = {}
+    for name in _DIALECT_FRAGMENTS:
+        sqls[name] = _oracle_dialect(name)
+
+    sqls["metrics_list_style"] = (
+        "SELECT DISTINCT event_type AS metrics FROM events"
+    )
+    sqls["describe_style"] = """
+SELECT event_type AS metrics, count(*) AS block_num,
+       min(epoch_ns(ts)) // 1000000000 AS "from",
+       max(epoch_ns(ts)) // 1000000000 AS "end",
+       count(DISTINCT epoch_ns(ts)) AS distinct_ts
+FROM events GROUP BY 1
+"""
+    sqls["agg_time_bucket_1h"] = """
+SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+    sqls["event_type_share"] = """
+WITH per_key AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,2))) AS s
+  FROM events GROUP BY 1),
+tot AS (SELECT sum(s) AS t FROM per_key)
+SELECT event_type, n, CAST(s AS DOUBLE) AS sum_value,
+       CAST(s AS DOUBLE) / CAST(t AS DOUBLE) AS share
+FROM per_key, tot
+"""
+    sqls["sessionize_30m"] = """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts) OVER w > 1800000000000 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, min(ts) AS session_start,
+       max(ts) AS session_end, count(*) AS n_events
+FROM sess GROUP BY 1, 2
+"""
+    sqls["top_users_by_value"] = """
+WITH per_user AS (
+  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS s,
+         count(*) AS n_events
+  FROM events GROUP BY 1)
+SELECT user_id, CAST(s AS DOUBLE) AS total_value, n_events,
+       row_number() OVER (ORDER BY s DESC, user_id ASC) AS rnk
+FROM per_user QUALIFY rnk <= 10
+"""
+    sqls["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum((CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+    sqls["revenue_by_segment"] = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+    sqls["revenue_by_nation"] = """
+SELECT r_name, n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+    sqls["part_brand_stats"] = """
+SELECT p_brand, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+    sqls["dedup_exact"] = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS rep_id,
+       count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+    sqls["dedup_ngram_jaccard"] = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t
+       WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE c / (sa.n + sb.n - c) >= 0.5
+"""
+    sqls["ann_cosine_topk"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round(list_dot_product(q.e, v.e) /
+               (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(v.e, v.e))), 6)
+           AS cosine
+  FROM q, v WHERE q.vec_id <> v.vec_id)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+    sqls["embedding_neardup"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+           AS cosine
+  FROM v a, v b WHERE a.vec_id < b.vec_id)
+SELECT * FROM scored WHERE cosine >= 0.40
+"""
+    sqls["text_token_stats"] = """
+WITH w AS (SELECT doc_id, length(text) AS n_chars,
+                  len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+           FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       CASE WHEN n_tokens > 0
+            THEN (n_chars - (n_tokens - 1)) / n_tokens ELSE 0.0 END
+         AS avg_token_len
+FROM w
+"""
+    sqls["text_quality"] = f"""
+WITH w AS (SELECT doc_id, length(text) AS n_chars,
+                  string_split_regex(lower(trim(text)), '\\s+') AS ws
+           FROM documents),
+m AS (SELECT doc_id, n_chars, len(ws) AS n_tokens,
+             len(list_intersect(ws, [{_STOP_EN}])) AS n_stop_markers
+      FROM w)
+SELECT doc_id, n_chars, n_tokens, n_stop_markers,
+       CASE WHEN n_tokens > 0 THEN n_stop_markers / n_tokens ELSE 0.0 END
+         AS stopword_ratio,
+       least(1.0, (n_tokens / 100.0) * 0.5 +
+                  CASE WHEN n_stop_markers > 0 THEN 0.5 ELSE 0.0 END)
+         AS quality
+FROM m
+"""
+    lang_exprs = []
+    for lang in sorted(text.LANG_MARKERS):
+        markers = ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+        lang_exprs.append(
+            f"len(list_intersect(ws, [{markers}])) AS score_{lang}"
+        )
+    langs_sorted = sorted(text.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{la}" for la in langs_sorted) + ")"
+    pred = "'und'"
+    for lang in sorted(langs_sorted, reverse=True):
+        pred = (
+            f"CASE WHEN score_{lang} = {best} AND {best} > 0 "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    sqls["text_lang_id"] = f"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+           FROM documents),
+s AS (SELECT doc_id, {', '.join(lang_exprs)} FROM w)
+SELECT doc_id, {pred} AS pred_lang,
+       {', '.join('score_' + la for la in langs_sorted)}
+FROM s
+"""
+    sqls["doc_fingerprint"] = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / multimodal_decode:
+    # intentionally no oracle (hash-function-dependent / stub output);
+    # driver records the weaker rows-only check.
+    return sqls
