@@ -1,0 +1,88 @@
+"""CLI entry point: adhoc query mode + a minimal REPL.
+
+Reference parity: bin/main.rs adhoc/REPL modes (§3.1, §3.4 — rustyline
+multiline-until-';' loop, repl/mod.rs:28-67) and the config file merge
+(config/mod.rs:35-109). The Arrow Flight server/client mode (§3.2) is
+intentionally out of scope: Spark Connect is the idiomatic remote
+execution boundary (`spark.remote("sc://host")` gives any client the
+same engine without a bespoke gRPC protocol).
+
+Usage:
+    python -m zikeiretsu_rs_spark --data-dir /tmp/zdb "select * from .metrics"
+    python -m zikeiretsu_rs_spark --data-dir /tmp/zdb        # REPL
+    python -m zikeiretsu_rs_spark --config ctx.toml "..."
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .catalog.context import DBContext
+from .engine import Engine
+from .errors import ZikeiretsuError
+from .session import get_spark
+
+
+def build_engine(args: argparse.Namespace) -> Engine:
+    if args.config:
+        ctx = DBContext.from_config_file(args.config)
+    else:
+        ctx = DBContext(data_dir=args.data_dir, default_database=args.database)
+    spark = get_spark(app_name="zikeiretsu-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return Engine(spark, ctx)
+
+
+def run_query(engine: Engine, query: str) -> int:
+    try:
+        out = engine.execute(query)
+    except ZikeiretsuError as e:
+        print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+        return 1
+    if isinstance(out, str):
+        print(out)
+    elif out is not None and hasattr(out, "show"):
+        out.show(truncate=False)
+    return 0
+
+
+def repl(engine: Engine) -> int:
+    """Multiline REPL: statements accumulate until a ';' (repl/mod.rs
+    validator behavior); 'exit'/'quit'/EOF leaves."""
+    print("zikeiretsu_rs_spark repl — end statements with ';', 'exit' to quit")
+    buf: list[str] = []
+    while True:
+        try:
+            prompt = "... " if buf else ">> "
+            line = input(prompt)
+        except EOFError:
+            print()
+            return 0
+        stripped = line.strip()
+        if not buf and stripped.lower() in ("exit", "quit"):
+            return 0
+        if not stripped:
+            continue
+        buf.append(line)
+        if stripped.endswith(";"):
+            query = "\n".join(buf)
+            buf = []
+            run_query(engine, query)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="zikeiretsu_rs_spark")
+    p.add_argument("--data-dir", default="./zdb", help="warehouse root directory")
+    p.add_argument("--database", default="default", help="default database name")
+    p.add_argument("--config", default=None, help="TOML/JSON context config file")
+    p.add_argument("query", nargs="?", default=None, help="adhoc query (REPL if omitted)")
+    args = p.parse_args(argv)
+    engine = build_engine(args)
+    if args.query is not None:
+        return run_query(engine, args.query)
+    return repl(engine)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,101 @@
+"""Structured Streaming ingest and windowed aggregation.
+
+Reference mapping (SURVEY §2.10):
+- T1/T2 (ingest buffer + mpsc sink channel) -> a streaming source piped
+  into `foreachBatch`, each micro-batch persisted as one "block" via
+  WritableStore.persist_dataframe (manifest entry per batch, exactly
+  like the reference's one-block-per-persist).
+- T3 (periodic persistence task) -> `trigger(processingTime=...)`;
+  durability comes from checkpointing, which subsumes the WAL (S4/S9).
+- watermark + windowed aggregation covers the late-data surface the
+  reference lacks entirely.
+
+Scale notes: state for windowed aggs is keyed by (window, group) and
+bounded by the watermark; `session_window` state is per-key. At 100 TB/
+day the knobs are `spark.sql.shuffle.partitions` for state shards and
+RocksDB state store (config, not code).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..ingest.writable_store import WritableStore
+
+
+def start_streaming_ingest(
+    stream_df: DataFrame,
+    store: WritableStore,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Pipe a streaming DataFrame with the store's (ts, f0..fn) schema
+    into the warehouse: one block (Parquet append + manifest entry) per
+    micro-batch. Exactly-once at the block level via checkpointing."""
+
+    def persist_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        store.persist_dataframe(batch_df)
+
+    writer = stream_df.writeStream.foreachBatch(persist_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def streaming_time_bucket(
+    stream_df: DataFrame,
+    bucket: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event-time
+    column. `ts_col` must be TimestampType here (Structured Streaming
+    watermarks require it); callers with a nano-long spine derive it
+    with `F.timestamp_micros(ts / 1000)` — sub-microsecond precision is
+    not meaningful for windowing."""
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("sum_value")
+        )
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, bucket), *(group_cols or []))
+        .agg(*aggs)
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            F.col("window.end").alias("bucket_end"),
+            *(group_cols or []),
+            "n",
+            *(["sum_value"] if value_col is not None else []),
+        )
+    )
+
+
+def streaming_sessionize(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming session windows (`F.session_window`) — the streaming
+    dual of operators.sessionize. State is per-user and closed by the
+    watermark."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
