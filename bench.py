@@ -29,7 +29,11 @@ HEADLINE = [
     "sessionize_30m",
     "top_users_by_value",
     "tpch_q1",
+    "tpch_q6",
     "revenue_by_nation",
+    "semi_join_priority",
+    "asof_purchase_click",
+    "moving_avg_1h",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -1,0 +1,139 @@
+"""Join and keyed-window operator tests: as-of join tie/boundary
+semantics, semi/anti joins, moving range windows with duplicate
+timestamps, grouped top-k, discrete quantiles."""
+
+import pytest
+
+from zikeiretsu_rs_spark.operators import joins, windows
+
+NS = 10**9
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    # quotes (right): user 1 has quotes at t=10, 20, 20 (dup ts), 40
+    quotes = spark.createDataFrame(
+        [
+            (1, 10 * NS, 101, 1.0),
+            (1, 20 * NS, 102, 2.0),
+            (1, 20 * NS, 103, 3.0),  # same ts as 102 — tiebreak max id wins
+            (1, 40 * NS, 104, 4.0),
+            (2, 50 * NS, 201, 5.0),
+        ],
+        ["user_id", "ts", "event_id", "px"],
+    )
+    # trades (left)
+    trades = spark.createDataFrame(
+        [
+            (1, 5 * NS, 11),   # before any quote -> null
+            (1, 20 * NS, 12),  # equal ts -> inclusive, max-id quote (103)
+            (1, 30 * NS, 13),  # between -> quote 103
+            (1, 99 * NS, 14),  # after all -> quote 104
+            (2, 49 * NS, 21),  # user 2, before its quote -> null
+            (3, 10 * NS, 31),  # user with no quotes -> null
+        ],
+        ["user_id", "ts", "trade_id"],
+    )
+    return trades, quotes
+
+
+class TestAsofJoin:
+    def test_backward_inclusive_with_ties(self, trades_quotes):
+        trades, quotes = trades_quotes
+        out = joins.asof_join_backward(
+            trades,
+            quotes,
+            on=["user_id"],
+            payload_cols=["event_id", "px"],
+            tiebreak_col="event_id",
+            prefix="q_",
+        )
+        got = {r["trade_id"]: (r["q_event_id"], r["q_ts"]) for r in out.collect()}
+        assert got[11] == (None, None)
+        assert got[12] == (103, 20 * NS)  # inclusive + max-id tiebreak
+        assert got[13] == (103, 20 * NS)
+        assert got[14] == (104, 40 * NS)
+        assert got[21] == (None, None)
+        assert got[31] == (None, None)
+
+    def test_left_row_count_preserved(self, trades_quotes):
+        trades, quotes = trades_quotes
+        out = joins.asof_join_backward(
+            trades, quotes, on=["user_id"], payload_cols=["px"],
+            tiebreak_col="event_id",
+        )
+        assert out.count() == trades.count()
+
+
+class TestSemiAnti:
+    def test_semi_anti_partition(self, spark):
+        left = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+        right = spark.createDataFrame([(i,) for i in range(0, 10, 2)], ["r"])
+        cond = left.k == right.r
+        semi = {r["k"] for r in joins.semi_join(left, right, cond).collect()}
+        anti = {r["k"] for r in joins.anti_join(left, right, cond).collect()}
+        assert semi == {0, 2, 4, 6, 8}
+        assert anti == {1, 3, 5, 7, 9}
+        assert semi | anti == set(range(10))
+
+
+class TestMovingAgg:
+    def test_range_window_duplicate_ts(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("a", 0 * NS, 10.0),
+                ("a", 5 * NS, 20.0),
+                ("a", 5 * NS, 30.0),  # duplicate ts: both rows see both
+                ("a", 100 * NS, 40.0),
+                ("b", 5 * NS, 1.0),
+            ],
+            ["k", "ts", "value"],
+        )
+        out = windows.moving_agg_range(df, ["k"], "value", 10 * NS)
+        rows = {
+            (r["k"], r["ts"], r["value"]): (r["n_win"], r["sum_win"])
+            for r in out.collect()
+        }
+        assert rows[("a", 0, 10.0)] == (1, 10.0)
+        # both dup-ts rows share the identical frame (RANGE semantics)
+        assert rows[("a", 5 * NS, 20.0)] == (3, 60.0)
+        assert rows[("a", 5 * NS, 30.0)] == (3, 60.0)
+        # 100s is outside the 10s window of everything prior
+        assert rows[("a", 100 * NS, 40.0)] == (1, 40.0)
+        assert rows[("b", 5 * NS, 1.0)] == (1, 1.0)
+
+
+class TestTopK:
+    def test_rank_and_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("x", 1, 5.0),
+                ("x", 2, 9.0),
+                ("x", 3, 9.0),  # value tie -> lower id ranks first
+                ("x", 4, 1.0),
+                ("y", 5, 7.0),
+            ],
+            ["k", "id", "value"],
+        )
+        out = windows.topk_per_group(df, ["k"], "value", 2, "id")
+        got = {(r["k"], r["rank"]): r["id"] for r in out.collect()}
+        assert got == {("x", 1): 2, ("x", 2): 3, ("y", 1): 5}
+
+
+class TestQuantiles:
+    def test_discrete_order_statistics(self, spark):
+        vals = [float(v) for v in [9, 1, 8, 3, 7, 5, 6, 4, 2, 10]]
+        df = spark.createDataFrame([("g", v) for v in vals], ["k", "value"])
+        out = windows.quantile_disc_per_group(
+            df, ["k"], "value", [0.0, 0.5, 0.9, 1.0]
+        ).collect()[0]
+        # n=10: q0 -> rank 1 (=1.0), q50 -> rank floor(9*.5)+1=5 (=5.0),
+        # q90 -> rank floor(8.1)+1=9 (=9.0), q100 -> rank 10 (=10.0)
+        assert (out["q00"], out["q50"], out["q90"], out["q100"]) == (
+            1.0, 5.0, 9.0, 10.0,
+        )
+
+    def test_single_element_group(self, spark):
+        df = spark.createDataFrame([("g", 42.0)], ["k", "value"])
+        out = windows.quantile_disc_per_group(df, ["k"], "value", [0.5]).collect()
+        assert out[0]["q50"] == 42.0

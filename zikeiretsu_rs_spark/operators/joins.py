@@ -1,0 +1,99 @@
+"""Time-series join operators (north-star extension surface — the
+reference has no joins of any kind, SURVEY.md §2.8; these are the join
+shapes a large-scale event/training-data pipeline needs).
+
+Scale notes:
+
+- `asof_join_backward` uses the union-and-scan formulation, NOT a range
+  join: tag both sides, union, one keyed window pass carrying the last
+  right-side row forward as a struct. Cost = one shuffle on the join
+  key + a per-key sorted scan — linear, no range-join row explosion,
+  no broadcast requirement on either side. This is the as-of
+  formulation that survives two 100 TB inputs (a range join's
+  candidate set is quadratic in rows-per-key; a broadcast as-of caps
+  the right side at driver memory).
+- semi/anti joins use Spark's native `left_semi` / `left_anti` so
+  Catalyst picks broadcast/shuffled-hash variants and AQE can convert
+  at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    payload_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    prefix: str = "right_",
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    `right.ts <= left.ts` and equal join keys (backward inclusive
+    as-of; left-join semantics — unmatched left rows keep NULLs).
+
+    Deterministic tie rules: at equal ts the right row IS visible to
+    the left row; among multiple right rows at the same (keys, ts) the
+    greatest `tiebreak_col` wins (pass one whenever the right side can
+    have duplicate timestamps per key — without it the winner is
+    partition-order-dependent).
+
+    Output: `on` + ts + remaining left columns + `{prefix}{ts_col}` +
+    `{prefix}{c}` for each payload column.
+    """
+    left_extra = [c for c in left.columns if c not in on and c != ts_col]
+    ltypes = dict(left.dtypes)
+
+    r_struct = F.struct(
+        F.col(ts_col).alias(ts_col),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    r = right.select(
+        *on,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        (F.col(tiebreak_col) if tiebreak_col else F.lit(0))
+        .cast("long")
+        .alias("_tb"),
+        r_struct.alias("_r"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_extra],
+    )
+    r_struct_ddl = r.schema["_r"].dataType.simpleString()
+    l = left.select(
+        *on,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_tb"),
+        F.lit(None).cast(r_struct_ddl).alias("_r"),
+        *left_extra,
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).withColumn(
+        "_m", F.last("_r", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("_side") == 1).select(
+        *on,
+        ts_col,
+        *left_extra,
+        F.col(f"_m.{ts_col}").alias(f"{prefix}{ts_col}"),
+        *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in payload_cols],
+    )
+
+
+def semi_join(left: DataFrame, right: DataFrame, condition) -> DataFrame:
+    """EXISTS semi-join: left rows with >=1 match (native left_semi —
+    broadcast/AQE-eligible, output never exceeds the left side)."""
+    return left.join(right, condition, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, condition) -> DataFrame:
+    """NOT EXISTS anti-join: left rows with no match."""
+    return left.join(right, condition, "left_anti")

@@ -27,7 +27,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .datetime_util import NANOS_PER_SEC, now_utc_nanos
-from .operators import aggregates, dedup, multimodal, sessionize, similarity, text
+from .operators import (
+    aggregates,
+    dedup,
+    joins,
+    multimodal,
+    sessionize,
+    similarity,
+    text,
+    windows,
+)
 from .operators.limits import limit_distinct_ts
 from .query.analyzer import LimitKind, interpret
 from .query.parser import parse_query
@@ -181,6 +190,40 @@ def q_ts_tail_limit(spark, sf_dir):
 def q_ts_delta_range(spark, sf_dir):
     """D2/D3: range close via composite duration delta."""
     return _dialect_events(spark, sf_dir, "ts in ('2024-01-20', 12 hours)")
+
+
+def q_ts_head_limit_excl(spark, sf_dir):
+    """L1+F2: `>|n` — first 50 distinct timestamps STRICTLY after t
+    (exclusive bound becomes >= t+1ns, per the reference)."""
+    return _dialect_events(spark, sf_dir, "ts >|50 '2024-01-15'")
+
+
+def q_ts_tail_limit_excl(spark, sf_dir):
+    """L2+F3: `<|n` — last 50 distinct timestamps strictly before t."""
+    return _dialect_events(spark, sf_dir, "ts <|50 '2024-01-15'")
+
+
+def q_ts_clock_delta_range(spark, sf_dir):
+    """D3: range closed by a clock delta (`+6:30` after the open)."""
+    return _dialect_events(spark, sf_dir, "ts in ('2024-01-20', +6:30)")
+
+
+def q_block_list_style(spark, sf_dir):
+    """A3 analog: `.block_list` — one row per (stream, day-block) with
+    a per-stream sequence number and the block's ts range."""
+    from pyspark.sql import Window
+
+    df = events_ts_long(spark, sf_dir)
+    day = F.col("ts") - F.col("ts") % F.lit(86400 * NANOS_PER_SEC)
+    blocks = df.groupBy(
+        F.col("event_type").alias("metrics"), day.alias("block_day")
+    ).agg(
+        F.min("ts").alias("block_start"),
+        F.max("ts").alias("block_end"),
+        F.count("*").alias("n_rows"),
+    )
+    w = Window.partitionBy("metrics").orderBy("block_day")
+    return blocks.withColumn("seq", F.row_number().over(w))
 
 
 def q_metrics_list_style(spark, sf_dir):
@@ -342,6 +385,108 @@ def q_part_brand_stats(spark, sf_dir):
     )
 
 
+def q_asof_purchase_click(spark, sf_dir):
+    """As-of join (union-and-scan, single keyed shuffle): for every
+    purchase event, the most recent click at-or-before it by the same
+    user; ties broken by max click event_id."""
+    df = events_ts_long(spark, sf_dir)
+    purchases = df.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    clicks = df.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return joins.asof_join_backward(
+        purchases,
+        clicks,
+        on=["user_id"],
+        payload_cols=["event_id"],
+        tiebreak_col="event_id",
+        prefix="click_",
+    )
+
+
+def q_moving_avg_1h(spark, sf_dir):
+    """Trailing 1h per-user moving count/sum/avg (keyed RANGE window
+    on the nano spine)."""
+    df = events_ts_long(spark, sf_dir)
+    return windows.moving_agg_range(
+        df.select("user_id", "ts", "event_id", "value"),
+        ["user_id"],
+        "value",
+        HOUR_NANOS,
+        carry_cols=["event_id"],
+    )
+
+
+def q_topk_events_per_type(spark, sf_dir):
+    """Top-3 events by value per event_type (keyed row_number)."""
+    df = events_ts_long(spark, sf_dir)
+    return windows.topk_per_group(
+        df.select("event_type", "event_id", "ts", "value"),
+        ["event_type"],
+        "value",
+        3,
+        "event_id",
+    )
+
+
+def q_value_quantiles_by_type(spark, sf_dir):
+    """Exact discrete p50/p90 of value per event_type (type-1 order
+    statistic — no interpolation, engine-independent)."""
+    df = events_ts_long(spark, sf_dir)
+    return windows.quantile_disc_per_group(
+        df.select("event_type", "value"), ["event_type"], "value", [0.5, 0.9]
+    )
+
+
+def q_semi_join_priority(spark, sf_dir):
+    """EXISTS semi-join: orders having any lineitem with quantity >
+    45, counted by priority."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    big = joins.semi_join(orders, li, orders.o_orderkey == li.l_orderkey)
+    return big.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+def q_anti_join_parts(spark, sf_dir):
+    """NOT EXISTS anti-join: parts never shipped in quantity > 49."""
+    part = load(spark, sf_dir, "part")
+    heavy = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 49)
+    quiet = joins.anti_join(part, heavy, part.p_partkey == heavy.l_partkey)
+    return quiet.select("p_partkey", "p_brand")
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event value (bucket = floor(v/50))."""
+    df = events_ts_long(spark, sf_dir)
+    return df.groupBy(
+        F.floor(F.col("value") / F.lit(50.0)).alias("bucket")
+    ).agg(F.count("*").alias("n"))
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast-revenue: selective filter + single decimal
+    aggregate (the canonical predicate-pushdown probe)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(4,2)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= F.lit(0.05))
+            & (F.col("l_discount") <= F.lit(0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # extension surface: dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
@@ -425,9 +570,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_eq_minute": q_ts_eq_minute,
     "ts_head_limit": q_ts_head_limit,
     "ts_tail_limit": q_ts_tail_limit,
+    "ts_head_limit_excl": q_ts_head_limit_excl,
+    "ts_tail_limit_excl": q_ts_tail_limit_excl,
     "ts_delta_range": q_ts_delta_range,
+    "ts_clock_delta_range": q_ts_clock_delta_range,
     "metrics_list_style": q_metrics_list_style,
     "describe_style": q_describe_style,
+    "block_list_style": q_block_list_style,
     # aggregations / sessions / joins
     "agg_time_bucket_1h": q_agg_time_bucket_1h,
     "event_type_share": q_event_type_share,
@@ -437,6 +586,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_segment": q_revenue_by_segment,
     "revenue_by_nation": q_revenue_by_nation,
     "part_brand_stats": q_part_brand_stats,
+    "tpch_q6": q_tpch_q6,
+    "semi_join_priority": q_semi_join_priority,
+    "anti_join_parts": q_anti_join_parts,
+    "asof_purchase_click": q_asof_purchase_click,
+    "moving_avg_1h": q_moving_avg_1h,
+    "topk_events_per_type": q_topk_events_per_type,
+    "value_quantiles_by_type": q_value_quantiles_by_type,
+    "value_histogram": q_value_histogram,
     # dedup / similarity / text / multimodal
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -478,7 +635,10 @@ _DIALECT_FRAGMENTS = {
     "ts_eq_minute": ("ts = '2024-01-15 12:30'", None),
     "ts_head_limit": ("ts >=|100 '2024-01-15'", None),
     "ts_tail_limit": ("ts <=|100 '2024-01-15'", None),
+    "ts_head_limit_excl": ("ts >|50 '2024-01-15'", None),
+    "ts_tail_limit_excl": ("ts <|50 '2024-01-15'", None),
     "ts_delta_range": ("ts in ('2024-01-20', 12 hours)", None),
+    "ts_clock_delta_range": ("ts in ('2024-01-20', +6:30)", None),
 }
 
 _STOP_EN = ", ".join(f"'{w}'" for w in text.LANG_MARKERS["en"])
@@ -498,6 +658,91 @@ SELECT event_type AS metrics, count(*) AS block_num,
        max(epoch_ns(ts)) // 1000000000 AS "end",
        count(DISTINCT epoch_ns(ts)) AS distinct_ts
 FROM events GROUP BY 1
+"""
+    sqls["block_list_style"] = """
+WITH e AS (SELECT event_type, epoch_ns(ts) AS ts FROM events),
+b AS (SELECT event_type AS metrics, ts - ts % 86400000000000 AS block_day,
+             min(ts) AS block_start, max(ts) AS block_end,
+             count(*) AS n_rows
+      FROM e GROUP BY 1, 2)
+SELECT *, row_number() OVER (PARTITION BY metrics ORDER BY block_day) AS seq
+FROM b
+"""
+    sqls["asof_purchase_click"] = """
+WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts, event_type, value
+           FROM events WHERE event_type IN ('click', 'purchase')),
+u AS (SELECT user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+             event_id, value
+      FROM e),
+c AS (SELECT *,
+        last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+          OVER w AS click_ts,
+        last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+          OVER w AS click_event_id
+      FROM u
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, side,
+                            CASE WHEN side = 0 THEN event_id ELSE 0 END
+                   ROWS UNBOUNDED PRECEDING))
+SELECT user_id, ts, event_id AS purchase_id, value, click_ts, click_event_id
+FROM c WHERE side = 1
+"""
+    sqls["moving_avg_1h"] = """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, value FROM events)
+SELECT user_id, ts, event_id, value,
+       count(*) OVER w AS n_win,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_win,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / count(*) OVER w AS avg_win
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+"""
+    sqls["topk_events_per_type"] = """
+SELECT event_type, event_id, epoch_ns(ts) AS ts, value,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY value DESC, event_id ASC) AS rank
+FROM events QUALIFY rank <= 3
+"""
+    sqls["value_quantiles_by_type"] = """
+WITH r AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value ASC) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+SELECT event_type,
+       max(CASE WHEN rn = floor((n - 1) * 0.5) + 1 THEN value END) AS q50,
+       max(CASE WHEN rn = floor((n - 1) * 0.9) + 1 THEN value END) AS q90
+FROM r GROUP BY 1
+"""
+    sqls["semi_join_priority"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY 1
+"""
+    sqls["anti_join_parts"] = """
+SELECT p_partkey, p_brand
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity > 49)
+"""
+    sqls["value_histogram"] = """
+SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n
+FROM events GROUP BY 1
+"""
+    sqls["tpch_q6"] = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount >= CAST(0.05 AS DOUBLE)
+  AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < 24
 """
     sqls["agg_time_bucket_1h"] = """
 SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket_start,
