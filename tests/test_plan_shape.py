@@ -1,0 +1,135 @@
+"""Physical-plan shape tests: the scale contract, asserted.
+
+Correctness tests prove the operators compute the right answer at
+small SF; these tests prove the PLANS are the ones that survive a
+100 TB / 1000-executor scale-up:
+
+- range predicates reach the Parquet scan (row-group min/max skipping),
+- column pruning reaches the scan (ReadSchema),
+- dimension joins broadcast (no shuffle of the fact table for dims),
+- nothing falls back to a cartesian product except the two
+  brute-force similarity baselines whose cross product is the
+  documented oracle path (their scale paths are LSH-bucketed).
+"""
+
+import pytest
+
+from zikeiretsu_rs_spark import suite
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, df) -> str:
+    jexec = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jexec.explainString(mode)
+
+
+class TestPushdown:
+    def test_ts_range_pushes_to_scan(self, spark):
+        df = suite.QUERIES["ts_range_scan"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "GreaterThanOrEqual(ts," in plan, plan
+        assert "LessThan(ts," in plan, plan
+
+    def test_ts_limit_query_pushes_range(self, spark):
+        df = suite.QUERIES["ts_head_limit"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "GreaterThanOrEqual(ts," in plan, plan
+
+    def test_q6_pushes_all_predicates(self, spark):
+        df = suite.QUERIES["tpch_q6"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        for frag in (
+            "GreaterThanOrEqual(l_shipdate,",
+            "LessThan(l_shipdate,",
+            "GreaterThanOrEqual(l_discount,",
+            "LessThanOrEqual(l_discount,",
+            "LessThan(l_quantity,",
+        ):
+            assert frag in plan, f"missing {frag}\n{plan}"
+
+    def test_q6_prunes_columns(self, spark):
+        df = suite.QUERIES["tpch_q6"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        # lineitem has 11 columns; the scan must read exactly the 4 used
+        scan = plan.split("ReadSchema: ")[1].splitlines()[0]
+        assert set(scan.split("struct<")[1].rstrip(">").split(",")) == {
+            "l_quantity:double",
+            "l_extendedprice:double",
+            "l_discount:double",
+            "l_shipdate:timestamp_ntz",
+        }, scan
+
+    def test_projection_prunes_unused_event_columns(self, spark):
+        df = suite.QUERIES["ts_range_scan"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        scan = plan.split("ReadSchema: ")[1].splitlines()[0]
+        assert "props" not in scan and "user_id" not in scan, scan
+
+
+class TestJoinStrategy:
+    def test_nation_query_broadcasts_all_dims(self, spark):
+        df = suite.QUERIES["revenue_by_nation"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        # customer, nation, region are explicit broadcasts; orders may
+        # be broadcast or shuffled by AQE depending on stats
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+
+    def test_semi_join_stays_semi(self, spark):
+        df = suite.QUERIES["semi_join_priority"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "LeftSemi" in plan, plan
+
+    def test_anti_join_stays_anti(self, spark):
+        df = suite.QUERIES["anti_join_parts"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "LeftAnti" in plan, plan
+
+
+# brute-force similarity baselines: the cross product IS the operator
+# (oracle path); their scale paths are ann_lsh_topk / dedup_minhash_lsh
+CARTESIAN_ALLOWED = {"ann_cosine_topk", "embedding_neardup"}
+
+
+class TestNoCartesian:
+    @pytest.mark.parametrize(
+        "name", [n for n in suite.QUERIES if n not in CARTESIAN_ALLOWED]
+    )
+    def test_no_cartesian_or_nested_loop(self, spark, name):
+        df = suite.QUERIES[name](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+        # a BroadcastNestedLoopJoin is only sanctioned for 1-row scalar
+        # broadcasts (the distinct-ts limit threshold, a global total)
+        if "BroadcastNestedLoopJoin" in plan:
+            assert "__ts_threshold" in plan or "share" in name, (
+                f"{name}: unexpected nested-loop join\n{plan}"
+            )
+
+
+class TestWindowsAreKeyed:
+    @pytest.mark.parametrize(
+        "name",
+        ["sessionize_30m", "moving_avg_1h", "topk_events_per_type",
+         "asof_purchase_click", "value_quantiles_by_type"],
+    )
+    def test_no_unpartitioned_window(self, spark, name):
+        """Un-keyed windows funnel all rows through one task. The only
+        sanctioned ones run on already-reduced inputs (top_users, ANN
+        rank over k*|queries| rows)."""
+        df = suite.QUERIES[name](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        # partition-less window specs render as windowspecdefinition(
+        # <orderspec> ASC ..., frame) with no partition columns before
+        # the order spec — so a first argument carrying a sort
+        # direction marks a global window
+        import re
+
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            args = m.group(1)
+            assert "ASC NULLS FIRST" not in args.split(",")[0], (
+                f"{name}: unpartitioned window: {args}\n"
+            )

@@ -21,6 +21,7 @@ own analyzer, not hand-translated.
 
 from __future__ import annotations
 
+import dataclasses
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,11 +64,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def events_ts_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_ts_long(
+    spark: SparkSession, sf_dir: str, truncate: bool = True
+) -> DataFrame:
     """`events` with the ts column as LongType epoch nanos — the
     engine's canonical spine. Prefers the nanosAsLong read (exact); if
     the ambient session read it as a timestamp, converts via
-    unix_micros (lossless here: the generator emits µs-aligned data)."""
+    unix_micros (lossless here: the generator emits µs-aligned data).
+
+    `truncate=False` returns the raw nano spine (callers that filter
+    on ts do so BEFORE truncating, so the predicate pushes down)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -76,7 +82,7 @@ def events_ts_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = dict(df.dtypes)["ts"]
     if ts_type != "bigint":
         df = df.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000))
-    else:
+    elif truncate:
         # ORACLE COMPARABILITY: the generator emits true-nanosecond
         # timestamps, but DuckDB reads Parquet TIMESTAMP(NANOS) at
         # microsecond precision (epoch_ns returns µs*1000). The engine
@@ -96,9 +102,27 @@ def _dialect_condition(where_fragment: str, tz: str | None = None):
     return iq.condition
 
 
+def _ceil_us(nanos: int | None) -> int | None:
+    return None if nanos is None else -(-nanos // 1000) * 1000
+
+
 def _dialect_events(spark, sf_dir, where_fragment, tz=None) -> DataFrame:
     cond = _dialect_condition(where_fragment, tz)
-    df = apply_range_filter(events_ts_long(spark, sf_dir), cond)
+    df = events_ts_long(spark, sf_dir, truncate=False)
+    # Filter the RAW ts column so the range predicate pushes down to the
+    # Parquet scan (row-group min/max skipping — load-bearing at scale;
+    # filtering the µs-truncated expression blocks pushdown entirely).
+    # Exact bound mapping: trunc(ts) >= A  <=>  ts >= ceil_us(A), and
+    # trunc(ts) < B  <=>  ts < ceil_us(B), since trunc values are
+    # multiples of 1000 and ceil_us bounds are aligned.
+    raw_cond = dataclasses.replace(
+        cond,
+        since_nanos=_ceil_us(cond.since_nanos),
+        until_nanos=_ceil_us(cond.until_nanos),
+    )
+    df = apply_range_filter(df, raw_cond)
+    # oracle-precision truncation AFTER the pushed filter
+    df = df.withColumn("ts", F.col("ts") - F.col("ts") % F.lit(1000))
     if cond.limit is not None:
         df = limit_distinct_ts(
             df, cond.limit.n, tail=(cond.limit.kind is LimitKind.TAIL)
