@@ -1,0 +1,110 @@
+"""Second-wave extension operators: IVF ANN, BPE-ish tokenizer,
+rolling fingerprint, multimodal resize/audio stubs, hashed-shingle
+dedup parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from zikeiretsu_rs_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        base = i % 4  # four well-separated clusters on axes 0..3
+        vec = [0.0] * 8
+        vec[base] = 1.0
+        vec[(base + 4) % 8] = 0.1 * math.sin(i)  # slight within-cluster jitter
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+class TestIvf:
+    def test_assignment_covers_corpus_once(self, emb):
+        cents = similarity.sample_centroids(emb, 4, "vec_id", "embedding")
+        out = similarity.ivf_topk(
+            emb, emb.where(F.col("vec_id") < 3), k=3, dim=8,
+            n_cells=4, nprobe=4, centroids=cents,
+        )
+        # nprobe == n_cells -> probes everything -> must equal brute force
+        brute = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=3)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, brute.collect())
+        )
+
+    def test_partial_probe_returns_subset_ranking(self, emb):
+        out = similarity.ivf_topk(
+            emb, emb.where(F.col("vec_id") < 3), k=3, dim=8,
+            n_cells=4, nprobe=1,
+        ).collect()
+        assert all(r["rank"] <= 3 for r in out)
+        assert all(r["query_id"] != r["neighbor_id"] for r in out)
+
+    def test_centroids_deterministic(self, emb):
+        a = similarity.sample_centroids(emb, 4, "vec_id", "embedding")
+        b = similarity.sample_centroids(emb, 4, "vec_id", "embedding")
+        assert a == b
+
+
+class TestBpeTokens:
+    def test_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello, world! abc123 x")], ["doc_id", "text"]
+        )
+        r = text.bpe_token_count(df, "doc_id", "text").collect()[0]
+        # "hello" "," " world" "!" " abc" "123" " x" -> 7
+        assert r["n_bpe_tokens"] == 7
+        assert r["n_ws_tokens"] == 4
+
+
+class TestRollingFingerprint:
+    def test_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma beta alpha"),
+             (3, "alpha beta gamma")],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r["rolling_fp"] for r in
+               text.rolling_fingerprint(df, "doc_id", "text").collect()}
+        assert got[1] == got[3]
+        assert got[1] != got[2]  # md5-of-set would not catch reordering
+
+
+class TestMultimodalStubs:
+    def test_resize_payload_shape(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "some text payload"), (2, "x")], ["doc_id", "text"]
+        )
+        media = multimodal.synthesize_media_from_text(docs, "doc_id", "text")
+        out = multimodal.resize_image_stub(media, 8, 4).collect()
+        assert {len(r["payload"]) for r in out} == {32}
+        assert all(r["ok"] for r in out)
+
+    def test_audio_features_deterministic(self, spark):
+        docs = spark.createDataFrame([(1, "audio-ish bytes")], ["doc_id", "text"])
+        media = multimodal.synthesize_media_from_text(docs, "doc_id", "text")
+        a = multimodal.audio_features_stub(media).collect()[0]
+        b = multimodal.audio_features_stub(media).collect()[0]
+        assert a == b
+        assert a["duration_s"] == pytest.approx(15 / 32000)
+        assert a["ok"]
+
+
+class TestHashedShingles:
+    def test_same_pairs_as_exact(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated content here"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        exact = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3)
+        hashed = dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.3, hash_shingles=True
+        )
+        assert sorted(map(tuple, exact.collect())) == sorted(
+            map(tuple, hashed.collect())
+        )

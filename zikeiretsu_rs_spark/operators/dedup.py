@@ -68,6 +68,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_doc_freq: int | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >=
     threshold). Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from exact integer
@@ -76,8 +77,16 @@ def ngram_jaccard_pairs(
     `max_shingle_doc_freq`: drop shingles occurring in more than this
     many documents before the self-join (skew guard; disabled for
     oracle-parity runs, essential at scale).
+
+    `hash_shingles`: join on xxhash64(shingle) instead of the shingle
+    string — 8-byte shuffle keys instead of ~n-word strings (the scale
+    path; a 64-bit collision can merge two shingles, inflating one
+    intersection count by 1 — negligible for dedup, but off by default
+    for exact-oracle runs).
     """
     sh = word_shingles(df, id_col, text_col, n)
+    if hash_shingles:
+        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
     if max_shingle_doc_freq is not None:
         rare = (

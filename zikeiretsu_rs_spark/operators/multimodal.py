@@ -112,3 +112,87 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.greatest((n_frames / every_n).cast("int") - 1, F.lit(0)))
         ).alias("sample_idx"),
     ).withColumn("frame_no", F.col("sample_idx") * every_n)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def resize_image_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize plumbing via mapInPandas: deterministic stub kernel
+    (truncates/pads the payload to width*height bytes). A real
+    deployment swaps `_resize` for PIL/libvips; schema, Arrow batching
+    and partition behavior are identical."""
+
+    target = width * height
+
+    def _resize(p: bytes | None) -> bytes | None:
+        if p is None:
+            return None
+        return (p * (target // max(len(p), 1) + 1))[:target]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(_resize),
+                    "ok": pdf["payload"].map(lambda p: p is not None),
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def audio_features_stub(df: DataFrame, sample_rate: int = 16_000) -> DataFrame:
+    """Audio feature-extraction plumbing via mapInPandas: deterministic
+    stub kernel (pseudo duration/RMS from payload bytes). Replace with
+    soundfile/librosa in a real deployment."""
+
+    def _feats(p: bytes | None) -> tuple[float | None, float | None]:
+        if p is None or len(p) == 0:
+            return None, None
+        duration = len(p) / float(2 * sample_rate)  # fake 16-bit mono
+        acc = 0
+        for b in p[:256]:
+            acc += (b - 128) * (b - 128)
+        rms = (acc / min(len(p), 256)) ** 0.5
+        return duration, rms
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(_feats)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else 0
+                    ),
+                    "duration_s": feats.map(lambda f: f[0]),
+                    "sample_rate": sample_rate,
+                    "rms": feats.map(lambda f: f[1]),
+                    "ok": feats.map(lambda f: f[0] is not None),
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_META_SCHEMA)

@@ -195,3 +195,103 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def sample_centroids(
+    corpus: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic coarse-centroid 'training': take the n_cells
+    corpus vectors with the smallest xxhash64(id) — a reproducible
+    uniform sample (k-means|| seeding without iterations). A real
+    deployment refines these with pyspark.ml KMeans; either way the
+    result is a tiny driver-side list broadcast into the plan as
+    literals, exactly like a fitted model."""
+    rows = (
+        with_double_vec(corpus, vec_col)
+        .select("_vec", F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r["_vec"]] for r in rows]
+
+
+def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<score,cell>> of dot products against every coarse
+    centroid (struct order makes array_max/array_sort rank by score)."""
+    return F.array(
+        *[
+            F.struct(
+                _dot(vec, F.array(*[F.lit(x) for x in cent])).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: inverted-file partitioning by
+    coarse quantizer cell, probe the `nprobe` best cells per query.
+
+    Scale shape: each corpus vector lands in exactly ONE cell (the
+    inverted list — in a real deployment, write Parquet partitioned by
+    `cell` so a probe prunes partitions); each query fans out to
+    nprobe cells, so the candidate join touches ~nprobe/n_cells of the
+    corpus instead of all of it. Exact cosine re-scoring within the
+    probed cells only.
+
+    Recall is governed by quantizer quality × nprobe/n_cells: sampled
+    centroids (default) beat random ones; k-means-trained `centroids`
+    beat sampled; near-uniform high-dim corpora cap recall for any
+    IVF — use lsh_topk's multi-table variant there.
+
+    Output: query_id, neighbor_id, cosine, rank (within candidates).
+    """
+    if centroids is None:
+        centroids = sample_centroids(corpus, n_cells, id_col, vec_col)
+    c = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_vec").alias("_cv"),
+        F.array_max(_cell_scores(F.col("_vec"), centroids))["cell"].alias(
+            "cell"
+        ),
+    )
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qv"),
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(_cell_scores(F.col("_vec"), centroids))),
+                1,
+                nprobe,
+            )["cell"]
+        ).alias("cell"),
+    )
+    cand = c.join(q, "cell").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("_cv"), F.col("_qv"))
+            / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -109,3 +109,49 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     shingle-level fingerprints lives in dedup.py.)"""
     normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return df.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))
+
+
+# BPE-ish pre-tokenizer pattern (ASCII form of the GPT-2 split rule:
+# letter runs, digit runs, punctuation runs — each with optional
+# leading space — kept RE2/Java-compatible so the DuckDB oracle can
+# run the identical regex)
+BPE_SPLIT_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+_FP_MOD = 1_000_000_000_000_000  # 10^15: keeps acc*31+v < 2^63 in both engines
+
+
+def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Sub-word-ish token counting with a BPE-style pre-tokenizer
+    regex over lowercased text (JVM-side regexp_extract_all — no UDF).
+
+    Output: id, n_bpe_tokens, n_ws_tokens (whitespace baseline).
+    """
+    lowered = F.lower(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{BPE_SPLIT_PATTERN}', 0)"
+            )
+        ).alias("n_bpe_tokens"),
+        F.size(F.split(F.trim(lowered), r"\s+")).alias("n_ws_tokens"),
+    )
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the word sequence
+    (document fingerprinting): acc = (acc*31 + wordval) mod 1e15, with
+    wordval = len*131 + ascii(first) + ascii(last) — every primitive is
+    engine-portable, so the oracle computes the identical fold (unlike
+    md5-of-text, this fingerprint changes when words are reordered).
+
+    Output: id, rolling_fp.
+    """
+    wordval = (
+        "x -> length(x) * 131 + ascii(x) + ascii(substr(x, -1, 1))"
+    )
+    fold = F.expr(
+        f"aggregate(transform(split(trim(lower({text_col})), '\\\\s+'), {wordval}), "
+        f"0L, (acc, v) -> (acc * 31 + v) % {_FP_MOD})"
+    )
+    return df.select(F.col(id_col), fold.alias("rolling_fp"))

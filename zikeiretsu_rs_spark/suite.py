@@ -557,6 +557,40 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, queries, k=5, dim=EMB_DIM)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-partitioned approximate top-k: one coarse cell per corpus
+    vector, nprobe cells probed per query (the partition-pruning ANN
+    path; no oracle — quantizer-dependent recall)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb, queries, k=5, dim=EMB_DIM, n_cells=16, nprobe=6
+    )
+
+
+def q_text_bpe_tokens(spark, sf_dir):
+    """BPE-style pre-tokenizer counts (regexp_extract_all, JVM-side)."""
+    return text.bpe_token_count(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def q_doc_rolling_fp(spark, sf_dir):
+    """Order-sensitive polynomial rolling-hash fingerprint."""
+    return text.rolling_fingerprint(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """Audio feature-extraction plumbing over binary payloads
+    (mapInPandas; stub kernel — no oracle)."""
+    media = multimodal.synthesize_media_from_text(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return multimodal.audio_features_stub(media)
+
+
 def q_text_token_stats(spark, sf_dir):
     return text.token_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -626,7 +660,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "text_token_stats": q_text_token_stats,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "doc_rolling_fp": q_doc_rolling_fp,
+    "multimodal_audio": q_multimodal_audio,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -938,12 +976,30 @@ SELECT doc_id, {pred} AS pred_lang,
        {', '.join('score_' + la for la in langs_sorted)}
 FROM s
 """
+    sqls["text_bpe_tokens"] = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{text.BPE_SPLIT_PATTERN}'))
+         AS n_bpe_tokens,
+       len(string_split_regex(trim(lower(text)), '\\s+')) AS n_ws_tokens
+FROM documents
+"""
+    sqls["doc_rolling_fp"] = """
+SELECT doc_id,
+       list_reduce(
+         [CAST(0 AS BIGINT)] ||
+         list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                        x -> CAST(length(x) * 131 + ascii(x)
+                                  + ascii(x[-1]) AS BIGINT)),
+         (acc, v) -> (acc * 31 + v) % 1000000000000000) AS rolling_fp
+FROM documents
+"""
     sqls["doc_fingerprint"] = """
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
 FROM documents
 """
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / multimodal_decode:
-    # intentionally no oracle (hash-function-dependent / stub output);
-    # driver records the weaker rows-only check.
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / ann_ivf_topk /
+    # multimodal_decode / multimodal_audio: intentionally no oracle
+    # (hash-function/quantizer-dependent or stub output); driver
+    # records the weaker rows-only check.
     return sqls
