@@ -1,0 +1,84 @@
+"""applyInPandasWithState sessionization: state must survive across
+micro-batches, close sessions on in-stream gaps AND on event-time
+watermark timeouts."""
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import types as T
+
+from zikeiretsu_rs_spark.datetime_util import NANOS_PER_SEC
+from zikeiretsu_rs_spark.streaming.stateful import stateful_sessionize
+
+from test_datetime_util import nanos
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+    ]
+)
+
+
+def _write_flat(spark, tmp_path, name, rows):
+    """One flat parquet FILE per micro-batch (maxFilesPerTrigger=1)."""
+    stage = str(tmp_path / f"stage_{name}")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(stage)
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/{name}.parquet")
+    return src
+
+
+def test_sessions_close_by_gap_and_watermark(spark, tmp_path):
+    base = nanos(2024, 1, 1)
+    gap = 60 * NANOS_PER_SEC
+
+    # batch 1: user 1 -> open session of 2 events; user 2 -> 1 event
+    _write_flat(
+        spark, tmp_path, "b1",
+        [(base, 1), (base + 10 * NANOS_PER_SEC, 1), (base + 5 * NANOS_PER_SEC, 2)],
+    )
+    # batch 2: user 1 events past the gap -> closes batch-1 session
+    # (close reason "gap"); also advances the watermark to +301s, so
+    # user 2's idle session (timeout at +65s) closes by "timeout"
+    src = _write_flat(
+        spark, tmp_path, "b2",
+        [(base + 300 * NANOS_PER_SEC, 1), (base + 301 * NANOS_PER_SEC, 1)],
+    )
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_sessionize(stream, gap_nanos=gap)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        r["user_id"]: r
+        for r in spark.sql("select * from closed_sessions").collect()
+    }
+    # user 1: first session closed by the in-stream gap
+    assert rows[1]["session_start"] == base
+    assert rows[1]["session_end"] == base + 10 * NANOS_PER_SEC
+    assert rows[1]["n_events"] == 2
+    assert rows[1]["closed_by"] == "gap"
+    # user 2: closed by the watermark passing last_ts + gap
+    assert rows[2]["session_start"] == base + 5 * NANOS_PER_SEC
+    assert rows[2]["n_events"] == 1
+    assert rows[2]["closed_by"] == "timeout"
+    # user 1's second session (ends at +301s) is still open: the
+    # watermark never passed +361s
+    assert len(rows) == 2

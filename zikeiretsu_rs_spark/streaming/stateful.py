@@ -1,0 +1,147 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+`session_window` + aggregate covers fixed-gap sessions; this module is
+the template for stateful logic Spark has no built-in for: arbitrary
+per-key state machines with explicit emit/keep decisions. State lives
+in the state store (RocksDB-able via config), keyed by the groupBy
+key, and crosses micro-batch boundaries — the Spark-native replacement
+for the reference's long-lived in-memory WritableStore buffer
+(store/writable_store/mod.rs:131-208), with durability from
+checkpointing instead of the WAL.
+
+Timeouts are EVENT-time (watermark-driven), not processing-time:
+event-time timeouts are deterministic under replay/retry (the same
+input stream always produces the same sessions), which is the only
+sane contract for a 100 TB pipeline; processing-time timeouts are
+wall-clock-dependent and additionally keep scheduling no-data cleanup
+triggers, which never quiesces under processAllAvailable.
+
+Scale notes: state is sharded by key hash across
+`spark.sql.shuffle.partitions` state-store partitions; per-key state
+here is O(1) (one open session tuple). Batches stream through the
+Python worker as Arrow frames (pandas), never a whole partition at
+once. The input iterator is always drained — the Arrow protocol
+requires it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start", T.LongType(), False),  # epoch nanos
+        T.StructField("session_end", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("closed_by", T.StringType(), False),  # gap | timeout
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_start", T.LongType(), False),
+        T.StructField("last_ts", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+
+def _make_session_fn(gap_nanos: int):
+    gap_ms = gap_nanos // 1_000_000
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int, str]] = []
+
+        if state.hasTimedOut:
+            for _ in pdfs:  # drain — required by the Arrow protocol
+                pass
+            start, last, n = state.get
+            closed.append((start, last, n, "timeout"))
+            state.remove()
+        else:
+            ts_all = sorted(
+                int(t) for pdf in pdfs for t in pdf["ts"].tolist()
+            )
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start = last = n = None
+            for ts in ts_all:
+                if start is None:
+                    start, last, n = ts, ts, 1
+                elif ts - last > gap_nanos:
+                    closed.append((start, last, n, "gap"))
+                    start, last, n = ts, ts, 1
+                else:
+                    last = max(last, ts)
+                    n += 1
+            if start is not None:
+                state.update((start, last, n))
+                # close when the event-time watermark passes
+                # last_ts + gap (must stay above the current watermark)
+                state.setTimeoutTimestamp(
+                    max(
+                        last // 1_000_000 + gap_ms,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "closed_by": [c[3] for c in closed],
+                }
+            )
+
+    return update
+
+
+def stateful_sessionize(
+    stream_df: DataFrame,
+    gap_nanos: int,
+    watermark: str = "0 seconds",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Incremental sessionization on the LongType nano spine with
+    explicit state: emits a row per CLOSED session — closed either by
+    a follow-up event beyond the gap, or by the event-time watermark
+    passing last_ts + gap (so sessions close without needing another
+    event from the same user). Unlike `F.session_window` this keeps
+    the nano spine in the output, reports the close reason, and is the
+    template for richer per-key state machines (running aggregates,
+    CEP-ish patterns, streaming dedup with TTL).
+
+    Input schema: (user_col long, ts long nanos). Output:
+    SESSION_OUTPUT_SCHEMA. `watermark` is the lateness bound on the
+    derived event-time column.
+    """
+    with_et = stream_df.select(user_col, "ts").withColumn(
+        "_et", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    return (
+        with_et.withWatermark("_et", watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            _make_session_fn(gap_nanos),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
