@@ -137,3 +137,32 @@ class TestQuantiles:
         df = spark.createDataFrame([("g", 42.0)], ["k", "value"])
         out = windows.quantile_disc_per_group(df, ["k"], "value", [0.5]).collect()
         assert out[0]["q50"] == 42.0
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark):
+        # hot key: 90% of left rows share k=0
+        left = spark.createDataFrame(
+            [(0 if i % 10 else 1, i) for i in range(200)], ["k", "lv"]
+        )
+        right = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "rv"])
+        plain = joins.semi_join(left, right, left.k == right.k)  # warm path
+        expect = sorted(
+            map(tuple, left.join(right, "k").select("k", "lv", "rv").collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                joins.salted_join(left, right, ["k"], n_salts=4)
+                .select("k", "lv", "rv")
+                .collect(),
+            )
+        )
+        assert got == expect
+
+    def test_left_join_preserves_unmatched(self, spark):
+        left = spark.createDataFrame([(1, 10), (9, 90)], ["k", "lv"])
+        right = spark.createDataFrame([(1, "x")], ["k", "rv"])
+        out = joins.salted_join(left, right, ["k"], n_salts=3, how="left")
+        got = {(r["k"], r["rv"]) for r in out.collect()}
+        assert got == {(1, "x"), (9, None)}

@@ -97,3 +97,32 @@ def semi_join(left: DataFrame, right: DataFrame, condition) -> DataFrame:
 def anti_join(left: DataFrame, right: DataFrame, condition) -> DataFrame:
     """NOT EXISTS anti-join: left rows with no match."""
     return left.join(right, condition, "left_anti")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key mitigation for shuffle joins when AQE's skew splitting
+    isn't enough (a single key's rows exceed what one task can hold
+    and the right side is too big to broadcast): the left side gets a
+    deterministic per-row salt (hash of the whole row, stable across
+    retries), the right side is replicated across all `n_salts` salt
+    values, and the join key becomes (keys..., salt) — the hot key's
+    rows spread over n_salts tasks at the cost of an n_salts-times
+    replicated right side. Only worth it when |right| * n_salts is
+    still far below the hot key's row count.
+    """
+    l = left.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+        ).cast("int"),
+    )
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l.join(r, [*on, "_salt"], how).drop("_salt")
