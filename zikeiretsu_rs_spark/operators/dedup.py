@@ -84,10 +84,19 @@ def ngram_jaccard_pairs(
     intersection count by 1 — negligible for dedup, but off by default
     for exact-oracle runs).
     """
+    from pyspark.sql import Window
+
     sh = word_shingles(df, id_col, text_col, n)
     if hash_shingles:
         sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    # attach |doc| via a keyed window instead of a separate sizes
+    # aggregate: the set size rides along through the shingle join, so
+    # no post-join size lookups are needed and the two join sides share
+    # one exchange (ReusedExchange). Sizes are computed BEFORE any
+    # doc-freq filtering — the Jaccard denominator uses full set sizes.
+    sized = sh.withColumn(
+        "_sz", F.count("*").over(Window.partitionBy(id_col))
+    )
     if max_shingle_doc_freq is not None:
         rare = (
             sh.groupBy("shingle")
@@ -95,21 +104,21 @@ def ngram_jaccard_pairs(
             .where(F.col("_df") <= max_shingle_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        sized = sized.join(rare, "shingle")
+    a = sized.select(
+        F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a"), "shingle"
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b"), "shingle"
+    )
     inter = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "_sz_a", "_sz_b")
         .agg(F.count("*").alias("_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("_inter") / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")),
         )
