@@ -409,6 +409,72 @@ def q_part_brand_stats(spark, sf_dir):
     )
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority: 3-way join (dim broadcast), decimal
+    revenue, deterministic top-10 (tie-break by orderkey; sort+limit
+    compiles to TakeOrderedAndProject over the reduced aggregate)."""
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    return (
+        agg.orderBy(F.col("_rev").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+        )
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting: 3 joins + decimal revenue,
+    deterministic top-20 customers."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("_rev"), F.count("*").alias("n_items"))
+    )
+    return (
+        agg.orderBy(F.col("_rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "n_items",
+        )
+    )
+
+
 def q_asof_purchase_click(spark, sf_dir):
     """As-of join (union-and-scan, single keyed shuffle): for every
     purchase event, the most recent click at-or-before it by the same
@@ -645,6 +711,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "part_brand_stats": q_part_brand_stats,
     "tpch_q6": q_tpch_q6,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q10": q_tpch_q10,
     "semi_join_priority": q_semi_join_priority,
     "anti_join_parts": q_anti_join_parts,
     "asof_purchase_click": q_asof_purchase_click,
@@ -805,6 +873,42 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01'
   AND l_discount >= CAST(0.05 AS DOUBLE)
   AND l_discount <= CAST(0.07 AS DOUBLE)
   AND l_quantity < 24
+"""
+    sqls["tpch_q3"] = """
+WITH agg AS (
+  SELECT l_orderkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev,
+         o_orderdate
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1996-03-15'
+    AND l_shipdate > TIMESTAMP '1996-03-15'
+  GROUP BY l_orderkey, o_orderdate)
+SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM agg
+QUALIFY row_number() OVER (ORDER BY rev DESC, l_orderkey ASC) <= 10
+"""
+    sqls["tpch_q10"] = """
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev,
+         count(*) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-07-01'
+    AND l_returnflag = 'R'
+  GROUP BY 1, 2, 3)
+SELECT c_custkey, c_name, n_name, CAST(rev AS DOUBLE) AS revenue, n_items
+FROM agg
+QUALIFY row_number() OVER (ORDER BY rev DESC, c_custkey ASC) <= 20
 """
     sqls["agg_time_bucket_1h"] = """
 SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket_start,
