@@ -108,3 +108,25 @@ class TestHashedShingles:
         assert sorted(map(tuple, exact.collect())) == sorted(
             map(tuple, hashed.collect())
         )
+
+
+class TestLshPairs:
+    def test_subset_of_bruteforce_and_exact_scores(self, spark, emb):
+        from zikeiretsu_rs_spark.operators.similarity import (
+            cosine_pairs_above,
+            lsh_pairs_above,
+        )
+
+        exact = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in cosine_pairs_above(emb, threshold=0.8).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in lsh_pairs_above(emb, threshold=0.8, dim=8).collect()
+        }
+        assert set(lsh) <= set(exact)  # no false positives
+        for k, v in lsh.items():
+            assert v == exact[k]  # exact verification, same rounding
+        # clustered fixture -> same-cluster pairs collide in some table
+        assert len(lsh) > 0

@@ -295,3 +295,50 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def lsh_pairs_above(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pair mining, LSH-bucketed — the 100 TB path for
+    `cosine_pairs_above`: candidate pairs come only from shared
+    (table, bucket) cells, then exact cosine verification. Output is a
+    SUBSET of the brute-force result (recall < 1 governed by
+    n_tables × n_planes); every returned pair is exact-verified, so
+    precision is 1 at the threshold.
+
+    Output: id_a, id_b, cosine (rounded 6).
+    """
+    v = lsh_signature(with_double_vec(df, vec_col), dim, n_planes, n_tables).select(
+        F.col(id_col), F.col("_vec"), "tbl", "bucket"
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"), "tbl", "bucket"
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"), "tbl", "bucket"
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                6,
+            ),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

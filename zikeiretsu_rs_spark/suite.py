@@ -623,6 +623,23 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, queries, k=5, dim=EMB_DIM)
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed pair mining (scale path of embedding_neardup;
+    exact-verified subset, no oracle by design). This corpus has no
+    true near-dups (max cosine ~0.51), so recall at the 0.40 threshold
+    is governed purely by banding math — 6 planes x 6 tables trades
+    ~1/12 of the brute-force candidate cost for partial recall; on a
+    real near-dup workload (cosine >= 0.9) the same operator's recall
+    approaches 1."""
+    return similarity.lsh_pairs_above(
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.40,
+        dim=EMB_DIM,
+        n_planes=6,
+        n_tables=6,
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-partitioned approximate top-k: one coarse cell per corpus
     vector, nprobe cells probed per query (the partition-pruning ANN
@@ -729,6 +746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "text_token_stats": q_text_token_stats,
     "text_bpe_tokens": q_text_bpe_tokens,
     "doc_rolling_fp": q_doc_rolling_fp,
