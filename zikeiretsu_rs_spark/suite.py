@@ -577,6 +577,66 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_pivot_user_event_counts(spark, sf_dir):
+    """Pivot event_type into columns per user (fixed pivot values so
+    the schema is static — required for both plan stability at scale
+    and oracle parity)."""
+    df = events_ts_long(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        df.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select(
+            "user_id", *[F.col(t).alias(f"n_{t}") for t in types]
+        )
+    )
+
+
+def q_rollup_region_nation(spark, sf_dir):
+    """ROLLUP multi-level aggregate: order counts + exact revenue at
+    (region, nation), (region), and grand-total levels; grouping
+    indicators materialized as ints for engine-independent output."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+    )
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """CDC-style latest-snapshot-per-key: keep each user's most recent
+    event (keyed row_number over ts desc, event_id tiebreak) — the
+    standard compaction shape for changelog tables."""
+    from pyspark.sql import Window
+
+    df = events_ts_long(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # extension surface: dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
@@ -737,6 +797,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_events_per_type": q_topk_events_per_type,
     "value_quantiles_by_type": q_value_quantiles_by_type,
     "value_histogram": q_value_histogram,
+    "pivot_user_event_counts": q_pivot_user_event_counts,
+    "rollup_region_nation": q_rollup_region_nation,
+    "latest_event_per_user": q_latest_event_per_user,
     # dedup / similarity / text / multimodal
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1005,6 +1068,32 @@ SELECT p_brand, count(*) AS n_items,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
+"""
+    sqls["pivot_user_event_counts"] = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY 1
+"""
+    sqls["rollup_region_nation"] = """
+SELECT r_name, n_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(GROUPING(r_name) AS INT) AS g_region,
+       CAST(GROUPING(n_name) AS INT) AS g_nation
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+    sqls["latest_event_per_user"] = """
+SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY epoch_ns(ts) DESC, event_id DESC) = 1
 """
     sqls["dedup_exact"] = """
 SELECT md5(text) AS fingerprint, min(doc_id) AS rep_id,
