@@ -34,6 +34,9 @@ HEADLINE = [
     "semi_join_priority",
     "asof_purchase_click",
     "moving_avg_1h",
+    "tpch_q3",
+    "latest_event_per_user",
+    "pivot_user_event_counts",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -82,3 +82,71 @@ def test_sessions_close_by_gap_and_watermark(spark, tmp_path):
     # user 1's second session (ends at +301s) is still open: the
     # watermark never passed +361s
     assert len(rows) == 2
+
+
+def test_streaming_dedup_first_seen_with_ttl(spark, tmp_path):
+    from zikeiretsu_rs_spark.streaming.stateful import stateful_dedup_first_seen
+
+    base = nanos(2024, 6, 1)
+    ttl = 60 * NANOS_PER_SEC
+    dedup_schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType()),
+            T.StructField("fingerprint", T.LongType()),
+        ]
+    )
+
+    import glob as g
+    import os as o
+    import shutil as sh
+
+    src = str(tmp_path / "dsrc")
+    o.makedirs(src)
+
+    def write(name, rows):
+        stage = str(tmp_path / f"dstage_{name}")
+        spark.createDataFrame(rows, dedup_schema).coalesce(1).write.parquet(stage)
+        sh.copy(g.glob(f"{stage}/part-*.parquet")[0], f"{src}/{name}.parquet")
+
+    # batch 1: fp 100 twice (one emit), fp 200 once
+    write("b1", [(base, 100), (base + NANOS_PER_SEC, 100), (base + 2 * NANOS_PER_SEC, 200)])
+    # batch 2: fp 100 again within TTL -> suppressed (state crossed
+    # batches); fp 300 new -> emitted. Advances watermark far past
+    # fp 200's TTL, evicting it.
+    write("b2", [(base + 10 * NANOS_PER_SEC, 100), (base + 500 * NANOS_PER_SEC, 300)])
+    # batch 3: unrelated fp 400 — fp 200 gets NO data this batch, so
+    # its expired timeout fires (keys with fresh input never get the
+    # timeout call) and its state is evicted
+    write("b3", [(base + 550 * NANOS_PER_SEC, 400)])
+    # batch 4: fp 200 after eviction -> re-emitted as first-seen
+    write("b4", [(base + 600 * NANOS_PER_SEC, 200)])
+
+    stream = (
+        spark.readStream.schema(dedup_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_dedup_first_seen(stream, ttl_nanos=ttl)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(
+        (r["fingerprint"], r["ts"])
+        for r in spark.sql("select * from dedup_out").collect()
+    )
+    assert rows == [
+        (100, base),                         # first seen once, dups suppressed
+        (200, base + 2 * NANOS_PER_SEC),     # original first-seen
+        (200, base + 600 * NANOS_PER_SEC),   # re-emitted after TTL eviction
+        (300, base + 500 * NANOS_PER_SEC),
+        (400, base + 550 * NANOS_PER_SEC),
+    ]
