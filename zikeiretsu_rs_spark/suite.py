@@ -35,6 +35,7 @@ from .operators import (
     multimodal,
     sessionize,
     similarity,
+    sketches,
     text,
     windows,
 )
@@ -577,6 +578,28 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_sketch_distinct_users(spark, sf_dir):
+    """HLL++ approximate distinct users per event_type (mergeable
+    sketch path for the exact countDistinct in describe_style; no
+    oracle — estimator-specific)."""
+    df = events_ts_long(spark, sf_dir)
+    return sketches.approx_distinct_by(df, ["event_type"], "user_id")
+
+
+def q_sketch_hll_daily_rollup(spark, sf_dir):
+    """DataSketches HLL built per (event_type, day) then MERGED to
+    event_type — the incremental-rollup path that never re-scans raw
+    data (no oracle — estimator-specific)."""
+    df = events_ts_long(spark, sf_dir)
+    day = (F.col("ts") - F.col("ts") % F.lit(86400 * NANOS_PER_SEC)).alias("day")
+    daily = sketches.hll_rollup(
+        df.select("event_type", day, "user_id"),
+        ["event_type", "day"],
+        "user_id",
+    )
+    return sketches.hll_merge(daily, ["event_type"])
+
+
 def q_pivot_user_event_counts(spark, sf_dir):
     """Pivot event_type into columns per user (fixed pivot values so
     the schema is static — required for both plan stability at scale
@@ -800,6 +823,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_user_event_counts": q_pivot_user_event_counts,
     "rollup_region_nation": q_rollup_region_nation,
     "latest_event_per_user": q_latest_event_per_user,
+    "sketch_distinct_users": q_sketch_distinct_users,
+    "sketch_hll_daily_rollup": q_sketch_hll_daily_rollup,
     # dedup / similarity / text / multimodal
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
