@@ -130,3 +130,37 @@ class TestLshPairs:
             assert v == exact[k]  # exact verification, same rounding
         # clustered fixture -> same-cluster pairs collide in some table
         assert len(lsh) > 0
+
+
+class TestConnectedComponents:
+    def test_chain_pair_and_rep_selection(self, spark):
+        # chain 1-2-3 (+7 attached), separate pair 5-9, 11 untouched
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 9), (7, 3)], ["id_a", "id_b"]
+        )
+        cc = {
+            r["node"]: r["cluster_id"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert cc == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 9: 5}
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in [1, 2, 3, 5, 7, 9, 11]], ["doc_id", "text"]
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup.dedup_by_clusters(
+                docs, dedup.connected_components(pairs), "doc_id"
+            ).collect()
+        )
+        assert kept == [1, 5, 11]
+
+    def test_empty_pairs(self, spark):
+        from pyspark.sql import types as T
+
+        empty = spark.createDataFrame(
+            [], T.StructType([
+                T.StructField("id_a", T.LongType()),
+                T.StructField("id_b", T.LongType()),
+            ])
+        )
+        assert dedup.connected_components(empty).count() == 0

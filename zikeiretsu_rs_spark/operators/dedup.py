@@ -314,3 +314,71 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Turn near-duplicate PAIRS into duplicate CLUSTERS: iterative
+    min-label propagation (label(u) <- min over {u} ∪ neighbors), the
+    last stage of the dedup pipeline (pairs -> clusters -> one
+    representative per cluster).
+
+    Converges in graph-diameter iterations — near-dup clusters are
+    shallow (diameter ~2-4), so a handful of rounds suffice; each
+    round is one join + one groupBy, with localCheckpoint truncating
+    the lineage (an iterative plan otherwise grows exponentially). The
+    per-round driver-side convergence check is one scalar count. For
+    adversarially deep graphs swap in the large-star/small-star
+    formulation; for dedup workloads this is the right cost.
+
+    Output: (node, cluster_id) for every node appearing in `pairs`,
+    cluster_id = min node id reachable through the pair graph.
+    """
+    fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = fwd.union(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("_nl")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("_nl").alias("_nmin"))
+        )
+        updated = labels.join(neighbor_min, "u", "left").select(
+            "u",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster_id"))
+
+
+def dedup_by_clusters(
+    df: DataFrame, clusters: DataFrame, id_col: str
+) -> DataFrame:
+    """Keep one representative per duplicate cluster (the min-id
+    member); rows not in any cluster pass through untouched."""
+    non_rep = clusters.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(non_rep, id_col, "left_anti")

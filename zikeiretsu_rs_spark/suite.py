@@ -682,6 +682,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs -> clusters: connected components (iterative min-label
+    propagation) over the exact Jaccard pair graph; cluster id = min
+    reachable doc id. Oracle = recursive-CTE transitive closure."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
@@ -830,6 +842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1140,6 +1153,30 @@ FROM inter
 JOIN sz sa ON sa.doc_id = id_a
 JOIN sz sb ON sb.doc_id = id_b
 WHERE c / (sa.n + sb.n - c) >= 0.5
+"""
+    sqls["dedup_clusters"] = """
+WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t
+       WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b
+          WHERE c / (sa.n + sb.n - c) >= 0.5),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+closure(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+FROM closure GROUP BY u
 """
     sqls["ann_cosine_topk"] = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
