@@ -37,6 +37,7 @@ from .operators import (
     similarity,
     sketches,
     text,
+    timeseries,
     windows,
 )
 from .operators.limits import limit_distinct_ts
@@ -578,6 +579,44 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_twa_user_1h(spark, sf_dir):
+    """Time-weighted average of value per (user, hour) — irregular
+    samples hold until the next sample, clamped to bucket end."""
+    df = events_ts_long(spark, sf_dir)
+    return timeseries.time_weighted_avg(
+        df.select("user_id", "ts", "event_id", "value"),
+        ["user_id"],
+        "value",
+        HOUR_NANOS,
+        "event_id",
+    )
+
+
+def q_gapfill_user_6h(spark, sf_dir):
+    """LOCF gap fill on a 6h grid per user (grid generated per key —
+    rows scale with key spans, not a global grid)."""
+    df = events_ts_long(spark, sf_dir)
+    return timeseries.gap_fill_locf(
+        df.select("user_id", "ts", "event_id", "value"),
+        ["user_id"],
+        "value",
+        6 * HOUR_NANOS,
+        "event_id",
+    )
+
+
+def q_rate_per_user(spark, sf_dir):
+    """Per-sample rate of change of value per user (PromQL-style
+    rate building block; None on first samples and dup timestamps)."""
+    df = events_ts_long(spark, sf_dir)
+    return timeseries.sample_rate(
+        df.select("user_id", "ts", "event_id", "value"),
+        ["user_id"],
+        "value",
+        "event_id",
+    )
+
+
 def q_sketch_distinct_users(spark, sf_dir):
     """HLL++ approximate distinct users per event_type (mergeable
     sketch path for the exact countDistinct in describe_style; no
@@ -837,6 +876,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_event_per_user": q_latest_event_per_user,
     "sketch_distinct_users": q_sketch_distinct_users,
     "sketch_hll_daily_rollup": q_sketch_hll_daily_rollup,
+    "twa_user_1h": q_twa_user_1h,
+    "gapfill_user_6h": q_gapfill_user_6h,
+    "rate_per_user": q_rate_per_user,
     # dedup / similarity / text / multimodal
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1106,6 +1148,59 @@ SELECT p_brand, count(*) AS n_items,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
+"""
+    sqls["twa_user_1h"] = """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, value FROM events),
+x AS (SELECT user_id, ts, value,
+             ts - ts % 3600000000000 AS bucket_start,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM e),
+y AS (SELECT user_id, bucket_start,
+             least(coalesce(next_ts, bucket_start + 3600000000000),
+                   bucket_start + 3600000000000) - ts AS dur,
+             CAST(value AS DECIMAL(18,2))
+               * CAST(least(coalesce(next_ts, bucket_start + 3600000000000),
+                            bucket_start + 3600000000000) - ts
+                      AS DECIMAL(14,0)) AS wv
+      FROM x)
+SELECT user_id, bucket_start,
+       round(CASE WHEN sum(dur) > 0
+             THEN CAST(sum(wv) AS DOUBLE) / CAST(sum(dur) AS BIGINT) END,
+             6) AS twa,
+       count(*) AS n_samples,
+       CAST(sum(dur) AS BIGINT) AS covered_nanos
+FROM y GROUP BY 1, 2
+"""
+    sqls["gapfill_user_6h"] = """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, value FROM events),
+pb AS (SELECT user_id, ts - ts % 21600000000000 AS bucket_start, value
+       FROM e
+       QUALIFY row_number() OVER (PARTITION BY user_id,
+                                               ts - ts % 21600000000000
+                                  ORDER BY ts DESC, event_id DESC) = 1),
+grid AS (SELECT user_id, unnest(generate_series(min(bucket_start),
+                                                max(bucket_start),
+                                                21600000000000)) AS bucket_start
+         FROM pb GROUP BY user_id)
+SELECT g.user_id, g.bucket_start,
+       last_value(pb.value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.bucket_start
+               ROWS UNBOUNDED PRECEDING) AS value,
+       pb.value IS NULL AS filled
+FROM grid g
+LEFT JOIN pb ON pb.user_id = g.user_id AND pb.bucket_start = g.bucket_start
+"""
+    sqls["rate_per_user"] = """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, value FROM events),
+x AS (SELECT user_id, ts, event_id, value,
+             lag(value) OVER w AS pv,
+             ts - lag(ts) OVER w AS dt
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, ts, value,
+       CASE WHEN dt > 0 THEN (value - pv) / (dt / 1000000000) END
+         AS rate_per_sec
+FROM x
 """
     sqls["pivot_user_event_counts"] = """
 SELECT user_id,
