@@ -166,3 +166,50 @@ class TestSaltedJoin:
         out = joins.salted_join(left, right, ["k"], n_salts=3, how="left")
         got = {(r["k"], r["rv"]) for r in out.collect()}
         assert got == {(1, "x"), (9, None)}
+
+
+class TestRangeJoin:
+    def test_band_matches_naive(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        rng = random.Random(7)
+        base = 1_700_000_000 * NS  # realistic epoch magnitude
+        left = spark.createDataFrame(
+            [(rng.randrange(3), base + rng.randrange(0, 1000) * NS, i)
+             for i in range(60)],
+            ["k", "ts", "lid"],
+        )
+        right = spark.createDataFrame(
+            [(rng.randrange(3), base + rng.randrange(0, 1000) * NS, i)
+             for i in range(60)],
+            ["k", "ts", "rid"],
+        )
+        out = joins.range_join(left, right, ["k"], -50 * NS, 20 * NS)
+        got = sorted((r["lid"], r["r_rid"]) for r in out.collect())
+        naive = (
+            left.join(
+                right.select(
+                    F.col("k"), F.col("ts").alias("rts"), "rid"
+                ),
+                "k",
+            )
+            .where(
+                (F.col("rts") >= F.col("ts") - 50 * NS)
+                & (F.col("rts") <= F.col("ts") + 20 * NS)
+            )
+        )
+        expect = sorted((r["lid"], r["rid"]) for r in naive.collect())
+        assert got == expect
+        assert len(got) > 0
+
+    def test_inclusive_boundaries(self, spark):
+        left = spark.createDataFrame([(1, 100 * NS, 1)], ["k", "ts", "lid"])
+        right = spark.createDataFrame(
+            [(1, 70 * NS, 1), (1, 69 * NS, 2), (1, 100 * NS, 3),
+             (1, 101 * NS, 4)],
+            ["k", "ts", "rid"],
+        )
+        out = joins.range_join(left, right, ["k"], -30 * NS, 0)
+        assert sorted(r["r_rid"] for r in out.collect()) == [1, 3]

@@ -126,3 +126,59 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return l.join(r, [*on, "_salt"], how).drop("_salt")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    lower_nanos: int,
+    upper_nanos: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Band/interval join: pair every left row with the right rows of
+    the same key whose timestamp lies in
+    `[left.ts + lower_nanos, left.ts + upper_nanos]` (inclusive).
+
+    Scale shape: a naive `l.join(r, r.ts BETWEEN ...)` degenerates to a
+    per-key nested loop (the range predicate can't hash). Instead both
+    sides are bucketized by the band width W = upper - lower: a right
+    row lands in one bucket; a left row's band spans at most two
+    buckets, so the left side explodes to exactly 2 rows and the join
+    is a plain equi-join on (keys..., bucket) — candidate cost is
+    2x|left| + the true matches, independent of key skew in time. The
+    exact band predicate filters after.
+
+    Output: all left columns + right ts/other columns prefixed.
+    """
+    width = upper_nanos - lower_nanos
+    if width <= 0:
+        raise ValueError("upper_nanos must exceed lower_nanos")
+    # integer `div`, NOT floor(x / w): the double division loses
+    # precision above 2^53 and mis-buckets epoch-nano boundaries
+    l = left.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.expr(f"({left_ts} + {lower_nanos}L) div {width}L"),
+                F.expr(f"({left_ts} + {upper_nanos}L) div {width}L"),
+            )
+        ),
+    )
+    right_cols = [c for c in right.columns if c not in on]
+    r = right.select(
+        *on,
+        F.expr(f"{right_ts} div {width}L").alias("_bk"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right_cols],
+    )
+    rts = f"{right_prefix}{right_ts}"
+    return (
+        l.join(r, [*on, "_bk"])
+        .where(
+            (F.col(rts) >= F.col(left_ts) + F.lit(lower_nanos))
+            & (F.col(rts) <= F.col(left_ts) + F.lit(upper_nanos))
+        )
+        .drop("_bk")
+    )

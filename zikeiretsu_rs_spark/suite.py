@@ -498,6 +498,26 @@ def q_asof_purchase_click(spark, sf_dir):
     )
 
 
+def q_range_join_click_context(spark, sf_dir):
+    """Band join (bucketized equi-join, no nested-loop fallback): for
+    each purchase, every click by the same user in the preceding 30
+    minutes (inclusive of the purchase instant)."""
+    df = events_ts_long(spark, sf_dir)
+    purchases = df.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = df.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = joins.range_join(
+        purchases, clicks, ["user_id"], -30 * 60 * NANOS_PER_SEC, 0,
+        right_prefix="click_",
+    )
+    return out.select(
+        "user_id", "ts", "purchase_id", "click_ts", "click_event_id"
+    )
+
+
 def q_moving_avg_1h(spark, sf_dir):
     """Trailing 1h per-user moving count/sum/avg (keyed RANGE window
     on the nano spine)."""
@@ -867,6 +887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join_priority": q_semi_join_priority,
     "anti_join_parts": q_anti_join_parts,
     "asof_purchase_click": q_asof_purchase_click,
+    "range_join_click_context": q_range_join_click_context,
     "moving_avg_1h": q_moving_avg_1h,
     "topk_events_per_type": q_topk_events_per_type,
     "value_quantiles_by_type": q_value_quantiles_by_type,
@@ -978,6 +999,18 @@ c AS (SELECT *,
                    ROWS UNBOUNDED PRECEDING))
 SELECT user_id, ts, event_id AS purchase_id, value, click_ts, click_event_id
 FROM c WHERE side = 1
+"""
+    sqls["range_join_click_context"] = """
+WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts, event_type
+           FROM events),
+p AS (SELECT user_id, ts, event_id AS purchase_id FROM e
+      WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts AS click_ts, event_id AS click_event_id FROM e
+      WHERE event_type = 'click')
+SELECT p.user_id, p.ts, p.purchase_id, c.click_ts, c.click_event_id
+FROM p JOIN c ON p.user_id = c.user_id
+ AND c.click_ts >= p.ts - 1800000000000
+ AND c.click_ts <= p.ts
 """
     sqls["moving_avg_1h"] = """
 WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, value FROM events)
