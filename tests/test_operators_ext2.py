@@ -164,3 +164,36 @@ class TestConnectedComponents:
             ])
         )
         assert dedup.connected_components(empty).count() == 0
+
+
+class TestDeterministicSampling:
+    def test_stable_across_partitionings(self, spark):
+        from zikeiretsu_rs_spark.operators import sampling
+
+        df = spark.createDataFrame([(i,) for i in range(1000)], ["id"])
+        a = {r["id"] for r in sampling.deterministic_sample(df, "id", 64).collect()}
+        b = {
+            r["id"]
+            for r in sampling.deterministic_sample(
+                df.repartition(17), "id", 64
+            ).collect()
+        }
+        assert a == b  # partition layout cannot change membership
+        assert 0.15 < len(a) / 1000 < 0.35  # ~64/256
+
+    def test_split_partition_and_monotone_growth(self, spark):
+        from zikeiretsu_rs_spark.operators import sampling
+
+        small = spark.createDataFrame([(i,) for i in range(300)], ["id"])
+        big = spark.createDataFrame([(i,) for i in range(1000)], ["id"])
+        s_small = {
+            r["id"]: r["split"]
+            for r in sampling.train_test_split(small, "id").collect()
+        }
+        s_big = {
+            r["id"]: r["split"]
+            for r in sampling.train_test_split(big, "id").collect()
+        }
+        # growing the dataset never moves an existing row's split
+        assert all(s_big[i] == s_small[i] for i in s_small)
+        assert set(s_big.values()) == {"train", "valid", "test"}

@@ -33,6 +33,7 @@ from .operators import (
     dedup,
     joins,
     multimodal,
+    sampling,
     sessionize,
     similarity,
     sketches,
@@ -844,6 +845,25 @@ def q_doc_fingerprint(spark, sf_dir):
     return text.fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_deterministic_sample(spark, sf_dir):
+    """Content-hash sample of documents at 32/256 — reproducible
+    across engines and partitionings (unlike seed-based sample())."""
+    return sampling.deterministic_sample(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        32,
+    )
+
+
+def q_train_test_split(spark, sf_dir):
+    """Stable hash-range train/valid/test assignment, counted per
+    split (rows never migrate between splits as data grows)."""
+    split = sampling.train_test_split(
+        load(spark, sf_dir, "documents"), "doc_id"
+    )
+    return split.groupBy("split").agg(F.count("*").alias("n_docs"))
+
+
 def q_multimodal_decode(spark, sf_dir):
     media = multimodal.synthesize_media_from_text(
         load(spark, sf_dir, "documents"), "doc_id", "text"
@@ -915,6 +935,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "doc_rolling_fp": q_doc_rolling_fp,
     "multimodal_audio": q_multimodal_audio,
+    "deterministic_sample": q_deterministic_sample,
+    "train_test_split": q_train_test_split,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1393,6 +1415,21 @@ SELECT doc_id,
                                   + ascii(x[-1]) AS BIGINT)),
          (acc, v) -> (acc * 31 + v) % 1000000000000000) AS rolling_fp
 FROM documents
+"""
+    sqls["deterministic_sample"] = """
+SELECT doc_id, text FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 32
+"""
+    sqls["train_test_split"] = """
+WITH b AS (
+  SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT)
+           AS bk
+  FROM documents)
+SELECT CASE WHEN bk < 26 THEN 'test'
+            WHEN bk < 52 THEN 'valid'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1
 """
     sqls["doc_fingerprint"] = """
 SELECT doc_id,
