@@ -478,6 +478,50 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume customers: HAVING-filtered aggregate
+    drives a semi-join on the fact key, then re-aggregate + broadcast
+    dims + deterministic top-100."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .where(F.col("_q") > 220)
+        .select("l_orderkey")
+    )
+    agg = (
+        li.join(big_orders, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+    )
+    return (
+        agg.orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
 def q_asof_purchase_click(spark, sf_dir):
     """As-of join (union-and-scan, single keyed shuffle): for every
     purchase event, the most recent click at-or-before it by the same
@@ -904,6 +948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q6": q_tpch_q6,
     "tpch_q3": q_tpch_q3,
     "tpch_q10": q_tpch_q10,
+    "tpch_q18": q_tpch_q18,
     "semi_join_priority": q_semi_join_priority,
     "anti_join_parts": q_anti_join_parts,
     "asof_purchase_click": q_asof_purchase_click,
@@ -1125,6 +1170,24 @@ WITH agg AS (
 SELECT c_custkey, c_name, n_name, CAST(rev AS DOUBLE) AS revenue, n_items
 FROM agg
 QUALIFY row_number() OVER (ORDER BY rev DESC, c_custkey ASC) <= 20
+"""
+    sqls["tpch_q18"] = """
+WITH agg AS (
+  SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY 1
+                       HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 220)
+  GROUP BY 1, 2, 3, 4, 5)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+       CAST(sq AS DOUBLE) AS sum_qty
+FROM agg
+QUALIFY row_number() OVER (ORDER BY o_totalprice DESC, o_orderdate ASC,
+                           o_orderkey ASC) <= 100
 """
     sqls["agg_time_bucket_1h"] = """
 SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket_start,
