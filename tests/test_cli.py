@@ -44,3 +44,31 @@ def test_config_file_context(tmp_path):
     ctx = DBContext.from_config_file(str(cfg))
     assert ctx.default_database == "db1"
     assert ctx.db_dir().endswith("wh/db1")
+
+
+def test_multi_database_routing(spark, tmp_path):
+    """`with database = x` routes to the named database's warehouse
+    (DBContext parity with engine/context.rs:122-137)."""
+    from zikeiretsu_rs_spark.catalog.context import Database, DBContext
+
+    ctx = DBContext(
+        data_dir=str(tmp_path / "wh"),
+        default_database="main",
+        databases={"main": Database("main"), "alt": Database("alt")},
+    )
+    engine = Engine(spark, ctx)
+    base = nanos(2024, 1, 1)
+    s_main = engine.writable_store("m", [FieldType.FLOAT64])
+    s_main.push_multi([DataPoint.new(base, 1.0)])
+    s_main.persist()
+    s_alt = engine.writable_store("m", [FieldType.FLOAT64], database="alt")
+    s_alt.push_multi([DataPoint.new(base, 2.0), DataPoint.new(base + 1, 3.0)])
+    s_alt.persist()
+
+    q = "with cols = [v], format_datetime = false select v from m where ts >= '2023-01-01'"
+    df_main = engine.execute_to_df(q, now_nanos=base)
+    df_alt = engine.execute_to_df(
+        q.replace("with ", "with db = alt, "), now_nanos=base
+    )
+    assert sorted(r["v"] for r in df_main.collect()) == [1.0]
+    assert sorted(r["v"] for r in df_alt.collect()) == [2.0, 3.0]
