@@ -277,3 +277,45 @@ class TestStoreSemantics:
         assert n == 2
         # unpersisted rows remain in memory
         assert len(store.datapoints()) == 2
+
+
+class TestDriverDataThroughWarehouse:
+    def test_events_ingest_and_dialect_roundtrip(self, spark, tmp_ctx):
+        """Driver events land in the engine warehouse via the bulk
+        path and answer dialect queries — the full switch-over story
+        (external parquet -> WritableStore -> blocks -> query)."""
+        from pyspark.sql import functions as F
+
+        from zikeiretsu_rs_spark.datamodel import FieldType
+        from zikeiretsu_rs_spark.engine import Engine
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        events = (
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .select(F.col("ts"), F.col("value").alias("f0"))
+        )
+        n = events.count()
+        engine = Engine(spark, tmp_ctx)
+        store = engine.writable_store("events_m", [FieldType.FLOAT64])
+        store.persist_dataframe(events)
+
+        # full range through the dialect
+        df = engine.execute_to_df(
+            "with cols = [value], format_datetime = false "
+            "select * from events_m where ts >= '2020-01-01'",
+            now_nanos=1_700_000_000 * 10**9,
+        )
+        assert df.count() == n
+        # range + distinct-ts head limit semantics on real data
+        lim = engine.execute_to_df(
+            "with cols = [value], format_datetime = false "
+            "select value from events_m where ts >=|10 '2024-01-15'",
+            now_nanos=1_700_000_000 * 10**9,
+        )
+        got = lim.count()
+        assert got >= 10  # >= n rows when duplicate timestamps exist
+        # catalog sees the metrics
+        mdf = engine.execute_to_df(
+            "select * from .metrics", now_nanos=1_700_000_000 * 10**9
+        )
+        assert "events_m" in {r["metrics"] for r in mdf.collect()}
