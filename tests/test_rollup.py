@@ -83,3 +83,37 @@ def test_purge_drops_rollup_partition(spark, tmp_ctx):
     stats = r.refresh(spark)
     assert stats["dropped"] == 1
     assert sum(n for n, _ in _bucket_map(r.read(spark)).values()) == 8
+
+
+def test_streaming_ingest_keeps_rollup_fresh(spark, tmp_ctx, tmp_path):
+    from pyspark.sql import types as T
+
+    from zikeiretsu_rs_spark.streaming.ingest import start_streaming_ingest
+
+    engine = Engine(spark, tmp_ctx)
+    store = engine.writable_store("sm", [FieldType.FLOAT64])
+    r = Rollup(tmp_ctx.db_dir(), "sm", "hourly", HOUR)
+
+    schema = T.StructType(
+        [T.StructField("ts", T.LongType()), T.StructField("f0", T.DoubleType())]
+    )
+    base = nanos(2024, 5, 1)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(base + i * 1200 * NANOS_PER_SEC, float(i)) for i in range(9)], schema
+    ).write.parquet(src)
+
+    q = start_streaming_ingest(
+        spark.readStream.schema(schema).parquet(src),
+        store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        rollups=[r],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _bucket_map(r.read(spark))
+    assert sum(n for n, _ in got.values()) == 9
+    assert len(got) == 3  # 9 samples at 20min spacing -> 3 hourly buckets

@@ -30,13 +30,21 @@ def start_streaming_ingest(
     store: WritableStore,
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
+    rollups: list | None = None,
 ) -> StreamingQuery:
     """Pipe a streaming DataFrame with the store's (ts, f0..fn) schema
     into the warehouse: one block (Parquet append + manifest entry) per
-    micro-batch. Exactly-once at the block level via checkpointing."""
+    micro-batch. Exactly-once at the block level via checkpointing.
+
+    `rollups`: optional `catalog.rollup.Rollup` instances refreshed
+    after each persisted batch — their partition-grain incremental
+    refresh makes the per-batch cost proportional to the partitions the
+    batch touched, keeping continuous aggregates continuously fresh."""
 
     def persist_batch(batch_df: DataFrame, epoch_id: int) -> None:
         store.persist_dataframe(batch_df)
+        for r in rollups or []:
+            r.refresh(batch_df.sparkSession)
 
     writer = stream_df.writeStream.foreachBatch(persist_batch).option(
         "checkpointLocation", checkpoint_dir
