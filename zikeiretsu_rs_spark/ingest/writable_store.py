@@ -40,7 +40,6 @@ from ..datamodel import (
     TS_COLUMN,
     DataPoint,
     FieldType,
-    field_column_names,
     metrics_schema,
     validate_metrics_name,
 )
