@@ -908,6 +908,35 @@ def q_train_test_split(spark, sf_dir):
     return split.groupBy("split").agg(F.count("*").alias("n_docs"))
 
 
+def q_pipeline_corpus_curation(spark, sf_dir):
+    """Capstone composition — the actual LLM-data-pipeline flow as ONE
+    lazy DataFrame plan: quality filter -> near-dup cluster removal
+    (Jaccard pairs -> connected components -> keep min-id
+    representative) -> stable train/valid/test split -> per-split
+    document and token counts. Every stage is the oracle-exact
+    operator; the composition is verified end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    quality = text.quality_score(docs, "doc_id", "text").where(
+        F.col("quality") >= 0.5
+    )
+    kept = docs.join(quality.select("doc_id"), "doc_id", "left_semi")
+    pairs = dedup.ngram_jaccard_pairs(kept, "doc_id", "text", n=3, threshold=0.5)
+    clusters = dedup.connected_components(pairs)
+    unique = dedup.dedup_by_clusters(kept, clusters, "doc_id")
+    split = sampling.train_test_split(unique, "doc_id")
+    toks = text.token_stats(split, "doc_id", "text").select(
+        "doc_id", "n_tokens"
+    )
+    return (
+        split.join(toks, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     media = multimodal.synthesize_media_from_text(
         load(spark, sf_dir, "documents"), "doc_id", "text"
@@ -982,6 +1011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio": q_multimodal_audio,
     "deterministic_sample": q_deterministic_sample,
     "train_test_split": q_train_test_split,
+    "pipeline_corpus_curation": q_pipeline_corpus_curation,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1493,6 +1523,50 @@ SELECT CASE WHEN bk < 26 THEN 'test'
             ELSE 'train' END AS split,
        count(*) AS n_docs
 FROM b GROUP BY 1
+"""
+    sqls["pipeline_corpus_curation"] = f"""
+WITH RECURSIVE
+q AS (SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents),
+m AS (SELECT doc_id, text, ws, len(ws) AS n_tokens,
+             len(list_intersect(ws, [{_STOP_EN}])) AS n_stop
+      FROM q),
+kept AS (SELECT doc_id, text, ws, n_tokens FROM m
+         WHERE least(1.0, (n_tokens / 100.0) * 0.5 +
+                     CASE WHEN n_stop > 0 THEN 0.5 ELSE 0.0 END) >= 0.5),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM kept, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t
+       WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b
+          WHERE c / (sa.n + sb.n - c) >= 0.5),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+closure(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u),
+nonrep AS (SELECT u AS doc_id FROM closure
+           GROUP BY u HAVING least(u, min(v)) <> u),
+unique_docs AS (SELECT k.doc_id, k.n_tokens FROM kept k
+                WHERE k.doc_id NOT IN (SELECT doc_id FROM nonrep)),
+labeled AS (
+  SELECT n_tokens,
+         CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                        AS INT) < 26 THEN 'test'
+              WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                        AS INT) < 52 THEN 'valid'
+              ELSE 'train' END AS split
+  FROM unique_docs)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM labeled GROUP BY 1
 """
     sqls["doc_fingerprint"] = """
 SELECT doc_id,
