@@ -38,8 +38,9 @@ class TestParseDatetimeLiteral:
 
     def test_formats_accepted(self):
         assert parse_datetime_literal("2019-12-13 23:33:12") == nanos(2019, 12, 13, 23, 33, 12)
+        # chrono parsing-%f semantics: digit run = raw nanosecond count
         assert parse_datetime_literal("2019-12-13 23:33:12.023") == nanos(
-            2019, 12, 13, 23, 33, 12, 23_000_000
+            2019, 12, 13, 23, 33, 12, 23
         )
         # 9-digit fraction = nanoseconds
         assert parse_datetime_literal("2021-09-27 09:42:40.741778000") == nanos(
@@ -54,9 +55,15 @@ class TestParseDatetimeLiteral:
         with pytest.raises(InvalidDatetimeFormat):
             parse_datetime_literal("not a date")
 
-    def test_fraction_padding(self):
-        # chrono's %f pads right: '.5' == 500ms
+    def test_fraction_raw_nanos(self):
+        """Golden pin of the chrono parsing-`%f` divergence fix: sub-9-digit
+        fractions are RAW nanosecond counts ('.5' = 5 ns, '.023' = 23 ns),
+        matching the reference's `%H:%M:%S.%f` parse (datetime/util.rs:74).
+        Only 9-digit fractions coincide with the decimal-fraction reading."""
         assert parse_datetime_literal("2020-01-01 00:00:00.5") == nanos(
+            2020, 1, 1, frac=5
+        )
+        assert parse_datetime_literal("2020-01-01 00:00:00.500000000") == nanos(
             2020, 1, 1, frac=500_000_000
         )
 

@@ -60,6 +60,27 @@ def test_incremental_refresh_matches_full(spark, tmp_ctx):
     assert _bucket_map(r.read(spark)) == _bucket_map(full)
 
 
+def test_corrupt_state_degrades_to_full_refresh(spark, tmp_ctx):
+    """A truncated _state.json (crash mid-write) must not poison every
+    later refresh — it reads as empty state and triggers a full
+    recompute with identical results."""
+    engine = Engine(spark, tmp_ctx)
+    store = engine.writable_store("m", [FieldType.FLOAT64])
+    base = nanos(2024, 1, 1)
+    store.push_multi(
+        [DataPoint.new(base + i * 1800 * NANOS_PER_SEC, float(i)) for i in range(96)]
+    )
+    store.persist()
+    r = Rollup(tmp_ctx.db_dir(), "m", "hourly", HOUR)
+    r.refresh(spark)
+    good = _bucket_map(r.read(spark))
+    with open(r.state_path, "w") as f:
+        f.write('{"dt=2024-01-0')  # truncated JSON
+    stats = r.refresh(spark)
+    assert stats["refreshed"] == 2 and stats["reused"] == 0
+    assert _bucket_map(r.read(spark)) == good
+
+
 def test_purge_drops_rollup_partition(spark, tmp_ctx):
     from zikeiretsu_rs_spark.catalog.repair import purge_persisted
 

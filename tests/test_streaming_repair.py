@@ -147,6 +147,16 @@ class TestRepairAndPurge:
         rng = Manifest(db_dir, "m").range()
         assert rng == (base, base + 2 * NANOS_PER_DAY + 3 * NANOS_PER_SEC)
 
+    def test_purge_everything_leaves_empty_manifest(self, spark, tmp_ctx):
+        """A purge covering the entire dataset must rebuild to an EMPTY
+        manifest (not abort on an unreadable empty dir and leave the
+        manifest listing phantom purged blocks)."""
+        engine, store, base = self._ingest(spark, tmp_ctx)
+        db_dir = tmp_ctx.db_dir()
+        purge_persisted(spark, db_dir, "m", base - NANOS_PER_DAY, base + 10 * NANOS_PER_DAY)
+        assert Manifest(db_dir, "m").load() == []
+        assert Manifest(db_dir, "m").range() is None
+
     def test_purge_mid_partition_rewrites(self, spark, tmp_ctx):
         engine, store, base = self._ingest(spark, tmp_ctx, days=1, per_day=10)
         db_dir = tmp_ctx.db_dir()

@@ -43,6 +43,22 @@ def _data_files(part_dir: str) -> list[str]:
     ]
 
 
+def _recover_interrupted(block_dir: str) -> None:
+    """Roll forward/back partitions left by a crash mid-swap: a
+    `_old_` dir with no live partition is renamed back; stale `_old_`/
+    `_compact_` leftovers beside a live partition are dropped."""
+    for name in sorted(os.listdir(block_dir)):
+        path = os.path.join(block_dir, name)
+        if name.startswith("_old_"):
+            live = os.path.join(block_dir, name[len("_old_"):])
+            if os.path.isdir(live):
+                shutil.rmtree(path)
+            else:
+                os.replace(path, live)
+        elif name.startswith("_compact_"):
+            shutil.rmtree(path)
+
+
 def compact_metrics(
     spark: SparkSession,
     db_dir: str,
@@ -57,6 +73,7 @@ def compact_metrics(
     stats = CompactionStats(0, 0, 0)
     if not os.path.isdir(block_dir):
         return stats
+    _recover_interrupted(block_dir)
     for name in sorted(os.listdir(block_dir)):
         if not name.startswith(f"{PARTITION_COLUMN}="):
             continue
@@ -75,10 +92,18 @@ def compact_metrics(
             .repartitionByRange(n_out, TS_COLUMN)
             .sortWithinPartitions(TS_COLUMN)
         )
-        tmp_dir = part_dir + ".compact"
+        # underscore-prefixed siblings: Spark's file discovery and the
+        # `dt=*` partition listings both skip `_`-named paths, so a
+        # crash can never surface a half-swapped dir as a partition
+        tmp_dir = os.path.join(block_dir, "_compact_" + name)
         compacted.write.mode("overwrite").parquet(tmp_dir)
-        shutil.rmtree(part_dir)
+        # two renames instead of rmtree-then-rename: a crash between
+        # them leaves the data under `_old_`, recovered below — never a
+        # window with the partition missing entirely
+        old_dir = os.path.join(block_dir, "_old_" + name)
+        os.replace(part_dir, old_dir)
         os.replace(tmp_dir, part_dir)
+        shutil.rmtree(old_dir)
         stats.partitions_compacted += 1
         stats.files_after += len(_data_files(part_dir))
     if stats.partitions_compacted:

@@ -45,7 +45,7 @@ class DBContext:
     def database(self, name: str | None = None) -> Database:
         name = name or self.default_database
         if name not in self.databases:
-            raise KeyError(f"database am not found: {name}")
+            raise KeyError(f"database is not found: {name}")
         return self.databases[name]
 
     def db_dir(self, name: str | None = None) -> str:

@@ -24,8 +24,22 @@ from ..datetime_util import NANOS_PER_DAY, now_utc_nanos
 from .manifest import BlockEntry, Manifest
 
 
+def _has_parquet_files(block_dir: str) -> bool:
+    for root, _dirs, files in os.walk(block_dir):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def rebuild_manifest(spark: SparkSession, db_dir: str, metrics: str) -> BlockEntry | None:
     block_dir = f"{db_dir}/block/{metrics}"
+    manifest = Manifest(db_dir, metrics)
+    # a purge can legitimately empty the dataset; an empty/fileless dir
+    # must rebuild to an EMPTY manifest, not abort on UNABLE_TO_INFER_SCHEMA
+    # (which would leave the manifest listing already-purged blocks)
+    if not os.path.isdir(block_dir) or not _has_parquet_files(block_dir):
+        manifest.rewrite([], now_utc_nanos())
+        return None
     df = spark.read.parquet(block_dir)
     stats = df.agg(
         F.min(TS_COLUMN).alias("mn"),
@@ -33,7 +47,6 @@ def rebuild_manifest(spark: SparkSession, db_dir: str, metrics: str) -> BlockEnt
         F.count("*").alias("rows"),
         F.countDistinct(TS_COLUMN).alias("dts"),
     ).collect()[0]
-    manifest = Manifest(db_dir, metrics)
     now = now_utc_nanos()
     if stats["rows"] == 0:
         manifest.rewrite([], now)
@@ -98,9 +111,14 @@ def purge_persisted(
                 )
             )
         )
-        tmp_dir = part_dir + ".rewrite"
+        # `_`-prefixed siblings are invisible to Spark file discovery
+        # and `dt=` listings even if a crash strands them
+        tmp_dir = os.path.join(block_dir, f"_rewrite_{PARTITION_COLUMN}={d}")
         kept.sortWithinPartitions(TS_COLUMN).write.mode("overwrite").parquet(tmp_dir)
-        shutil.rmtree(part_dir)
+        # two renames (never a missing-partition window mid-swap)
+        old_dir = os.path.join(block_dir, f"_old_{PARTITION_COLUMN}={d}")
+        os.replace(part_dir, old_dir)
         os.replace(tmp_dir, part_dir)
+        shutil.rmtree(old_dir)
 
     rebuild_manifest(spark, db_dir, metrics)

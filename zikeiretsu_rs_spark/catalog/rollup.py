@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -91,8 +92,13 @@ class Rollup:
     def _load_state(self) -> dict[str, str]:
         if not os.path.exists(self.state_path):
             return {}
-        with open(self.state_path) as f:
-            return json.load(f)
+        try:
+            with open(self.state_path) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # a truncated/corrupt state file degrades to a full refresh
+            # instead of failing every subsequent micro-batch
+            return {}
 
     def _aggregate_partition(self, spark: SparkSession, dt: str) -> DataFrame:
         part_dir = (
@@ -126,14 +132,27 @@ class Rollup:
                 stats["reused"] += 1
                 continue
             agg = self._aggregate_partition(spark, dt)
-            tmp = out + ".refresh"
+            # `_`-prefixed siblings are invisible to the `dt=*` read glob
+            tmp = os.path.join(self.dir, f"_refresh_{PARTITION_COLUMN}={dt}")
             agg.coalesce(1).write.mode("overwrite").parquet(tmp)
+            # two renames (never a missing-partition window mid-swap)
+            old = os.path.join(self.dir, f"_old_{PARTITION_COLUMN}={dt}")
             if os.path.isdir(out):
-                shutil.rmtree(out)
+                os.replace(out, old)
             os.replace(tmp, out)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
             stats["refreshed"] += 1
-        with open(self.state_path, "w") as f:
-            json.dump(current, f)
+        # atomic replace: a crash mid-write must never leave a truncated
+        # _state.json (same pattern as Manifest._write)
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(current, f)
+            os.replace(tmp, self.state_path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         return stats
 
     def read(self, spark: SparkSession) -> DataFrame:

@@ -96,6 +96,14 @@ def parse_datetime_literal(text: str) -> int:
         yyyy-MM-dd
     The value is interpreted later against the query timezone; here it is
     wall-clock nanos since 1970-01-01T00:00:00 with no zone applied.
+
+    Fractional digits follow chrono's parsing `%f` (the reference parses
+    with `%H:%M:%S.%f`, datetime/util.rs:74): the digit run is a RAW
+    NANOSECOND COUNT, not a left-aligned decimal fraction — `.023` is 23
+    nanoseconds (not 23 ms), `.5` is 5 ns. Only 9-digit fractions read
+    the same both ways. This also feeds DatetimeAccuracy widening for
+    `ts =`: raw-nano remainders classify by the reference's quirky
+    mod-1000 ladder exactly as chrono-parsed values do.
     """
     m = _DATETIME_RE.match(text.strip())
     if m is None:
@@ -105,7 +113,7 @@ def parse_datetime_literal(text: str) -> int:
     mm = int(m.group(5) or 0)
     ss = int(m.group(6) or 0)
     frac = m.group(7) or ""
-    frac_nanos = int(frac.ljust(9, "0")) if frac else 0
+    frac_nanos = int(frac) if frac else 0  # chrono %f: raw nano count
     try:
         d = date(year, month, day)
     except ValueError as e:

@@ -1245,8 +1245,11 @@ flagged AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 sess AS (
   SELECT user_id, ts,
-         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
-                       ROWS UNBOUNDED PRECEDING) AS session_id
+         -- CAST: DuckDB's windowed sum(int) is HUGEINT (surfaces as
+         -- float64 in pandas); Spark emits BIGINT — cast for hash parity
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM flagged)
 SELECT user_id, session_id, min(ts) AS session_start,
        max(ts) AS session_end, count(*) AS n_events
