@@ -1,0 +1,117 @@
+"""Real multimodal codecs: BMP and RIFF/WAVE round-trips, malformed
+payload rejection, and the Spark mapInPandas plumbing around them.
+
+The synthesize->decode pair is the oracle contract for the
+multimodal_decode / multimodal_audio suite queries: every decoded field
+is independently recomputable from the row id, so these tests pin the
+pure-Python kernels the driver's DuckDB gate cross-checks."""
+
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from zikeiretsu_rs_spark.operators import multimodal
+from zikeiretsu_rs_spark.operators.multimodal import (
+    _bmp_dims,
+    _decode_bmp,
+    _decode_wav,
+    _encode_bmp,
+    _encode_wav,
+    _wav_samples,
+)
+
+
+class TestBmpCodec:
+    @pytest.mark.parametrize("media_id", [0, 1, 7, 12, 13, 91, 12345])
+    def test_roundtrip(self, media_id):
+        w, h = _bmp_dims(media_id)
+        payload = _encode_bmp(media_id)
+        expect_sum = sum(
+            (media_id * 131 + i * 7) % 256 for i in range(w * h * 3)
+        )
+        assert _decode_bmp(payload) == (w, h, 3, expect_sum)
+        stride = (w * 3 + 3) // 4 * 4
+        assert len(payload) == 54 + stride * h
+
+    def test_header_fields_are_valid_bmp(self):
+        p = _encode_bmp(5)
+        assert p[:2] == b"BM"
+        assert struct.unpack_from("<I", p, 2)[0] == len(p)  # file size
+        assert struct.unpack_from("<I", p, 10)[0] == 54  # data offset
+        assert struct.unpack_from("<I", p, 14)[0] == 40  # DIB size
+        assert struct.unpack_from("<H", p, 28)[0] == 24  # bpp
+
+    @pytest.mark.parametrize(
+        "payload",
+        [
+            None,
+            b"",
+            b"PNG not bmp",
+            b"BM" + b"\x00" * 10,  # too short
+            _encode_bmp(3)[:-1],  # truncated pixel data
+        ],
+    )
+    def test_malformed_rejected(self, payload):
+        assert _decode_bmp(payload) == (None, None, None, None)
+
+    def test_top_down_bmp_accepted(self):
+        # negative height = top-down row order; dims must still parse
+        p = bytearray(_encode_bmp(9))
+        w, h = _bmp_dims(9)
+        struct.pack_into("<i", p, 22, -h)
+        got = _decode_bmp(bytes(p))
+        assert (got[0], got[1], got[2]) == (w, h, 3)
+
+
+class TestWavCodec:
+    @pytest.mark.parametrize("media_id", [0, 1, 63, 64, 12345])
+    def test_roundtrip(self, media_id):
+        samples = _wav_samples(media_id)
+        payload = _encode_wav(media_id)
+        rate, n, dur, rms = _decode_wav(payload)
+        assert (rate, n) == (16_000, len(samples))
+        assert dur == len(samples) / 16_000.0
+        expect = math.sqrt(sum(s * s for s in samples) / len(samples))
+        assert rms == expect
+        assert len(payload) == 44 + 2 * len(samples)
+
+    @pytest.mark.parametrize(
+        "payload",
+        [None, b"", b"RIFFxxxxWAVE", b"OggS" + b"\x00" * 64],
+    )
+    def test_malformed_rejected(self, payload):
+        assert _decode_wav(payload) == (None, None, None, None)
+
+    def test_stereo_rejected(self):
+        p = bytearray(_encode_wav(3))
+        struct.pack_into("<H", p, 22, 2)  # channels = 2
+        assert _decode_wav(bytes(p)) == (None, None, None, None)
+
+
+class TestSparkPlumbing:
+    def test_bmp_synthesize_decode(self, spark):
+        df = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+        media = multimodal.synthesize_bmp_media(df, "doc_id")
+        out = {r["media_id"]: r for r in multimodal.decode_image(media).collect()}
+        assert len(out) == 20
+        for mid, r in out.items():
+            w, h = _bmp_dims(mid)
+            assert (r["width"], r["height"], r["channels"], r["ok"]) == (w, h, 3, True)
+
+    def test_wav_synthesize_decode(self, spark):
+        df = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+        media = multimodal.synthesize_wav_media(df, "doc_id")
+        out = {r["media_id"]: r for r in multimodal.decode_audio(media).collect()}
+        assert len(out) == 20
+        for mid, r in out.items():
+            assert r["ok"] and r["sample_rate"] == 16_000
+            assert r["n_samples"] == 64 + mid % 64
+
+    def test_decode_image_bad_payload_rows(self, spark):
+        rows = [(1, "image", bytearray(b"not a bmp"), "x"), (2, "image", None, "x")]
+        media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = {r["media_id"]: r for r in multimodal.decode_image(media).collect()}
+        assert not out[1]["ok"] and not out[2]["ok"]
+        assert out[1]["width"] is None

@@ -865,12 +865,16 @@ def q_doc_rolling_fp(spark, sf_dir):
 
 
 def q_multimodal_audio(spark, sf_dir):
-    """Audio feature-extraction plumbing over binary payloads
-    (mapInPandas; stub kernel — no oracle)."""
-    media = multimodal.synthesize_media_from_text(
-        load(spark, sf_dir, "documents"), "doc_id", "text"
+    """REAL audio decode: synthesize byte-valid 16-bit mono PCM WAV
+    payloads (samples a pure function of doc_id), then parse the
+    RIFF/WAVE chunks back and compute RMS from the int16 samples via
+    Arrow-batched mapInPandas. The oracle recomputes sample_rate,
+    n_samples, duration and RMS independently from doc_id arithmetic —
+    the decoder must invert the encoder bit-for-bit to match."""
+    media = multimodal.synthesize_wav_media(
+        load(spark, sf_dir, "documents"), "doc_id"
     )
-    return multimodal.audio_features_stub(media)
+    return multimodal.decode_audio(media)
 
 
 def q_text_token_stats(spark, sf_dir):
@@ -938,10 +942,15 @@ def q_pipeline_corpus_curation(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    media = multimodal.synthesize_media_from_text(
-        load(spark, sf_dir, "documents"), "doc_id", "text"
+    """REAL image decode: synthesize byte-valid 24bpp BMP payloads
+    (dimensions + pixels pure functions of doc_id), then parse the
+    BITMAPINFOHEADER and checksum the pixel bytes (padding-aware) via
+    Arrow-batched mapInPandas. The oracle recomputes width, height,
+    file size and the pixel checksum from doc_id arithmetic."""
+    media = multimodal.synthesize_bmp_media(
+        load(spark, sf_dir, "documents"), "doc_id"
     )
-    return multimodal.decode_image_stub(media)
+    return multimodal.decode_image(media)
 
 
 # ---------------------------------------------------------------------------
@@ -1576,8 +1585,42 @@ SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
 FROM documents
 """
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / ann_ivf_topk /
-    # multimodal_decode / multimodal_audio: intentionally no oracle
-    # (hash-function/quantizer-dependent or stub output); driver
-    # records the weaker rows-only check.
+    # multimodal: the oracle recomputes every decoded field from
+    # doc_id arithmetic alone — the Spark side must round-trip a real
+    # BMP/WAV encode+parse to agree (operators/multimodal.py fixtures:
+    # BMP w=4+id%13, h=3+id%7, pixel i=(id*131+i*7)%256; WAV
+    # n=64+id%64, sample i=((id*31+i*17)%4096)-2048, 16 kHz mono).
+    sqls["multimodal_decode"] = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                  4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+           FROM documents)
+SELECT media_id,
+       CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(list_sum(list_transform(generate_series(0, w * h * 3 - 1),
+                                    i -> (media_id * 131 + i * 7) % 256))
+            AS BIGINT) AS pix_sum,
+       TRUE AS ok
+FROM d
+"""
+    sqls["multimodal_audio"] = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                  64 + doc_id % 64 AS n
+           FROM documents)
+SELECT media_id,
+       CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       n / 16000.0 AS duration_s,
+       round(sqrt(list_sum(list_transform(generate_series(0, n - 1),
+                    i -> pow(((media_id * 31 + i * 17) % 4096) - 2048, 2)))
+                  / n), 6) AS rms,
+       TRUE AS ok
+FROM d
+"""
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / ann_ivf_topk:
+    # intentionally no direct oracle (hash-function/quantizer-dependent
+    # output); each has a *_verified / *_check companion query whose
+    # invariant IS oracle-checkable.
     return sqls
