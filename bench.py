@@ -39,10 +39,13 @@ HEADLINE = [
     "pivot_user_event_counts",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_scaled",  # the guarded 100 TB formulation
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "embedding_neardup_lsh",
     "text_quality",
     "doc_fingerprint",
+    "multimodal_decode",
 ]
 
 

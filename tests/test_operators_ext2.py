@@ -109,6 +109,33 @@ class TestHashedShingles:
             map(tuple, hashed.collect())
         )
 
+    def test_active_doc_freq_cap_preserves_pair_set(self, spark):
+        """With the doc-frequency cap ACTIVE (a shingle shared by >cap
+        docs is dropped from the join), near-dup pairs survive as long
+        as they share sub-cap shingles; their scores may only shrink
+        (denominators keep full set sizes). This is the 100 TB skew
+        guard's contract: recall of clearly-near-dup pairs, never
+        inflated scores."""
+        common = "alpha beta gamma"  # shingle shared by ALL docs
+        rows = [(i, f"{common} filler{i} tail{i} unique{i} words{i}") for i in range(1, 9)]
+        # two true near-dups sharing rare shingles beyond the common one
+        rows += [
+            (100, f"{common} same rare shingle payload here today"),
+            (101, f"{common} same rare shingle payload here tomorrow"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        exact = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3)
+        guarded = dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.3,
+            max_shingle_doc_freq=5, hash_shingles=True,
+        )
+        e = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+        g = {(r["id_a"], r["id_b"]): r["jaccard"] for r in guarded.collect()}
+        assert (100, 101) in e and (100, 101) in g
+        assert set(g) <= set(e)  # the guard never invents pairs
+        for k, v in g.items():
+            assert v <= e[k]  # scores only shrink when shingles drop
+
 
 class TestLshPairs:
     def test_subset_of_bruteforce_and_exact_scores(self, spark, emb):

@@ -90,8 +90,19 @@ class TestJoinStrategy:
 
 
 # brute-force similarity baselines: the cross product IS the operator
-# (oracle path); their scale paths are ann_lsh_topk / dedup_minhash_lsh
-CARTESIAN_ALLOWED = {"ann_cosine_topk", "embedding_neardup"}
+# (oracle path); their scale paths are ann_lsh_topk / dedup_minhash_lsh.
+# *_check verification queries embed the brute-force ground truth BY
+# DEFINITION (they compare the scale path against it), so their plans
+# legitimately contain the baseline's cross product — never run those
+# at corpus scale.
+CARTESIAN_ALLOWED = {
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "ann_lsh_recall_check",
+    "ann_ivf_recall_check",
+    "embedding_neardup_lsh_check",
+    "dedup_simhash_check",
+}
 
 
 class TestNoCartesian:
@@ -103,11 +114,14 @@ class TestNoCartesian:
         plan = plan_of(spark, df)
         assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
         # a BroadcastNestedLoopJoin is only sanctioned for 1-row scalar
-        # broadcasts (the distinct-ts limit threshold, a global total)
+        # broadcasts: the distinct-ts limit threshold, a global total,
+        # or a *_check query crossing its single-row aggregates
         if "BroadcastNestedLoopJoin" in plan:
-            assert "__ts_threshold" in plan or "share" in name, (
-                f"{name}: unexpected nested-loop join\n{plan}"
-            )
+            assert (
+                "__ts_threshold" in plan
+                or "share" in name
+                or name.endswith("_check")
+            ), f"{name}: unexpected nested-loop join\n{plan}"
 
 
 class TestWindowsAreKeyed:

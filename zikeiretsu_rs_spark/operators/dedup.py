@@ -146,35 +146,27 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     k: int = 64,
     bands: int = 16,
-    threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash + banded LSH near-duplicate pairs.
+    """Banded-LSH candidate pairs (id_a < id_b), BEFORE any scoring.
 
     k minhashes split into `bands` bands of r = k/bands rows; documents
     colliding on any band's signature become candidates (classic
-    banding: P(candidate) = 1-(1-j^r)^b). Candidates are then scored by
-    estimated Jaccard = fraction of equal signature components, and
-    filtered at `threshold`.
+    banding: P(candidate) = 1-(1-j^r)^b). The candidate join is keyed
+    on (band, 64-bit band signature) — only near-duplicates collide, so
+    the join output is ~linear in the number of true duplicate pairs.
 
-    Scale: the candidate join is keyed on (band, 64-bit signature) —
-    only near-duplicates collide, so the join output is ~linear in the
-    number of true duplicate pairs. No quadratic blowup.
-
-    Output: id_a, id_b, est_jaccard.
+    Output: id_a, id_b (distinct).
     """
     assert k % bands == 0
     r = k // bands
     sig = minhash_signatures(df, id_col, text_col, n, k)
-    sig_arr = sig.select(
-        F.col(id_col), F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig")
-    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -185,7 +177,7 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
-    cand = (
+    return (
         buckets.alias("x")
         .join(
             buckets.alias("y"),
@@ -198,6 +190,68 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+
+
+def exact_jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard, restricted to the given candidate pairs —
+    the verification stage after any LSH candidate generator. Cost is
+    linear in (candidate pairs × shingles per doc), never quadratic in
+    the corpus: the shingle join fans out only over ids that appear in
+    `pairs`.
+
+    Output: id_a, id_b, jaccard (rounded 6) — one row per input pair
+    (pairs with no shared shingles get jaccard 0.0).
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sz = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    p = pairs.select("id_a", "id_b")
+    a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        p.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        p.join(inter, ["id_a", "id_b"], "left")
+        .na.fill(0, ["_inter"])
+        .join(sz.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a")), "id_a")
+        .join(sz.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")),
+        )
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs: candidates from
+    `minhash_lsh_candidates`, scored by estimated Jaccard = fraction of
+    equal signature components, filtered at `threshold`.
+
+    Output: id_a, id_b, est_jaccard.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    sig_arr = sig.select(
+        F.col(id_col), F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig")
+    )
+    cand = minhash_lsh_candidates(df, id_col, text_col, n, k, bands)
     sa = sig_arr.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sig_a"))
     sb = sig_arr.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sig_b"))
     return (
@@ -311,6 +365,32 @@ def simhash_pairs(
         cand.withColumn(
             "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
         )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs_brute(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Brute-force hamming pairs over SimHash fingerprints — the O(n²)
+    ground truth used ONLY to verify `simhash_pairs`' pigeonhole
+    banding (candidate generation must be provably complete for
+    hamming < bands). The join carries one 8-byte long per row, so even
+    brute force is cheap at verification scale; never run at corpus
+    scale.
+
+    Output: id_a, id_b, hamming — identical schema to simhash_pairs.
+    """
+    fp = simhash64(df, id_col, text_col)
+    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"))
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
