@@ -1,0 +1,143 @@
+"""L4 limit pushdown to block selection: manifest-driven pre-pruning
+for distinct-ts limits.
+
+Unit spec = the reference's own tests (storage/api/read.rs:470-512);
+e2e asserts (a) the limited scan carries a LITERAL ts bound (no
+scalar-broadcast join) restricted to the pruned partitions, (b) results
+stay exact, (c) the overcount case (duplicate timestamps across blocks)
+falls back to the unpruned scalar-threshold path instead of truncating.
+"""
+
+from zikeiretsu_rs_spark.catalog.manifest import BlockEntry, Manifest
+from zikeiretsu_rs_spark.datamodel import DataPoint, FieldType
+from zikeiretsu_rs_spark.datetime_util import NANOS_PER_DAY, NANOS_PER_SEC
+from zikeiretsu_rs_spark.engine import Engine
+
+from test_datetime_util import nanos
+
+
+def be(since, until, num):
+    return BlockEntry(since, until, num, num, 0)
+
+
+class TestPruneForLimit:
+    """Port of read.rs test_filter_blocklist_1..4 (read.rs:470-512)."""
+
+    def setup_method(self):
+        self.m1 = [be(10, 20, 2), be(21, 30, 4), be(31, 40, 5)]
+        self.m2 = [be(10, 20, 3), be(21, 30, 4), be(31, 40, 3)]
+
+    def test_blocklist_1(self):
+        assert Manifest.prune_for_limit(self.m1, 1) == self.m1[:1]
+        assert Manifest.prune_for_limit(self.m1, 1, tail=True) == self.m1[2:]
+
+    def test_blocklist_2(self):
+        assert Manifest.prune_for_limit(self.m2, 2) == self.m2[:1]
+        assert Manifest.prune_for_limit(self.m2, 2, tail=True) == self.m2[2:]
+
+    def test_blocklist_3_exact_boundary_keeps_extra_block(self):
+        assert Manifest.prune_for_limit(self.m2, 3) == self.m2[:2]
+        assert Manifest.prune_for_limit(self.m2, 3, tail=True) == self.m2[1:]
+
+    def test_blocklist_4(self):
+        assert Manifest.prune_for_limit(self.m2, 4) == self.m2[:2]
+        assert Manifest.prune_for_limit(self.m2, 4, tail=True) == self.m2[1:]
+
+    def test_overlap_expansion(self):
+        """Blocks overlapping the selected bound are pulled in (covers
+        cross-block duplicate timestamps the reference's TODO notes)."""
+        entries = [be(10, 20, 3), be(15, 25, 3), be(30, 40, 3)]
+        # head 2: first block suffices (cum 3 > 2), but the second
+        # overlaps its bound (15 <= 20) and must be kept
+        assert Manifest.prune_for_limit(entries, 2) == entries[:2]
+
+    def test_degenerate(self):
+        assert Manifest.prune_for_limit([], 3) == []
+        assert Manifest.prune_for_limit(self.m1, 0) == self.m1
+        assert Manifest.prune_for_limit(self.m1, 100) == self.m1
+
+
+def plan_of(spark, df) -> str:
+    jexec = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jexec.explainString(mode)
+
+
+class TestLimitPrePruneE2E:
+    def _store_three_days(self, spark, tmp_ctx, per_day=5):
+        engine = Engine(spark, tmp_ctx)
+        store = engine.writable_store("m", [FieldType.FLOAT64])
+        base = nanos(2024, 1, 1)
+        for d in range(3):  # one persist per day -> 3 manifest blocks
+            store.push_multi(
+                [
+                    DataPoint.new(base + d * NANOS_PER_DAY + i * NANOS_PER_SEC, float(d))
+                    for i in range(per_day)
+                ]
+            )
+            store.persist()
+        return engine, base
+
+    def test_head_limit_prunes_blocks_to_literal_bound(self, spark, tmp_ctx):
+        engine, base = self._store_three_days(spark, tmp_ctx)
+        df = engine.execute_to_df(
+            "with format_datetime = false select * from m where ts >=|3 '2023-01-01'",
+            now_nanos=base,
+        )
+        rows = df.collect()
+        assert [r["ts"] for r in rows] == [base, base + NANOS_PER_SEC, base + 2 * NANOS_PER_SEC]
+        plan = plan_of(spark, df)
+        # literal-threshold path: no scalar-broadcast join, literal
+        # pushed ts filter, and only the first dt partition survives
+        assert "__ts_threshold" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert f"LessThanOrEqual(ts,{base + 2 * NANOS_PER_SEC})" in plan, plan
+        assert "2024-01-03" not in plan.split("PartitionFilters")[1].splitlines()[0]
+
+    def test_tail_limit_prunes_blocks(self, spark, tmp_ctx):
+        engine, base = self._store_three_days(spark, tmp_ctx)
+        df = engine.execute_to_df(
+            "with format_datetime = false select * from m where ts <=|2 '2024-12-31'",
+            now_nanos=base,
+        )
+        last = base + 2 * NANOS_PER_DAY + 4 * NANOS_PER_SEC
+        assert [r["ts"] for r in df.collect()] == [last - NANOS_PER_SEC, last]
+        plan = plan_of(spark, df)
+        assert "__ts_threshold" not in plan
+        assert f"GreaterThanOrEqual(ts,{last - NANOS_PER_SEC})" in plan, plan
+
+    def test_range_plus_limit_composes(self, spark, tmp_ctx):
+        engine, base = self._store_three_days(spark, tmp_ctx)
+        # range starting day 1 + head 2 -> first two ts of day 1
+        df = engine.execute_to_df(
+            "with format_datetime = false select * from m where ts >=|2 '2024-01-02'",
+            now_nanos=base,
+        )
+        d1 = base + NANOS_PER_DAY
+        assert [r["ts"] for r in df.collect()] == [d1, d1 + NANOS_PER_SEC]
+
+    def test_duplicate_ts_across_blocks_falls_back_exactly(self, spark, tmp_ctx):
+        """Two blocks share ALL timestamps (per-block distinct_ts
+        overcounts the union); a head limit spanning them must fall
+        back to the unpruned path and still return n distinct ts."""
+        engine = Engine(spark, tmp_ctx)
+        store = engine.writable_store("m", [FieldType.FLOAT64])
+        base = nanos(2024, 1, 1)
+        same_day = [base + i * NANOS_PER_SEC for i in range(5)]
+        for _ in range(2):  # two persists, identical 5 timestamps
+            store.push_multi([DataPoint.new(t, 1.0) for t in same_day])
+            store.persist()
+        later = base + 2 * NANOS_PER_DAY
+        store.push_multi(
+            [DataPoint.new(later + i * NANOS_PER_SEC, 2.0) for i in range(6)]
+        )
+        store.persist()
+        df = engine.execute_to_df(
+            "with format_datetime = false select * from m where ts >=|8 '2023-01-01'",
+            now_nanos=base,
+        )
+        got = sorted({r["ts"] for r in df.collect()})
+        expect = same_day + [later + i * NANOS_PER_SEC for i in range(3)]
+        assert got == expect

@@ -114,6 +114,45 @@ class Manifest:
         return min(e.since_nanos for e in entries), max(e.until_nanos for e in entries)
 
     @staticmethod
+    def prune_for_limit(
+        entries: list[BlockEntry], n: int, *, tail: bool = False
+    ) -> list[BlockEntry]:
+        """L4 limit pushdown to block selection: the minimal prefix
+        (head) / suffix (tail) of `entries` — sorted by until_nanos —
+        whose cumulative `distinct_ts` reaches `n`. Port of
+        `filter_block_metas_by_limit` (storage/api/read.rs:114-168,
+        spec pinned by read.rs:470-512) including the exact-boundary
+        rule: when the cumulative count hits `n` exactly, one extra
+        adjacent block is kept in case it starts/ends on the same
+        timestamp.
+
+        Beyond the reference, the selection is then EXPANDED to every
+        block overlapping the selected time bound — cross-block
+        duplicate timestamps make per-block distinct counts overcount
+        (the reference's own TODO acknowledges this), and the expansion
+        guarantees the pruned file set contains every row inside the
+        bound. Callers still verify sufficiency against the data (see
+        translator._manifest_limit_bound)."""
+        if not entries or n <= 0:
+            return list(entries)
+        order = list(reversed(entries)) if tail else list(entries)
+        cum = 0
+        selected: list[BlockEntry] | None = None
+        for idx, e in enumerate(order):
+            cum += e.distinct_ts
+            if cum >= n:
+                keep = idx + 2 if (cum == n and idx < len(order) - 1) else idx + 1
+                selected = order[:keep]
+                break
+        if selected is None:
+            return list(entries)
+        if tail:
+            bound = min(e.since_nanos for e in selected)
+            return [e for e in entries if e.until_nanos >= bound]
+        bound = max(e.until_nanos for e in selected)
+        return [e for e in entries if e.since_nanos <= bound]
+
+    @staticmethod
     def list_metrics(db_dir: str) -> list[str]:
         """Discover metrics by listing manifest files
         (fetch_all_metrics, storage/api/read.rs:33-81)."""

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog.manifest import Manifest
 from ..datamodel import PARTITION_COLUMN, TS_COLUMN, field_column_names
 from ..datetime_util import NANOS_PER_DAY, NANOS_PER_SEC
 from ..operators.limits import limit_distinct_ts
@@ -76,6 +77,82 @@ def rfc3339_col(ts: Column, offset_seconds: int) -> Column:
     )
 
 
+def _manifest_limit_bound(
+    db_dir: str, metrics: str, cond: SearchCondition, n: int, tail: bool
+) -> int | None:
+    """L4: use the manifest's per-block distinct_ts to compute a ts
+    bound that restricts the scan BEFORE the distinct-ts threshold job
+    (reference accumulates `timestamp_num` to skip whole blocks,
+    storage/api/read.rs:115-170). Returns None when the manifest is
+    absent or pruning would not drop anything."""
+    entries = Manifest(db_dir, metrics).load()
+    if not entries:
+        return None
+    cand = [
+        e
+        for e in entries
+        if (cond.since_nanos is None or e.until_nanos >= cond.since_nanos)
+        and (cond.until_nanos is None or e.since_nanos < cond.until_nanos)
+    ]
+    if not cand:
+        return None
+    sel = Manifest.prune_for_limit(cand, n, tail=tail)
+    if len(sel) >= len(cand):
+        return None
+    return (
+        min(e.since_nanos for e in sel)
+        if tail
+        else max(e.until_nanos for e in sel)
+    )
+
+
+def _apply_limit(
+    df: DataFrame, q: SearchMetricsQuery, db_dir: str, n: int, tail: bool
+) -> DataFrame:
+    """Distinct-ts limit with manifest block pruning. When the manifest
+    yields a bound, the threshold is computed over the pruned file set
+    only and — after verifying the pruned range really holds n distinct
+    timestamps (cross-block duplicate ts can make the manifest
+    overcount; the sufficiency check keeps results exact where the
+    reference's own pruning could truncate) — applied as a LITERAL
+    predicate, so both jobs touch only the pruned blocks and the final
+    scan skips row groups on a constant comparison."""
+    if n <= 0:
+        return df.limit(0)
+    bound = _manifest_limit_bound(db_dir, q.metrics, q.condition, n, tail)
+    if bound is not None:
+        pruned = df.filter(
+            F.col(TS_COLUMN) >= F.lit(bound) if tail else F.col(TS_COLUMN) <= F.lit(bound)
+        )
+        if PARTITION_COLUMN in df.columns:
+            day = _dt_string(bound)
+            pruned = pruned.filter(
+                F.col(PARTITION_COLUMN) >= F.lit(day)
+                if tail
+                else F.col(PARTITION_COLUMN) <= F.lit(day)
+            )
+        order = F.col(TS_COLUMN).desc() if tail else F.col(TS_COLUMN).asc()
+        agg = F.min(TS_COLUMN) if tail else F.max(TS_COLUMN)
+        row = (
+            pruned.select(TS_COLUMN)
+            .distinct()
+            .orderBy(order)
+            .limit(n)
+            .agg(agg.alias("thr"), F.count("*").alias("cnt"))
+            .first()
+        )
+        if row["cnt"] == n:
+            pred = (
+                F.col(TS_COLUMN) >= F.lit(int(row["thr"]))
+                if tail
+                else F.col(TS_COLUMN) <= F.lit(int(row["thr"]))
+            )
+            return pruned.filter(pred)
+        # manifest overcounted (shared ts across blocks): fall through
+        # to the unpruned scalar-threshold path — correctness first
+    return limit_distinct_ts(df, n, tail=tail)
+
+
 def translate_search(
     spark: SparkSession, db_dir: str, q: SearchMetricsQuery, n_fields: int
 ) -> DataFrame:
@@ -84,8 +161,9 @@ def translate_search(
     df = apply_range_filter(df, q.condition)
 
     if q.condition.limit is not None:
-        df = limit_distinct_ts(
-            df, q.condition.limit.n, tail=(q.condition.limit.kind is LimitKind.TAIL)
+        df = _apply_limit(
+            df, q, db_dir, q.condition.limit.n,
+            q.condition.limit.kind is LimitKind.TAIL,
         )
 
     physical = field_column_names(n_fields)
