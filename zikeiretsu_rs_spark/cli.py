@@ -3,14 +3,16 @@
 Reference parity: bin/main.rs adhoc/REPL modes (§3.1, §3.4 — rustyline
 multiline-until-';' loop, repl/mod.rs:28-67) and the config file merge
 (config/mod.rs:35-109). The Arrow Flight server/client mode (§3.2) is
-intentionally out of scope: Spark Connect is the idiomatic remote
-execution boundary (`spark.remote("sc://host")` gives any client the
-same engine without a bespoke gRPC protocol).
+served by `--serve`: an Arrow-IPC-over-HTTP boundary (server.py) —
+same payload as Flight without the gRPC framing, demonstrated e2e in
+tests/test_server.py. On a production Spark deployment the idiomatic
+equivalent is Spark Connect (`spark.remote("sc://host")`).
 
 Usage:
     python -m zikeiretsu_rs_spark --data-dir /tmp/zdb "select * from .metrics"
     python -m zikeiretsu_rs_spark --data-dir /tmp/zdb        # REPL
     python -m zikeiretsu_rs_spark --config ctx.toml "..."
+    python -m zikeiretsu_rs_spark --data-dir /tmp/zdb --serve --port 8815
 """
 
 from __future__ import annotations
@@ -76,9 +78,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--data-dir", default="./zdb", help="warehouse root directory")
     p.add_argument("--database", default="default", help="default database name")
     p.add_argument("--config", default=None, help="TOML/JSON context config file")
+    p.add_argument(
+        "--serve", action="store_true",
+        help="run the Arrow-over-HTTP query server (S15 boundary)",
+    )
+    p.add_argument("--host", default="127.0.0.1", help="--serve bind host")
+    p.add_argument("--port", type=int, default=8815, help="--serve bind port")
     p.add_argument("query", nargs="?", default=None, help="adhoc query (REPL if omitted)")
     args = p.parse_args(argv)
     engine = build_engine(args)
+    if args.serve:
+        from .server import QueryHttpServer
+
+        server = QueryHttpServer(engine, host=args.host, port=args.port).start()
+        print(f"serving Arrow-over-HTTP on {server.url} (Ctrl-C to stop)")
+        try:
+            import threading
+
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            server.stop()
+        return 0
     if args.query is not None:
         return run_query(engine, args.query)
     return repl(engine)
