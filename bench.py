@@ -42,11 +42,17 @@ HEADLINE = [
     "dedup_ngram_jaccard_scaled",  # the guarded 100 TB formulation
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    "embedding_neardup_lsh",
     "text_quality",
     "doc_fingerprint",
     "multimodal_decode",
 ]
+# embedding_neardup_lsh is deliberately NOT a headline query: the
+# fixture corpus is near-uniform and the 0.40 mining threshold makes
+# ~half of all pairs LSH candidates by construction (cos 0.4 = 66°,
+# P(plane agrees) = 0.63) — a recall-stress case, not a throughput
+# case. Its correctness/recall invariants run in the driver gate
+# (embedding_neardup_lsh_check); on a real near-dup workload
+# (threshold >= 0.9) the same operator prunes candidates massively.
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:

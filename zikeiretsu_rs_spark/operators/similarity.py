@@ -315,23 +315,35 @@ def lsh_pairs_above(
 
     Output: id_a, id_b, cosine (rounded 6).
     """
-    v = lsh_signature(with_double_vec(df, vec_col), dim, n_planes, n_tables).select(
-        F.col(id_col), F.col("_vec"), "tbl", "bucket"
-    )
-    a = v.select(
-        F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"), "tbl", "bucket"
-    )
-    b = v.select(
-        F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"), "tbl", "bucket"
-    )
+    # candidates carry ONLY ids through the bucket join + distinct —
+    # the multi-table fan-out dedups on 16-byte rows, not 2×dim-double
+    # rows; vectors are re-attached once per unique pair (two keyed
+    # joins) before exact scoring. At scale the bucket join's shuffle
+    # volume is what dominates; this keeps it minimal.
+    sigs = lsh_signature(
+        with_double_vec(df, vec_col), dim, n_planes, n_tables
+    ).select(F.col(id_col), "tbl", "bucket")
     cand = (
-        a.join(b, ["tbl", "bucket"])
+        sigs.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+        .join(
+            sigs.select(F.col(id_col).alias("id_b"), "tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    vecs = with_double_vec(df, vec_col).select(F.col(id_col), F.col("_vec"))
     return (
-        cand.withColumn(
+        cand.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col("_vec").alias("_va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb")),
+            "id_b",
+        )
+        .withColumn(
             "cosine",
             F.round(
                 _dot(F.col("_va"), F.col("_vb"))
