@@ -57,6 +57,48 @@ class TestPruneForLimit:
         assert Manifest.prune_for_limit(self.m1, 100) == self.m1
 
 
+class TestPruneProperties:
+    """Hypothesis: for ANY block layout (overlaps included) the pruned
+    selection (a) keeps cumulative distinct_ts >= n or everything,
+    (b) contains every block overlapping its own time bound — the two
+    facts the literal-bound scan depends on."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    blocks = st.lists(
+        st.tuples(
+            st.integers(0, 1000),  # since
+            st.integers(0, 500),  # extent
+            st.integers(1, 50),  # distinct_ts
+        ),
+        min_size=0,
+        max_size=12,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(blocks, st.integers(0, 200), st.booleans())
+    def test_invariants(self, raw, n, tail):
+        entries = sorted(
+            (be(s, s + ext, num) for s, ext, num in raw),
+            key=lambda e: (e.until_nanos, e.since_nanos),
+        )
+        sel = Manifest.prune_for_limit(entries, n, tail=tail)
+        assert set(sel) <= set(entries)
+        if n <= 0 or not entries:
+            assert sel == entries
+            return
+        total = sum(e.distinct_ts for e in sel)
+        assert total >= min(n, sum(e.distinct_ts for e in entries))
+        if sel and len(sel) < len(entries):
+            if tail:
+                bound = min(e.since_nanos for e in sel)
+                assert all(e.until_nanos < bound for e in entries if e not in sel)
+            else:
+                bound = max(e.until_nanos for e in sel)
+                assert all(e.since_nanos > bound for e in entries if e not in sel)
+
+
 def plan_of(spark, df) -> str:
     jexec = df._jdf.queryExecution()
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

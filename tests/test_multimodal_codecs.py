@@ -10,6 +10,8 @@ import math
 import struct
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from zikeiretsu_rs_spark.operators import multimodal
@@ -88,6 +90,36 @@ class TestWavCodec:
         p = bytearray(_encode_wav(3))
         struct.pack_into("<H", p, 22, 2)  # channels = 2
         assert _decode_wav(bytes(p)) == (None, None, None, None)
+
+
+class TestCodecProperties:
+    """Hypothesis: encode->decode is the identity on every field, for
+    any media id (the oracle contract is exactly this inverse)."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**31 - 1))
+    def test_bmp_roundtrip_any_id(self, media_id):
+        w, h = _bmp_dims(media_id)
+        got = _decode_bmp(_encode_bmp(media_id))
+        assert got[:3] == (w, h, 3)
+        assert got[3] == sum(
+            (media_id * 131 + i * 7) % 256 for i in range(w * h * 3)
+        )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**31 - 1))
+    def test_wav_roundtrip_any_id(self, media_id):
+        samples = _wav_samples(media_id)
+        rate, n, dur, rms = _decode_wav(_encode_wav(media_id))
+        assert (rate, n) == (16_000, len(samples))
+        assert rms == math.sqrt(sum(s * s for s in samples) / n)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(max_size=128))
+    def test_decoders_never_crash_on_garbage(self, payload):
+        r1 = _decode_bmp(payload)
+        r2 = _decode_wav(payload)
+        assert len(r1) == 4 and len(r2) == 4
 
 
 class TestSparkPlumbing:

@@ -146,11 +146,23 @@ class Manifest:
                 break
         if selected is None:
             return list(entries)
+        # expand to a FIXED POINT: an entry pulled in by overlap can
+        # extend the bound and overlap further entries
         if tail:
             bound = min(e.since_nanos for e in selected)
-            return [e for e in entries if e.until_nanos >= bound]
+            while True:
+                sel = [e for e in entries if e.until_nanos >= bound]
+                new_bound = min(e.since_nanos for e in sel)
+                if new_bound == bound:
+                    return sel
+                bound = new_bound
         bound = max(e.until_nanos for e in selected)
-        return [e for e in entries if e.since_nanos <= bound]
+        while True:
+            sel = [e for e in entries if e.since_nanos <= bound]
+            new_bound = max(e.until_nanos for e in sel)
+            if new_bound == bound:
+                return sel
+            bound = new_bound
 
     @staticmethod
     def list_metrics(db_dir: str) -> list[str]:

@@ -749,6 +749,49 @@ def q_sketch_hll_rollup_check(spark, sf_dir):
     )
 
 
+def q_sketch_quantiles_check(spark, sf_dir):
+    """Greenwald-Khanna invariant: percentile_approx returns an actual
+    data element whose RANK is within n/accuracy (+1 slack) of the
+    target rank — the published GK bound, checked per key against an
+    exact keyed rank window and emitted as oracle-hashable booleans."""
+    from pyspark.sql import Window
+
+    df = events_ts_long(spark, sf_dir)
+    approx = sketches.approx_quantiles_by(
+        df, ["event_type"], "value", [0.5, 0.9], accuracy=10_000
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = (
+        df.select("event_type", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+    )
+    joined = ranked.join(F.broadcast(approx), "event_type")
+
+    def rank_dist(val_col: str, q: float):
+        target = F.floor((F.col("n") - 1) * F.lit(q)) + 1
+        return F.min(
+            F.when(
+                F.col("value") == F.col(val_col), F.abs(F.col("rn") - target)
+            )
+        )
+
+    tol = F.ceil(F.max("n") / F.lit(10_000)) + 1
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            rank_dist("q50", 0.5).alias("_d50"),
+            rank_dist("q90", 0.9).alias("_d90"),
+            tol.alias("_tol"),
+        )
+        .select(
+            "event_type",
+            (F.col("_d50") <= F.col("_tol")).alias("q50_ok"),
+            (F.col("_d90") <= F.col("_tol")).alias("q90_ok"),
+        )
+    )
+
+
 def q_pivot_user_event_counts(spark, sf_dir):
     """Pivot event_type into columns per user (fixed pivot values so
     the schema is static — required for both plan stability at scale
@@ -1236,6 +1279,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_histogram": q_value_histogram,
     "pivot_user_event_counts": q_pivot_user_event_counts,
     "rollup_region_nation": q_rollup_region_nation,
+    "sketch_quantiles_check": q_sketch_quantiles_check,
 }
 
 
@@ -1812,6 +1856,10 @@ SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
 FROM events GROUP BY 1
 """
     sqls["sketch_hll_rollup_check"] = sqls["sketch_distinct_check"]
+    sqls["sketch_quantiles_check"] = """
+SELECT event_type, TRUE AS q50_ok, TRUE AS q90_ok
+FROM events GROUP BY 1
+"""
     sqls["ann_lsh_recall_check"] = """
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
        TRUE AS recall_ok
