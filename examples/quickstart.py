@@ -1,0 +1,106 @@
+"""End-to-end tour of zikeiretsu_rs_spark for a reference (zikeiretsu-rs)
+user switching over: ingest -> dialect queries -> catalog metadata ->
+retention -> remote serving -> the LLM-pipeline operator families.
+
+Run:  python examples/quickstart.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from zikeiretsu_rs_spark import DBContext, Engine, QueryHttpServer, execute_remote
+from zikeiretsu_rs_spark.datamodel import DataPoint, FieldType
+from zikeiretsu_rs_spark.session import get_spark
+
+NS = 1_000_000_000
+
+
+def main() -> None:
+    spark = get_spark(app_name="quickstart", cpus=4, shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = Engine(spark, DBContext(data_dir=tempfile.mkdtemp()))
+
+    # -- ingest (WritableStore analog: push -> sorted, partitioned persist)
+    store = engine.writable_store(
+        "trades", [FieldType.BOOL, FieldType.FLOAT64, FieldType.FLOAT64]
+    )
+    base = 1_632_700_800 * NS  # 2021-09-27T00:00:00Z
+    store.push_multi(
+        [
+            DataPoint.new(base + i * 1800 * NS, i % 3 == 0, 100.0 + i, 0.5 + i / 100)
+            for i in range(96)  # two days, 30-min cadence
+        ]
+    )
+    store.persist()
+
+    # -- the reference dialect, verbatim
+    print("== dialect query (tz-aware, accuracy-widened '=' match)")
+    print(
+        engine.execute(
+            "with cols = [is_buy, price, size], tz = Asia/Tokyo "
+            "select price, size from trades where ts = '2021-09-27 10:00'"
+        )
+    )
+
+    print("== distinct-timestamp head limit (ts >=|n)")
+    print(
+        engine.execute(
+            "with cols = [is_buy, price, size], format_datetime = false "
+            "select price from trades where ts >=|3 '2021-09-27'"
+        )
+    )
+
+    print("== catalog metadata")
+    print(engine.execute("select * from .metrics"))
+    print(engine.execute("select * from .describe"))
+
+    # -- remote boundary (the Arrow Flight analog)
+    server = QueryHttpServer(engine).start()
+    table = execute_remote(
+        server.url,
+        "with cols = [is_buy, price, size], format_datetime = false "
+        "select price from trades where ts in ('2021-09-27', '2021-09-28')",
+    )
+    print(f"== remote query over {server.url}: {table.num_rows} rows via Arrow IPC")
+    server.stop()
+
+    # -- LLM-pipeline operators over any DataFrame
+    from pyspark.sql import functions as F
+
+    from zikeiretsu_rs_spark.operators import dedup, sampling, text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content with its own words"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    print("== exact dedup (md5 groupBy)")
+    dedup.exact_dedup(docs, "doc_id", "text").show(truncate=False)
+    print("== near-dup pairs (exact n-gram Jaccard)")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs.show()
+    print("== pairs -> clusters -> representatives")
+    clusters = dedup.connected_components(pairs)
+    dedup.dedup_by_clusters(docs, clusters, "doc_id").orderBy("doc_id").show(
+        truncate=False
+    )
+    print("== quality + stable train/test split")
+    q = text.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
+    sampling.train_test_split(docs, "doc_id").join(q, "doc_id").orderBy(
+        "doc_id"
+    ).select("doc_id", "split", F.round("quality", 3).alias("quality")).show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

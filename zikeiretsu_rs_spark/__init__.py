@@ -21,12 +21,34 @@ from .datetime_util import (
 from .query.parser import parse_query
 
 __all__ = [
+    "DBContext",
     "DEFAULT_TIMEZONE",
     "DatetimeAccuracy",
+    "Engine",
+    "QueryHttpServer",
     "TimeZoneAndOffset",
+    "execute_remote",
     "format_rfc3339_nanos",
     "parse_query",
     "resolve_timezone",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+_LAZY = {
+    # pyspark-importing entry points, loaded on first access so that
+    # `import zikeiretsu_rs_spark` stays cheap for parser/datetime use
+    "Engine": ("zikeiretsu_rs_spark.engine", "Engine"),
+    "DBContext": ("zikeiretsu_rs_spark.catalog.context", "DBContext"),
+    "QueryHttpServer": ("zikeiretsu_rs_spark.server", "QueryHttpServer"),
+    "execute_remote": ("zikeiretsu_rs_spark.server", "execute_remote"),
+}
+
+
+def __getattr__(name: str):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
