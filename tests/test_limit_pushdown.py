@@ -57,6 +57,34 @@ class TestPruneForLimit:
         assert Manifest.prune_for_limit(self.m1, 100) == self.m1
 
 
+class TestBlockSearch:
+    """Port of BlockList::search tests (block_list/mod.rs:603-700,
+    test_block_timestamps_search_1..5): contiguous slice from the first
+    block with until >= since through the last with since <= until."""
+
+    def setup_method(self):
+        self.metas = [
+            be(10, 20, 10), be(10, 20, 10), be(10, 20, 10), be(11, 30, 10),
+            be(11, 30, 10), be(12, 30, 10), be(15, 30, 10), be(21, 30, 10),
+        ]
+
+    def test_search_1(self):
+        assert Manifest.search(self.metas, 11, 15) == self.metas[:7]
+
+    def test_search_2(self):
+        assert Manifest.search(self.metas, 10, 15) == self.metas[:7]
+
+    def test_search_3(self):
+        assert Manifest.search(self.metas, 10, 22) == self.metas
+
+    def test_search_open_bounds(self):
+        assert Manifest.search(self.metas, None, None) == self.metas
+        assert Manifest.search(self.metas, 21, None) == self.metas[3:]
+        assert Manifest.search(self.metas, 31, None) == []
+        assert Manifest.search(self.metas, None, 9) == []
+        assert Manifest.search([], 1, 2) == []
+
+
 class TestPruneProperties:
     """Hypothesis: for ANY block layout (overlaps included) the pruned
     selection (a) keeps cumulative distinct_ts >= n or everything,

@@ -114,6 +114,48 @@ class Manifest:
         return min(e.since_nanos for e in entries), max(e.until_nanos for e in entries)
 
     @staticmethod
+    def search(
+        entries: list[BlockEntry],
+        since_nanos: int | None = None,
+        until_nanos: int | None = None,
+    ) -> list[BlockEntry]:
+        """Range search over blocks sorted by until: the contiguous
+        slice from the first block with `until >= since` through the
+        last block with `since <= until`. Port of `BlockList::search`
+        (block_list/mod.rs:254-328, spec pinned by its
+        test_block_timestamps_search_1..5) including its boundary
+        quirk: a block starting exactly at the exclusive `until` bound
+        is INCLUDED (the row-level ts filter excludes its rows, so the
+        over-inclusion is harmless and kept for parity)."""
+        if not entries:
+            return []
+        lo = 0
+        if since_nanos is not None:
+            lo = next(
+                (
+                    i
+                    for i, e in enumerate(entries)
+                    if e.until_nanos >= since_nanos
+                ),
+                None,
+            )
+            if lo is None:
+                return []
+        hi = len(entries) - 1
+        if until_nanos is not None:
+            hi = next(
+                (
+                    i
+                    for i in range(len(entries) - 1, -1, -1)
+                    if entries[i].since_nanos <= until_nanos
+                ),
+                None,
+            )
+            if hi is None:
+                return []
+        return entries[lo : hi + 1]
+
+    @staticmethod
     def prune_for_limit(
         entries: list[BlockEntry], n: int, *, tail: bool = False
     ) -> list[BlockEntry]:

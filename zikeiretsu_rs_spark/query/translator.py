@@ -88,12 +88,8 @@ def _manifest_limit_bound(
     entries = Manifest(db_dir, metrics).load()
     if not entries:
         return None
-    cand = [
-        e
-        for e in entries
-        if (cond.since_nanos is None or e.until_nanos >= cond.since_nanos)
-        and (cond.until_nanos is None or e.since_nanos < cond.until_nanos)
-    ]
+    # block-range search mirrors BlockList::search (block_list/mod.rs:254)
+    cand = Manifest.search(entries, cond.since_nanos, cond.until_nanos)
     if not cand:
         return None
     sel = Manifest.prune_for_limit(cand, n, tail=tail)
