@@ -137,6 +137,25 @@ class TestHashedShingles:
             assert v <= e[k]  # scores only shrink when shingles drop
 
 
+class TestKmeansCentroids:
+    def test_fit_and_probe(self, spark, emb):
+        from zikeiretsu_rs_spark.operators.similarity import (
+            ivf_topk,
+            kmeans_centroids,
+        )
+
+        cents = kmeans_centroids(emb, n_cells=3, max_iter=5)
+        assert len(cents) == 3 and all(len(c) == 8 for c in cents)
+        # deterministic for a fixed seed
+        assert cents == kmeans_centroids(emb, n_cells=3, max_iter=5)
+        queries = emb.limit(2)
+        out = ivf_topk(
+            emb, queries, k=3, dim=8, n_cells=3, nprobe=2, centroids=cents
+        )
+        assert out.count() > 0
+        assert set(out.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
+
+
 class TestLshPairs:
     def test_subset_of_bruteforce_and_exact_scores(self, spark, emb):
         from zikeiretsu_rs_spark.operators.similarity import (

@@ -197,6 +197,29 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Train IVF coarse centroids with pyspark.ml KMeans — the quality
+    upgrade over `sample_centroids` (deterministic for a fixed seed;
+    distributed Lloyd iterations, so 'training' scales with the
+    corpus). Returns the same driver-side list-of-lists the quantizer
+    broadcasts as literals, exactly like a fitted model artifact."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = with_double_vec(corpus, vec_col).select(
+        array_to_vector(F.col("_vec")).alias("features")
+    )
+    model = KMeans(k=n_cells, maxIter=max_iter, seed=seed).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def sample_centroids(
     corpus: DataFrame, n_cells: int, id_col: str, vec_col: str
 ) -> list[list[float]]:
