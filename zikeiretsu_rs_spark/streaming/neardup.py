@@ -1,0 +1,227 @@
+"""Streaming near-duplicate detection: incremental MinHash LSH against
+a persistent bucket store.
+
+The batch scale path (`operators/dedup.py:minhash_lsh_pairs`) finds
+near-dups within one corpus; a training-data INGEST pipeline needs the
+streaming form — "is this incoming document a near-dup of ANYTHING seen
+before?" — without re-scanning history. This module keeps the banded
+signature buckets as a persistent `dt=`-free Parquet table and, per
+micro-batch (foreachBatch, exactly-once via checkpointing):
+
+1. computes MinHash band signatures for the batch's documents
+   (JVM-side, same operator as batch);
+2. equi-joins batch buckets against the HISTORICAL bucket store on
+   (band, bsig) — the linear-cost LSH candidate join, never all-pairs;
+3. re-scores candidates by estimated Jaccard (signature agreement) at
+   `threshold` and appends confirmed (new_id, dup_of, est_jaccard)
+   rows to the matches table;
+4. appends the batch's buckets to the store so later batches dedup
+   against it (within-batch pairs are caught by the same join because
+   the batch's own buckets are unioned in).
+
+State is the bucket table itself — O(docs × bands) tiny rows, readable
+by any engine, compactable with `catalog/compact.py`. This mirrors how
+a 100 TB pipeline actually runs streaming dedup: state in the lake, not
+in executor memory (executor state stores cap at the state backend's
+size; a corpus-scale signature set does not fit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import minhash_signatures
+
+BUCKET_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("bsig", T.LongType(), False),
+        T.StructField("sig", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def _bucketize(
+    docs: DataFrame, id_col: str, text_col: str, n: int, k: int, bands: int
+) -> DataFrame:
+    """(doc_id, band, bsig, sig): banded bucket rows carrying the full
+    signature for estimated-Jaccard re-scoring on collision."""
+    r = k // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, k)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig"),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"), "sig")
+
+
+class NearDupIndex:
+    """Lake-resident MinHash LSH index: `add_batch` dedups a batch of
+    documents against everything previously added (and within the
+    batch), appends its buckets, and returns the match DataFrame."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        n: int = 3,
+        k: int = 64,
+        bands: int = 16,
+        threshold: float = 0.5,
+    ):
+        assert k % bands == 0
+        self.spark = spark
+        self.store_dir = store_dir
+        self.bucket_dir = os.path.join(store_dir, "buckets")
+        self.matches_dir = os.path.join(store_dir, "matches")
+        self.n, self.k, self.bands, self.threshold = n, k, bands, threshold
+
+    def _epochs(self) -> list[int]:
+        if not os.path.isdir(self.bucket_dir):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.bucket_dir)
+            if d.startswith("epoch=")
+        )
+
+    def _buckets_before(self, epoch: int) -> DataFrame:
+        dirs = [
+            f"{self.bucket_dir}/epoch={e}" for e in self._epochs() if e < epoch
+        ]
+        if not dirs:
+            return self.spark.createDataFrame([], BUCKET_SCHEMA)
+        return self.spark.read.schema(BUCKET_SCHEMA).parquet(*dirs)
+
+    def add_batch(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        epoch: int | None = None,
+    ) -> DataFrame:
+        """Returns (doc_id, dup_of, est_jaccard): batch documents whose
+        estimated Jaccard against an EARLIER document (previous epochs
+        or a smaller id within this batch) clears the threshold. The
+        earlier side is `dup_of`, so downstream keeps representatives
+        exactly like the batch pipeline.
+
+        Idempotent per epoch: buckets and matches land in `epoch=N`
+        directories written with overwrite, and history is strictly
+        `epoch < N` — a replayed micro-batch (same foreachBatch
+        epoch_id) rewrites identical state instead of matching against
+        its own previous write."""
+        if epoch is None:
+            eps = self._epochs()
+            epoch = (eps[-1] + 1) if eps else 0
+        new = _bucketize(docs, id_col, text_col, self.n, self.k, self.bands)
+        new.cache()
+        history = self._buckets_before(epoch)
+        # candidates: same (band, bsig) against history (any id) or
+        # within-batch (earlier id only, to keep pairs oriented)
+        hist_side = history.select(
+            F.col("doc_id").alias("dup_of"),
+            "band",
+            "bsig",
+            F.col("sig").alias("_sig_old"),
+        )
+        new_side = new.select("doc_id", "band", "bsig", F.col("sig").alias("_sig_new"))
+        # history rows match regardless of id order; intra-batch rows
+        # only when dup_of < doc_id. Tag the two sides and filter.
+        tagged = hist_side.withColumn("_intra", F.lit(False)).unionByName(
+            new.select(
+                F.col("doc_id").alias("dup_of"),
+                "band",
+                "bsig",
+                F.col("sig").alias("_sig_old"),
+            ).withColumn("_intra", F.lit(True))
+        )
+        cand = (
+            new_side.join(tagged, ["band", "bsig"])
+            .where(
+                (F.col("dup_of") != F.col("doc_id"))
+                & (~F.col("_intra") | (F.col("dup_of") < F.col("doc_id")))
+            )
+            .select("doc_id", "dup_of", "_sig_new", "_sig_old")
+            .distinct()
+        )
+        matches = (
+            cand.withColumn(
+                "est_jaccard",
+                F.expr(
+                    "size(filter(zip_with(_sig_new, _sig_old, (x, y) -> x = y), v -> v))"
+                )
+                / F.lit(float(self.k)),
+            )
+            .where(F.col("est_jaccard") >= F.lit(self.threshold))
+            .select(
+                "doc_id", "dup_of", F.round("est_jaccard", 6).alias("est_jaccard")
+            )
+        )
+        matches.write.mode("overwrite").parquet(
+            f"{self.matches_dir}/epoch={epoch}"
+        )
+        new.write.mode("overwrite").parquet(f"{self.bucket_dir}/epoch={epoch}")
+        new.unpersist()
+        return self.matches()
+
+    def matches(self) -> DataFrame:
+        dirs = (
+            [
+                f"{self.matches_dir}/{d}"
+                for d in sorted(os.listdir(self.matches_dir))
+                if d.startswith("epoch=")
+            ]
+            if os.path.isdir(self.matches_dir)
+            else []
+        )
+        if dirs:
+            return self.spark.read.parquet(*dirs)
+        return self.spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("dup_of", T.LongType()),
+                    T.StructField("est_jaccard", T.DoubleType()),
+                ]
+            ),
+        )
+
+
+def start_streaming_neardup(
+    stream_docs: DataFrame,
+    index: NearDupIndex,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Streaming near-dup detection: each micro-batch is dedup'd
+    against the lake-resident index (and itself), then indexed.
+    Exactly-once at batch level: foreachBatch replays reuse the same
+    epoch_id, and the index's per-epoch overwrite + strictly-earlier
+    history make the replay rewrite identical state."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        index.add_batch(batch_df, id_col, text_col, epoch=epoch_id)
+
+    writer = stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
