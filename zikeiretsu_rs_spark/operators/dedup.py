@@ -422,6 +422,12 @@ def connected_components(
     edges = fwd.union(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
+    # materialize the edge list ONCE: `pairs` is typically an expensive
+    # upstream (shingle self-join); without truncation every iteration's
+    # join AND every convergence count re-runs that whole pipeline
+    # (~2 actions x rounds). Edge rows are two longs — tiny to persist,
+    # reused by every subsequent action.
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(max_iter):
         neighbor_min = (
