@@ -137,6 +137,36 @@ class TestHashedShingles:
             assert v <= e[k]  # scores only shrink when shingles drop
 
 
+class TestArrowLshSignature:
+    def test_matches_expression_path(self, spark, emb):
+        from zikeiretsu_rs_spark.operators.similarity import (
+            lsh_signature,
+            lsh_signature_arrow,
+            with_double_vec,
+        )
+
+        v = with_double_vec(emb, "embedding")
+        expr_sig = {
+            (r["vec_id"], r["tbl"]): r["bucket"]
+            for r in lsh_signature(v, dim=8, n_planes=6, n_tables=4).collect()
+        }
+        arrow_sig = {
+            (r["vec_id"], r["tbl"]): r["bucket"]
+            for r in lsh_signature_arrow(v, dim=8, n_planes=6, n_tables=4).collect()
+        }
+        assert set(expr_sig) == set(arrow_sig)
+        agree = sum(expr_sig[k] == arrow_sig[k] for k in expr_sig)
+        # sign flips need a dot within summation-order error of zero —
+        # effectively never on real vectors; allow <2% slack anyway
+        assert agree / len(expr_sig) > 0.98
+        # deterministic across runs
+        again = {
+            (r["vec_id"], r["tbl"]): r["bucket"]
+            for r in lsh_signature_arrow(v, dim=8, n_planes=6, n_tables=4).collect()
+        }
+        assert arrow_sig == again
+
+
 class TestKmeansCentroids:
     def test_fit_and_probe(self, spark, emb):
         from zikeiretsu_rs_spark.operators.similarity import (

@@ -151,6 +151,81 @@ def lsh_signature(
     ).drop("_tb")
 
 
+def hyperplane_values(
+    spark, dim: int, n_planes: int, n_tables: int
+) -> list[list[list[float]]]:
+    """Materialize the deterministic hyperplanes as plain floats by
+    evaluating the SAME expressions `lsh_signature` uses, once, on a
+    one-row frame — so the vectorized path below buckets with the
+    identical planes (values[t][p][d])."""
+    row = spark.range(1).select(
+        *[
+            _hyperplane(p, t, dim).alias(f"t{t}p{p}")
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ]
+    ).first()
+    return [
+        [[float(x) for x in row[f"t{t}p{p}"]] for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+
+
+def lsh_signature_arrow(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 3,
+    vec_col: str = "_vec",
+) -> DataFrame:
+    """Arrow-vectorized twin of `lsh_signature`: one numpy matmul per
+    record batch instead of n_tables x n_planes interpreted
+    higher-order-function dot products per row. This is the signature
+    path you run over a 100 TB corpus — the expression path stays the
+    default where the no-UDF property matters more than the scan
+    constant. Hyperplanes are the same values (extracted once via
+    `hyperplane_values`); sign decisions can differ from the JVM path
+    only when a dot product sits within float summation-order error of
+    exactly zero (measure-zero on real data)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    planes = hyperplane_values(spark, dim, n_planes, n_tables)
+    # (n_tables*n_planes, dim) matrix, row-major by table then plane
+    mat = np.array(
+        [planes[t][p] for t in range(n_tables) for p in range(n_planes)],
+        dtype=np.float64,
+    )
+    weights = np.power(2.0, np.arange(n_planes))  # bit packing
+    out_fields = [f for f in df.schema.fields if f.name != vec_col] + [
+        T.StructField(vec_col, df.schema[vec_col].dataType, True),
+        T.StructField("tbl", T.IntegerType(), False),
+        T.StructField("bucket", T.LongType(), False),
+    ]
+    schema = T.StructType(out_fields)
+    passthrough = [f.name for f in df.schema.fields if f.name != vec_col]
+
+    def batches(it):
+        for pdf in it:
+            vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(vecs) == 0:
+                continue
+            signs = (vecs @ mat.T) >= 0  # (rows, tables*planes)
+            per_table = signs.reshape(len(vecs), n_tables, n_planes)
+            buckets = (per_table * weights).sum(axis=2).astype(np.int64)
+            for t in range(n_tables):
+                out = pd.DataFrame({c: pdf[c] for c in passthrough})
+                out[vec_col] = pdf[vec_col]
+                out["tbl"] = t
+                out["bucket"] = buckets[:, t]
+                yield out
+
+    return df.mapInPandas(batches, schema)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
