@@ -45,6 +45,8 @@ HEADLINE = [
     "text_quality",
     "doc_fingerprint",
     "multimodal_decode",
+    "doc_repetition",
+    "decontaminate_eval",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

@@ -1,0 +1,134 @@
+"""Unit tests for the corpus-curation operators (curation.py):
+decontamination, repetition rules, sequence packing, source rollup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from zikeiretsu_rs_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_eval_overlap_flags_planted_leak(spark):
+    words = " ".join(f"w{i}" for i in range(12))
+    train = _docs(
+        spark,
+        [
+            (1, words),  # identical to eval doc 10 -> fully contaminated
+            (2, " ".join(f"x{i}" for i in range(12))),  # disjoint
+            (3, "short text"),  # < 8 words -> dropped
+        ],
+    )
+    eval_df = _docs(spark, [(10, words)])
+    out = {
+        r["doc_id"]: r
+        for r in curation.eval_ngram_overlap(
+            train, eval_df, "doc_id", "text", n=8
+        ).collect()
+    }
+    assert set(out) == {1, 2}  # doc 3 has no 8-grams
+    assert out[1]["n_grams"] == 5 and out[1]["n_overlap"] == 5
+    assert out[1]["contamination"] == 1.0 and out[1]["is_contaminated"]
+    assert out[2]["n_overlap"] == 0 and not out[2]["is_contaminated"]
+
+
+def test_eval_overlap_partial(spark):
+    shared = " ".join(f"s{i}" for i in range(8))  # exactly one 8-gram
+    train = _docs(spark, [(1, shared + " extra tail words here now ok")])
+    eval_df = _docs(spark, [(10, shared)])
+    row = curation.eval_ngram_overlap(
+        train, eval_df, "doc_id", "text", n=8
+    ).collect()[0]
+    # 14 words -> 7 distinct 8-grams, exactly 1 shared
+    assert row["n_grams"] == 7 and row["n_overlap"] == 1
+    assert row["contamination"] == pytest.approx(round(1 / 7, 6))
+
+
+def test_repetition_stats_pathological_doc(spark):
+    rep = " ".join(["a"] * 10)  # "a a a ... a" (10 tokens)
+    out = {
+        r["doc_id"]: r
+        for r in curation.repetition_stats(
+            _docs(spark, [(1, rep), (2, " ".join(f"u{i}" for i in range(10)))]),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    r1 = out[1]
+    # 6 total 5-grams, all identical
+    assert r1["total_5grams"] == 6 and r1["distinct_5grams"] == 1
+    assert r1["dup_5gram_frac"] == pytest.approx(round(1 - 1 / 6, 6))
+    # "a a" occurs 9 times; 9*2/10 capped at 1.0
+    assert r1["top_2gram_count"] == 9 and r1["top_2gram_frac"] == 1.0
+    assert r1["is_repetitive"]
+    r2 = out[2]  # all-unique doc: zero duplication, top 2-gram count 1
+    assert r2["dup_5gram_frac"] == 0.0 and r2["top_2gram_count"] == 1
+    assert not r2["is_repetitive"]
+
+
+def test_repetition_drops_short_docs(spark):
+    out = curation.repetition_stats(
+        _docs(spark, [(1, "only four words here")]), "doc_id", "text"
+    )
+    assert out.count() == 0
+
+
+def test_pack_sequences_boundaries(spark):
+    # key "s": three 100-token docs at budget 150 ->
+    # doc1 cum_before=0 -> pack 0; doc2 cum_before=100 -> pack 0
+    # (straddles, pack overflows to 200); doc3 cum_before=200 -> pack 1.
+    rows = [
+        ("s", i, " ".join(f"t{j}" for j in range(100))) for i in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, text string")
+    out = {
+        r["pack_id"]: r
+        for r in curation.pack_sequences(
+            df, "doc_id", "text", "source", budget=150
+        ).collect()
+    }
+    assert out[0]["n_docs"] == 2 and out[0]["pack_tokens"] == 200
+    assert out[0]["first_doc"] == 1 and out[0]["last_doc"] == 2
+    assert out[1]["n_docs"] == 1 and out[1]["pack_tokens"] == 100
+    assert out[0]["fill_ratio"] == pytest.approx(round(200 / 150, 6))
+
+
+def test_pack_sequences_keys_independent(spark):
+    rows = [("a", 1, "x y z"), ("b", 2, "x y z")]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, text string")
+    out = curation.pack_sequences(df, "doc_id", "text", "source").collect()
+    assert {(r["source"], r["pack_id"]) for r in out} == {("a", 0), ("b", 0)}
+
+
+def test_source_rollup_dup_and_quality(spark):
+    good = ("the " * 60).strip()  # 60 tokens incl. stopword -> quality 0.8
+    rows = [
+        ("dups", 1, good),
+        ("dups", 2, good),  # corpus-wide duplicate pair
+        ("clean", 3, "the quick brown fox jumps over the lazy dog " * 7),
+        ("junk", 4, "zz"),  # no stopwords, 1 token -> quality 0.005
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, text string")
+    out = {
+        r["source"]: r
+        for r in curation.source_rollup(df, "doc_id", "text", "source").collect()
+    }
+    assert out["dups"]["n_dup_docs"] == 2 and out["dups"]["dup_rate"] == 1.0
+    assert not out["dups"]["keep_source"]
+    assert out["clean"]["n_dup_docs"] == 0 and out["clean"]["keep_source"]
+    assert out["junk"]["n_low_quality"] == 1
+    assert not out["junk"]["keep_source"]
+    assert out["dups"]["total_tokens"] == 120
+
+
+def test_rollup_dup_is_corpus_wide_not_per_source(spark):
+    # same text under two different sources -> both flagged as dups
+    rows = [("a", 1, "same text here"), ("b", 2, "same text here")]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, text string")
+    out = {
+        r["source"]: r
+        for r in curation.source_rollup(df, "doc_id", "text", "source").collect()
+    }
+    assert out["a"]["n_dup_docs"] == 1 and out["b"]["n_dup_docs"] == 1

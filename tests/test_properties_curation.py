@@ -1,0 +1,112 @@
+"""Property-based tests for the corpus-curation operators: packing
+conservation/contiguity, decontamination bounds, repetition-rule
+bounds — over randomly generated small corpora."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zikeiretsu_rs_spark.operators import curation
+
+WORDS = ["alpha", "beta", "gamma", "delta", "pi"]
+
+doc_text = st.lists(
+    st.sampled_from(WORDS), min_size=0, max_size=30
+).map(" ".join)
+
+corpus = st.lists(doc_text, min_size=1, max_size=12).map(
+    lambda texts: [(i + 1, t) for i, t in enumerate(texts)]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestPackingProperties:
+    @settings(max_examples=12, deadline=None)
+    @given(rows=corpus, budget=st.sampled_from([7, 64, 256]))
+    def test_conservation_and_contiguity(self, spark, rows, budget):
+        df = spark.createDataFrame(
+            [("s", i, t) for (i, t) in rows],
+            "source string, doc_id bigint, text string",
+        )
+        packs = sorted(
+            curation.pack_sequences(df, "doc_id", "text", "source", budget).collect(),
+            key=lambda r: r["pack_id"],
+        )
+        total_tokens = sum(len(t.split()) if t.strip() else 0 for _, t in rows)
+        # conservation: every token lands in exactly one pack
+        assert sum(r["pack_tokens"] for r in packs) == total_tokens
+        assert sum(r["n_docs"] for r in packs) == len(rows)
+        # contiguity: doc-id ranges of consecutive packs never interleave
+        for a, b in zip(packs, packs[1:]):
+            assert a["last_doc"] < b["first_doc"]
+        # every pack except the last must reach its budget boundary
+        # (otherwise the next pack could not have started)
+        for r in packs[:-1]:
+            assert r["pack_tokens"] >= 1  # non-empty
+        # pack ids are dense from 0 only when every pack closes exactly
+        # at the boundary; they are always non-negative and increasing
+        assert all(r["pack_id"] >= 0 for r in packs)
+
+    @settings(max_examples=8, deadline=None)
+    @given(rows=corpus)
+    def test_budget_partition_of_running_total(self, spark, rows):
+        budget = 16
+        df = spark.createDataFrame(
+            [("s", i, t) for (i, t) in rows],
+            "source string, doc_id bigint, text string",
+        )
+        packs = curation.pack_sequences(df, "doc_id", "text", "source", budget)
+        # replay the packing on the driver and compare exactly
+        cum = 0
+        expect = {}
+        for i, t in sorted(rows):
+            n = len(t.split()) if t.strip() else 0
+            pid = cum // budget
+            d = expect.setdefault(pid, [0, 0])
+            d[0] += 1
+            d[1] += n
+            cum += n
+        got = {
+            r["pack_id"]: [r["n_docs"], r["pack_tokens"]]
+            for r in packs.collect()
+        }
+        assert got == expect
+
+
+class TestDecontaminationProperties:
+    @settings(max_examples=10, deadline=None)
+    @given(train=corpus, eval_rows=corpus)
+    def test_overlap_bounds_and_self_containment(self, spark, train, eval_rows):
+        n = 3
+        train_df = _df(spark, train)
+        eval_df = _df(spark, [(i + 1000, t) for i, t in eval_rows])
+        out = curation.eval_ngram_overlap(
+            train_df, eval_df, "doc_id", "text", n=n
+        ).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        # only docs with >= n words appear; overlap bounded by total
+        for r in out:
+            assert 0 <= r["n_overlap"] <= r["n_grams"]
+            assert 0.0 <= r["contamination"] <= 1.0
+        # a train doc identical to some eval doc is fully contaminated
+        eval_texts = {t for _, t in eval_rows}
+        for i, t in train:
+            if t in eval_texts and len(t.split()) >= n and t.strip():
+                assert by_id[i]["contamination"] == 1.0
+
+
+class TestRepetitionProperties:
+    @settings(max_examples=10, deadline=None)
+    @given(rows=corpus)
+    def test_fraction_bounds(self, spark, rows):
+        out = curation.repetition_stats(
+            _df(spark, rows), "doc_id", "text"
+        ).collect()
+        for r in out:
+            assert r["n_tokens"] >= 5
+            assert 1 <= r["distinct_5grams"] <= r["total_5grams"]
+            assert 0.0 <= r["dup_5gram_frac"] < 1.0
+            assert 0.0 < r["top_2gram_frac"] <= 1.0
+            assert r["total_5grams"] == r["n_tokens"] - 4

@@ -1,0 +1,315 @@
+"""Corpus-curation operators beyond per-document text analysis:
+eval-set decontamination, intra-document repetition scoring
+(Gopher-style rules), token-budget sequence packing, and source-level
+quality rollups.
+
+The reference engine is a pure TSDB (its query surface stops at the
+operators mapped in SURVEY.md §2); these extend the engine with the
+document-lake operations a large-scale LLM training-data pipeline
+needs on top of the dedup/similarity/text families:
+
+- ``eval_ngram_overlap``: n-gram decontamination of a training split
+  against a held-out eval split (the classic "remove test-set leakage
+  before pretraining" pass). Linear: one distinct-shingle explode per
+  side, one broadcast semi-join on the shingle key. The eval side of a
+  real pipeline is tiny relative to the corpus, so the overlap join is
+  always broadcast-able; at extreme eval sizes the same plan degrades
+  gracefully to a shuffled equi-join on the shingle string (a fixed-
+  width ``xxhash64`` key join is a drop-in swap when exact string
+  parity with an external oracle is not required).
+- ``repetition_stats``: duplicate-5-gram fraction and top-2-gram
+  fraction per document (the Gopher repetition rules, token-based).
+  Per-document explode + partial-aggregated groupBy — no cross-doc
+  state, embarrassingly parallel.
+- ``pack_sequences``: deterministic token-budget sequence packing —
+  assign documents to fixed-budget packs by running token count within
+  a partition key, the shuffle-free precursor to writing fixed-length
+  training shards. Windows are keyed (never global), so the plan
+  scales by key cardinality.
+- ``source_rollup``: per-source (domain-level) corpus hygiene — doc
+  counts, exact-duplicate rate, low-quality rate, token totals, and a
+  keep/drop verdict. Digest-only shuffle for the duplicate count, then
+  a source-keyed aggregate; integer-exact outputs so the rollup is
+  engine-reproducible bit-for-bit.
+
+All four are pure built-in-expression plans (no Python UDFs), keep
+aggregates integer-exact where engines could diverge on float
+summation order, and round every emitted double to 6 decimals (the
+repo-wide oracle-parity rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+from .text import quality_score, words_col
+
+__all__ = [
+    "eval_ngram_overlap",
+    "repetition_stats",
+    "pack_sequences",
+    "source_rollup",
+]
+
+
+def eval_ngram_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Flag training documents contaminated by the eval set: for each
+    train doc with >= ``n`` words, the fraction of its distinct word
+    n-grams that appear in ANY eval document.
+
+    Output: (id, n_grams, n_overlap, contamination, is_contaminated),
+    one row per train doc with at least one n-gram.
+    """
+    train_grams = word_shingles(train, id_col, text_col, n=n)
+    eval_grams = (
+        word_shingles(eval_df, id_col, text_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    totals = train_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    out = (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_overlap") / F.col("n_grams"), 6),
+        )
+        .withColumn(
+            "is_contaminated", F.col("contamination") >= F.lit(threshold)
+        )
+    )
+    return out.select(
+        id_col, "n_grams", "n_overlap", "contamination", "is_contaminated"
+    )
+
+
+def _gram_col(n: int) -> Column:
+    """All (non-distinct) word n-grams of the ``_ws`` array column."""
+    return F.expr(
+        f"transform(sequence(0, size(_ws) - {n}), i -> "
+        + "concat_ws(' ', "
+        + ", ".join(f"_ws[i + {j}]" for j in range(n))
+        + "))"
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dup_n: int = 5,
+    top_n: int = 2,
+    dup_frac_max: float = 0.15,
+    top_frac_max: float = 0.20,
+) -> DataFrame:
+    """Gopher-style intra-document repetition rules, token-based:
+
+    - ``dup_5gram_frac``: 1 - distinct/total word ``dup_n``-grams —
+      how much of the document is covered by n-grams it repeats.
+    - ``top_2gram_frac``: tokens covered by the single most frequent
+      ``top_n``-gram (occurrences x n / n_tokens, capped at 1.0 since
+      overlapping occurrences can over-count).
+
+    Documents shorter than ``dup_n`` words carry no signal and are
+    dropped. Output: (id, n_tokens, total_5grams, distinct_5grams,
+    dup_5gram_frac, top_2gram_count, top_2gram_frac, is_repetitive).
+    """
+    base = (
+        df.select(F.col(id_col), words_col(F.col(text_col)).alias("_ws"))
+        .withColumn("n_tokens", F.size("_ws"))
+        .where(F.col("n_tokens") >= dup_n)
+    )
+    g_dup = base.select(
+        id_col, "n_tokens", F.explode(_gram_col(dup_n)).alias("g")
+    )
+    a_dup = g_dup.groupBy(id_col, "n_tokens").agg(
+        F.count("*").alias("total_5grams"),
+        F.count_distinct("g").alias("distinct_5grams"),
+    )
+    g_top = (
+        base.select(F.col(id_col), F.explode(_gram_col(top_n)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_2gram_count"))
+    )
+    out = (
+        a_dup.join(g_top, id_col)
+        .withColumn(
+            "dup_5gram_frac",
+            F.round(
+                F.lit(1.0) - F.col("distinct_5grams") / F.col("total_5grams"),
+                6,
+            ),
+        )
+        .withColumn(
+            "top_2gram_frac",
+            F.least(
+                F.lit(1.0),
+                F.round(
+                    F.col("top_2gram_count") * top_n / F.col("n_tokens"), 6
+                ),
+            ),
+        )
+        .withColumn(
+            "is_repetitive",
+            (F.col("dup_5gram_frac") > dup_frac_max)
+            | (F.col("top_2gram_frac") > top_frac_max),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "total_5grams",
+        "distinct_5grams",
+        "dup_5gram_frac",
+        "top_2gram_count",
+        "top_2gram_frac",
+        "is_repetitive",
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    key_col: str,
+    budget: int = 256,
+) -> DataFrame:
+    """Deterministic token-budget sequence packing: within each
+    ``key_col`` partition, walk documents in ``id_col`` order and start
+    a new pack whenever the running token count crosses a ``budget``
+    boundary (a document that straddles the boundary belongs to the
+    pack it started in, so packs can overflow but never reorder).
+
+    Emits one row per pack: (key, pack_id, n_docs, pack_tokens,
+    first_doc, last_doc, fill_ratio). The window is keyed — pack
+    assignment never requires a global sort, so the plan scales with
+    key cardinality, not corpus size.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = (
+        df.select(
+            F.col(key_col),
+            F.col(id_col),
+            F.size(words_col(F.col(text_col))).alias("n_tokens"),
+        )
+        .withColumn(
+            "_cum_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("_cum_before") / F.lit(budget))
+        )
+    )
+    return (
+        toks.groupBy(key_col, "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+        .withColumn(
+            "fill_ratio", F.round(F.col("pack_tokens") / F.lit(budget), 6)
+        )
+    )
+
+
+def source_rollup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    quality_min: float = 0.5,
+) -> DataFrame:
+    """Domain-level corpus hygiene rollup: per source, document count,
+    corpus-wide exact-duplicate rate (md5 digest appearing in more than
+    one row anywhere), low-quality rate (quality < ``quality_min``
+    using the standard quality heuristic), token totals, and a
+    keep/drop verdict (drop sources that are mostly duplicates or
+    mostly low-quality).
+
+    All ratios derive from integer counts — no float summation, so the
+    rollup is bit-identical across engines and partitionings. The
+    duplicate count shuffles digests only (16-byte keys), never text.
+    """
+    digests = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.md5(F.col(text_col)).alias("_digest"),
+    )
+    dup_digests = (
+        digests.groupBy("_digest")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > 1)
+        .select("_digest")
+    )
+    flagged = digests.join(
+        F.broadcast(dup_digests), "_digest", "left_semi"
+    ).select(F.col(id_col), F.lit(1).alias("_dup"))
+    q = quality_score(df, id_col, text_col).select(
+        id_col, "n_tokens", "quality"
+    )
+    per_doc = (
+        df.select(F.col(id_col), F.col(source_col))
+        .join(q, id_col)
+        .join(flagged, id_col, "left")
+        .withColumn("_dup", F.coalesce(F.col("_dup"), F.lit(0)))
+        .withColumn(
+            "_low", (F.col("quality") < F.lit(quality_min)).cast("int")
+        )
+    )
+    out = (
+        per_doc.groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_dup").alias("n_dup_docs"),
+            F.sum("_low").alias("n_low_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .withColumn(
+            "dup_rate", F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
+        )
+        .withColumn(
+            "low_quality_rate",
+            F.round(F.col("n_low_quality") / F.col("n_docs"), 6),
+        )
+        .withColumn(
+            "avg_tokens",
+            F.round(F.col("total_tokens") / F.col("n_docs"), 6),
+        )
+        .withColumn(
+            "keep_source",
+            (F.col("dup_rate") <= 0.5) & (F.col("low_quality_rate") <= 0.5),
+        )
+    )
+    return out.select(
+        source_col,
+        "n_docs",
+        "n_dup_docs",
+        "n_low_quality",
+        "total_tokens",
+        "dup_rate",
+        "low_quality_rate",
+        "avg_tokens",
+        "keep_source",
+    )

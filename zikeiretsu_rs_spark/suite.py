@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from .datetime_util import NANOS_PER_SEC, now_utc_nanos
 from .operators import (
     aggregates,
+    curation,
     dedup,
     joins,
     multimodal,
@@ -1173,6 +1174,51 @@ def q_pipeline_corpus_curation(spark, sf_dir):
     )
 
 
+def q_decontaminate_eval(spark, sf_dir):
+    """Eval-set decontamination: stable-hash split the corpus, then for
+    each train document measure what fraction of its distinct word
+    8-grams leak from the test split. The planted near-duplicate pairs
+    that straddle the split surface with high contamination; unrelated
+    documents sit at ~0. Broadcast semi-join on the shingle key —
+    linear in corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    split = sampling.train_test_split(docs, "doc_id")
+    train = split.where(F.col("split") == "train")
+    eval_df = split.where(F.col("split") == "test")
+    return curation.eval_ngram_overlap(
+        train, eval_df, "doc_id", "text", n=8, threshold=0.25
+    )
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition rules: duplicate-5-gram
+    fraction and top-2-gram token coverage, flagging documents that
+    repeat themselves. Per-document explode + partial-aggregated
+    groupBy; no cross-document state."""
+    return curation.repetition_stats(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def q_seq_pack_256(spark, sf_dir):
+    """Token-budget sequence packing: assign documents to 256-token
+    packs by running token count within each source, the deterministic
+    precursor to writing fixed-length training shards. Keyed window —
+    never a global sort."""
+    return curation.pack_sequences(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source", 256
+    )
+
+
+def q_source_quality_rollup(spark, sf_dir):
+    """Domain-level corpus hygiene: per source, exact-duplicate rate,
+    low-quality rate, token totals and a keep/drop verdict. Digest-only
+    shuffle + integer-exact ratios."""
+    return curation.source_rollup(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL image decode: synthesize byte-valid 24bpp BMP payloads
     (dimensions + pixels pure functions of doc_id), then parse the
@@ -1201,10 +1247,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # reference-surface representatives
     "ts_range_scan": q_ts_range_scan,
     "ts_head_limit": q_ts_head_limit,
-    "ts_tail_limit": q_ts_tail_limit,
     # aggregations / sessions / joins / windows
     "agg_time_bucket_1h": q_agg_time_bucket_1h,
-    "event_type_share": q_event_type_share,
     "sessionize_30m": q_sessionize_30m,
     "top_users_by_value": q_top_users_by_value,
     "tpch_q1": q_tpch_q1,
@@ -1212,9 +1256,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "revenue_by_nation": q_revenue_by_nation,
     "asof_purchase_click": q_asof_purchase_click,
-    "range_join_click_context": q_range_join_click_context,
     "moving_avg_1h": q_moving_avg_1h,
-    "topk_events_per_type": q_topk_events_per_type,
     "latest_event_per_user": q_latest_event_per_user,
     # time-series
     "twa_user_1h": q_twa_user_1h,
@@ -1243,6 +1285,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_distinct_check": q_sketch_distinct_check,
     "sketch_hll_daily_rollup": q_sketch_hll_daily_rollup,
     "sketch_hll_rollup_check": q_sketch_hll_rollup_check,
+    # corpus curation (decontamination / repetition / packing / rollup)
+    "decontaminate_eval": q_decontaminate_eval,
+    "doc_repetition": q_doc_repetition,
+    "seq_pack_256": q_seq_pack_256,
+    "source_quality_rollup": q_source_quality_rollup,
     # text / sampling / multimodal / capstone
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -1257,6 +1304,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
     # -- tail: hash-verified green in CORRECTNESS_r01; re-verified each
     # round by the local gate ------------------------------------------
+    "ts_tail_limit": q_ts_tail_limit,
+    "event_type_share": q_event_type_share,
+    "range_join_click_context": q_range_join_click_context,
+    "topk_events_per_type": q_topk_events_per_type,
     "ts_gt": q_ts_gt,
     "ts_lte": q_ts_lte,
     "ts_eq_day": q_ts_eq_day,
@@ -1790,6 +1841,102 @@ SELECT CASE WHEN bk < 26 THEN 'test'
             ELSE 'train' END AS split,
        count(*) AS n_docs
 FROM b GROUP BY 1
+"""
+    g8 = " || ' ' || ".join(f"ws[i+{j}]" for j in range(8))
+    g5 = " || ' ' || ".join(f"ws[i+{j}]" for j in range(5))
+    sqls["decontaminate_eval"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT)
+           AS bk,
+         string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents),
+tr AS (SELECT doc_id, ws FROM b WHERE bk >= 52 AND len(ws) >= 8),
+te AS (SELECT doc_id, ws FROM b WHERE bk < 26 AND len(ws) >= 8),
+tg AS (SELECT DISTINCT doc_id, {g8} AS g
+       FROM tr, LATERAL (SELECT unnest(generate_series(1, len(ws)-7)) AS i) t),
+eg AS (SELECT DISTINCT {g8} AS g
+       FROM te, LATERAL (SELECT unnest(generate_series(1, len(ws)-7)) AS i) t),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY 1),
+hit AS (SELECT doc_id, count(*) AS n_overlap FROM tg
+        WHERE g IN (SELECT g FROM eg) GROUP BY 1)
+SELECT tot.doc_id, n_grams, coalesce(n_overlap, 0) AS n_overlap,
+       round(coalesce(n_overlap, 0) / n_grams, 6) AS contamination,
+       round(coalesce(n_overlap, 0) / n_grams, 6) >= 0.25 AS is_contaminated
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+"""
+    sqls["doc_repetition"] = f"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+           FROM documents),
+f AS (SELECT doc_id, len(ws) AS n_tokens, ws FROM w WHERE len(ws) >= 5),
+g5 AS (SELECT doc_id, n_tokens, {g5} AS g
+       FROM f, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t),
+a5 AS (SELECT doc_id, n_tokens, count(*) AS total_5grams,
+              count(DISTINCT g) AS distinct_5grams
+       FROM g5 GROUP BY 1, 2),
+g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g, count(*) AS c
+       FROM f, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t
+       GROUP BY 1, 2),
+a2 AS (SELECT doc_id, max(c) AS top_2gram_count FROM g2 GROUP BY 1),
+j AS (SELECT a5.doc_id, n_tokens, total_5grams, distinct_5grams,
+             round(1.0 - distinct_5grams / total_5grams, 6)
+               AS dup_5gram_frac,
+             top_2gram_count,
+             least(1.0, round(top_2gram_count * 2 / n_tokens, 6))
+               AS top_2gram_frac
+      FROM a5 JOIN a2 ON a5.doc_id = a2.doc_id)
+SELECT *, (dup_5gram_frac > 0.15 OR top_2gram_frac > 0.20) AS is_repetitive
+FROM j
+"""
+    sqls["seq_pack_256"] = """
+WITH w AS (SELECT source, doc_id,
+                  len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS n_tokens
+           FROM documents),
+c AS (SELECT source, doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+      FROM w),
+p AS (SELECT source, CAST(floor(cum_before / 256) AS BIGINT) AS pack_id,
+             doc_id, n_tokens
+      FROM c)
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       round(CAST(sum(n_tokens) AS BIGINT) / 256, 6) AS fill_ratio
+FROM p GROUP BY 1, 2
+"""
+    sqls["source_quality_rollup"] = f"""
+WITH w AS (SELECT doc_id, source, md5(text) AS dg,
+                  string_split_regex(lower(trim(text)), '\\s+') AS ws
+           FROM documents),
+m AS (SELECT doc_id, source, dg, len(ws) AS n_tokens,
+             len(list_intersect(ws, [{_STOP_EN}])) AS n_stop
+      FROM w),
+q AS (SELECT doc_id, source, dg, n_tokens,
+             least(1.0, (n_tokens / 100.0) * 0.5 +
+                   CASE WHEN n_stop > 0 THEN 0.5 ELSE 0.0 END) AS quality
+      FROM m),
+d AS (SELECT dg FROM w GROUP BY dg HAVING count(*) > 1),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN dg IN (SELECT dg FROM d) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_docs,
+         CAST(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_low_quality,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM q GROUP BY 1),
+r AS (SELECT source, n_docs, n_dup_docs, n_low_quality, total_tokens,
+             round(n_dup_docs / n_docs, 6) AS dup_rate,
+             round(n_low_quality / n_docs, 6) AS low_quality_rate,
+             round(total_tokens / n_docs, 6) AS avg_tokens
+      FROM agg)
+SELECT source, n_docs, n_dup_docs, n_low_quality, total_tokens,
+       dup_rate, low_quality_rate, avg_tokens,
+       (dup_rate <= 0.5 AND low_quality_rate <= 0.5) AS keep_source
+FROM r
 """
     sqls["pipeline_corpus_curation"] = f"""
 WITH RECURSIVE
