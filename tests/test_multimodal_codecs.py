@@ -147,3 +147,124 @@ class TestSparkPlumbing:
         out = {r["media_id"]: r for r in multimodal.decode_image(media).collect()}
         assert not out[1]["ok"] and not out[2]["ok"]
         assert out[1]["width"] is None
+
+
+class TestResizeKernel:
+    @pytest.mark.parametrize("media_id", [0, 1, 7, 13, 91, 12345])
+    def test_resize_then_decode_matches_reference(self, media_id):
+        from zikeiretsu_rs_spark.operators.multimodal import _resize_bmp
+
+        w, h = _bmp_dims(media_id)
+        out_w, out_h = 8, 6
+        resized = _resize_bmp(_encode_bmp(media_id), out_w, out_h)
+        gw, gh, ch, pix_sum = _decode_bmp(resized)
+        assert (gw, gh, ch) == (out_w, out_h, 3)
+        # reference: nearest-neighbor sample of the encoder's pixel fn
+        expect = 0
+        for y in range(out_h):
+            sy = y * h // out_h
+            for x in range(out_w):
+                sx = x * w // out_w
+                for c in range(3):
+                    j = (sy * w + sx) * 3 + c
+                    expect += (media_id * 131 + j * 7) % 256
+        assert pix_sum == expect
+
+    def test_identity_resize_preserves_pixels(self):
+        mid = 17
+        w, h = _bmp_dims(mid)
+        from zikeiretsu_rs_spark.operators.multimodal import _resize_bmp
+
+        same = _resize_bmp(_encode_bmp(mid), w, h)
+        assert _decode_bmp(same) == _decode_bmp(_encode_bmp(mid))
+
+    @pytest.mark.parametrize("payload", [None, b"", b"JUNK" * 30])
+    def test_resize_rejects_non_bmp(self, payload):
+        from zikeiretsu_rs_spark.operators.multimodal import _resize_bmp
+
+        assert _resize_bmp(payload, 8, 6) is None
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=2**31 - 1),
+        st.integers(min_value=1, max_value=16),
+        st.integers(min_value=1, max_value=16),
+    )
+    def test_resize_always_valid_bmp(self, media_id, out_w, out_h):
+        from zikeiretsu_rs_spark.operators.multimodal import _resize_bmp
+
+        resized = _resize_bmp(_encode_bmp(media_id), out_w, out_h)
+        gw, gh, ch, _ = _decode_bmp(resized)
+        assert (gw, gh, ch) == (out_w, out_h, 3)
+
+
+class TestRawVideoCodec:
+    @pytest.mark.parametrize("media_id", [0, 1, 8, 9, 77])
+    def test_header_and_frames(self, media_id):
+        from zikeiretsu_rs_spark.operators.multimodal import (
+            _decode_rawvideo,
+            _encode_rawvideo,
+            _video_n_frames,
+            VIDEO_H,
+            VIDEO_W,
+        )
+
+        w, h, n, frames = _decode_rawvideo(_encode_rawvideo(media_id))
+        assert (w, h, n) == (VIDEO_W, VIDEO_H, _video_n_frames(media_id))
+        assert len(frames) == w * h * n
+        for f in range(n):
+            expect = sum(
+                (media_id * 7 + f * 13 + i * 3) % 256 for i in range(w * h)
+            )
+            assert sum(frames[f * w * h : (f + 1) * w * h]) == expect
+
+    @pytest.mark.parametrize(
+        "payload", [None, b"", b"XXXX\x00" * 4, b"RV01\x08\x00\x06\x00\xff\x00"]
+    )
+    def test_malformed_rejected(self, payload):
+        from zikeiretsu_rs_spark.operators.multimodal import _decode_rawvideo
+
+        assert _decode_rawvideo(payload) == (None, None, None, None)
+
+
+class TestResizeAndFramesPlumbing:
+    def test_resize_image_spark(self, spark):
+        df = spark.range(0, 15).select(F.col("id").alias("doc_id"))
+        media = multimodal.synthesize_bmp_media(df, "doc_id")
+        out = multimodal.decode_image(multimodal.resize_image(media, 8, 6))
+        rows = {r["media_id"]: r for r in out.collect()}
+        assert len(rows) == 15
+        assert all(
+            r["ok"] and (r["width"], r["height"]) == (8, 6)
+            for r in rows.values()
+        )
+
+    def test_frame_sample_spark(self, spark):
+        from zikeiretsu_rs_spark.operators.multimodal import _video_n_frames
+
+        df = spark.range(0, 15).select(F.col("id").alias("doc_id"))
+        media = multimodal.synthesize_video_media(df, "doc_id")
+        out = multimodal.frame_sample(media, every_n=2).collect()
+        by_id = {}
+        for r in out:
+            assert r["ok"] and r["frame_no"] % 2 == 0
+            by_id.setdefault(r["media_id"], []).append(r["frame_no"])
+        for mid, frames in by_id.items():
+            n = _video_n_frames(mid)
+            assert sorted(frames) == list(range(0, n, 2))
+
+    def test_frame_sample_bad_payload_row(self, spark):
+        rows = [(1, "video", bytearray(b"not video"), "x")]
+        media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = multimodal.frame_sample(media).collect()
+        assert len(out) == 1 and not out[0]["ok"]
+
+
+class TestJpegStubBoundary:
+    def test_stub_reports_not_decodable(self, spark):
+        rows = [(1, "image", bytearray(b"\xff\xd8\xff\xe0fakejpeg"), "image/jpeg")]
+        media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = multimodal.decode_jpeg_stub(media).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert not r["ok"] and r["width"] is None and r["n_bytes"] == 12

@@ -161,22 +161,17 @@ class TestAggregates:
 
 
 class TestMultimodal:
-    def test_decode_stub_plumbing(self, docs):
-        media = multimodal.synthesize_media_from_text(docs, "doc_id", "text")
-        out = multimodal.decode_image_stub(media)
-        rows = {r["media_id"]: r for r in out.collect()}
-        assert len(rows) == 5
-        assert all(r["ok"] for r in rows.values())
-        assert rows[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
-        # deterministic fake dims: same payload -> same dims
-        assert rows[1]["width"] == rows[4]["width"]
+    """Real-codec coverage lives in test_multimodal_codecs.py; here we
+    pin only the generic media schema contract."""
 
-    def test_frame_sample(self, spark):
-        import pyspark.sql.functions as F2
-
+    def test_media_schema_shape(self, spark):
         media = spark.createDataFrame(
             [(1, "image", bytearray(b"x" * 320), "m")],
-            ["media_id", "kind", "payload", "mime"],
+            schema=multimodal.MEDIA_SCHEMA,
         )
-        out = multimodal.frame_sample_stub(media, every_n=10).collect()
-        assert [r["frame_no"] for r in out] == [0, 10]
+        assert [f.name for f in media.schema.fields] == [
+            "media_id",
+            "kind",
+            "payload",
+            "mime",
+        ]

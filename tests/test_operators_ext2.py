@@ -73,26 +73,6 @@ class TestRollingFingerprint:
         assert got[1] != got[2]  # md5-of-set would not catch reordering
 
 
-class TestMultimodalStubs:
-    def test_resize_payload_shape(self, spark):
-        docs = spark.createDataFrame(
-            [(1, "some text payload"), (2, "x")], ["doc_id", "text"]
-        )
-        media = multimodal.synthesize_media_from_text(docs, "doc_id", "text")
-        out = multimodal.resize_image_stub(media, 8, 4).collect()
-        assert {len(r["payload"]) for r in out} == {32}
-        assert all(r["ok"] for r in out)
-
-    def test_audio_features_deterministic(self, spark):
-        docs = spark.createDataFrame([(1, "audio-ish bytes")], ["doc_id", "text"])
-        media = multimodal.synthesize_media_from_text(docs, "doc_id", "text")
-        a = multimodal.audio_features_stub(media).collect()[0]
-        b = multimodal.audio_features_stub(media).collect()[0]
-        assert a == b
-        assert a["duration_s"] == pytest.approx(15 / 32000)
-        assert a["ok"]
-
-
 class TestHashedShingles:
     def test_same_pairs_as_exact(self, spark):
         rows = [

@@ -5,15 +5,19 @@ Two tiers:
 
 - REAL pure-Python codecs for formats that need no native libraries:
   `decode_image` parses BMP (BITMAPINFOHEADER) headers + pixel data,
-  `decode_audio` parses RIFF/WAVE PCM headers + int16 samples. Paired
-  with `synthesize_bmp_media` / `synthesize_wav_media`, which emit
-  byte-for-byte valid files whose dimensions/samples are deterministic
-  functions of the row id — so an oracle can recompute every decoded
-  field (including pixel checksums and RMS) independently, and the
-  decoder is verified as the inverse of the encoder.
-- STUB kernels for codecs that genuinely need native libs (JPEG resize,
-  video frame extraction — PIL/ffmpeg are not in this container),
-  clearly marked `_stub`. The Spark-side plumbing — schema, Arrow batch
+  `decode_audio` parses RIFF/WAVE PCM headers + int16 samples,
+  `resize_image` does nearest-neighbor 24bpp BMP resizing (decode →
+  resample → re-encode), and `frame_sample` walks a raw-video
+  container (RV01) emitting every n-th frame with a pixel checksum.
+  Paired with `synthesize_bmp_media` / `synthesize_wav_media` /
+  `synthesize_video_media`, which emit byte-for-byte valid files whose
+  dimensions/samples/frames are deterministic functions of the row id
+  — so an oracle can recompute every decoded field (pixel checksums,
+  RMS, per-frame sums) independently, and each decoder is verified as
+  the inverse of its encoder.
+- STUB kernels for codecs that genuinely need native libs (JPEG/PNG
+  entropy decode — PIL/ffmpeg are not in this container), clearly
+  marked `_stub`. The Spark-side plumbing — schema, Arrow batch
   iteration, partition behavior, UDF signatures — is identical, so
   swapping in a real decoder is a one-function change.
 
@@ -57,38 +61,28 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode(payload: bytes | None) -> tuple[int | None, int | None, int | None]:
-    """STUB decoder: deterministic pseudo-dimensions from payload bytes.
-    Replace with PIL/libvips in a real deployment (raise
-    NotImplementedError there if the codec is unavailable)."""
-    if payload is None or len(payload) == 0:
-        return None, None, None
-    h = 0
-    for b in payload[:16]:
-        h = (h * 31 + b) & 0x7FFFFFFF
-    return 64 + h % 1024, 64 + (h // 1024) % 1024, 3
-
-
-def decode_image_stub(df: DataFrame) -> DataFrame:
-    """Extract image metadata via mapInPandas over binary payloads."""
+def decode_jpeg_stub(df: DataFrame) -> DataFrame:
+    """The one remaining honest stub: entropy-coded formats (JPEG/PNG)
+    need a native codec (PIL/libvips/ffmpeg) that is not in this
+    container. The plumbing — schema, size-bucketed repartition, Arrow
+    batch iteration — is identical to `decode_image`; a real deployment
+    swaps the kernel for `PIL.Image.open` and keeps everything else."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dims = pdf["payload"].map(_fake_decode)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": pdf["payload"].map(
                         lambda p: len(p) if p is not None else 0
                     ),
-                    "width": dims.map(lambda d: d[0]),
-                    "height": dims.map(lambda d: d[1]),
-                    "channels": dims.map(lambda d: d[2]),
-                    "ok": dims.map(lambda d: d[0] is not None),
+                    "width": None,
+                    "height": None,
+                    "channels": None,
+                    "ok": False,  # no native codec available
                 }
             )
 
-    # bucket by payload size so heavy rows spread across partitions
     sized = df.withColumn(
         "_szb", F.pmod(F.coalesce(F.length("payload"), F.lit(0)), F.lit(64))
     )
@@ -97,32 +91,6 @@ def decode_image_stub(df: DataFrame) -> DataFrame:
         .drop("_szb")
         .mapInPandas(batches, IMAGE_META_SCHEMA)
     )
-
-
-def synthesize_media_from_text(
-    df: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
-    """Test fixture: manufacture a binary payload column from text (the
-    container ships no real media), preserving the MEDIA_SCHEMA shape."""
-    return df.select(
-        F.col(id_col).cast("long").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
-        F.lit("application/octet-stream").alias("mime"),
-    )
-
-
-def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing stub: emits (media_id, frame_no)
-    rows for every n-th pseudo-frame; a real implementation would
-    mapInPandas over the payload with an ffmpeg reader."""
-    n_frames = F.coalesce(F.length("payload"), F.lit(0)) / F.lit(16)
-    return df.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest((n_frames / every_n).cast("int") - 1, F.lit(0)))
-        ).alias("sample_idx"),
-    ).withColumn("frame_no", F.col("sample_idx") * every_n)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -134,80 +102,6 @@ RESIZED_SCHEMA = T.StructType(
         T.StructField("ok", T.BooleanType(), False),
     ]
 )
-
-AUDIO_META_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("duration_s", T.DoubleType(), True),
-        T.StructField("sample_rate", T.IntegerType(), True),
-        T.StructField("rms", T.DoubleType(), True),
-        T.StructField("ok", T.BooleanType(), False),
-    ]
-)
-
-
-def resize_image_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image-resize plumbing via mapInPandas: deterministic stub kernel
-    (truncates/pads the payload to width*height bytes). A real
-    deployment swaps `_resize` for PIL/libvips; schema, Arrow batching
-    and partition behavior are identical."""
-
-    target = width * height
-
-    def _resize(p: bytes | None) -> bytes | None:
-        if p is None:
-            return None
-        return (p * (target // max(len(p), 1) + 1))[:target]
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": width,
-                    "height": height,
-                    "payload": pdf["payload"].map(_resize),
-                    "ok": pdf["payload"].map(lambda p: p is not None),
-                }
-            )
-
-    return df.mapInPandas(batches, RESIZED_SCHEMA)
-
-
-def audio_features_stub(df: DataFrame, sample_rate: int = 16_000) -> DataFrame:
-    """Audio feature-extraction plumbing via mapInPandas: deterministic
-    stub kernel (pseudo duration/RMS from payload bytes). Replace with
-    soundfile/librosa in a real deployment."""
-
-    def _feats(p: bytes | None) -> tuple[float | None, float | None]:
-        if p is None or len(p) == 0:
-            return None, None
-        duration = len(p) / float(2 * sample_rate)  # fake 16-bit mono
-        acc = 0
-        for b in p[:256]:
-            acc += (b - 128) * (b - 128)
-        rms = (acc / min(len(p), 256)) ** 0.5
-        return duration, rms
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            feats = pdf["payload"].map(_feats)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": pdf["payload"].map(
-                        lambda p: len(p) if p is not None else 0
-                    ),
-                    "duration_s": feats.map(lambda f: f[0]),
-                    "sample_rate": sample_rate,
-                    "rms": feats.map(lambda f: f[1]),
-                    "ok": feats.map(lambda f: f[0] is not None),
-                }
-            )
-
-    return df.mapInPandas(batches, AUDIO_META_SCHEMA)
-
 
 # ---------------------------------------------------------------------------
 # real pure-Python codecs: BMP (image) and RIFF/WAVE PCM (audio)
@@ -456,4 +350,188 @@ def decode_audio(df: DataFrame) -> DataFrame:
         .drop("_szb")
         .mapInPandas(batches, DECODED_AUDIO_SCHEMA)
         .withColumn("rms", F.round("rms", 6))
+    )
+
+
+# ---------------------------------------------------------------------------
+# real pure-Python transforms: nearest-neighbor BMP resize and raw-video
+# frame sampling
+# ---------------------------------------------------------------------------
+
+
+def _resize_bmp(payload: bytes | None, out_w: int, out_h: int) -> bytes | None:
+    """Nearest-neighbor resize of a 24bpp uncompressed BMP, emitting a
+    byte-valid 24bpp BMP. Both source and destination are stored in the
+    same (bottom-up) row order, so sampling in file space IS sampling
+    in image space. Returns None for payloads that are not plain 24bpp
+    BMPs."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h <= 0:
+        return None
+    src_stride = (w * 3 + 3) // 4 * 4
+    if len(payload) < data_off + src_stride * h:
+        return None
+    out_stride = (out_w * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(out_h):
+        src_y = y * h // out_h
+        src_base = data_off + src_y * src_stride
+        row = bytearray(out_stride)
+        for x in range(out_w):
+            sx = src_base + (x * w // out_w) * 3
+            row[x * 3 : x * 3 + 3] = payload[sx : sx + 3]
+        rows.append(bytes(row))
+    img_size = out_stride * out_h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return header + b"".join(rows)
+
+
+def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize over binary payloads (24bpp BMP, pure-Python
+    nearest-neighbor) via Arrow-batched mapInPandas; same schema and
+    batching as the former stub. Payloads the codec cannot handle
+    surface as ok=false rather than failing the job."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["payload"].map(lambda p: _resize_bmp(p, width, height))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": resized,
+                    "ok": resized.map(lambda p: p is not None),
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+VIDEO_MAGIC = b"RV01"
+VIDEO_W, VIDEO_H = 8, 6  # fixture frame dimensions (grayscale bytes)
+
+
+def _video_n_frames(media_id: int) -> int:
+    return 4 + media_id % 9
+
+
+def _encode_rawvideo(media_id: int) -> bytes:
+    """Byte-valid raw-video fixture container: magic 'RV01', u16 width/
+    height/n_frames (LE), then n_frames grayscale frames of w*h bytes.
+    Frame f, pixel i = (media_id * 7 + f * 13 + i * 3) % 256 — exact
+    integer arithmetic, so an oracle can re-derive per-frame sums."""
+    n = _video_n_frames(media_id)
+    frames = bytearray()
+    for f in range(n):
+        for i in range(VIDEO_W * VIDEO_H):
+            frames.append((media_id * 7 + f * 13 + i * 3) % 256)
+    return VIDEO_MAGIC + struct.pack("<HHH", VIDEO_W, VIDEO_H, n) + bytes(frames)
+
+
+def _decode_rawvideo(payload: bytes | None):
+    """Parse the RV01 header: returns (width, height, n_frames, frames
+    bytes) or Nones when invalid/truncated."""
+    bad = (None, None, None, None)
+    if payload is None or len(payload) < 10 or payload[:4] != VIDEO_MAGIC:
+        return bad
+    w, h, n = struct.unpack_from("<HHH", payload, 4)
+    if w == 0 or h == 0 or len(payload) < 10 + w * h * n:
+        return bad
+    return w, h, n, payload[10 : 10 + w * h * n]
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("frame_no", T.IntegerType(), True),
+        T.StructField("frame_sum", T.LongType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def synthesize_video_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator: one real RV01 payload per row, frame pixels a
+    pure function of the id (schema = MEDIA_SCHEMA)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "video",
+                    "payload": ids.map(_encode_rawvideo),
+                    "mime": "video/x-raw",
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling over binary payloads (RV01 container):
+    decode the header, take every ``every_n``-th frame, and emit one
+    row per sampled frame with its pixel-sum checksum — the shape a
+    downstream vision encoder consumes (media_id, frame_no, frame
+    bytes/features). Invalid payloads yield a single ok=false row, so
+    corrupt media is observable, never silently dropped."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "n_frames": [],
+                "frame_no": [],
+                "frame_sum": [],
+                "ok": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, n, frames = _decode_rawvideo(p)
+                if w is None:
+                    out["media_id"].append(mid)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_frames"].append(None)
+                    out["frame_no"].append(None)
+                    out["frame_sum"].append(None)
+                    out["ok"].append(False)
+                    continue
+                fsz = w * h
+                for f in range(0, n, every_n):
+                    out["media_id"].append(mid)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(n)
+                    out["frame_no"].append(f)
+                    out["frame_sum"].append(
+                        sum(frames[f * fsz : (f + 1) * fsz])
+                    )
+                    out["ok"].append(True)
+            yield pd.DataFrame(out)
+
+    sized = df.withColumn(
+        "_szb", F.pmod(F.coalesce(F.length("payload"), F.lit(0)), F.lit(64))
+    )
+    return (
+        sized.repartition(F.col("_szb"))
+        .drop("_szb")
+        .mapInPandas(batches, FRAME_SCHEMA)
     )

@@ -1231,6 +1231,28 @@ def q_multimodal_decode(spark, sf_dir):
     return multimodal.decode_image(media)
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """REAL image resize: nearest-neighbor 24bpp BMP resample (decode ->
+    resample -> re-encode, pure Python) verified by re-decoding the
+    resized payload. The oracle recomputes the resized pixel checksum
+    from id arithmetic — byte-exact through TWO codec passes."""
+    media = multimodal.synthesize_bmp_media(
+        load(spark, sf_dir, "documents"), "doc_id"
+    )
+    return multimodal.decode_image(multimodal.resize_image(media, 8, 6))
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """REAL video frame sampling: walk the RV01 raw-video container and
+    emit every 2nd frame with its pixel-sum checksum. The oracle
+    re-derives the sampled frame set and each frame's sum from id
+    arithmetic."""
+    media = multimodal.synthesize_video_media(
+        load(spark, sf_dir, "documents"), "doc_id"
+    )
+    return multimodal.frame_sample(media, every_n=2)
+
+
 # ---------------------------------------------------------------------------
 # the catalog
 # ---------------------------------------------------------------------------
@@ -1248,9 +1270,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_range_scan": q_ts_range_scan,
     "ts_head_limit": q_ts_head_limit,
     # aggregations / sessions / joins / windows
-    "agg_time_bucket_1h": q_agg_time_bucket_1h,
     "sessionize_30m": q_sessionize_30m,
-    "top_users_by_value": q_top_users_by_value,
     "tpch_q1": q_tpch_q1,
     "tpch_q6": q_tpch_q6,
     "tpch_q3": q_tpch_q3,
@@ -1301,10 +1321,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_test_split": q_train_test_split,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
     # -- tail: hash-verified green in CORRECTNESS_r01; re-verified each
     # round by the local gate ------------------------------------------
     "ts_tail_limit": q_ts_tail_limit,
+    "agg_time_bucket_1h": q_agg_time_bucket_1h,
+    "top_users_by_value": q_top_users_by_value,
     "event_type_share": q_event_type_share,
     "range_join_click_context": q_range_join_click_context,
     "topk_events_per_type": q_topk_events_per_type,
@@ -2058,6 +2082,36 @@ SELECT media_id,
                   / n), 6) AS rms,
        TRUE AS ok
 FROM d
+"""
+    sqls["multimodal_resize"] = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                  4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+           FROM documents)
+SELECT media_id,
+       CAST(198 AS BIGINT) AS n_bytes,
+       CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(list_sum(list_transform(generate_series(0, 143), i ->
+              (media_id * 131 +
+               (((((i // 3) // 8) * h // 6) * w
+                 + ((i // 3) % 8) * w // 8) * 3 + i % 3) * 7) % 256))
+            AS BIGINT) AS pix_sum,
+       TRUE AS ok
+FROM d
+"""
+    sqls["multimodal_frames"] = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                  4 + doc_id % 9 AS n
+           FROM documents)
+SELECT media_id,
+       CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+       CAST(n AS INT) AS n_frames,
+       CAST(k * 2 AS INT) AS frame_no,
+       CAST(list_sum(list_transform(generate_series(0, 47), i ->
+              (media_id * 7 + k * 2 * 13 + i * 3) % 256))
+            AS BIGINT) AS frame_sum,
+       TRUE AS ok
+FROM d, LATERAL (SELECT unnest(generate_series(0, (n - 1) // 2)) AS k) t
 """
     # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / ann_ivf_topk:
     # intentionally no direct oracle (hash-function/quantizer-dependent
