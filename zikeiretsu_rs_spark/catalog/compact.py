@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 
 from ..datamodel import PARTITION_COLUMN, TS_COLUMN
+from . import fsio
 from .repair import rebuild_manifest
 
 
@@ -69,7 +70,7 @@ def compact_metrics(
     """Compact every `dt=` partition of a metrics dataset whose file
     count is >= min_files_to_compact. Idempotent; safe to run on a
     schedule alongside ingest (each partition swap is atomic)."""
-    block_dir = f"{db_dir}/block/{metrics}"
+    block_dir = fsio.as_local(f"{db_dir}/block/{metrics}", "compaction")
     stats = CompactionStats(0, 0, 0)
     if not os.path.isdir(block_dir):
         return stats

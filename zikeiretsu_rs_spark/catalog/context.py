@@ -6,6 +6,11 @@ TOML config (config/mod.rs:35-109). A database's local directory is
 The `cloud_storage` URI plays the role of the reference's GCS bucket
 sync: point it at s3a://... or gs://... and Spark reads/writes the
 object store directly (no download/upload state machine, SURVEY §2.1 S5).
+Metadata JSONs (manifest/schema) go through `fsio` (pyarrow.fs), so the
+ingest/query path works end-to-end against a URI warehouse — exercised
+in tests via file:// (`tests/test_fsio_cloud.py`). Rename-based
+maintenance (compaction, purge, rollup refresh) requires a local
+warehouse and refuses object-store URIs with an actionable error.
 
 Warehouse layout per database:
     <data_dir>/<db>/block/<metrics>/dt=YYYY-MM-DD/*.parquet   data

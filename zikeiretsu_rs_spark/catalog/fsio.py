@@ -1,0 +1,122 @@
+"""Warehouse metadata IO that works on both local paths and object-store
+URIs (file://, s3://, gs://, hdfs://), via ``pyarrow.fs``.
+
+The reference ships a GCS download/upload state machine
+(`/root/reference/zikeiretsu/src/tsdb/cloud/mod.rs`); the rebuild's
+position (SURVEY §2.1 S5/S10) is that Spark reads and writes the object
+store directly for BLOCK data, so only the small metadata JSONs
+(manifest / schema / rollup state) need engine-side IO. This module is
+that IO:
+
+- local paths keep the crash-safe ``tempfile + os.replace`` pattern;
+- URIs write the object directly — a single-object PUT is atomic on
+  every real object store (rename is NOT, which is why the tempfile
+  dance would be wrong there).
+
+Join metadata paths with :func:`join` (URIs always use '/'), never
+``os.path.join``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+
+def is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def join(base: str, *parts: str) -> str:
+    if is_uri(base):
+        return "/".join([base.rstrip("/"), *parts])
+    return os.path.join(base, *parts)
+
+
+def _fs(path: str):
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(path)  # (filesystem, fs_path)
+
+
+def exists(path: str) -> bool:
+    if not is_uri(path):
+        return os.path.exists(path)
+    from pyarrow import fs as pafs
+
+    f, p = _fs(path)
+    return f.get_file_info(p).type is not pafs.FileType.NotFound
+
+
+def read_json(path: str) -> dict:
+    if not is_uri(path):
+        with open(path) as fh:
+            return json.load(fh)
+    f, p = _fs(path)
+    with f.open_input_stream(p) as fh:
+        return json.loads(fh.read().decode("utf-8"))
+
+
+def write_json_atomic(path: str, doc: dict) -> None:
+    """Crash-safe JSON write: tempfile+rename locally, direct object
+    PUT (atomic per object) on stores."""
+    if not is_uri(path):
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(doc, fh)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        return
+    f, p = _fs(path)
+    parent = p.rsplit("/", 1)[0]
+    f.create_dir(parent, recursive=True)  # no-op on flat object stores
+    with f.open_output_stream(p) as fh:
+        fh.write(json.dumps(doc).encode("utf-8"))
+
+
+def list_json_names(dir_path: str) -> list[str]:
+    """Base names (without .json) of JSON files directly in a dir;
+    empty when the dir doesn't exist."""
+    if not is_uri(dir_path):
+        if not os.path.isdir(dir_path):
+            return []
+        return sorted(
+            f[: -len(".json")]
+            for f in os.listdir(dir_path)
+            if f.endswith(".json")
+        )
+    from pyarrow import fs as pafs
+
+    f, p = _fs(dir_path)
+    if f.get_file_info(p).type is pafs.FileType.NotFound:
+        return []
+    sel = pafs.FileSelector(p, recursive=False, allow_not_found=True)
+    return sorted(
+        info.base_name[: -len(".json")]
+        for info in f.get_file_info(sel)
+        if info.base_name.endswith(".json")
+        and info.type is pafs.FileType.File
+    )
+
+
+def as_local(path: str, operation: str) -> str:
+    """Resolve a path for operations built on directory renames
+    (compaction swaps, purge rebuilds): those are only atomic on a real
+    filesystem. file:// URIs resolve to their local path; other schemes
+    refuse early with an actionable message instead of corrupting the
+    warehouse halfway."""
+    if not is_uri(path):
+        return path
+    if path.startswith("file://"):
+        return path[len("file://") :]
+    raise NotImplementedError(
+        f"{operation} requires a local warehouse (directory renames "
+        "are not atomic on object stores); run it against a local "
+        "copy or use store-native lifecycle tooling"
+    )

@@ -12,19 +12,19 @@ stats, so the manifest exists for (b) limit-aware file pruning and
 metrics are discovered by listing this directory, mirroring
 `fetch_all_metrics` scanning `blocklist/*.list` (storage/api/read.rs:33-81).
 
-Concurrency: writes go through a tempfile + atomic rename, the POSIX
-equivalent of the reference's lockfile-guarded read-modify-write
-(storage/api/write.rs:191-202). Multi-writer setups should serialize
-persists per metrics at the application level (as the reference does
-with its per-metrics lockfile).
+Concurrency: writes go through a tempfile + atomic rename locally
+(the POSIX equivalent of the reference's lockfile-guarded
+read-modify-write, storage/api/write.rs:191-202) or a single atomic
+object PUT on object stores (fsio). Multi-writer setups should
+serialize persists per metrics at the application level (as the
+reference does with its per-metrics lockfile).
 """
 
 from __future__ import annotations
 
-import json
-import os
-import tempfile
 from dataclasses import asdict, dataclass
+
+from . import fsio
 
 
 @dataclass(frozen=True)
@@ -46,17 +46,16 @@ class Manifest:
     def __init__(self, db_dir: str, metrics: str):
         self.db_dir = db_dir
         self.metrics = metrics
-        self.path = os.path.join(db_dir, "blocklist", f"{metrics}.json")
+        self.path = fsio.join(db_dir, "blocklist", f"{metrics}.json")
 
     # -- read ----------------------------------------------------------
     def exists(self) -> bool:
-        return os.path.exists(self.path)
+        return fsio.exists(self.path)
 
     def load(self) -> list[BlockEntry]:
         if not self.exists():
             return []
-        with open(self.path) as f:
-            doc = json.load(f)
+        doc = fsio.read_json(self.path)
         return [
             BlockEntry(
                 e["since_nanos"],
@@ -72,8 +71,7 @@ class Manifest:
     def updated_at_nanos(self) -> int:
         if not self.exists():
             return 0
-        with open(self.path) as f:
-            return json.load(f).get("updated_at_nanos", 0)
+        return fsio.read_json(self.path).get("updated_at_nanos", 0)
 
     # -- write ---------------------------------------------------------
     def add_entry(self, entry: BlockEntry, updated_at_nanos: int) -> None:
@@ -89,20 +87,12 @@ class Manifest:
         self._write(entries, updated_at_nanos)
 
     def _write(self, entries: list[BlockEntry], updated_at_nanos: int) -> None:
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
         doc = {
             "metrics": self.metrics,
             "updated_at_nanos": updated_at_nanos,
             "blocks": [dict(asdict(e), paths=list(e.paths)) for e in entries],
         }
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path), suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(doc, f)
-            os.replace(tmp, self.path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        fsio.write_json_atomic(self.path, doc)
 
     # -- queries -------------------------------------------------------
     def range(self) -> tuple[int, int] | None:
@@ -210,9 +200,4 @@ class Manifest:
     def list_metrics(db_dir: str) -> list[str]:
         """Discover metrics by listing manifest files
         (fetch_all_metrics, storage/api/read.rs:33-81)."""
-        d = os.path.join(db_dir, "blocklist")
-        if not os.path.isdir(d):
-            return []
-        return sorted(
-            f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json")
-        )
+        return fsio.list_json_names(fsio.join(db_dir, "blocklist"))

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..datamodel import PARTITION_COLUMN, TS_COLUMN
 from ..datetime_util import NANOS_PER_DAY, now_utc_nanos
+from . import fsio
 from .manifest import BlockEntry, Manifest
 
 
@@ -32,7 +33,7 @@ def _has_parquet_files(block_dir: str) -> bool:
 
 
 def rebuild_manifest(spark: SparkSession, db_dir: str, metrics: str) -> BlockEntry | None:
-    block_dir = f"{db_dir}/block/{metrics}"
+    block_dir = fsio.as_local(f"{db_dir}/block/{metrics}", "manifest rebuild")
     manifest = Manifest(db_dir, metrics)
     # a purge can legitimately empty the dataset; an empty/fileless dir
     # must rebuild to an EMPTY manifest, not abort on UNABLE_TO_INFER_SCHEMA
@@ -75,7 +76,7 @@ def purge_persisted(
     data rewrite); boundary partitions are rewritten with the surviving
     rows. The manifest is rebuilt afterwards.
     """
-    block_dir = f"{db_dir}/block/{metrics}"
+    block_dir = fsio.as_local(f"{db_dir}/block/{metrics}", "purge")
     if not os.path.isdir(block_dir):
         return
     first_full_day = -(-since_nanos // NANOS_PER_DAY)  # ceil

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datamodel import PARTITION_COLUMN, TS_COLUMN
+from . import fsio
 from .manifest import Manifest
 
 
@@ -45,7 +46,9 @@ def _partition_fingerprints(db_dir: str, metrics: str) -> dict[str, str]:
     # layout-grained (a purge can hollow out days inside an entry's
     # range, and rebuild collapses entries) — fingerprint only days
     # whose dt= directory actually exists
-    block_dir = os.path.join(db_dir, "block", metrics)
+    block_dir = fsio.as_local(
+        fsio.join(db_dir, "block", metrics), "rollup fingerprinting"
+    )
     on_disk = {
         name.split("=", 1)[1]
         for name in (os.listdir(block_dir) if os.path.isdir(block_dir) else [])
@@ -86,7 +89,9 @@ class Rollup:
         self.name = name
         self.bucket_nanos = bucket_nanos
         self.value_col = value_col
-        self.dir = os.path.join(db_dir, "rollup", metrics, name)
+        self.dir = fsio.as_local(
+            fsio.join(db_dir, "rollup", metrics, name), "rollup refresh"
+        )
         self.state_path = os.path.join(self.dir, "_state.json")
 
     def _load_state(self) -> dict[str, str]:
