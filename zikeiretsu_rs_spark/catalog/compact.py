@@ -26,6 +26,7 @@ from pyspark.sql import SparkSession
 
 from ..datamodel import PARTITION_COLUMN, TS_COLUMN
 from . import fsio
+from .lockfile import metrics_lock, new_writer_id
 from .repair import rebuild_manifest
 
 
@@ -66,14 +67,28 @@ def compact_metrics(
     metrics: str,
     target_file_bytes: int = 128 << 20,
     min_files_to_compact: int = 2,
+    lock_timeout_sec: float = 30.0,
 ) -> CompactionStats:
     """Compact every `dt=` partition of a metrics dataset whose file
     count is >= min_files_to_compact. Idempotent; safe to run on a
-    schedule alongside ingest (each partition swap is atomic)."""
+    schedule alongside ingest (each partition swap is atomic, and the
+    per-metrics lockfile serializes the run against concurrent
+    writers — T5; compaction is schedulable so it polls by default
+    rather than failing fast)."""
     block_dir = fsio.as_local(f"{db_dir}/block/{metrics}", "compaction")
     stats = CompactionStats(0, 0, 0)
     if not os.path.isdir(block_dir):
         return stats
+    with metrics_lock(db_dir, metrics, new_writer_id(), lock_timeout_sec):
+        return _compact_locked(
+            spark, db_dir, metrics, block_dir, stats,
+            target_file_bytes, min_files_to_compact,
+        )
+
+
+def _compact_locked(
+    spark, db_dir, metrics, block_dir, stats, target_file_bytes, min_files_to_compact
+) -> CompactionStats:
     _recover_interrupted(block_dir)
     for name in sorted(os.listdir(block_dir)):
         if not name.startswith(f"{PARTITION_COLUMN}="):

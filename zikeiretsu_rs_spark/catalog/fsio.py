@@ -80,16 +80,14 @@ def write_json_atomic(path: str, doc: dict) -> None:
         fh.write(json.dumps(doc).encode("utf-8"))
 
 
-def list_json_names(dir_path: str) -> list[str]:
-    """Base names (without .json) of JSON files directly in a dir;
-    empty when the dir doesn't exist."""
+def list_suffix_names(dir_path: str, suffix: str) -> list[str]:
+    """Base names (without `suffix`) of matching files directly in a
+    dir; empty when the dir doesn't exist."""
     if not is_uri(dir_path):
         if not os.path.isdir(dir_path):
             return []
         return sorted(
-            f[: -len(".json")]
-            for f in os.listdir(dir_path)
-            if f.endswith(".json")
+            f[: -len(suffix)] for f in os.listdir(dir_path) if f.endswith(suffix)
         )
     from pyarrow import fs as pafs
 
@@ -98,11 +96,22 @@ def list_json_names(dir_path: str) -> list[str]:
         return []
     sel = pafs.FileSelector(p, recursive=False, allow_not_found=True)
     return sorted(
-        info.base_name[: -len(".json")]
+        info.base_name[: -len(suffix)]
         for info in f.get_file_info(sel)
-        if info.base_name.endswith(".json")
-        and info.type is pafs.FileType.File
+        if info.base_name.endswith(suffix) and info.type is pafs.FileType.File
     )
+
+
+def list_json_names(dir_path: str) -> list[str]:
+    return list_suffix_names(dir_path, ".json")
+
+
+def delete(path: str) -> None:
+    if not is_uri(path):
+        os.unlink(path)
+        return
+    f, p = _fs(path)
+    f.delete_file(p)
 
 
 def as_local(path: str, operation: str) -> str:

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..datamodel import PARTITION_COLUMN, TS_COLUMN
 from ..datetime_util import NANOS_PER_DAY, now_utc_nanos
 from . import fsio
+from .lockfile import metrics_lock, new_writer_id
 from .manifest import BlockEntry, Manifest
 
 
@@ -69,16 +70,30 @@ def purge_persisted(
     metrics: str,
     since_nanos: int,
     until_nanos: int,
+    lock_timeout_sec: float = 30.0,
 ) -> None:
     """Delete persisted rows in [since, until).
 
     Partitions wholly inside the range are removed as directories (no
     data rewrite); boundary partitions are rewritten with the surviving
-    rows. The manifest is rebuilt afterwards.
+    rows. The manifest is rebuilt afterwards. The per-metrics lockfile
+    (T5) serializes the delete+rebuild against concurrent writers.
     """
     block_dir = fsio.as_local(f"{db_dir}/block/{metrics}", "purge")
     if not os.path.isdir(block_dir):
         return
+    with metrics_lock(db_dir, metrics, new_writer_id(), lock_timeout_sec):
+        _purge_locked(spark, db_dir, metrics, block_dir, since_nanos, until_nanos)
+
+
+def _purge_locked(
+    spark: SparkSession,
+    db_dir: str,
+    metrics: str,
+    block_dir: str,
+    since_nanos: int,
+    until_nanos: int,
+) -> None:
     first_full_day = -(-since_nanos // NANOS_PER_DAY)  # ceil
     last_full_day = until_nanos // NANOS_PER_DAY  # exclusive
     from datetime import date

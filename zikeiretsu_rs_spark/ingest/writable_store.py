@@ -33,6 +33,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import errorjournal
+from ..catalog.lockfile import metrics_lock, new_writer_id
 from ..catalog.manifest import BlockEntry, Manifest
 from ..catalog.registry import SchemaRegistry
 from ..datamodel import (
@@ -74,6 +76,7 @@ class WritableStore:
         metrics: str,
         field_types: list[FieldType],
         validate: bool = False,
+        lock_timeout_sec: float = 0.0,
     ):
         validate_metrics_name(metrics)
         self.spark = spark
@@ -81,6 +84,11 @@ class WritableStore:
         self.metrics = metrics
         self.field_types = list(field_types)
         self.validate = validate
+        # T5: one writer id per store, written into the per-metrics
+        # lockfile for every persist (write.rs:191-202). timeout 0 =
+        # fail fast like the reference's Lockfile::create.
+        self.writer_id = new_writer_id()
+        self.lock_timeout_sec = lock_timeout_sec
         self.manifest = Manifest(db_dir, metrics)
         self.registry = SchemaRegistry(db_dir)
         self.registry.save(metrics, self.field_types)
@@ -180,7 +188,14 @@ class WritableStore:
 
     def persist_dataframe(self, df: DataFrame) -> None:
         """Bulk path: append an arbitrary-size DataFrame with schema
-        (ts long, f0..fn) as one block. Distributed end-to-end."""
+        (ts long, f0..fn) as one block. Distributed end-to-end.
+
+        The per-metrics lockfile (T5) guards the block-append +
+        manifest read-modify-write against other *processes* sharing
+        the warehouse, mirroring write_datas_to_local
+        (write.rs:185-202). A manifest failure after the block files
+        landed is journaled (T6) so `.block_list`-vs-disk drift is
+        operator-visible and repairable (`catalog/repair.py`)."""
         stats = df.agg(
             F.min(TS_COLUMN).alias("mn"),
             F.max(TS_COLUMN).alias("mx"),
@@ -190,21 +205,35 @@ class WritableStore:
         if stats["rows"] == 0:
             return
         out = with_partition_column(df)
-        (
-            out.repartition(PARTITION_COLUMN)
-            .sortWithinPartitions(TS_COLUMN)
-            .write.mode("append")
-            .partitionBy(PARTITION_COLUMN)
-            .parquet(self.block_dir)
-        )
-        now = now_utc_nanos()
-        self.manifest.add_entry(
-            BlockEntry(
-                since_nanos=int(stats["mn"]),
-                until_nanos=int(stats["mx"]),
-                rows=int(stats["rows"]),
-                distinct_ts=int(stats["dts"]),
-                written_at_nanos=now,
-            ),
-            updated_at_nanos=now,
-        )
+        with metrics_lock(
+            self.db_dir, self.metrics, self.writer_id, self.lock_timeout_sec
+        ):
+            (
+                out.repartition(PARTITION_COLUMN)
+                .sortWithinPartitions(TS_COLUMN)
+                .write.mode("append")
+                .partitionBy(PARTITION_COLUMN)
+                .parquet(self.block_dir)
+            )
+            now = now_utc_nanos()
+            try:
+                self.manifest.add_entry(
+                    BlockEntry(
+                        since_nanos=int(stats["mn"]),
+                        until_nanos=int(stats["mx"]),
+                        rows=int(stats["rows"]),
+                        distinct_ts=int(stats["dts"]),
+                        written_at_nanos=now,
+                    ),
+                    updated_at_nanos=now,
+                )
+            except Exception as e:
+                errorjournal.journal(
+                    self.db_dir,
+                    self.metrics,
+                    errorjournal.FAILED_TO_UPDATE_BLOCK_LIST,
+                    since_sec=int(stats["mn"]) // 10**9,
+                    until_sec=int(stats["mx"]) // 10**9 + 1,
+                    detail=repr(e),
+                )
+                raise

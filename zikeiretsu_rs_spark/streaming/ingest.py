@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..catalog import errorjournal
 from ..ingest.writable_store import WritableStore
 
 
@@ -44,7 +45,20 @@ def start_streaming_ingest(
     def persist_batch(batch_df: DataFrame, epoch_id: int) -> None:
         store.persist_dataframe(batch_df)
         for r in rollups or []:
-            r.refresh(batch_df.sparkSession)
+            try:
+                r.refresh(batch_df.sparkSession)
+            except Exception as e:  # noqa: BLE001 — data is durable;
+                # a broken rollup must not stall ingest. Journal it
+                # (T6) so the operator can re-run refresh() later —
+                # the reference's exact post-durability pattern
+                # (write.rs:96-107 journals failed uploads and keeps
+                # the local block).
+                errorjournal.journal(
+                    store.db_dir,
+                    store.metrics,
+                    errorjournal.FAILED_TO_REFRESH_ROLLUP,
+                    detail=f"rollup {getattr(r, 'name', '?')}: {e!r}",
+                )
 
     writer = stream_df.writeStream.foreachBatch(persist_batch).option(
         "checkpointLocation", checkpoint_dir
