@@ -45,8 +45,10 @@ HEADLINE = [
     "text_quality",
     "doc_fingerprint",
     "multimodal_decode",
+    "multimodal_png",
     "doc_repetition",
     "decontaminate_eval",
+    "stratified_sample",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

@@ -18,9 +18,12 @@ from zikeiretsu_rs_spark.operators import multimodal
 from zikeiretsu_rs_spark.operators.multimodal import (
     _bmp_dims,
     _decode_bmp,
+    _decode_png,
     _decode_wav,
     _encode_bmp,
+    _encode_png,
     _encode_wav,
+    _png_dims,
     _wav_samples,
 )
 
@@ -260,11 +263,110 @@ class TestResizeAndFramesPlumbing:
         assert len(out) == 1 and not out[0]["ok"]
 
 
-class TestJpegStubBoundary:
-    def test_stub_reports_not_decodable(self, spark):
+class TestPngCodec:
+    """Full PNG decode: CRC-checked chunks, zlib inflate, all-filter
+    scanline reconstruction. The encoder cycles the filter type per
+    scanline, so every roundtrip exercises None/Sub/Up/Average/Paeth."""
+
+    @pytest.mark.parametrize("media_id", [0, 1, 4, 5, 11, 54, 12345])
+    def test_roundtrip(self, media_id):
+        w, h = _png_dims(media_id)
+        expect_sum = sum(
+            (media_id * 131 + i * 7) % 256 for i in range(w * h * 3)
+        )
+        assert _decode_png(_encode_png(media_id)) == (w, h, 3, expect_sum)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**31 - 1))
+    def test_roundtrip_any_id(self, media_id):
+        w, h = _png_dims(media_id)
+        got = _decode_png(_encode_png(media_id))
+        assert got[:3] == (w, h, 3)
+        assert got[3] == sum(
+            (media_id * 131 + i * 7) % 256 for i in range(w * h * 3)
+        )
+
+    def test_grayscale_and_rgba_paths(self):
+        import struct as _s
+        import zlib
+
+        def chunk(t, b):
+            return (
+                _s.pack(">I", len(b)) + t + b
+                + _s.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        # 2x2 grayscale, filter 0: pixels 10,20 / 30,40
+        raw = bytes([0, 10, 20, 0, 30, 40])
+        png = (
+            sig
+            + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert _decode_png(png) == (2, 2, 1, 100)
+        # 1x2 RGBA, row 2 Up-filtered: actual row2 = row1 + 5 per byte
+        row1, row2_delta = bytes([1, 2, 3, 4]), bytes([5, 5, 5, 5])
+        raw = bytes([0]) + row1 + bytes([2]) + row2_delta
+        png = (
+            sig
+            + chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 2, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        expect = sum(row1) + sum(a + b for a, b in zip(row1, row2_delta))
+        assert _decode_png(png) == (1, 2, 4, expect)
+
+    def test_rejects_corruption(self):
+        good = _encode_png(7)
+        assert _decode_png(None) == (None,) * 4
+        assert _decode_png(b"\x89PNGnope") == (None,) * 4
+        assert _decode_png(good[:-5]) == (None,) * 4  # truncated IEND
+        flipped = bytearray(good)
+        flipped[30] ^= 0xFF  # body corruption -> CRC mismatch
+        assert _decode_png(bytes(flipped)) == (None,) * 4
+        # bit depth 16 is declared unsupported, not misdecoded
+        import struct as _s
+        import zlib
+
+        def chunk(t, b):
+            return (
+                _s.pack(">I", len(b)) + t + b
+                + _s.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        png16 = (
+            sig
+            + chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes([0, 0, 0])))
+            + chunk(b"IEND", b"")
+        )
+        assert _decode_png(png16) == (None,) * 4
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(max_size=128))
+    def test_never_crashes_on_garbage(self, payload):
+        assert len(_decode_png(payload)) == 4
+
+    def test_spark_synthesize_decode(self, spark):
+        df = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+        media = multimodal.synthesize_png_media(df, "doc_id")
+        out = {r["media_id"]: r for r in multimodal.decode_png(media).collect()}
+        assert len(out) == 20
+        for mid, r in out.items():
+            w, h = _png_dims(mid)
+            assert (r["width"], r["height"], r["channels"], r["ok"]) == (
+                w, h, 3, True,
+            )
+
+
+class TestUnsupportedCodecBoundary:
+    def test_reports_not_decodable(self, spark):
         rows = [(1, "image", bytearray(b"\xff\xd8\xff\xe0fakejpeg"), "image/jpeg")]
         media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
-        out = multimodal.decode_jpeg_stub(media).collect()
+        out = multimodal.decode_unsupported(media).collect()
         assert len(out) == 1
         r = out[0]
         assert not r["ok"] and r["width"] is None and r["n_bytes"] == 12

@@ -253,3 +253,100 @@ class TestDeterministicSampling:
         # growing the dataset never moves an existing row's split
         assert all(s_big[i] == s_small[i] for i in s_small)
         assert set(s_big.values()) == {"train", "valid", "test"}
+
+
+class TestStratifiedSample:
+    def _df(self, spark, sizes):
+        rows = [
+            (s * 10_000 + i, f"s{s}")
+            for s, n in enumerate(sizes)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, ["id", "src"])
+
+    def test_exact_quotas_and_hash_order(self, spark):
+        from zikeiretsu_rs_spark.operators import sampling
+
+        df = self._df(spark, [100, 50, 3])
+        out = sampling.stratified_sample(
+            df, "src", "id", {"s0": 10, "s1": 5, "s2": 7}
+        ).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["src"], []).append(r)
+        assert len(by_src["s0"]) == 10 and len(by_src["s1"]) == 5
+        assert len(by_src["s2"]) == 3  # smaller than quota -> kept whole
+        # rnk is the 1-based md5-order position
+        import hashlib
+
+        for src, rows in by_src.items():
+            ranked = sorted(rows, key=lambda r: r["rnk"])
+            keys = [r["id"] for r in ranked]
+            assert keys == sorted(
+                keys, key=lambda k: hashlib.md5(str(k).encode()).hexdigest()
+            )
+
+    def test_default_quota_and_drop_zero(self, spark):
+        from zikeiretsu_rs_spark.operators import sampling
+
+        df = self._df(spark, [20, 20, 20])
+        out = sampling.stratified_sample(
+            df, "src", "id", {"s0": 4}, default_quota=0
+        ).collect()
+        assert {r["src"] for r in out} == {"s0"} and len(out) == 4
+
+    def test_prefilter_path_equals_exact(self, spark):
+        from zikeiretsu_rs_spark.operators import sampling
+
+        df = self._df(spark, [400, 80, 11, 1])
+        quotas = {"s0": 25, "s1": 13, "s2": 11, "s3": 5}
+        exact = sampling.stratified_sample(df, "src", "id", quotas)
+        pruned = sampling.stratified_sample(
+            df, "src", "id", quotas, prefilter_overselect=4.0
+        )
+        assert sorted(map(tuple, exact.collect())) == sorted(
+            map(tuple, pruned.collect())
+        )
+
+    def test_prefilter_fallback_rescues_tight_overselect(self, spark):
+        from zikeiretsu_rs_spark.operators import sampling
+
+        # overselect ~1.0 makes under-selection likely for some strata;
+        # the sufficiency fallback must keep the result exact anyway
+        df = self._df(spark, [300, 200, 100])
+        quotas = {"s0": 20, "s1": 15, "s2": 10}
+        exact = sampling.stratified_sample(df, "src", "id", quotas)
+        tight = sampling.stratified_sample(
+            df, "src", "id", quotas, prefilter_overselect=1.0
+        )
+        assert sorted(map(tuple, exact.collect())) == sorted(
+            map(tuple, tight.collect())
+        )
+
+    def test_quota_growth_is_monotone(self, spark):
+        from zikeiretsu_rs_spark.operators import sampling
+
+        df = self._df(spark, [200])
+        small = {
+            r["id"] for r in
+            sampling.stratified_sample(df, "src", "id", {"s0": 10}).collect()
+        }
+        big = {
+            r["id"] for r in
+            sampling.stratified_sample(df, "src", "id", {"s0": 30}).collect()
+        }
+        assert small < big  # raising a quota only adds rows
+
+    def test_stable_across_partitionings(self, spark):
+        from zikeiretsu_rs_spark.operators import sampling
+
+        df = self._df(spark, [150, 150])
+        quotas = {"s0": 12, "s1": 7}
+        a = sampling.stratified_sample(df, "src", "id", quotas)
+        b = sampling.stratified_sample(
+            df.repartition(13), "src", "id", quotas,
+            prefilter_overselect=3.0,
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )

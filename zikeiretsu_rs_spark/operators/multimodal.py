@@ -5,21 +5,24 @@ Two tiers:
 
 - REAL pure-Python codecs for formats that need no native libraries:
   `decode_image` parses BMP (BITMAPINFOHEADER) headers + pixel data,
-  `decode_audio` parses RIFF/WAVE PCM headers + int16 samples,
-  `resize_image` does nearest-neighbor 24bpp BMP resizing (decode →
-  resample → re-encode), and `frame_sample` walks a raw-video
-  container (RV01) emitting every n-th frame with a pixel checksum.
-  Paired with `synthesize_bmp_media` / `synthesize_wav_media` /
-  `synthesize_video_media`, which emit byte-for-byte valid files whose
-  dimensions/samples/frames are deterministic functions of the row id
-  — so an oracle can recompute every decoded field (pixel checksums,
-  RMS, per-frame sums) independently, and each decoder is verified as
-  the inverse of its encoder.
-- STUB kernels for codecs that genuinely need native libs (JPEG/PNG
-  entropy decode — PIL/ffmpeg are not in this container), clearly
-  marked `_stub`. The Spark-side plumbing — schema, Arrow batch
-  iteration, partition behavior, UDF signatures — is identical, so
-  swapping in a real decoder is a one-function change.
+  `decode_png` fully decodes PNG (CRC-checked chunks, zlib inflate,
+  all five scanline filters — the entropy coding is DEFLATE, which is
+  stdlib), `decode_audio` parses RIFF/WAVE PCM headers + int16
+  samples, `resize_image` does nearest-neighbor 24bpp BMP resizing
+  (decode → resample → re-encode), and `frame_sample` walks a
+  raw-video container (RV01) emitting every n-th frame with a pixel
+  checksum. Paired with `synthesize_bmp_media` / `synthesize_png_media`
+  / `synthesize_wav_media` / `synthesize_video_media`, which emit
+  byte-for-byte valid files whose dimensions/samples/frames are
+  deterministic functions of the row id — so an oracle can recompute
+  every decoded field (pixel checksums, RMS, per-frame sums)
+  independently, and each decoder is verified as the inverse of its
+  encoder.
+- `decode_unsupported` for codecs that genuinely need native libs
+  (JPEG/WebP/H.264 — PIL/ffmpeg are not in this container): ok=false
+  rows through identical Spark-side plumbing — schema, Arrow batch
+  iteration, partition behavior, UDF signatures — so swapping in a
+  real kernel is a one-function change.
 
 Scale notes: mapInPandas streams Arrow record batches through the
 Python worker — memory is bounded by
@@ -61,12 +64,15 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
-def decode_jpeg_stub(df: DataFrame) -> DataFrame:
-    """The one remaining honest stub: entropy-coded formats (JPEG/PNG)
-    need a native codec (PIL/libvips/ffmpeg) that is not in this
-    container. The plumbing — schema, size-bucketed repartition, Arrow
-    batch iteration — is identical to `decode_image`; a real deployment
-    swaps the kernel for `PIL.Image.open` and keeps everything else."""
+def decode_unsupported(df: DataFrame) -> DataFrame:
+    """Boundary for formats whose codecs genuinely need native
+    libraries (JPEG/WebP/H.264 — PIL/libvips/ffmpeg are not in this
+    container): every payload surfaces as ok=false with its byte size,
+    through the SAME plumbing (schema, size-bucketed repartition, Arrow
+    batch iteration) as the real decoders, so a deployment swaps in
+    `PIL.Image.open` as the kernel and keeps everything else. PNG does
+    NOT go through here — its entropy coding is zlib, which is stdlib,
+    so `decode_png` is a real decoder."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -91,6 +97,11 @@ def decode_jpeg_stub(df: DataFrame) -> DataFrame:
         .drop("_szb")
         .mapInPandas(batches, IMAGE_META_SCHEMA)
     )
+
+
+# retained alias: the former stub's call sites keep working; JPEG is
+# the example format that still needs a native kernel
+decode_jpeg_stub = decode_unsupported
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -240,6 +251,230 @@ def decode_image(df: DataFrame) -> DataFrame:
         sized.repartition(F.col("_szb"))
         .drop("_szb")
         .mapInPandas(batches, DECODED_IMAGE_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# real pure-Python PNG codec: an entropy-coded format whose compression
+# (DEFLATE) is in the stdlib, so no native library is needed
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_dims(media_id: int) -> tuple[int, int]:
+    """Deterministic fixture dimensions, small enough for the oracle to
+    re-derive pixel checksums via generate_series."""
+    return 5 + media_id % 11, 4 + media_id % 5
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _encode_png(media_id: int) -> bytes:
+    """Byte-for-byte valid 8-bit RGB PNG (color type 2, no interlace).
+    Pixel byte i (flat row-major RGB) is (media_id * 131 + i * 7) % 256
+    — the same arithmetic family as the BMP fixture, so the oracle form
+    is identical. Scanline y uses filter type (media_id + y) % 5,
+    exercising every PNG filter (None/Sub/Up/Average/Paeth) on every
+    corpus."""
+    import zlib
+
+    w, h = _png_dims(media_id)
+    bpp = 3  # bytes per pixel, RGB8
+    raw_rows = []
+    i = 0
+    for _y in range(h):
+        row = bytearray(w * bpp)
+        for x in range(w * bpp):
+            row[x] = (media_id * 131 + i * 7) % 256
+            i += 1
+        raw_rows.append(row)
+    filtered = bytearray()
+    prev = bytearray(w * bpp)
+    for y, row in enumerate(raw_rows):
+        ftype = (media_id + y) % 5
+        filtered.append(ftype)
+        for x in range(w * bpp):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                v = row[x]
+            elif ftype == 1:
+                v = row[x] - left
+            elif ftype == 2:
+                v = row[x] - up
+            elif ftype == 3:
+                v = row[x] - (left + up) // 2
+            else:
+                v = row[x] - _paeth(left, up, ul)
+            filtered.append(v & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes | None):
+    """Full PNG decode: chunk walk with CRC verification, IHDR
+    validation, multi-IDAT concatenation, zlib inflate, and scanline
+    unfiltering for all five filter types. Supports 8-bit grayscale
+    (1ch), RGB (3ch) and RGBA (4ch), non-interlaced. Returns (width,
+    height, channels, pix_sum) — pix_sum over the reconstructed
+    (unfiltered) pixel bytes — or Nones for anything invalid, including
+    CRC corruption and truncated streams."""
+    import zlib
+
+    bad = (None, None, None, None)
+    if payload is None or len(payload) < len(_PNG_SIG) + 12:
+        return bad
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        return bad
+    pos = len(_PNG_SIG)
+    w = h = channels = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 12 <= len(payload):
+        clen = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            return bad
+        crc = struct.unpack_from(">I", payload, pos + 8 + clen)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            return bad
+        if ctype == b"IHDR":
+            if clen != 13:
+                return bad
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (
+                depth != 8
+                or color not in (0, 2, 6)
+                or comp != 0
+                or filt != 0
+                or interlace != 0
+                or w == 0
+                or h == 0
+            ):
+                return bad
+            channels = {0: 1, 2: 3, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + clen
+    if w is None or not idat or not seen_iend:
+        return bad
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return bad
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        return bad
+    pix_sum = 0
+    prev = bytearray(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        if ftype > 4:
+            return bad
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        for x in range(stride):
+            left = line[x - channels] if x >= channels else 0
+            up = prev[x]
+            ul = prev[x - channels] if x >= channels else 0
+            if ftype == 1:
+                line[x] = (line[x] + left) & 0xFF
+            elif ftype == 2:
+                line[x] = (line[x] + up) & 0xFF
+            elif ftype == 3:
+                line[x] = (line[x] + (left + up) // 2) & 0xFF
+            elif ftype == 4:
+                line[x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        pix_sum += sum(line)
+        prev = line
+    return w, h, channels, pix_sum
+
+
+def synthesize_png_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator: one real PNG payload per row, dimensions and
+    pixels a pure function of the id (schema = MEDIA_SCHEMA)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": ids.map(_encode_png),
+                    "mime": "image/png",
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
+
+
+def decode_png(df: DataFrame) -> DataFrame:
+    """REAL PNG decode over binary payloads: CRC-checked chunk walk,
+    DEFLATE inflate, all-filter scanline reconstruction, and a pixel
+    checksum over the reconstructed bytes — no n_bytes column because a
+    compressed stream's length is encoder-dependent (not
+    oracle-recomputable), unlike the fixed-layout BMP/WAV."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = pdf["payload"].map(_decode_png)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": parsed.map(lambda d: d[0]),
+                    "height": parsed.map(lambda d: d[1]),
+                    "channels": parsed.map(lambda d: d[2]),
+                    "pix_sum": parsed.map(lambda d: d[3]),
+                    "ok": parsed.map(lambda d: d[0] is not None),
+                }
+            )
+
+    schema = T.StructType(
+        [f for f in DECODED_IMAGE_SCHEMA.fields if f.name != "n_bytes"]
+    )
+    sized = df.withColumn(
+        "_szb", F.pmod(F.coalesce(F.length("payload"), F.lit(0)), F.lit(64))
+    )
+    return (
+        sized.repartition(F.col("_szb"))
+        .drop("_szb")
+        .mapInPandas(batches, schema)
     )
 
 

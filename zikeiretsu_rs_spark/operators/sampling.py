@@ -34,6 +34,104 @@ def deterministic_sample(
     return df.where(_bucket256(F.col(key_col)) < rate_256)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    quotas: dict[str, int],
+    default_quota: int = 0,
+    prefilter_overselect: float | None = None,
+) -> DataFrame:
+    """Exact per-stratum quota sampling — the training-mixture
+    primitive ("N docs from web, M from wiki, ..."). Rows in each
+    stratum are ranked by content hash (md5 of the key, tie-broken by
+    the key) and the first `quota` kept, so the selected set is a pure
+    function of content: reproducible across engines, partitionings and
+    reruns, and monotone under quota increase (raising a quota only
+    ADDS rows — the mix can be grown without churning what was already
+    sampled). Strata not in `quotas` get `default_quota`; a stratum
+    smaller than its quota is kept whole.
+
+    Output: the input columns plus `rnk` (1-based position in the
+    stratum's hash order — stable shard/curriculum key).
+
+    Scale path: `prefilter_overselect=k` first drops every row whose
+    32-bit hash prefix is above ~k*quota/|stratum| of the hash space,
+    so the per-stratum sort ranks ~k*quota rows instead of the whole
+    stratum (the same threshold-before-rank shape as the L4 limit
+    pushdown). Because hash32-prefix order is a coarsening of the full
+    md5 order, the top-`quota` rows are ALWAYS inside the surviving
+    prefix when enough rows survive; strata where the overselect was
+    too tight (possible only for tiny k) are detected by count and
+    re-ranked exactly, so the result is identical to the exact path —
+    verified in tests."""
+    strata, key = F.col(strata_col), F.col(key_col)
+    spark = df.sparkSession
+    quota_rows = [(s, int(n)) for s, n in quotas.items()]
+    quota_df = F.broadcast(
+        spark.createDataFrame(quota_rows, f"{strata_col} string, __quota int")
+    )
+    with_quota = (
+        df.join(quota_df, on=strata_col, how="left")
+        .withColumn("__quota", F.coalesce("__quota", F.lit(int(default_quota))))
+        .where(F.col("__quota") > 0)
+    )
+    order = [F.md5(key.cast("string")).asc(), key.asc()]
+
+    def rank_and_keep(candidates: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(strata).orderBy(*order)
+        return (
+            candidates.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= F.col("__quota"))
+            .drop("__quota")
+        )
+
+    if prefilter_overselect is None:
+        return rank_and_keep(with_quota)
+
+    # -- scale path: hash32 threshold, then rank only the survivors ----
+    counts = with_quota.groupBy(strata_col, "__quota").agg(
+        F.count("*").alias("__cnt")
+    )
+    pre = with_quota.join(
+        F.broadcast(counts.drop("__quota")), on=strata_col
+    )
+    hash32 = F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    threshold = F.least(
+        F.lit(float(2**32)),
+        F.lit(float(prefilter_overselect) * 2**32)
+        * F.col("__quota")
+        / F.col("__cnt"),
+    )
+    survivors = pre.where(hash32 < threshold).drop("__cnt")
+    # sufficiency: a stratum is safe iff survivors >= min(quota, cnt);
+    # left join from the counts side so a stratum with ZERO survivors
+    # still shows up as deficient
+    kept = survivors.groupBy(strata_col).agg(F.count("*").alias("__kept"))
+    per_stratum = (
+        counts.join(kept, on=strata_col, how="left")
+        .select(
+            strata_col,
+            (
+                F.coalesce("__kept", F.lit(0))
+                >= F.least(F.col("__quota"), F.col("__cnt"))
+            ).alias("__ok"),
+        )
+    )
+    deficient = [
+        r[strata_col] for r in per_stratum.where(~F.col("__ok")).collect()
+    ]  # bounded by the (small) number of strata, like IVF's centroid pull
+    safe = rank_and_keep(survivors.where(~strata.isin(deficient)))
+    if not deficient:
+        return safe
+    rescue = rank_and_keep(with_quota.where(strata.isin(deficient)))
+    return safe.unionByName(rescue)
+
+
 def train_test_split(
     df: DataFrame,
     key_col: str,
