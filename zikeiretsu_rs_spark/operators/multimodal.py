@@ -152,24 +152,25 @@ def _bmp_dims(media_id: int) -> tuple[int, int]:
 def _encode_bmp(media_id: int) -> bytes:
     """Byte-for-byte valid 24bpp bottom-up BMP (BITMAPINFOHEADER, BI_RGB).
     Pixel byte i (flat, row-major, padding excluded) is
-    (media_id * 131 + i * 7) % 256."""
+    (media_id * 131 + i * 7) % 256. Pixels are generated as one numpy
+    arange (not a Python byte loop) — the encoder runs inside Arrow
+    batches on executors, so it is hot-path code."""
+    import numpy as np
+
     w, h = _bmp_dims(media_id)
     stride = (w * 3 + 3) // 4 * 4
     img_size = stride * h
-    rows = []
-    i = 0
-    for _y in range(h):
-        row = bytearray(stride)
-        for x in range(w * 3):
-            row[x] = (media_id * 131 + i * 7) % 256
-            i += 1
-        rows.append(bytes(row))
+    flat = (
+        (media_id * 131 + np.arange(w * 3 * h, dtype=np.int64) * 7) % 256
+    ).astype(np.uint8)
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = flat.reshape(h, w * 3)
     header = struct.pack(
         "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
     ) + struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
-    return header + b"".join(rows)
+    return header + body.tobytes()
 
 
 def _decode_bmp(payload: bytes | None):
@@ -195,10 +196,13 @@ def _decode_bmp(payload: bytes | None):
     stride = (w * channels + 3) // 4 * 4
     if len(payload) < data_off + stride * abs_h:
         return bad
-    pix_sum = 0
-    for y in range(abs_h):
-        base = data_off + y * stride
-        pix_sum += sum(payload[base : base + w * channels])
+    import numpy as np
+
+    # one vectorized padding-aware sum instead of a per-byte loop
+    body = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * abs_h, offset=data_off
+    ).reshape(abs_h, stride)
+    pix_sum = int(body[:, : w * channels].sum(dtype=np.int64))
     return w, abs_h, channels, pix_sum
 
 
@@ -490,8 +494,13 @@ def _wav_samples(media_id: int) -> list[int]:
 
 
 def _encode_wav(media_id: int) -> bytes:
-    samples = _wav_samples(media_id)
-    data = struct.pack(f"<{len(samples)}h", *samples)
+    import numpy as np
+
+    n = 64 + media_id % 64
+    samples = (
+        (media_id * 31 + np.arange(n, dtype=np.int64) * 17) % 4096 - 2048
+    ).astype("<i2")
+    data = samples.tobytes()
     fmt = struct.pack(
         "<4sIHHIIHH", b"fmt ", 16, 1, 1, WAV_SAMPLE_RATE,
         WAV_SAMPLE_RATE * 2, 2, 16,
@@ -527,8 +536,10 @@ def _decode_wav(payload: bytes | None):
     n = len(data) // 2
     if n == 0:
         return rate, 0, 0.0, None
-    samples = struct.unpack(f"<{n}h", data[: n * 2])
-    sum_sq = sum(s * s for s in samples)  # exact integer
+    import numpy as np
+
+    samples = np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
+    sum_sq = int((samples * samples).sum())  # exact integer
     # rms left unrounded here; decode_audio applies F.round so the
     # rounding function matches the oracle's (Spark round == DuckDB
     # round on identical IEEE inputs; Python round can differ)
@@ -611,23 +622,24 @@ def _resize_bmp(payload: bytes | None, out_w: int, out_h: int) -> bytes | None:
     src_stride = (w * 3 + 3) // 4 * 4
     if len(payload) < data_off + src_stride * h:
         return None
+    import numpy as np
+
     out_stride = (out_w * 3 + 3) // 4 * 4
-    rows = []
-    for y in range(out_h):
-        src_y = y * h // out_h
-        src_base = data_off + src_y * src_stride
-        row = bytearray(out_stride)
-        for x in range(out_w):
-            sx = src_base + (x * w // out_w) * 3
-            row[x * 3 : x * 3 + 3] = payload[sx : sx + 3]
-        rows.append(bytes(row))
+    src = np.frombuffer(
+        payload, dtype=np.uint8, count=src_stride * h, offset=data_off
+    ).reshape(h, src_stride)[:, : w * 3].reshape(h, w, 3)
+    src_y = np.arange(out_h, dtype=np.int64) * h // out_h
+    src_x = np.arange(out_w, dtype=np.int64) * w // out_w
+    resampled = src[src_y[:, None], src_x[None, :], :]  # (out_h, out_w, 3)
+    body = np.zeros((out_h, out_stride), dtype=np.uint8)
+    body[:, : out_w * 3] = resampled.reshape(out_h, out_w * 3)
     img_size = out_stride * out_h
     header = struct.pack(
         "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
     ) + struct.pack(
         "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
-    return header + b"".join(rows)
+    return header + body.tobytes()
 
 
 def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
@@ -665,12 +677,13 @@ def _encode_rawvideo(media_id: int) -> bytes:
     height/n_frames (LE), then n_frames grayscale frames of w*h bytes.
     Frame f, pixel i = (media_id * 7 + f * 13 + i * 3) % 256 — exact
     integer arithmetic, so an oracle can re-derive per-frame sums."""
+    import numpy as np
+
     n = _video_n_frames(media_id)
-    frames = bytearray()
-    for f in range(n):
-        for i in range(VIDEO_W * VIDEO_H):
-            frames.append((media_id * 7 + f * 13 + i * 3) % 256)
-    return VIDEO_MAGIC + struct.pack("<HHH", VIDEO_W, VIDEO_H, n) + bytes(frames)
+    f_idx = np.repeat(np.arange(n, dtype=np.int64), VIDEO_W * VIDEO_H)
+    i_idx = np.tile(np.arange(VIDEO_W * VIDEO_H, dtype=np.int64), n)
+    frames = ((media_id * 7 + f_idx * 13 + i_idx * 3) % 256).astype(np.uint8)
+    return VIDEO_MAGIC + struct.pack("<HHH", VIDEO_W, VIDEO_H, n) + frames.tobytes()
 
 
 def _decode_rawvideo(payload: bytes | None):
@@ -738,6 +751,8 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
                 "frame_sum": [],
                 "ok": [],
             }
+            import numpy as np
+
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 w, h, n, frames = _decode_rawvideo(p)
                 if w is None:
@@ -749,16 +764,19 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
                     out["frame_sum"].append(None)
                     out["ok"].append(False)
                     continue
-                fsz = w * h
+                # all per-frame sums in one vectorized pass
+                sums = (
+                    np.frombuffer(frames, dtype=np.uint8)
+                    .reshape(n, w * h)
+                    .sum(axis=1, dtype=np.int64)
+                )
                 for f in range(0, n, every_n):
                     out["media_id"].append(mid)
                     out["width"].append(w)
                     out["height"].append(h)
                     out["n_frames"].append(n)
                     out["frame_no"].append(f)
-                    out["frame_sum"].append(
-                        sum(frames[f * fsz : (f + 1) * fsz])
-                    )
+                    out["frame_sum"].append(int(sums[f]))
                     out["ok"].append(True)
             yield pd.DataFrame(out)
 
