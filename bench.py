@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality",
+    "text_scrub",
     "doc_fingerprint",
     "multimodal_decode",
     "multimodal_png",

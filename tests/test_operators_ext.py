@@ -124,6 +124,64 @@ class TestText:
         fps = [r["fingerprint"] for r in text.fingerprint(df, "doc_id", "text").collect()]
         assert fps[0] == fps[1]
 
+    def test_scrub_pii_redacts_and_counts(self, spark):
+        rows = [
+            (1, "mail a.b-c+x@sub.example.org now"),
+            (2, "call +44-20-7946-0958 or +1-555-0100 today"),
+            (3, "read https://docs.example/a_b/c-d.html#x please"),
+            (4, "plain text, nothing to redact: 555 0100 at example.org"),
+            (5, "mix u@e.io +1-555-0042 https://x.example/p"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in text.scrub_pii(df, "doc_id", "text").collect()}
+        assert out[1]["n_emails"] == 1 and out[1]["clean_text"] == "mail <EMAIL> now"
+        assert out[2]["n_phones"] == 2
+        assert out[2]["clean_text"] == "call <PHONE> or <PHONE> today"
+        assert out[3]["n_urls"] == 1
+        # '#x' is outside the URL charset — the suffix must survive
+        assert out[3]["clean_text"] == "read <URL>#x please"
+        assert (out[4]["n_emails"], out[4]["n_phones"], out[4]["n_urls"]) == (0, 0, 0)
+        assert out[4]["clean_text"] == rows[3][1]  # untouched
+        assert out[5]["clean_text"] == "mix <EMAIL> <PHONE> <URL>"
+
+    def test_scrub_pii_duckdb_parity_on_edge_text(self, spark):
+        """The same patterns must behave identically under Java regex
+        and RE2 — pinned here on adversarial inputs (dashes in domains,
+        '+' inside emails, URLs abutting punctuation)."""
+        import duckdb
+
+        rows = [
+            (1, "a+b@x-y.co https://e.x/p+q +12-3456-789 end"),
+            (2, "nested http://a.b/c@d.ee mail"),
+            (3, "tricky ..@.. +1- not-pii"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["n_urls"], r["n_emails"], r["n_phones"], r["clean_text"])
+            for r in text.scrub_pii(df, "doc_id", "text").collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                    + ",".join(f"({i}, '{s}')" for i, s in rows)
+                    + ") v(doc_id, text)")
+        url, email, phone = (
+            text.PII_PATTERNS["url"][0],
+            text.PII_PATTERNS["email"][0],
+            text.PII_PATTERNS["phone"][0],
+        )
+        oracle = con.execute(f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{url}')),
+                   len(regexp_extract_all(text, '{email}')),
+                   len(regexp_extract_all(text, '{phone}')),
+                   regexp_replace(regexp_replace(regexp_replace(
+                     text, '{url}', '<URL>', 'g'),
+                     '{email}', '<EMAIL>', 'g'),
+                     '{phone}', '<PHONE>', 'g')
+            FROM t""").fetchall()
+        for doc_id, nu, ne, np_, clean in oracle:
+            assert got[doc_id] == (nu, ne, np_, clean), doc_id
+
 
 class TestSessionize:
     def test_gap_splits_sessions(self, spark):

@@ -155,3 +155,40 @@ def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         f"0L, (acc, v) -> (acc * 31 + v) % {_FP_MOD})"
     )
     return df.select(F.col(id_col), fold.alias("rolling_fp"))
+
+
+# PII scrubbing: conservative regexes in the syntax subset shared by
+# Java regex (Spark) and RE2 (DuckDB) — no lookarounds, no backrefs —
+# so oracle parity is testable. Real pipelines extend the pattern
+# table; the operator shape (count-then-redact, JVM-side) is the point.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (regex, replacement token)
+    "url": (r"https?://[A-Za-z0-9./_\-]+", "<URL>"),
+    "email": (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+[0-9][0-9\-]{6,14}[0-9]", "<PHONE>"),
+}
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails / E.164-style phone numbers / URLs with typed
+    placeholder tokens and emit per-document match counts (training
+    pipelines want the hygiene stats as much as the clean text).
+    Counts are taken on the ORIGINAL text; replacements are applied
+    URL -> email -> phone (a URL's charset excludes '@' and a phone
+    must start '+', so the three never partially consume each other).
+    Pure `regexp_count`/`regexp_replace` — JVM-side, scale-safe.
+
+    Output: id, n_urls, n_emails, n_phones, clean_text.
+    """
+    text = F.col(text_col)
+    clean = text
+    for name in ("url", "email", "phone"):
+        pat, repl = PII_PATTERNS[name]
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(text, F.lit(PII_PATTERNS["url"][0])).alias("n_urls"),
+        F.regexp_count(text, F.lit(PII_PATTERNS["email"][0])).alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_PATTERNS["phone"][0])).alias("n_phones"),
+        clean.alias("clean_text"),
+    )

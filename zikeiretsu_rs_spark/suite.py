@@ -1114,6 +1114,51 @@ def q_text_token_stats(spark, sf_dir):
     return text.token_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_text_scrub(spark, sf_dir):
+    """PII scrubbing: the corpus text is enriched with synthetic PII
+    (an email, an E.164-style phone, a URL — each present or absent as
+    a pure function of doc_id, so the fixture exercises all 8
+    presence/absence combinations), then scrubbed. The oracle injects
+    the identical strings and applies the identical regexes in DuckDB
+    (RE2) — matching counts AND redacted text proves the patterns live
+    in the Java/RE2-shared syntax subset they claim."""
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 > 0,
+                F.concat(
+                    F.lit(" Contact user"),
+                    did.cast("string"),
+                    F.lit("@mail"),
+                    (did % 5).cast("string"),
+                    F.lit(".example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 > 0,
+                F.concat(
+                    F.lit(" or call +1-555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 2 == 1,
+                F.concat(
+                    F.lit(" see https://docs"),
+                    (did % 7).cast("string"),
+                    F.lit(".example/page/"),
+                    did.cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.scrub_pii(enriched, "doc_id", "text")
+
+
 def q_text_quality(spark, sf_dir):
     return text.quality_score(load(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -1308,7 +1353,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "asof_purchase_click": q_asof_purchase_click,
     "moving_avg_1h": q_moving_avg_1h,
-    "latest_event_per_user": q_latest_event_per_user,
     # time-series
     "twa_user_1h": q_twa_user_1h,
     "gapfill_user_6h": q_gapfill_user_6h,
@@ -1343,6 +1387,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_quality_rollup": q_source_quality_rollup,
     # text / sampling / multimodal / capstone
     "text_token_stats": q_text_token_stats,
+    "text_scrub": q_text_scrub,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_bpe_tokens": q_text_bpe_tokens,
@@ -1365,6 +1410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # local artifact)
     "ts_range_scan": q_ts_range_scan,
     "tpch_q6": q_tpch_q6,
+    "latest_event_per_user": q_latest_event_per_user,
     "ts_tail_limit": q_ts_tail_limit,
     "agg_time_bucket_1h": q_agg_time_bucket_1h,
     "top_users_by_value": q_top_users_by_value,
@@ -1835,6 +1881,36 @@ SELECT doc_id, n_chars, n_tokens,
             THEN (n_chars - (n_tokens - 1)) / n_tokens ELSE 0.0 END
          AS avg_token_len
 FROM w
+"""
+    sqls["text_scrub"] = """
+WITH e AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 > 0
+                 THEN ' Contact user' || doc_id || '@mail' || (doc_id % 5)
+                      || '.example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 > 0
+                 THEN ' or call +1-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 1
+                 THEN ' see https://docs' || (doc_id % 7) || '.example/page/'
+                      || doc_id ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9./_\\-]+')) AS INT)
+         AS n_urls,
+       CAST(len(regexp_extract_all(t,
+              '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '\\+[0-9][0-9\\-]{6,14}[0-9]')) AS INT)
+         AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, 'https?://[A-Za-z0-9./_\\-]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\+[0-9][0-9\\-]{6,14}[0-9]', '<PHONE>', 'g') AS clean_text
+FROM e
 """
     sqls["text_quality"] = f"""
 WITH w AS (SELECT doc_id, length(text) AS n_chars,
