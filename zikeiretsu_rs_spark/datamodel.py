@@ -70,6 +70,30 @@ def metrics_schema(field_types: list[FieldType]) -> T.StructType:
     return T.StructType(fields)
 
 
+def nanos_spine_expr(col, dtype: str):
+    """Column expression converting `col` of Spark dtype `dtype` to the
+    engine's nano-long timestamp spine (reference timestamps are u64
+    nanos, datapoint.rs:10-13).
+
+    Naive types (TIMESTAMP_NTZ, DATE) are interpreted as UTC wall
+    clock via NTZ-NTZ timestampdiff — deliberately independent of
+    `spark.sql.session.timeZone`, so results match DuckDB's
+    `epoch_ns()` (naive-as-UTC) under any ambient session config.
+    Instant types (TIMESTAMP) use unix_micros, which is already
+    tz-free. Integer inputs pass through as long."""
+    from pyspark.sql import functions as F
+
+    if dtype in ("bigint", "int", "long"):
+        return col.cast("long")
+    if dtype == "timestamp":
+        return F.unix_micros(col) * F.lit(1000)
+    if dtype in ("timestamp_ntz", "date"):
+        ntz = col.cast("timestamp_ntz")
+        epoch = F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+        return F.timestamp_diff("MICROSECOND", epoch, ntz) * F.lit(1000)
+    raise TypeError(f"cannot convert dtype {dtype!r} to nano timestamps")
+
+
 def validate_metrics_name(name: str) -> str:
     """Metrics names must not start with '.' (metrics.rs:6-20)."""
     from .errors import InvalidMetrics

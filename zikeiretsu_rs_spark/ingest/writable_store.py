@@ -43,6 +43,7 @@ from ..datamodel import (
     DataPoint,
     FieldType,
     metrics_schema,
+    nanos_spine_expr,
     validate_metrics_name,
 )
 from ..datetime_util import now_utc_nanos
@@ -56,6 +57,20 @@ class PersistCondition:
     since_nanos: int | None = None
     until_nanos: int | None = None  # exclusive
     remove_from_memory: bool = True
+
+
+def to_nano_spine(df: DataFrame, ts_col: str = TS_COLUMN) -> DataFrame:
+    """Canonicalize the ts column to the engine's spine type: LongType
+    epoch nanoseconds. External parquet commonly carries native
+    TIMESTAMP/TIMESTAMP_NTZ (µs) columns; the engine is nano-native
+    (reference timestamps are u64 nanos, tsdb/datapoint.rs), so the
+    ingest boundary converts losslessly from µs. Long inputs pass
+    through untouched. Naive (NTZ/date) inputs are UTC wall clock,
+    session-tz-independent (see datamodel.nanos_spine_expr)."""
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype in ("timestamp", "timestamp_ntz", "date"):
+        return df.withColumn(ts_col, nanos_spine_expr(F.col(ts_col), dtype))
+    return df
 
 
 def with_partition_column(df: DataFrame, ts_col: str = TS_COLUMN) -> DataFrame:
@@ -196,6 +211,7 @@ class WritableStore:
         (write.rs:185-202). A manifest failure after the block files
         landed is journaled (T6) so `.block_list`-vs-disk drift is
         operator-visible and repairable (`catalog/repair.py`)."""
+        df = to_nano_spine(df)
         stats = df.agg(
             F.min(TS_COLUMN).alias("mn"),
             F.max(TS_COLUMN).alias("mx"),

@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..datamodel import TS_COLUMN, FieldType, field_column_names, metrics_schema
+from ..datamodel import (
+    TS_COLUMN,
+    FieldType,
+    field_column_names,
+    metrics_schema,
+    nanos_spine_expr,
+)
 
 
 def _normalize(
@@ -27,16 +33,11 @@ def _normalize(
             f"{len(field_cols)} data columns for {len(field_types)} declared field types"
         )
     ts_dtype = dict(df.dtypes)[TS_COLUMN]
-    if ts_dtype in ("bigint", "int"):
-        ts = F.col(TS_COLUMN).cast("long")
+    if ts_dtype == "string":
+        # parse at µs precision; to_timestamp yields TimestampType
+        ts = nanos_spine_expr(F.to_timestamp(F.col(TS_COLUMN)), "timestamp")
     else:
-        # string/timestamp input: parse at µs precision
-        t = (
-            F.to_timestamp(F.col(TS_COLUMN))
-            if ts_dtype == "string"
-            else F.col(TS_COLUMN)
-        )
-        ts = F.unix_micros(t) * F.lit(1000)
+        ts = nanos_spine_expr(F.col(TS_COLUMN), ts_dtype)
     target = metrics_schema(field_types)
     names = field_column_names(len(field_types))
     cols = [ts.alias(TS_COLUMN)]

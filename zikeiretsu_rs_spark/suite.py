@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .datamodel import nanos_spine_expr
 from .datetime_util import NANOS_PER_SEC, now_utc_nanos
 from .operators import (
     aggregates,
@@ -72,9 +73,10 @@ def events_ts_long(
     spark: SparkSession, sf_dir: str, truncate: bool = True
 ) -> DataFrame:
     """`events` with the ts column as LongType epoch nanos — the
-    engine's canonical spine. Prefers the nanosAsLong read (exact); if
-    the ambient session read it as a timestamp, converts via
-    unix_micros (lossless here: the generator emits µs-aligned data).
+    engine's canonical spine. Prefers the nanosAsLong read (exact for
+    TIMESTAMP(NANOS) files); TIMESTAMP/TIMESTAMP_NTZ(µs) files convert
+    losslessly via `nanos_spine_expr` (naive-as-UTC, matching DuckDB
+    `epoch_ns`, independent of the ambient session timezone).
 
     `truncate=False` returns the raw nano spine (callers that filter
     on ts do so BEFORE truncating, so the predicate pushes down)."""
@@ -85,7 +87,7 @@ def events_ts_long(
     df = load(spark, sf_dir, "events")
     ts_type = dict(df.dtypes)["ts"]
     if ts_type != "bigint":
-        df = df.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000))
+        df = df.withColumn("ts", nanos_spine_expr(F.col("ts"), ts_type))
     elif truncate:
         # ORACLE COMPARABILITY: the generator emits true-nanosecond
         # timestamps, but DuckDB reads Parquet TIMESTAMP(NANOS) at
