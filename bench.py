@@ -67,6 +67,86 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+# -- skew stress section ----------------------------------------------------
+# Deliberately skewed inputs, measured before/after each mitigation
+# (SCALE.md cites these numbers). Reported under a separate "skew" key
+# so the headline total stays comparable across rounds.
+
+
+def _timed(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _skewed_docs(spark, sf_dir):
+    """50% of docs share one stop-phrase => two shingles with doc
+    frequency = half the corpus (the stop-shingle skew case the df-cap
+    guard exists for)."""
+    from pyspark.sql import functions as F
+
+    docs = suite.load(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit("zz0 zz1 zz2 zz3")),
+        ).otherwise(F.col("text")),
+    )
+
+
+def run_skew(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from zikeiretsu_rs_spark.operators import dedup, joins
+
+    out: dict[str, float] = {}
+
+    # hot-key join: 90% of fact rows on one key; force shuffle joins
+    # (at 100 TB the dim side exceeds broadcast) to expose the skew
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        fact = suite.events_ts_long(spark, sf_dir).select(
+            "event_id",
+            F.when(F.col("user_id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .alias("hot_id"),
+        )
+        dim = fact.groupBy("hot_id").agg(F.count("*").alias("dim_cnt"))
+        out["skew_join_plain"] = _timed(
+            fact.join(dim, "hot_id").select("event_id", "hot_id", "dim_cnt")
+        )
+        out["skew_join_salted"] = _timed(
+            joins.salted_join(fact, dim, ["hot_id"], n_salts=8).select(
+                "event_id", "hot_id", "dim_cnt"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+
+    # stop-shingle skew: unguarded shingle self-join explodes
+    # quadratically on the shared shingle; the df-cap guard drops it
+    docs = _skewed_docs(spark, sf_dir)
+    out["skew_shingle_unguarded"] = _timed(
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    )
+    out["skew_shingle_guarded"] = _timed(
+        dedup.ngram_jaccard_pairs(
+            docs,
+            "doc_id",
+            "text",
+            n=3,
+            threshold=0.5,
+            hash_shingles=True,
+            max_shingle_doc_freq=64,
+        )
+    )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -81,6 +161,8 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(run_query(spark, name, sf_dir), 3)
 
+    skew = run_skew(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -89,6 +171,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "skew": skew,
                 "sf": sf,
             }
         )

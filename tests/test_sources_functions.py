@@ -53,6 +53,41 @@ class TestSources:
         assert rows[1]["ts"] == base + 7  # nano-exact passthrough
         assert [r["f0"] for r in rows] == [1.5, 2.5]
 
+    def test_string_ts_session_tz_independent(self, spark, tmp_path):
+        """Offset-less strings are naive-as-UTC (like the NTZ/DATE
+        paths); offset-carrying strings are instants. Neither shifts
+        with spark.sql.session.timeZone."""
+        p = tmp_path / "tz.csv"
+        p.write_text(
+            "ts,v\n"
+            "2024-01-01 00:00:00,1.0\n"  # naive -> UTC wall clock
+            "2024-01-01T09:00:00+09:00,2.0\n"  # instant == same point
+            "2024-01-01T00:00:00Z,3.0\n"
+        )
+        base = nanos(2024, 1, 1)
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            for tz in ("UTC", "Asia/Tokyo"):
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                df = read_datapoints_csv(spark, str(p), [FieldType.FLOAT64])
+                assert [r["ts"] for r in df.collect()] == [base, base, base], tz
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
+    def test_int32_ts_widens_to_long_spine(self, spark, tmp_ctx):
+        """An IntegerType ts column must persist as int64 nanos, never
+        int32 parquet mixing with other blocks' int64."""
+        from pyspark.sql import types as T
+
+        from zikeiretsu_rs_spark.ingest.writable_store import to_nano_spine
+
+        df = spark.createDataFrame(
+            [(1,), (2,)], T.StructType([T.StructField("ts", T.IntegerType())])
+        )
+        out = to_nano_spine(df)
+        assert dict(out.dtypes)["ts"] == "bigint"
+        assert [r["ts"] for r in out.orderBy("ts").collect()] == [1, 2]
+
     def test_column_count_mismatch_raises(self, spark, tmp_path):
         p = tmp_path / "bad.csv"
         p.write_text("ts,a,b\n2024-01-01,1,2\n")

@@ -68,7 +68,9 @@ def to_nano_spine(df: DataFrame, ts_col: str = TS_COLUMN) -> DataFrame:
     through untouched. Naive (NTZ/date) inputs are UTC wall clock,
     session-tz-independent (see datamodel.nanos_spine_expr)."""
     dtype = dict(df.dtypes).get(ts_col)
-    if dtype in ("timestamp", "timestamp_ntz", "date"):
+    if dtype in ("timestamp", "timestamp_ntz", "date", "int", "bigint", "long"):
+        # int widths included so a 32-bit ts column persists as int64
+        # and never mixes parquet physical types across blocks
         return df.withColumn(ts_col, nanos_spine_expr(F.col(ts_col), dtype))
     return df
 

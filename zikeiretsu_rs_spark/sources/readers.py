@@ -34,8 +34,17 @@ def _normalize(
         )
     ts_dtype = dict(df.dtypes)[TS_COLUMN]
     if ts_dtype == "string":
-        # parse at µs precision; to_timestamp yields TimestampType
-        ts = nanos_spine_expr(F.to_timestamp(F.col(TS_COLUMN)), "timestamp")
+        # Offset-carrying strings are instants (tz-free via unix_micros);
+        # offset-LESS strings are naive wall clock and must parse via
+        # to_timestamp_ntz so they share the naive-as-UTC semantics of
+        # the NTZ/DATE paths regardless of spark.sql.session.timeZone
+        # (to_timestamp would interpret them in the ambient session tz).
+        has_offset = F.col(TS_COLUMN).rlike(r"(Z|z|[+-]\d{2}:?\d{2})$")
+        instant = nanos_spine_expr(F.to_timestamp(F.col(TS_COLUMN)), "timestamp")
+        naive = nanos_spine_expr(
+            F.to_timestamp_ntz(F.col(TS_COLUMN)), "timestamp_ntz"
+        )
+        ts = F.when(has_offset, instant).otherwise(naive)
     else:
         ts = nanos_spine_expr(F.col(TS_COLUMN), ts_dtype)
     target = metrics_schema(field_types)
