@@ -132,3 +132,118 @@ def test_rollup_dup_is_corpus_wide_not_per_source(spark):
         for r in curation.source_rollup(df, "doc_id", "text", "source").collect()
     }
     assert out["a"]["n_dup_docs"] == 1 and out["b"]["n_dup_docs"] == 1
+
+
+class TestDuplicatedSpans:
+    def test_planted_duplicate_spans(self, spark):
+        shared = "a b c d e"  # one shared 5-gram
+        docs = _docs(
+            spark,
+            [
+                (1, shared + " p q r s t"),   # 6 spans, 1 duplicated
+                (2, shared),                   # 1 span, duplicated
+                (3, "u v w x y z"),            # 2 spans, unique
+                (4, "too short"),              # < 5 words -> dropped
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in curation.duplicated_span_stats(
+                docs, "doc_id", "text", k=5, min_df=2
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (6, 1)
+        assert (out[2]["n_spans"], out[2]["n_dup_spans"]) == (1, 1)
+        assert out[2]["dup_frac"] == 1.0
+        assert (out[3]["n_spans"], out[3]["n_dup_spans"]) == (2, 0)
+
+    def test_hash_spans_value_equal(self, spark):
+        docs = _docs(
+            spark,
+            [(i, " ".join(f"w{(i + j) % 7}" for j in range(9))) for i in range(6)],
+        )
+        exact = curation.duplicated_span_stats(docs, "doc_id", "text", k=5)
+        hashed = curation.duplicated_span_stats(
+            docs, "doc_id", "text", k=5, hash_spans=True
+        )
+        assert sorted(map(tuple, exact.collect())) == sorted(
+            map(tuple, hashed.collect())
+        )
+
+
+class TestGopherRules:
+    def test_rule_boundaries(self, spark):
+        from zikeiretsu_rs_spark.operators import text as tx
+
+        good = "the cats sat of mats " * 12  # 60 tokens, mean len 3.2
+        short = "the of dog"  # too few tokens
+        no_stop = " ".join(f"w{i}" for i in range(60))  # no stop markers
+        docs = _docs(spark, [(1, good.strip()), (2, short), (3, no_stop)])
+        out = {
+            r["doc_id"]: r
+            for r in tx.gopher_rules(docs, "doc_id", "text").collect()
+        }
+        assert out[1]["passes"] is True
+        assert out[1]["n_tokens"] == 60 and out[1]["n_stop_markers"] == 2
+        assert out[1]["mean_word_len"] == pytest.approx(3.2)
+        assert out[2]["passes"] is False  # token count below minimum
+        assert out[3]["passes"] is False  # no stop markers
+        assert out[3]["alpha_frac"] == 1.0
+
+    def test_alpha_frac_rule(self, spark):
+        from zikeiretsu_rs_spark.operators import text as tx
+
+        digits = " ".join(str(i) for i in range(60)) + " the a of and is"
+        docs = _docs(spark, [(1, digits)])
+        row = tx.gopher_rules(docs, "doc_id", "text").collect()[0]
+        assert row["alpha_frac"] < 0.8 and row["passes"] is False
+
+
+class TestUrls:
+    CASES = [
+        ("HTTPS://www.EXAMPLE.com:443/a/b?utm_source=x&id=1#frag",
+         "https://www.example.com/a/b?id=1"),
+        ("http://Host.com:80/p/", "http://host.com/p"),
+        ("http://host.com/p/?utm_a=1", "http://host.com/p"),
+        ("http://host.com/p?id=2&utm_campaign=c", "http://host.com/p?id=2"),
+        ("http://host.com/p?utm_a=1&utm_b=2", "http://host.com/p"),
+        ("ftp://Files.example.org/x", "ftp://files.example.org/x"),
+        ("not a url", None),
+    ]
+
+    def test_canonical_forms(self, spark):
+        from zikeiretsu_rs_spark.operators import urls
+
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _) in enumerate(self.CASES)],
+            "doc_id bigint, url string",
+        )
+        got = {
+            r["url"]: r["canonical_url"]
+            for r in urls.normalize_urls(df, "url").collect()
+        }
+        for raw, want in self.CASES:
+            assert got[raw] == want, (raw, got[raw], want)
+
+    def test_url_dedup_groups_variants(self, spark):
+        from zikeiretsu_rs_spark.operators import urls
+
+        df = spark.createDataFrame(
+            [
+                (1, "http://h.com/p"),
+                (2, "HTTP://H.COM/p/"),
+                (3, "http://h.com/p?utm_source=x"),
+                (4, "http://h.com/q"),
+                (5, "garbage"),
+            ],
+            "doc_id bigint, url string",
+        )
+        out = {
+            r["canonical_url"]: r
+            for r in urls.url_dedup(df, "doc_id", "url").collect()
+        }
+        assert set(out) == {"http://h.com/p", "http://h.com/q"}
+        grp = out["http://h.com/p"]
+        assert grp["rep_id"] == 1 and grp["dup_count"] == 3
+        assert grp["n_raw_variants"] == 3

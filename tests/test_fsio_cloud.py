@@ -68,6 +68,66 @@ class TestManifestOnUri:
         assert Manifest.list_metrics(db_dir) == ["cpu"]
 
 
+class TestEmulatedObjectStore:
+    """The same metadata-IO paths against pyarrow's in-memory mock
+    filesystem registered under a non-file scheme — a true emulated
+    bucket (no local-path shortcuts, no os.* fallbacks), covering the
+    exists/PUT/list/delete calls an s3://(s3a)/gs:// deployment makes
+    (reference cloud metadata IO: cloudstorage/gcp.rs:33-75)."""
+
+    @pytest.fixture()
+    def bucket(self):
+        from pyarrow.fs import _MockFileSystem
+
+        fsio.register_scheme_filesystem("mock", _MockFileSystem())
+        yield "mock://bucket"
+        fsio.unregister_scheme_filesystem("mock")
+
+    def test_json_roundtrip_and_list(self, bucket):
+        doc = {"k": [1, 2, 3], "s": "x"}
+        uri = f"{bucket}/wh/meta/m.json"
+        assert not fsio.exists(uri)
+        fsio.write_json_atomic(uri, doc)
+        assert fsio.exists(uri)
+        assert fsio.read_json(uri) == doc
+        fsio.write_json_atomic(f"{bucket}/wh/meta/a.json", {})
+        assert fsio.list_json_names(f"{bucket}/wh/meta") == ["a", "m"]
+        assert fsio.list_json_names(f"{bucket}/wh/absent") == []
+        fsio.delete(uri)
+        assert not fsio.exists(uri)
+        assert fsio.list_json_names(f"{bucket}/wh/meta") == ["a"]
+
+    def test_manifest_on_bucket(self, bucket):
+        from zikeiretsu_rs_spark.catalog.manifest import BlockEntry
+
+        db_dir = f"{bucket}/wh/default"
+        m = Manifest(db_dir, "cpu")
+        assert not m.exists() and m.load() == []
+        m.add_entry(BlockEntry(0, 10, 5, 5, 99), updated_at_nanos=99)
+        assert m.exists() and len(m.load()) == 1
+        assert m.updated_at_nanos() == 99
+        assert Manifest.list_metrics(db_dir) == ["cpu"]
+
+    def test_lockfile_cloud_semantics(self, bucket):
+        from zikeiretsu_rs_spark.catalog import lockfile
+
+        db_dir = f"{bucket}/wh/default"
+        wid = lockfile.new_writer_id()
+        with lockfile.metrics_lock(db_dir, "cpu", wid) as path:
+            assert fsio.exists(path)
+            # a second writer fails fast while held
+            with pytest.raises(lockfile.AcquireLockError, match="held by writer"):
+                with lockfile.metrics_lock(db_dir, "cpu", lockfile.new_writer_id()):
+                    pass
+        assert not fsio.exists(lockfile.lockfile_path(db_dir, "cpu"))
+        # stale-lock cleanup: same-writer removes, different writer won't
+        lockfile._try_create(lockfile.lockfile_path(db_dir, "cpu"), wid)
+        lockfile.remove_lock_if_same_writer(db_dir, "cpu", "other-writer")
+        assert fsio.exists(lockfile.lockfile_path(db_dir, "cpu"))
+        lockfile.remove_lock_if_same_writer(db_dir, "cpu", wid)
+        assert not fsio.exists(lockfile.lockfile_path(db_dir, "cpu"))
+
+
 class TestEngineOnUriWarehouse:
     def test_ingest_query_roundtrip(self, spark, tmp_path):
         from zikeiretsu_rs_spark.engine import Engine

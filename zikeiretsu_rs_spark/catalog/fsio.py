@@ -34,7 +34,26 @@ def join(base: str, *parts: str) -> str:
     return os.path.join(base, *parts)
 
 
+# scheme -> pyarrow FileSystem instance. Extension point mirroring
+# Hadoop's fs.<scheme>.impl: deployments (and tests, via pyarrow's
+# in-memory mock object store) can route a URI scheme to any
+# pyarrow-compatible filesystem, e.g. a PyFileSystem wrapping an
+# fsspec handler, without touching the metadata-IO call sites.
+_SCHEME_FS: dict[str, object] = {}
+
+
+def register_scheme_filesystem(scheme: str, filesystem) -> None:
+    _SCHEME_FS[scheme] = filesystem
+
+
+def unregister_scheme_filesystem(scheme: str) -> None:
+    _SCHEME_FS.pop(scheme, None)
+
+
 def _fs(path: str):
+    scheme, _, rest = path.partition("://")
+    if scheme in _SCHEME_FS:
+        return _SCHEME_FS[scheme], rest
     from pyarrow import fs as pafs
 
     return pafs.FileSystem.from_uri(path)  # (filesystem, fs_path)

@@ -48,6 +48,7 @@ from .text import quality_score, words_col
 
 __all__ = [
     "eval_ngram_overlap",
+    "duplicated_span_stats",
     "repetition_stats",
     "pack_sequences",
     "source_rollup",
@@ -94,6 +95,62 @@ def eval_ngram_overlap(
     )
     return out.select(
         id_col, "n_grams", "n_overlap", "contamination", "is_contaminated"
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_df: int = 2,
+    hash_spans: bool = False,
+) -> DataFrame:
+    """Span-level duplication metric (the memorization signal behind
+    substring-level train-data dedup, cf. Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the fraction of its position-level word k-gram
+    spans whose k-gram occurs in at least ``min_df`` distinct
+    documents corpus-wide.
+
+    Scale shape: one explode to (doc, gram) positions, one
+    partial-aggregated groupBy for corpus-wide doc frequencies, one
+    shuffled equi-join of positions against the ≥min_df gram set
+    (linear — both sides keyed by the gram; ``hash_spans`` switches
+    the shuffle key to xxhash64 8-byte ints, same trade-off as
+    `dedup.ngram_jaccard_pairs(hash_shingles=True)`). No quadratic
+    stage: unlike the shingle self-join, a hot gram contributes
+    O(occurrences) rows, not O(occurrences²).
+
+    Output: id, n_spans, n_dup_spans, dup_frac — docs with >= k words
+    only.
+    """
+    grams = (
+        df.select(F.col(id_col), words_col(F.col(text_col)).alias("_ws"))
+        .where(F.size("_ws") >= k)
+        .select(F.col(id_col), F.explode(_gram_col(k)).alias("gram"))
+    )
+    if hash_spans:
+        grams = grams.select(F.col(id_col), F.xxhash64("gram").alias("gram"))
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("gram")
+    )
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    dups = (
+        grams.join(dup_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    return (
+        totals.join(dups, id_col, "left")
+        .withColumn("n_dup_spans", F.coalesce(F.col("n_dup_spans"), F.lit(0)))
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+        )
+        .select(id_col, "n_spans", "n_dup_spans", "dup_frac")
     )
 
 

@@ -103,6 +103,67 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).toDF(id_col, "pred_lang", *[f"score_{lang}" for lang in sorted(LANG_MARKERS)])
 
 
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.80,
+    min_stop_markers: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1,
+    adapted to a whitespace corpus): token-count bounds, mean-word-
+    length bounds, minimum fraction of words containing an alphabetic
+    character, and minimum distinct stop-word presence. Every ratio is
+    derived from exact integer counts (identical doubles in any
+    engine); the whole plan is built-in expressions inside whole-stage
+    codegen — `aggregate`/`filter` are Catalyst higher-order functions
+    over the in-row token array, NOT Python.
+
+    Output: id, n_tokens, mean_word_len, alpha_frac, n_stop_markers,
+    passes (conjunction of all rules).
+    """
+    ws = words_col(F.col(text_col))
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    sum_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    out = df.select(
+        F.col(id_col),
+        F.size(ws).alias("n_tokens"),
+        sum_chars.alias("_sum_chars"),
+        n_alpha.alias("_n_alpha"),
+        F.size(F.array_intersect(ws, stop)).alias("n_stop_markers"),
+    )
+    out = out.withColumn(
+        "mean_word_len",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("_sum_chars") / F.col("n_tokens"), 6),
+        ).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "alpha_frac",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("_n_alpha") / F.col("n_tokens"), 6),
+        ).otherwise(F.lit(0.0)),
+    )
+    passes = (
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("alpha_frac") >= F.lit(min_alpha_frac))
+        & (F.col("n_stop_markers") >= F.lit(min_stop_markers))
+    )
+    return out.withColumn("passes", passes).select(
+        id_col, "n_tokens", "mean_word_len", "alpha_frac",
+        "n_stop_markers", "passes",
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized lowercase text. (The rolling-hash variant for

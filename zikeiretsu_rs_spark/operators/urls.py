@@ -1,0 +1,112 @@
+"""URL canonicalization + dedup for web-crawl-style corpus curation.
+
+A crawl lake keys documents by URL; the same page arrives under
+scheme/case/port variants, tracking-parameter decorations, fragments,
+and trailing slashes. Canonicalizing before grouping is what makes
+URL-level dedup (and per-domain rollups) meaningful.
+
+Everything is regexp chains in the syntax subset shared by Java regex
+(Spark) and RE2 (DuckDB) — no lookarounds, no backrefs — so the DuckDB
+oracle applies the *identical* patterns (with its explicit 'g' flag
+where Java's `replaceAll` is implicitly global). No UDFs: the whole
+canonicalization stays inside whole-stage codegen, and the dedup is
+one groupBy on the canonical string (digest-size shuffle rows at
+scale if you pre-hash with xxhash64).
+
+Canonical form:
+- scheme and host lowercased (path/query case is significant, RFC 3986
+  §6.2.2.1 lowercases only scheme+host);
+- default ports :80/:443 stripped;
+- fragment stripped;
+- tracking parameters (utm_*, gclid, fbclid) stripped, with dangling
+  '?'/'&' separators cleaned up;
+- trailing slashes stripped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one URL split into (scheme)://(authority)(rest) — authority ends at
+# the first '/', '?' or '#'; rest keeps everything except the fragment
+URL_SPLIT_PATTERN = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)"
+TRACKING_PARAM_PATTERN = r"(utm_[a-z]+|gclid|fbclid)=[^&#]*&?"
+DEFAULT_PORT_PATTERN = r":(80|443)$"
+DANGLING_SEP_PATTERN = r"[?&]$"
+SLASH_BEFORE_QUERY_PATTERN = r"/+\?"
+TRAILING_SLASH_PATTERN = r"/+$"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL column (see module docstring). URLs not
+    matching scheme://authority return NULL (regexp_extract yields ''
+    for a failed match — mapped to NULL so malformed rows are
+    explicit, not silently grouped under an empty canonical).
+
+    Replace order is load-bearing: tracking-param strip can leave a
+    dangling '?'/'&', whose removal can expose a trailing slash —
+    strip tracking, then dangling separators, then empty path segments
+    before '?', then trailing slashes."""
+    scheme = F.regexp_extract(url, URL_SPLIT_PATTERN, 1)
+    host = F.regexp_extract(url, URL_SPLIT_PATTERN, 2)
+    rest = F.regexp_extract(url, URL_SPLIT_PATTERN, 3)
+    host = F.regexp_replace(F.lower(host), DEFAULT_PORT_PATTERN, "")
+    rest = F.regexp_replace(rest, TRACKING_PARAM_PATTERN, "")
+    rest = F.regexp_replace(rest, DANGLING_SEP_PATTERN, "")
+    rest = F.regexp_replace(rest, SLASH_BEFORE_QUERY_PATTERN, "?")
+    rest = F.regexp_replace(rest, TRAILING_SLASH_PATTERN, "")
+    out = F.concat(F.lower(scheme), F.lit("://"), host, rest)
+    return F.when(scheme != "", out)
+
+
+def synthesize_urls(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic raw-URL column derived from the id — the
+    fixture-side stand-in for a crawl lake's URL field (same pattern
+    as the multimodal synthesize_* helpers: the id arithmetic lets the
+    DuckDB oracle re-derive every byte). Variants cycle through scheme
+    case, host case, explicit default port, trailing slash, tracking
+    parameters, and fragments, so canonicalization has real work to
+    do; the small path keyspace (`id % 50`) forces genuine cross-doc
+    collisions, so groups collapse multiple raw spellings.
+
+    Output: id, url.
+    """
+    i = F.col(id_col)
+    k = (i % 50).cast("string")
+    scheme = F.when(i % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://"))
+    host = F.when(i % 2 == 0, F.lit("www.EXAMPLE.com")).otherwise(
+        F.lit("www.example.com")
+    )
+    port = F.when(i % 7 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/docs/"), k)
+    trail = F.when(i % 2 == 0, F.lit("/")).otherwise(F.lit(""))
+    query = (
+        F.when(i % 4 == 0, F.concat(F.lit("?utm_source=feed&id="), k))
+        .when(i % 4 == 1, F.concat(F.lit("?id="), k, F.lit("&utm_campaign=x")))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(i % 5 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    url = F.concat(scheme, host, port, path, trail, query, frag)
+    return df.select(F.col(id_col), url.alias("url"))
+
+
+def normalize_urls(df: DataFrame, url_col: str) -> DataFrame:
+    """Attach `canonical_url` alongside the raw column."""
+    return df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Group rows by canonical URL: representative = min id.
+
+    Output: canonical_url, rep_id, dup_count, n_raw_variants (distinct
+    raw spellings collapsed into the group). One shuffle keyed by the
+    canonical string; malformed URLs (NULL canonical) are excluded —
+    route them to a quarantine sink in a real pipeline.
+    """
+    canon = normalize_urls(df, url_col).where(F.col("canonical_url").isNotNull())
+    return canon.groupBy("canonical_url").agg(
+        F.min(id_col).alias("rep_id"),
+        F.count("*").alias("dup_count"),
+        F.count_distinct(F.col(url_col)).alias("n_raw_variants"),
+    )

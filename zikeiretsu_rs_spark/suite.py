@@ -40,6 +40,7 @@ from .operators import (
     sketches,
     text,
     timeseries,
+    urls,
     windows,
 )
 from .operators.limits import limit_distinct_ts
@@ -1391,6 +1392,31 @@ def q_multimodal_frames(spark, sf_dir):
     return multimodal.frame_sample(media, every_n=2)
 
 
+def q_text_gopher_rules(spark, sf_dir):
+    """Gopher-style quality rules (token bounds, mean word length,
+    alpha-word fraction, stop-word presence) as pure codegen
+    expressions; every ratio from exact integer counts."""
+    return text.gopher_rules(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_doc_dup_spans(spark, sf_dir):
+    """Span-level duplication fraction per document (Lee et al. 2022
+    substring-dedup signal): position-level 5-grams with corpus doc
+    frequency >= 2. Linear: explode + df aggregate + semi-join, no
+    quadratic stage."""
+    return curation.duplicated_span_stats(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=5, min_df=2
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + dedup: synthesized raw URLs (id
+    arithmetic, oracle-rederivable) through the shared-regex-subset
+    canonicalizer, grouped by canonical form."""
+    docs = load(spark, sf_dir, "documents")
+    return urls.url_dedup(urls.synthesize_urls(docs, "doc_id"), "doc_id", "url")
+
+
 def q_skew_salted_join(spark, sf_dir):
     """Skew-stress join, gated: 90% of fact rows collapse onto ONE hot
     join key (every user_id with last digit 0-8 maps to hot_id 0), then
@@ -1433,6 +1459,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_quantiles_check": q_sketch_quantiles_check,
     "dedup_clusters_scaled": q_dedup_clusters_scaled,
     "skew_salted_join": q_skew_salted_join,
+    "text_gopher_rules": q_text_gopher_rules,
+    "doc_dup_spans": q_doc_dup_spans,
+    "url_dedup": q_url_dedup,
     # scan path changed this round (native-ts pushdown)
     "ts_head_limit": q_ts_head_limit,
     "ts_range_scan": q_ts_range_scan,
@@ -1480,11 +1509,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall_check": q_ann_ivf_recall_check,
     "embedding_neardup_lsh_check": q_embedding_neardup_lsh_check,
     "sketch_distinct_check": q_sketch_distinct_check,
+    # -- tail: hash-verified green in CORRECTNESS_r02; re-verified each
+    # round by the local gate ------------------------------------------
     "sketch_hll_rollup_check": q_sketch_hll_rollup_check,
     "stratified_sample": q_stratified_sample,
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
-    # -- tail: hash-verified green in CORRECTNESS_r02; re-verified each
-    # round by the local gate ------------------------------------------
     "tpch_q3": q_tpch_q3,
     "moving_avg_1h": q_moving_avg_1h,
     "rate_per_user": q_rate_per_user,
@@ -1931,6 +1960,79 @@ FROM closure GROUP BY u
     # this corpus, proven by dedup_minhash_verified) so it shares the
     # exact-graph transitive-closure oracle
     sqls["dedup_clusters_scaled"] = sqls["dedup_clusters"]
+    sqls["text_gopher_rules"] = r"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+s AS (SELECT doc_id,
+             len(ws) AS n_tokens,
+             list_sum(list_transform(ws, w -> length(w))) AS sum_chars,
+             len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+             len(list_intersect(ws, ['the','a','of','and','is'])) AS n_stop_markers
+      FROM w),
+r AS (SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens > 0
+                  THEN round(sum_chars::DOUBLE / n_tokens, 6) ELSE 0.0 END
+               AS mean_word_len,
+             CASE WHEN n_tokens > 0
+                  THEN round(n_alpha::DOUBLE / n_tokens, 6) ELSE 0.0 END
+               AS alpha_frac,
+             n_stop_markers
+      FROM s)
+SELECT doc_id, n_tokens, mean_word_len, alpha_frac, n_stop_markers,
+       (n_tokens BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND alpha_frac >= 0.80
+        AND n_stop_markers >= 2) AS passes
+FROM r
+"""
+    sqls["doc_dup_spans"] = r"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                   || ' ' || ws[i+4] AS gram
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t
+      WHERE len(ws) >= 5),
+dupg AS (SELECT gram FROM (
+           SELECT gram, count(DISTINCT doc_id) AS dfc FROM g GROUP BY 1)
+         WHERE dfc >= 2),
+tot AS (SELECT doc_id, count(*) AS n_spans FROM g GROUP BY 1),
+dup AS (SELECT doc_id, count(*) AS n_dup_spans
+        FROM g JOIN dupg USING (gram) GROUP BY doc_id)
+SELECT tot.doc_id, n_spans,
+       coalesce(n_dup_spans, 0) AS n_dup_spans,
+       round(coalesce(n_dup_spans, 0)::DOUBLE / n_spans, 6) AS dup_frac
+FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
+"""
+    sqls["url_dedup"] = r"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'http://' END) ||
+    (CASE WHEN doc_id % 2 = 0 THEN 'www.EXAMPLE.com' ELSE 'www.example.com' END) ||
+    (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+    '/docs/' || (doc_id % 50)::VARCHAR ||
+    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' || (doc_id % 50)::VARCHAR
+          WHEN doc_id % 4 = 1 THEN '?id=' || (doc_id % 50)::VARCHAR || '&utm_campaign=x'
+          ELSE '' END) ||
+    (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents),
+c AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)', 1))
+    || '://' ||
+    regexp_replace(
+      lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)', 2)),
+      ':(80|443)$', '') ||
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)', 3),
+      '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+      '[?&]$', ''), '/+\?', '?'), '/+$', '') AS canonical_url
+  FROM u)
+SELECT canonical_url, min(doc_id) AS rep_id, count(*) AS dup_count,
+       count(DISTINCT url) AS n_raw_variants
+FROM c GROUP BY 1
+"""
     # salting is result-transparent: the oracle is the plain join
     sqls["skew_salted_join"] = """
 WITH f AS (SELECT event_id,
