@@ -100,6 +100,87 @@ class TestSimilarity:
         assert [r["neighbor_id"] for r in out][:2] == [1, 2]
 
 
+class TestSemanticDedup:
+    def test_in_cell_pruning_keeps_min_id(self, spark):
+        # cells seeded from ids 0/1; 2 and 3 are near-dups of 0's cell,
+        # 4 lands in 1's cell alone
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0, 0.0]),   # dup of 0
+            (3, [0.98, 0.02, 0.0, 0.0]),   # dup of 0 (and of 2)
+            (4, [0.4, 0.6, 0.0, 0.0]),     # cell 1, cos(1,4)=0.83 < 0.95
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+        out = {
+            r["vec_id"]: r
+            for r in similarity.semantic_dedup(
+                emb, threshold=0.95, n_cells=2
+            ).collect()
+        }
+        assert out[0]["is_kept"] and out[1]["is_kept"] and out[4]["is_kept"]
+        assert not out[2]["is_kept"] and out[2]["dup_of"] == 0
+        assert not out[3]["is_kept"] and out[3]["dup_of"] == 0
+
+    def test_cross_cell_dups_not_pruned(self, spark):
+        # near-identical vectors forced into DIFFERENT cells survive:
+        # pruning is within-cell only (the documented approximation)
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.96, 0.28]),   # centroid of cell 1, cos(0,1) ~ 0.96
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+        out = similarity.semantic_dedup(emb, threshold=0.9, n_cells=2).collect()
+        assert all(r["is_kept"] for r in out)
+
+
+class TestBM25:
+    def test_rare_term_outranks_common(self, spark):
+        from zikeiretsu_rs_spark.operators import search
+
+        docs = spark.createDataFrame(
+            [
+                (1, "rare word here"),
+                (2, "common common common filler"),
+                (3, "common filler text"),
+                (4, "other stuff entirely"),
+            ],
+            "doc_id bigint, text string",
+        )
+        probes = spark.createDataFrame(
+            [(100, "rare common")], "query_id bigint, query_text string"
+        )
+        out = search.bm25_topk(docs, probes, "doc_id", "text", k=4).collect()
+        ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        # doc 1 holds the rarest term -> highest idf -> rank 1
+        assert ranked[0] == 1
+        # docs 2 and 3 match only 'common'; doc 4 matches nothing
+        assert set(ranked) == {1, 2, 3}
+        assert all(r["score"] > 0 for r in out)
+
+    def test_rank_is_total_order(self, spark):
+        from zikeiretsu_rs_spark.operators import search
+
+        # two identical docs tie on score -> lower id wins
+        docs = spark.createDataFrame(
+            [(7, "tie breaker words"), (5, "tie breaker words")],
+            "doc_id bigint, text string",
+        )
+        probes = spark.createDataFrame(
+            [(0, "tie")], "query_id bigint, query_text string"
+        )
+        out = sorted(
+            search.bm25_topk(docs, probes, "doc_id", "text", k=2).collect(),
+            key=lambda r: r["rank"],
+        )
+        assert [r["doc_id"] for r in out] == [5, 7]
+        assert out[0]["score"] == out[1]["score"]
+
+
 class TestText:
     def test_token_stats(self, docs):
         out = {r["doc_id"]: r for r in text.token_stats(docs, "doc_id", "text").collect()}

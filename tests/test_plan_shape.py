@@ -121,6 +121,10 @@ class TestNoCartesian:
                 "__ts_threshold" in plan
                 or "share" in name
                 or name.endswith("_check")
+                # bm25's corpus stats (N, avgdl) are a 1-row aggregate
+                # broadcast into the scoring join — same sanctioned
+                # scalar-broadcast shape as the ts-limit threshold
+                or name == "text_bm25"
             ), f"{name}: unexpected nested-loop join\n{plan}"
 
 

@@ -1,0 +1,112 @@
+"""Full-text relevance scoring (BM25) over the document lake.
+
+A corpus-analysis staple for training-data work: given a set of probe
+queries, rank documents by Okapi BM25 — used for eval-leakage hunting
+("which training docs score suspiciously high against this benchmark
+question"), targeted subset mining, and sanity-checking dedup output.
+
+Scale shape (classic distributed inverted-index computation, all
+built-in expressions):
+
+- term frequencies: one explode + map-side-combined groupBy on
+  (doc, term) — linear in corpus tokens;
+- document frequencies: groupBy on term over the already-reduced tf
+  table;
+- corpus stats (N, avgdl): a 1-row aggregate broadcast into the plan;
+- the query side is tiny and broadcast; the score join touches only
+  postings of query terms (the inverted-index prune — cost scales
+  with matched postings, not the corpus);
+- top-k per query: keyed window over the reduced (query, doc) rows.
+
+Engine-exact determinism: each per-term score is a deterministic
+scalar expression (identical IEEE doubles in any engine); summing
+them in float would be partition-order-dependent, so term scores are
+rounded to 9 decimals and accumulated in DECIMAL(28,9) — exact,
+order-independent, reproducible bit-for-bit (the repo-wide decimal
+rule for float aggregates). Ranking breaks ties by doc id (total
+order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import words_col
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k documents per query.
+
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5))  (the non-negative
+    Robertson-Sparck-Jones variant); score(q, d) = sum over distinct
+    query terms of idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Output: query_id, doc_id, score (round 6), rank (1..k, ties by
+    doc id).
+    """
+    ws = words_col(F.col(text_col))
+    toks = docs.select(F.col(id_col), F.explode(ws).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = docs.select(F.col(id_col), F.size(ws).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfc"))
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(words_col(F.col(query_text_col)))
+        ).alias("term"),
+    )
+    joined = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfc") + F.lit(0.5))
+        / (F.col("dfc") + F.lit(0.5))
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        joined.withColumn(
+            "_ts", F.round(term_score, 9).cast("decimal(28,9)")
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_ts").alias("_s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(F.col("_s").cast("double"), 6).alias("score"),
+            "rank",
+        )
+    )

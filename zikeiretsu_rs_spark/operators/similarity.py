@@ -395,6 +395,95 @@ def ivf_topk(
     )
 
 
+def head_centroids(
+    corpus: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """First-n-ids centroid seeding: the vectors with id < n_cells.
+    Fully deterministic AND re-derivable by an external oracle (unlike
+    the hash-sampled variant) — the offline stand-in where
+    `kmeans_centroids` is the quality path. Bounded driver collect
+    (n_cells rows)."""
+    rows = (
+        with_double_vec(corpus, vec_col)
+        .where(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("_i"), "_vec")
+        .orderBy("_i")
+        .collect()
+    )
+    return [[float(x) for x in r["_vec"]] for r in rows]
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.40,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    assign every embedding to its nearest coarse centroid by cosine,
+    then within each cell drop any vector that has a LOWER-id
+    neighbor at cosine >= threshold (deterministic ε-ball pruning —
+    min-id representative instead of SemDeDup's distance-to-centroid
+    rule, so the output is engine-exact and retry-stable).
+
+    Scale shape: the pair join is quadratic only WITHIN a cell —
+    n_cells bounds the largest self-join side at |corpus|/n_cells per
+    cell on balanced data (the same cost envelope as IVF probing;
+    centroid quality controls balance, and `kmeans_centroids` is the
+    drop-in upgrade). Assignment is a map-side broadcast of n_cells
+    literal centroids; the join shuffles each side once, keyed by
+    cell.
+
+    Output: one row per corpus vector — id, dup_of (the smallest
+    same-cell id within threshold, NULL if none), is_kept.
+    """
+    v = with_double_vec(corpus, vec_col).select(F.col(id_col), "_vec")
+    if centroids is None:
+        centroids = head_centroids(corpus, n_cells, id_col, vec_col)
+    scores = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(F.col("_vec"), F.array(*[F.lit(x) for x in c]))
+                    / (
+                        _norm(F.col("_vec"))
+                        * _norm(F.array(*[F.lit(x) for x in c]))
+                    )
+                ).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    asn = v.withColumn("cell", F.array_max(scores)["cell"])
+    a = asn.select(
+        F.col("cell"), F.col(id_col).alias("id_a"), F.col("_vec").alias("_va")
+    )
+    b = asn.select(
+        F.col("cell"), F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            _dot(F.col("_va"), F.col("_vb"))
+            / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+            >= F.lit(threshold)
+        )
+    )
+    dup = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return (
+        v.join(dup, v[id_col] == dup["id_b"], "left")
+        .select(
+            F.col(id_col),
+            F.col("dup_of"),
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
+    )
+
+
 def lsh_pairs_above(
     df: DataFrame,
     threshold: float,

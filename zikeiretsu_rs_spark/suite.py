@@ -40,6 +40,7 @@ from .operators import (
     sketches,
     text,
     timeseries,
+    search,
     urls,
     windows,
 )
@@ -1417,6 +1418,26 @@ def q_url_dedup(spark, sf_dir):
     return urls.url_dedup(urls.synthesize_urls(docs, "doc_id"), "doc_id", "url")
 
 
+def q_text_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 per probe query (probes = the first 5 docs'
+    texts): distributed inverted-index scoring with decimal-exact
+    order-independent score accumulation."""
+    docs = load(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return search.bm25_topk(docs, probes, "doc_id", "text", k=10)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embeddings table:
+    first-8-ids centroids (oracle-rederivable seeding), cosine
+    assignment, within-cell lower-id ε-ball pruning at 0.40."""
+    return similarity.semantic_dedup(
+        load(spark, sf_dir, "embeddings"), threshold=0.40, n_cells=8
+    )
+
+
 def q_skew_salted_join(spark, sf_dir):
     """Skew-stress join, gated: 90% of fact rows collapse onto ONE hot
     join key (every user_id with last digit 0-8 maps to hot_id 0), then
@@ -1462,6 +1483,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_gopher_rules": q_text_gopher_rules,
     "doc_dup_spans": q_doc_dup_spans,
     "url_dedup": q_url_dedup,
+    "semantic_dedup": q_semantic_dedup,
+    "text_bm25": q_text_bm25,
     # scan path changed this round (native-ts pushdown)
     "ts_head_limit": q_ts_head_limit,
     "ts_range_scan": q_ts_range_scan,
@@ -1507,10 +1530,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_verified": q_dedup_minhash_verified,
     "ann_lsh_recall_check": q_ann_lsh_recall_check,
     "ann_ivf_recall_check": q_ann_ivf_recall_check,
-    "embedding_neardup_lsh_check": q_embedding_neardup_lsh_check,
-    "sketch_distinct_check": q_sketch_distinct_check,
     # -- tail: hash-verified green in CORRECTNESS_r02; re-verified each
     # round by the local gate ------------------------------------------
+    "embedding_neardup_lsh_check": q_embedding_neardup_lsh_check,
+    "sketch_distinct_check": q_sketch_distinct_check,
     "sketch_hll_rollup_check": q_sketch_hll_rollup_check,
     "stratified_sample": q_stratified_sample,
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
@@ -1960,6 +1983,52 @@ FROM closure GROUP BY u
     # this corpus, proven by dedup_minhash_verified) so it shares the
     # exact-graph transitive-closure oracle
     sqls["dedup_clusters_scaled"] = sqls["dedup_clusters"]
+    sqls["text_bm25"] = r"""
+WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+q AS (SELECT doc_id AS query_id, unnest(list_distinct(ws)) AS term
+      FROM d WHERE doc_id < 5),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(CAST(round(
+           ln(1 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
+           (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
+           AS DECIMAL(28,9))) AS s
+  FROM q JOIN tf USING (term) JOIN dfq USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, round(s::DOUBLE, 6) AS score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY s DESC, doc_id ASC) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+    sqls["semantic_dedup"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < 8),
+asn AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT v.vec_id, v.e, cent.cell,
+           list_dot_product(v.e, cent.ce) /
+             (sqrt(list_dot_product(v.e, v.e)) *
+              sqrt(list_dot_product(cent.ce, cent.ce))) AS cos
+    FROM v, cent)
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cos DESC, cell DESC) = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) *
+           sqrt(list_dot_product(b.e, b.e))) >= 0.40),
+dup AS (SELECT id_b, min(id_a) AS dup_of FROM pairs GROUP BY 1)
+SELECT v.vec_id, dup.dup_of, (dup.dup_of IS NULL) AS is_kept
+FROM v LEFT JOIN dup ON dup.id_b = v.vec_id
+"""
     sqls["text_gopher_rules"] = r"""
 WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
            FROM documents),
