@@ -58,6 +58,12 @@ def bm25_topk(
     ws = words_col(F.col(text_col))
     toks = docs.select(F.col(id_col), F.explode(ws).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # dl and the corpus stats use size(ws) — a column scan with no
+    # explode, far cheaper than deriving lengths from the posting
+    # table. The tf lineage still appears in two branches (postings +
+    # df) — at lake scale you materialize the posting table once
+    # (write tf to the lake) and both branches read the reduced table
+    # instead of re-exploding the corpus.
     dl = docs.select(F.col(id_col), F.size(ws).alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
