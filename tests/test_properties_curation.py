@@ -110,3 +110,75 @@ class TestRepetitionProperties:
             assert 0.0 <= r["dup_5gram_frac"] < 1.0
             assert 0.0 < r["top_2gram_frac"] <= 1.0
             assert r["total_5grams"] == r["n_tokens"] - 4
+
+
+# -- URL canonicalization properties ----------------------------------------
+
+_scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"])
+_host = st.builds(
+    lambda parts, port: ".".join(parts) + port,
+    st.lists(
+        st.sampled_from(["Example", "www", "CDN", "files", "org"]),
+        min_size=1,
+        max_size=3,
+    ),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+)
+_path = st.lists(
+    st.sampled_from(["a", "B", "docs", "7", ""]), min_size=0, max_size=3
+).map(lambda segs: "".join(f"/{s}" for s in segs))
+_query = st.lists(
+    st.sampled_from(
+        ["id=1", "utm_source=x", "utm_campaign=y", "q=Z", "gclid=g1", "fbclid=f"]
+    ),
+    min_size=0,
+    max_size=4,
+).map(lambda ps: "?" + "&".join(ps) if ps else "")
+_frag = st.sampled_from(["", "#sec", "#Top"])
+
+url_strategy = st.builds(
+    lambda s, h, p, q, f: f"{s}://{h}{p}{q}{f}", _scheme, _host, _path, _query, _frag
+)
+
+
+class TestUrlCanonicalProperties:
+    @settings(max_examples=8, deadline=None)
+    @given(urls_batch=st.lists(url_strategy, min_size=1, max_size=24))
+    def test_canonicalization_is_idempotent(self, spark, urls_batch):
+        """canonical(canonical(u)) == canonical(u): re-cleaning an
+        already-clean URL must be a no-op, otherwise incremental
+        pipelines that re-ingest their own output drift."""
+        from pyspark.sql import functions as F
+
+        from zikeiretsu_rs_spark.operators.urls import canonical_url
+
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls_batch)], "i bigint, url string"
+        )
+        out = df.select(
+            canonical_url(F.col("url")).alias("c1"),
+            canonical_url(canonical_url(F.col("url"))).alias("c2"),
+        ).collect()
+        for r in out:
+            assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+
+    @settings(max_examples=8, deadline=None)
+    @given(urls_batch=st.lists(url_strategy, min_size=1, max_size=24))
+    def test_canonical_never_carries_noise(self, spark, urls_batch):
+        """No canonical form retains fragments, tracking params,
+        default ports, or a trailing slash."""
+        from pyspark.sql import functions as F
+
+        from zikeiretsu_rs_spark.operators.urls import canonical_url
+
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls_batch)], "i bigint, url string"
+        )
+        for r in df.select(canonical_url(F.col("url")).alias("c")).collect():
+            c = r["c"]
+            assert c is not None
+            assert "#" not in c and "utm_" not in c
+            assert "gclid" not in c and "fbclid" not in c
+            assert ":80/" not in c and not c.endswith(":80")
+            assert ":443/" not in c and not c.endswith(":443")
+            assert not c.endswith("/") or c.endswith("://")
