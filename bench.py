@@ -109,26 +109,28 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
 
     out: dict[str, float] = {}
 
-    # hot-key join: 90% of fact rows on one key; force shuffle joins
-    # (at 100 TB the dim side exceeds broadcast) to expose the skew
+    # hot-key join: 90% of a 16x-multiplied fact (1.6M rows at sf0.1)
+    # lands on ONE key; force shuffle joins (at 100 TB the dim side
+    # exceeds broadcast) so the skew actually bites
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
-        fact = suite.events_ts_long(spark, sf_dir).select(
-            "event_id",
+        base = suite.events_ts_long(spark, sf_dir).select("event_id", "user_id")
+        fact = base.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(15)))
+        ).select(
+            (F.col("event_id") * 16 + F.col("_r")).alias("event_id"),
             F.when(F.col("user_id") % 10 < 9, F.lit(0))
             .otherwise(F.col("user_id"))
             .alias("hot_id"),
+            (F.xxhash64("event_id", "_r") % 1000).alias("payload"),
         )
         dim = fact.groupBy("hot_id").agg(F.count("*").alias("dim_cnt"))
-        out["skew_join_plain"] = _timed(
-            fact.join(dim, "hot_id").select("event_id", "hot_id", "dim_cnt")
-        )
+        cols = ["event_id", "hot_id", "dim_cnt", "payload"]
+        out["skew_join_plain"] = _timed(fact.join(dim, "hot_id").select(*cols))
         out["skew_join_salted"] = _timed(
-            joins.salted_join(fact, dim, ["hot_id"], n_salts=8).select(
-                "event_id", "hot_id", "dim_cnt"
-            )
+            joins.salted_join(fact, dim, ["hot_id"], n_salts=32).select(*cols)
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

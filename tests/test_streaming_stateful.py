@@ -150,3 +150,72 @@ def test_streaming_dedup_first_seen_with_ttl(spark, tmp_path):
         (300, base + 500 * NANOS_PER_SEC),
         (400, base + 550 * NANOS_PER_SEC),
     ]
+
+
+def test_streaming_url_dedup_composition(spark, tmp_path):
+    """Composability proof: streaming URL-level dedup = canonical_url
+    -> xxhash64 fingerprint -> TTL first-seen state machine. Variants
+    of the same page (tracking params, case, trailing slash) arriving
+    in LATER micro-batches are suppressed; genuinely new URLs emit."""
+    import glob as g
+    import os as o
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from zikeiretsu_rs_spark.operators.urls import canonical_url
+    from zikeiretsu_rs_spark.streaming.stateful import stateful_dedup_first_seen
+
+    base = nanos(2024, 6, 1)
+    url_schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType()),
+            T.StructField("url", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "usrc")
+    o.makedirs(src)
+
+    def write(name, rows):
+        stage = str(tmp_path / f"ustage_{name}")
+        spark.createDataFrame(rows, url_schema).coalesce(1).write.parquet(stage)
+        sh.copy(g.glob(f"{stage}/part-*.parquet")[0], f"{src}/{name}.parquet")
+
+    write("b1", [(base, "http://h.com/page"), (base + 1, "http://h.com/other")])
+    # batch 2: the SAME page under tracking/case/slash variants + one new
+    write(
+        "b2",
+        [
+            (base + 2 * NANOS_PER_SEC, "HTTP://H.COM/page/"),
+            (base + 3 * NANOS_PER_SEC, "http://h.com/page?utm_source=x"),
+            (base + 4 * NANOS_PER_SEC, "http://h.com/fresh"),
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema(url_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            "ts", F.xxhash64(canonical_url(F.col("url"))).alias("fingerprint")
+        )
+    )
+    out = stateful_dedup_first_seen(stream, ttl_nanos=3600 * NANOS_PER_SEC)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("url_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "uckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("select * from url_dedup_out").collect()
+    # exactly 3 first-seen emissions: page, other, fresh — the two
+    # batch-2 variants of /page are suppressed by cross-batch state
+    assert len(rows) == 3
+    emitted_ts = sorted(r["ts"] for r in rows)
+    assert emitted_ts == [base, base + 1, base + 4 * NANOS_PER_SEC]
