@@ -98,13 +98,19 @@ def ngram_jaccard_pairs(
         "_sz", F.count("*").over(Window.partitionBy(id_col))
     )
     if max_shingle_doc_freq is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
+        # doc-frequency cap as a shingle-keyed WINDOW on the same
+        # lineage, not a separate aggregate joined back (which would
+        # re-scan and re-explode the corpus for the rare-shingle set).
+        # Sizes are computed BEFORE this filter, so denominators keep
+        # full set sizes. Bonus: the window leaves the data partitioned
+        # by the shingle key — exactly what the self-join below needs.
+        sized = (
+            sized.withColumn(
+                "_df", F.count("*").over(Window.partitionBy("shingle"))
+            )
             .where(F.col("_df") <= max_shingle_doc_freq)
-            .select("shingle")
+            .drop("_df")
         )
-        sized = sized.join(rare, "shingle")
     a = sized.select(
         F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a"), "shingle"
     )
