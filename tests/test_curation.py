@@ -247,3 +247,59 @@ class TestUrls:
         grp = out["http://h.com/p"]
         assert grp["rep_id"] == 1 and grp["dup_count"] == 3
         assert grp["n_raw_variants"] == 3
+
+
+class TestChunking:
+    def test_windows_cover_with_overlap(self, spark):
+        words = " ".join(f"w{i}" for i in range(80))
+        docs = _docs(spark, [(1, words), (2, "a b"), (3, "")])
+        out = sorted(
+            curation.chunk_documents(
+                docs, "doc_id", "text", chunk_tokens=32, stride=24
+            ).collect(),
+            key=lambda r: (r["doc_id"], r["chunk_idx"]),
+        )
+        d1 = [r for r in out if r["doc_id"] == 1]
+        # starts 0, 24, 48, 72 -> 4 chunks; last is the 8-token tail
+        assert [r["start_token"] for r in d1] == [0, 24, 48, 72]
+        assert [r["n_chunk_tokens"] for r in d1] == [32, 32, 32, 8]
+        assert d1[0]["chunk_text"].split()[:2] == ["w0", "w1"]
+        assert d1[1]["chunk_text"].split()[0] == "w24"  # overlap start
+        assert d1[3]["chunk_text"].split()[-1] == "w79"
+        # tiny doc -> one short chunk; empty doc -> no chunks
+        d2 = [r for r in out if r["doc_id"] == 2]
+        assert len(d2) == 1 and d2[0]["n_chunk_tokens"] == 2
+        assert not [r for r in out if r["doc_id"] == 3]
+
+    def test_every_token_in_some_chunk(self, spark):
+        words = " ".join(f"t{i}" for i in range(50))
+        docs = _docs(spark, [(1, words)])
+        out = curation.chunk_documents(
+            docs, "doc_id", "text", chunk_tokens=16, stride=10
+        ).collect()
+        covered = set()
+        for r in out:
+            covered.update(
+                range(r["start_token"], r["start_token"] + r["n_chunk_tokens"])
+            )
+        assert covered == set(range(50))
+
+
+class TestVocab:
+    def test_top_terms_by_doc_freq(self, spark):
+        from zikeiretsu_rs_spark.operators import text as tx
+
+        docs = _docs(
+            spark,
+            [
+                (1, "apple banana"),
+                (2, "apple cherry"),
+                (3, "apple banana banana"),  # dup words count once per doc
+            ],
+        )
+        out = tx.vocab_top_df(docs, "doc_id", "text", k=2).collect()
+        ranked = sorted(out, key=lambda r: r["rank"])
+        assert [(r["term"], r["doc_freq"]) for r in ranked] == [
+            ("apple", 3),
+            ("banana", 2),
+        ]

@@ -49,6 +49,7 @@ from .text import quality_score, words_col
 __all__ = [
     "eval_ngram_overlap",
     "duplicated_span_stats",
+    "chunk_documents",
     "repetition_stats",
     "pack_sequences",
     "source_rollup",
@@ -152,6 +153,42 @@ def duplicated_span_stats(
     return out.withColumn(
         "dup_frac", F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
     ).select(id_col, "n_spans", "n_dup_spans", "dup_frac")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window document chunking — the training-prep step that
+    turns long documents into fixed-budget, optionally-overlapping
+    token windows (stride < chunk_tokens gives the classic overlap
+    that preserves cross-boundary context). Pure map-side explode of
+    per-row start offsets: no shuffle at all, embarrassingly parallel,
+    output order deterministic via (id, chunk_idx).
+
+    Output: id, chunk_idx, start_token, n_chunk_tokens, chunk_text.
+    Documents with zero tokens produce no chunks.
+    """
+    ws = words_col(F.col(text_col))
+    starts = F.expr(
+        f"sequence(0, size({'_ws'}) - 1, {stride})"
+    )
+    base = (
+        df.select(F.col(id_col), ws.alias("_ws"))
+        .where(F.size("_ws") > 0)
+        .select(F.col(id_col), "_ws", F.explode(starts).alias("start_token"))
+    )
+    chunk = F.slice(F.col("_ws"), F.col("start_token") + 1, chunk_tokens)
+    return base.select(
+        F.col(id_col),
+        (F.col("start_token") / stride).cast("long").alias("chunk_idx"),
+        "start_token",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
 
 
 def _gram_col(n: int) -> Column:

@@ -164,6 +164,33 @@ def gopher_rules(
     )
 
 
+def vocab_top_df(
+    df: DataFrame, id_col: str, text_col: str, k: int = 25
+) -> DataFrame:
+    """Corpus vocabulary analysis: the k terms with the highest
+    document frequency. One distinct-terms explode, one
+    map-side-combined groupBy on the term, then a global rank over the
+    REDUCED vocabulary rows (|vocab|, not |tokens| — the same
+    sanctioned already-reduced global ordering as grouped top-k; at
+    scale Catalyst executes orderBy+limit as TakeOrderedAndProject).
+
+    Output: term, doc_freq, rank (ties by term, total order).
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(words_col(F.col(text_col)))).alias("term"),
+    )
+    dfreq = terms.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+    return (
+        dfreq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("term", "doc_freq", "rank")
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized lowercase text. (The rolling-hash variant for

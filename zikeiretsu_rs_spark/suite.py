@@ -1418,6 +1418,20 @@ def q_url_dedup(spark, sf_dir):
     return urls.url_dedup(urls.synthesize_urls(docs, "doc_id"), "doc_id", "url")
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking (32-token windows, stride 24): the
+    map-only training-prep explode; no shuffle anywhere."""
+    return curation.chunk_documents(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=32, stride=24,
+    )
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Top-25 vocabulary terms by document frequency."""
+    return text.vocab_top_df(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_text_bm25(spark, sf_dir):
     """Okapi BM25 top-10 per probe query (probes = the first 5 docs'
     texts): distributed inverted-index scoring with decimal-exact
@@ -1485,6 +1499,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dedup": q_url_dedup,
     "semantic_dedup": q_semantic_dedup,
     "text_bm25": q_text_bm25,
+    "doc_chunks": q_doc_chunks,
+    "vocab_topk": q_vocab_topk,
     # scan path changed this round (native-ts pushdown)
     "ts_head_limit": q_ts_head_limit,
     "ts_range_scan": q_ts_range_scan,
@@ -1528,10 +1544,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gapfill_user_6h": q_gapfill_user_6h,
     "dedup_ngram_jaccard_scaled": q_dedup_ngram_jaccard_scaled,
     "dedup_minhash_verified": q_dedup_minhash_verified,
-    "ann_lsh_recall_check": q_ann_lsh_recall_check,
-    "ann_ivf_recall_check": q_ann_ivf_recall_check,
     # -- tail: hash-verified green in CORRECTNESS_r02; re-verified each
     # round by the local gate ------------------------------------------
+    "ann_lsh_recall_check": q_ann_lsh_recall_check,
+    "ann_ivf_recall_check": q_ann_ivf_recall_check,
     "embedding_neardup_lsh_check": q_embedding_neardup_lsh_check,
     "sketch_distinct_check": q_sketch_distinct_check,
     "sketch_hll_rollup_check": q_sketch_hll_rollup_check,
@@ -1983,6 +1999,27 @@ FROM closure GROUP BY u
     # this corpus, proven by dedup_minhash_verified) so it shares the
     # exact-graph transitive-closure oracle
     sqls["dedup_clusters_scaled"] = sqls["dedup_clusters"]
+    sqls["doc_chunks"] = r"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+c AS (SELECT doc_id, i AS start_token,
+             ws[i + 1 : least(i + 32, len(ws))] AS toks
+      FROM w, LATERAL (SELECT unnest(generate_series(0, len(ws) - 1, 24)) AS i) t
+      WHERE len(ws) > 0)
+SELECT doc_id, (start_token // 24)::BIGINT AS chunk_idx, start_token,
+       len(toks) AS n_chunk_tokens,
+       array_to_string(toks, ' ') AS chunk_text
+FROM c
+"""
+    sqls["vocab_topk"] = r"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+t AS (SELECT doc_id, unnest(list_distinct(ws)) AS term FROM w),
+d AS (SELECT term, count(*) AS doc_freq FROM t GROUP BY 1)
+SELECT term, doc_freq,
+       row_number() OVER (ORDER BY doc_freq DESC, term ASC) AS rank
+FROM d QUALIFY rank <= 25
+"""
     sqls["text_bm25"] = r"""
 WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
            FROM documents),
