@@ -350,3 +350,50 @@ class TestStratifiedSample:
         assert sorted(map(tuple, a.collect())) == sorted(
             map(tuple, b.collect())
         )
+
+
+class TestLeakageSafeSplit:
+    def test_near_dups_share_split(self, spark):
+        from pyspark.sql import functions as F
+
+        from zikeiretsu_rs_spark.operators import sampling
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(40)], "doc_id bigint"
+        )
+        # chain 0-1-2 is one cluster; 10-11 another; rest singletons
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11)], "id_a bigint, id_b bigint"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in sampling.leakage_safe_split(
+                docs, "doc_id", pairs
+            ).collect()
+        }
+        assert out[0]["cluster_id"] == out[1]["cluster_id"] == out[2]["cluster_id"] == 0
+        assert out[0]["split"] == out[1]["split"] == out[2]["split"]
+        assert out[10]["split"] == out[11]["split"]
+        assert out[10]["cluster_id"] == 10
+        # singletons bucket by their own id == plain train_test_split
+        plain = {
+            r["doc_id"]: r["split"]
+            for r in sampling.train_test_split(docs, "doc_id").collect()
+        }
+        for i in range(20, 40):
+            assert out[i]["cluster_id"] == i and out[i]["split"] == plain[i]
+
+    def test_empty_graph_degrades_to_hash_split(self, spark):
+        from zikeiretsu_rs_spark.operators import sampling
+
+        docs = spark.createDataFrame([(i,) for i in range(16)], "doc_id bigint")
+        empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+        out = {
+            r["doc_id"]: r["split"]
+            for r in sampling.leakage_safe_split(docs, "doc_id", empty).collect()
+        }
+        plain = {
+            r["doc_id"]: r["split"]
+            for r in sampling.train_test_split(docs, "doc_id").collect()
+        }
+        assert out == plain

@@ -149,3 +149,41 @@ def train_test_split(
         .when(b < test_256 + valid_256, F.lit("valid"))
         .otherwise(F.lit("train")),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    test_256: int = 26,
+    valid_256: int = 26,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Train/valid/test assignment that never separates near-
+    duplicates: rows are grouped into connected components of the
+    near-dup pair graph and the WHOLE cluster is bucketed by the hash
+    of its cluster id (min reachable id), so two near-identical
+    documents can never land on opposite sides of a train/eval
+    boundary — the split-leakage failure mode hash-splitting alone
+    cannot prevent (near-dups have different content hashes).
+
+    `pairs` is any (id_a, id_b) near-dup pair source — at scale, the
+    banded MinHash candidates re-scored exactly (linear), exactly as
+    `dedup_clusters_scaled` runs it. Singleton documents (no pairs)
+    form their own cluster and bucket by their own id, which degrades
+    to plain `train_test_split` when the graph is empty.
+
+    Output: input columns + cluster_id + split.
+    """
+    from .dedup import connected_components
+
+    clusters = connected_components(pairs, id_a, id_b)
+    out = (
+        df.join(clusters, df[id_col] == clusters["node"], "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+        )
+        .drop("node")
+    )
+    return train_test_split(out, "cluster_id", test_256, valid_256)

@@ -1418,6 +1418,25 @@ def q_url_dedup(spark, sf_dir):
     return urls.url_dedup(urls.synthesize_urls(docs, "doc_id"), "doc_id", "url")
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Cluster-keyed train/valid/test split: near-dup clusters (banded
+    MinHash candidates -> exact re-score, the linear path proven ≡
+    the exact graph by dedup_minhash_verified) are assigned to ONE
+    split via the hash of the cluster id — no eval leakage across
+    near-duplicates. Oracle rebuilds the exact closure + the same md5
+    bucket rule."""
+    docs = load(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, k=64, bands=32
+    )
+    pairs = dedup.exact_jaccard_for_pairs(
+        docs, cand, "doc_id", "text", n=3
+    ).where(F.col("jaccard") >= 0.5)
+    return sampling.leakage_safe_split(
+        docs.select("doc_id"), "doc_id", pairs
+    ).select("doc_id", "cluster_id", "split")
+
+
 def q_doc_chunks(spark, sf_dir):
     """Sliding-window chunking (32-token windows, stride 24): the
     map-only training-prep explode; no shuffle anywhere."""
@@ -1501,6 +1520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25": q_text_bm25,
     "doc_chunks": q_doc_chunks,
     "vocab_topk": q_vocab_topk,
+    "leakage_safe_split": q_leakage_safe_split,
     # scan path changed this round (native-ts pushdown)
     "ts_head_limit": q_ts_head_limit,
     "ts_range_scan": q_ts_range_scan,
@@ -1541,11 +1561,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "asof_purchase_click": q_asof_purchase_click,
     "twa_user_1h": q_twa_user_1h,
-    "gapfill_user_6h": q_gapfill_user_6h,
     "dedup_ngram_jaccard_scaled": q_dedup_ngram_jaccard_scaled,
     "dedup_minhash_verified": q_dedup_minhash_verified,
     # -- tail: hash-verified green in CORRECTNESS_r02; re-verified each
     # round by the local gate ------------------------------------------
+    "gapfill_user_6h": q_gapfill_user_6h,
     "ann_lsh_recall_check": q_ann_lsh_recall_check,
     "ann_ivf_recall_check": q_ann_ivf_recall_check,
     "embedding_neardup_lsh_check": q_embedding_neardup_lsh_check,
@@ -1999,6 +2019,43 @@ FROM closure GROUP BY u
     # this corpus, proven by dedup_minhash_verified) so it shares the
     # exact-graph transitive-closure oracle
     sqls["dedup_clusters_scaled"] = sqls["dedup_clusters"]
+    # same exact closure as dedup_clusters (the banded path ≡ exact on
+    # this corpus), plus the md5 bucket rule keyed by CLUSTER id
+    sqls["leakage_safe_split"] = r"""
+WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t
+       WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b
+          WHERE c / (sa.n + sb.n - c) >= 0.5),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+closure(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
+),
+clu AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM closure GROUP BY u),
+allc AS (SELECT d.doc_id, coalesce(clu.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN clu ON clu.doc_id = d.doc_id),
+b AS (SELECT doc_id, cluster_id,
+             CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2) AS INT)
+               AS bk
+      FROM allc)
+SELECT doc_id, cluster_id,
+       CASE WHEN bk < 26 THEN 'test'
+            WHEN bk < 52 THEN 'valid'
+            ELSE 'train' END AS split
+FROM b
+"""
     sqls["doc_chunks"] = r"""
 WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
            FROM documents),
