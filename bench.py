@@ -50,6 +50,14 @@ HEADLINE = [
     "doc_repetition",
     "decontaminate_eval",
     "stratified_sample",
+    # round-3 operator families
+    "url_dedup",
+    "text_gopher_rules",
+    "doc_dup_spans",
+    "semantic_dedup",
+    "text_bm25",
+    "doc_chunks",
+    "dedup_clusters_scaled",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

@@ -457,19 +457,29 @@ def semantic_dedup(
             for i, c in enumerate(centroids)
         ]
     )
-    asn = v.withColumn("cell", F.array_max(scores)["cell"])
+    # norms are computed ONCE per vector before the self-join — the
+    # within-cell pair count is quadratic in cell size, so per-pair
+    # work must be a single dot product, not dot + two norms
+    asn = v.withColumn("cell", F.array_max(scores)["cell"]).withColumn(
+        "_n", _norm(F.col("_vec"))
+    )
     a = asn.select(
-        F.col("cell"), F.col(id_col).alias("id_a"), F.col("_vec").alias("_va")
+        F.col("cell"),
+        F.col(id_col).alias("id_a"),
+        F.col("_vec").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = asn.select(
-        F.col("cell"), F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb")
+        F.col("cell"),
+        F.col(id_col).alias("id_b"),
+        F.col("_vec").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     pairs = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
         .where(
-            _dot(F.col("_va"), F.col("_vb"))
-            / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
             >= F.lit(threshold)
         )
     )
