@@ -56,10 +56,14 @@ def cosine_topk(
     ranking is total and deterministic.
     """
     c = with_double_vec(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("_vec").alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_vec").alias("_cv"),
+        _norm(F.col("_vec")).alias("_cn"),
     )
     q = with_double_vec(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("_vec").alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qv"),
+        _norm(F.col("_vec")).alias("_qn"),
     )
     scored = (
         c.join(F.broadcast(q))
@@ -68,7 +72,7 @@ def cosine_topk(
             "cosine",
             F.round(
                 _dot(F.col("_cv"), F.col("_qv"))
-                / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
+                / (F.col("_cn") * F.col("_qn")),
                 6,
             ),
         )
@@ -244,21 +248,23 @@ def lsh_topk(
     candidates).
     """
     c = lsh_signature(with_double_vec(corpus, vec_col), dim, n_planes, n_tables).select(
-        F.col(id_col).alias("neighbor_id"), F.col("_vec").alias("_cv"), "tbl", "bucket"
+        F.col(id_col).alias("neighbor_id"), F.col("_vec").alias("_cv"),
+        _norm(F.col("_vec")).alias("_cn"), "tbl", "bucket"
     )
     q = lsh_signature(with_double_vec(queries, vec_col), dim, n_planes, n_tables).select(
-        F.col(id_col).alias("query_id"), F.col("_vec").alias("_qv"), "tbl", "bucket"
+        F.col(id_col).alias("query_id"), F.col("_vec").alias("_qv"),
+        _norm(F.col("_vec")).alias("_qn"), "tbl", "bucket"
     )
     cand = (
         c.join(q, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_cv", "_qv")
+        .select("query_id", "neighbor_id", "_cv", "_qv", "_cn", "_qn")
         .distinct()
     )
     scored = cand.withColumn(
         "cosine",
         F.round(
-            _dot(F.col("_cv"), F.col("_qv")) / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
+            _dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
             6,
         ),
     )
@@ -361,6 +367,7 @@ def ivf_topk(
     c = with_double_vec(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("_vec").alias("_cv"),
+        _norm(F.col("_vec")).alias("_cn"),
         F.array_max(_cell_scores(F.col("_vec"), centroids))["cell"].alias(
             "cell"
         ),
@@ -368,6 +375,7 @@ def ivf_topk(
     q = with_double_vec(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_vec").alias("_qv"),
+        _norm(F.col("_vec")).alias("_qn"),
         F.explode(
             F.slice(
                 F.reverse(F.array_sort(_cell_scores(F.col("_vec"), centroids))),
@@ -381,7 +389,7 @@ def ivf_topk(
         "cosine",
         F.round(
             _dot(F.col("_cv"), F.col("_qv"))
-            / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
+            / (F.col("_cn") * F.col("_qn")),
             6,
         ),
     )
@@ -530,21 +538,31 @@ def lsh_pairs_above(
         .select("id_a", "id_b")
         .distinct()
     )
-    vecs = with_double_vec(df, vec_col).select(F.col(id_col), F.col("_vec"))
+    vecs = with_double_vec(df, vec_col).select(
+        F.col(id_col), F.col("_vec"), _norm(F.col("_vec")).alias("_n")
+    )
     return (
         cand.join(
-            vecs.select(F.col(id_col).alias("id_a"), F.col("_vec").alias("_va")),
+            vecs.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_vec").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
             "id_a",
         )
         .join(
-            vecs.select(F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb")),
+            vecs.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_vec").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
             "id_b",
         )
         .withColumn(
             "cosine",
             F.round(
                 _dot(F.col("_va"), F.col("_vb"))
-                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                / (F.col("_na") * F.col("_nb")),
                 6,
             ),
         )
