@@ -213,3 +213,71 @@ class TestRangeJoin:
         )
         out = joins.range_join(left, right, ["k"], -30 * NS, 0)
         assert sorted(r["r_rid"] for r in out.collect()) == [1, 3]
+
+
+class TestFunnel:
+    def test_ordered_stages_counted(self, spark):
+        from zikeiretsu_rs_spark.operators import sessionize as sz
+
+        NS = 10**9
+        rows = [
+            # user 1, one session: view -> click -> purchase (full funnel)
+            (1, 0 * NS, "view"), (1, 10 * NS, "click"), (1, 20 * NS, "purchase"),
+            # user 2: click BEFORE view -> reaches only stage 0
+            (2, 0 * NS, "click"), (2, 10 * NS, "view"),
+            # user 3: view then click, no purchase -> stage 1
+            (3, 0 * NS, "view"), (3, 5 * NS, "click"),
+            # user 4: no view at all -> not in funnel
+            (4, 0 * NS, "purchase"),
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, ts bigint, event_type string")
+        out = {
+            r["stage"]: r
+            for r in sz.funnel(
+                df, ["view", "click", "purchase"], gap_nanos=3600 * NS
+            ).collect()
+        }
+        assert out["view"]["n_sessions"] == 3
+        assert out["click"]["n_sessions"] == 2
+        assert out["purchase"]["n_sessions"] == 1
+        assert out["view"]["conversion"] == 1.0
+        assert out["purchase"]["conversion"] == pytest.approx(round(1 / 3, 6))
+
+    def test_session_gap_splits_funnel(self, spark):
+        from zikeiretsu_rs_spark.operators import sessionize as sz
+
+        NS = 10**9
+        # view and purchase separated by > gap -> different sessions,
+        # so the funnel does NOT credit a purchase
+        rows = [(1, 0 * NS, "view"), (1, 5000 * NS, "purchase")]
+        df = spark.createDataFrame(rows, "user_id bigint, ts bigint, event_type string")
+        out = {
+            r["stage"]: r["n_sessions"]
+            for r in sz.funnel(
+                df, ["view", "purchase"], gap_nanos=60 * NS
+            ).collect()
+        }
+        assert out == {"view": 1, "purchase": 0}
+
+
+class TestCohortRetention:
+    def test_offsets_and_rates(self, spark):
+        from zikeiretsu_rs_spark.operators import aggregates
+
+        B = 100  # bucket width in "nanos" for the test
+        rows = [
+            (1, 10), (1, 110),          # cohort 0, returns offset 1
+            (2, 50),                    # cohort 0, never returns
+            (3, 120), (3, 350),         # cohort 100, returns offset 2
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, ts bigint")
+        out = {
+            (r["cohort_bucket"], r["bucket_offset"]): r
+            for r in aggregates.cohort_retention(df, B).collect()
+        }
+        assert out[(0, 0)]["n_users"] == 2
+        assert out[(0, 1)]["n_users"] == 1
+        assert out[(0, 1)]["retention"] == 0.5
+        assert out[(100, 0)]["n_users"] == 1
+        assert out[(100, 2)]["retention"] == 1.0
+        assert (0, 2) not in out

@@ -66,3 +66,53 @@ def value_share_by_key(df: DataFrame, key_col: str, value_col: str) -> DataFrame
         )
         .drop("_sum_dec", "_total")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    bucket_nanos: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity time
+    bucket (the cohort), counted in every later bucket they return in.
+
+    Scale shape: one distinct (user, bucket) reduction (map-side
+    combined), one per-user min for the cohort (window over the same
+    key — no self-join), then a (cohort, offset) count. All shuffles
+    keyed; nothing quadratic; no driver state.
+
+    Output: cohort_bucket (nanos), bucket_offset (0 = the cohort
+    bucket itself), n_users, retention (vs offset 0 of the same
+    cohort, round 6).
+    """
+    from pyspark.sql import Window
+
+    active = df.select(
+        F.col(user_col),
+        (F.col(ts_col) - F.col(ts_col) % F.lit(bucket_nanos)).alias("_bucket"),
+    ).distinct()
+    w = Window.partitionBy(user_col)
+    with_cohort = active.withColumn("_cohort", F.min("_bucket").over(w))
+    counts = (
+        with_cohort.groupBy("_cohort", "_bucket")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.col("_cohort").alias("cohort_bucket"),
+            ((F.col("_bucket") - F.col("_cohort")) / F.lit(bucket_nanos))
+            .cast("long")
+            .alias("bucket_offset"),
+            "n_users",
+        )
+    )
+    base = Window.partitionBy("cohort_bucket")
+    return counts.withColumn(
+        "retention",
+        F.round(
+            F.col("n_users")
+            / F.sum(
+                F.when(F.col("bucket_offset") == 0, F.col("n_users"))
+            ).over(base),
+            6,
+        ),
+    )

@@ -1418,6 +1418,24 @@ def q_url_dedup(spark, sf_dir):
     return urls.url_dedup(urls.synthesize_urls(docs, "doc_id"), "doc_id", "url")
 
 
+def q_funnel_sessions(spark, sf_dir):
+    """Ordered view→click→purchase funnel at 30-minute-session
+    granularity: keyed session window + one aggregate, no joins."""
+    return sessionize.funnel(
+        events_ts_long(spark, sf_dir),
+        stages=["view", "click", "purchase"],
+        gap_nanos=30 * 60 * NANOS_PER_SEC,
+    )
+
+
+def q_weekly_retention(spark, sf_dir):
+    """Weekly cohort retention over the events stream: distinct
+    (user, week) reduction + per-user cohort window + keyed counts."""
+    return aggregates.cohort_retention(
+        events_ts_long(spark, sf_dir), 7 * 86400 * NANOS_PER_SEC
+    )
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Cluster-keyed train/valid/test split: near-dup clusters (banded
     MinHash candidates -> exact re-score, the linear path proven ≡
@@ -1521,6 +1539,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "vocab_topk": q_vocab_topk,
     "leakage_safe_split": q_leakage_safe_split,
+    "funnel_sessions": q_funnel_sessions,
+    "weekly_retention": q_weekly_retention,
     # scan path changed this round (native-ts pushdown)
     "ts_head_limit": q_ts_head_limit,
     "ts_range_scan": q_ts_range_scan,
@@ -1559,12 +1579,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_30m": q_sessionize_30m,
     "tpch_q1": q_tpch_q1,
     "revenue_by_nation": q_revenue_by_nation,
-    "asof_purchase_click": q_asof_purchase_click,
-    "twa_user_1h": q_twa_user_1h,
     "dedup_ngram_jaccard_scaled": q_dedup_ngram_jaccard_scaled,
     "dedup_minhash_verified": q_dedup_minhash_verified,
     # -- tail: hash-verified green in CORRECTNESS_r02; re-verified each
     # round by the local gate ------------------------------------------
+    "asof_purchase_click": q_asof_purchase_click,
+    "twa_user_1h": q_twa_user_1h,
     "gapfill_user_6h": q_gapfill_user_6h,
     "ann_lsh_recall_check": q_ann_lsh_recall_check,
     "ann_ivf_recall_check": q_ann_ivf_recall_check,
@@ -2019,6 +2039,49 @@ FROM closure GROUP BY u
     # this corpus, proven by dedup_minhash_verified) so it shares the
     # exact-graph transitive-closure oracle
     sqls["dedup_clusters_scaled"] = sqls["dedup_clusters"]
+    gap = 30 * 60 * NANOS_PER_SEC
+    week = 7 * 86400 * NANOS_PER_SEC
+    sqls["funnel_sessions"] = f"""
+WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
+f AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > {gap} THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM f),
+p AS (SELECT user_id, session_id,
+             min(ts) FILTER (event_type = 'view') AS t0,
+             min(ts) FILTER (event_type = 'click') AS t1,
+             min(ts) FILTER (event_type = 'purchase') AS t2
+      FROM s GROUP BY 1, 2),
+r AS (SELECT
+        count(*) FILTER (t0 IS NOT NULL) AS n0,
+        count(*) FILTER (t0 IS NOT NULL AND t1 IS NOT NULL
+                         AND t1 >= t0) AS n1,
+        count(*) FILTER (t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                         AND t2 IS NOT NULL AND t2 >= t1) AS n2
+      FROM p)
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'view' AS stage, n0 AS n_sessions,
+         round(n0::DOUBLE / n0, 6) AS conversion FROM r
+  UNION ALL SELECT 1, 'click', n1, round(n1::DOUBLE / n0, 6) FROM r
+  UNION ALL SELECT 2, 'purchase', n2, round(n2::DOUBLE / n0, 6) FROM r)
+"""
+    sqls["weekly_retention"] = f"""
+WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),
+a AS (SELECT DISTINCT user_id, ts - ts % {week} AS bucket FROM e),
+c AS (SELECT user_id, bucket,
+             min(bucket) OVER (PARTITION BY user_id) AS cohort FROM a),
+cnt AS (SELECT cohort AS cohort_bucket,
+               ((bucket - cohort) // {week})::BIGINT AS bucket_offset,
+               count(*) AS n_users
+        FROM c GROUP BY 1, 2)
+SELECT cohort_bucket, bucket_offset, n_users,
+       round(n_users::DOUBLE /
+             sum(CASE WHEN bucket_offset = 0 THEN n_users END)
+               OVER (PARTITION BY cohort_bucket), 6) AS retention
+FROM cnt
+"""
     # same exact closure as dedup_clusters (the banded path ≡ exact on
     # this corpus), plus the md5 bucket rule keyed by CLUSTER id
     sqls["leakage_safe_split"] = r"""
