@@ -281,3 +281,27 @@ class TestCohortRetention:
         assert out[(100, 0)]["n_users"] == 1
         assert out[(100, 2)]["retention"] == 1.0
         assert (0, 2) not in out
+
+
+class TestZscoreOutliers:
+    def test_flags_only_extreme_values(self, spark):
+        from zikeiretsu_rs_spark.operators import aggregates
+
+        # user 1: tight cluster around 10 plus one wild point
+        rows = [(1, i, 10.0 + (i % 3) * 0.01) for i in range(20)] + [
+            (1, 99, 500.0),
+            (2, 0, 7.0),  # single-event user: sd == 0 -> no output
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, ts bigint, value double")
+        out = aggregates.zscore_outliers(df, "user_id", "value").collect()
+        assert [(r["user_id"], r["ts"]) for r in out] == [(1, 99)]
+        assert out[0]["zscore"] > 4
+
+    def test_constant_series_emits_nothing(self, spark):
+        from zikeiretsu_rs_spark.operators import aggregates
+
+        df = spark.createDataFrame(
+            [(1, i, 5.0) for i in range(10)],
+            "user_id bigint, ts bigint, value double",
+        )
+        assert aggregates.zscore_outliers(df, "user_id", "value").count() == 0

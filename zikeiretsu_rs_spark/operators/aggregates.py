@@ -116,3 +116,52 @@ def cohort_retention(
             6,
         ),
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    z: float = 3.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key z-score anomaly detection: rows whose value deviates
+    more than `z` population standard deviations from their key's
+    mean. Moments come from DECIMAL-exact sums over a keyed window
+    (sum and sum-of-squares are exact, so mean/std are identical
+    doubles on any engine or partitioning — a float running sum would
+    make the outlier SET partition-order-dependent at the margin).
+    Keys with zero variance emit nothing.
+
+    Output: key, ts, value, zscore (round 6).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col)
+    dec = F.col(value_col).cast("decimal(18,2)")
+    s = F.sum(dec).over(w)
+    sq = F.sum(dec * dec).over(w)
+    n = F.count("*").over(w)
+    mu = s.cast("double") / n
+    sd = F.sqrt(sq.cast("double") / n - mu * mu)
+    scored = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col),
+        mu.alias("_mu"),
+        sd.alias("_sd"),
+    )
+    return (
+        scored.where(
+            (F.col("_sd") > 0)
+            & (F.abs(F.col(value_col) - F.col("_mu")) > F.lit(z) * F.col("_sd"))
+        )
+        .select(
+            key_col,
+            ts_col,
+            value_col,
+            F.round(
+                (F.col(value_col) - F.col("_mu")) / F.col("_sd"), 6
+            ).alias("zscore"),
+        )
+    )

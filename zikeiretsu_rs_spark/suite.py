@@ -1418,6 +1418,17 @@ def q_url_dedup(spark, sf_dir):
     return urls.url_dedup(urls.synthesize_urls(docs, "doc_id"), "doc_id", "url")
 
 
+def q_events_outliers(spark, sf_dir):
+    """Per-user z-score outliers (z > 3) with decimal-exact moments —
+    the outlier SET is reproducible on any engine/partitioning."""
+    return aggregates.zscore_outliers(
+        events_ts_long(spark, sf_dir).select("user_id", "ts", "value"),
+        "user_id",
+        "value",
+        z=3.0,
+    )
+
+
 def q_funnel_sessions(spark, sf_dir):
     """Ordered view→click→purchase funnel at 30-minute-session
     granularity: keyed session window + one aggregate, no joins."""
@@ -1541,6 +1552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_safe_split": q_leakage_safe_split,
     "funnel_sessions": q_funnel_sessions,
     "weekly_retention": q_weekly_retention,
+    "events_outliers": q_events_outliers,
     # scan path changed this round (native-ts pushdown)
     "ts_head_limit": q_ts_head_limit,
     "ts_range_scan": q_ts_range_scan,
@@ -1577,7 +1589,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_region_nation": q_rollup_region_nation,
     # r02-green scale-critical sample (keeps the last-two-rounds window)
     "sessionize_30m": q_sessionize_30m,
-    "tpch_q1": q_tpch_q1,
     "revenue_by_nation": q_revenue_by_nation,
     "dedup_ngram_jaccard_scaled": q_dedup_ngram_jaccard_scaled,
     "dedup_minhash_verified": q_dedup_minhash_verified,
@@ -1593,6 +1604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_hll_rollup_check": q_sketch_hll_rollup_check,
     "stratified_sample": q_stratified_sample,
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
+    "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "moving_avg_1h": q_moving_avg_1h,
     "rate_per_user": q_rate_per_user,
@@ -2039,6 +2051,20 @@ FROM closure GROUP BY u
     # this corpus, proven by dedup_minhash_verified) so it shares the
     # exact-graph transitive-closure oracle
     sqls["dedup_clusters_scaled"] = sqls["dedup_clusters"]
+    sqls["events_outliers"] = """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, value FROM events),
+m AS (SELECT user_id, ts, value,
+             sum(value::DECIMAL(18,2)) OVER w AS s,
+             sum((value::DECIMAL(18,2)) * (value::DECIMAL(18,2))) OVER w AS sq,
+             count(*) OVER w AS n
+      FROM e WINDOW w AS (PARTITION BY user_id)),
+z AS (SELECT user_id, ts, value,
+             (s::DOUBLE / n) AS mu,
+             sqrt(sq::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)) AS sd
+      FROM m)
+SELECT user_id, ts, value, round((value - mu) / sd, 6) AS zscore
+FROM z WHERE sd > 0 AND abs(value - mu) > 3.0 * sd
+"""
     gap = 30 * 60 * NANOS_PER_SEC
     week = 7 * 86400 * NANOS_PER_SEC
     sqls["funnel_sessions"] = f"""
