@@ -164,6 +164,37 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_layout(spark, sf_dir: str) -> dict[str, float]:
+    """Small-file debris vs compacted layout, measured: the same rows
+    written as 256 tiny files (streaming-ingest debris) and as 4
+    compacted files, scanned with an identical aggregate. Quantifies
+    what catalog/compact.py buys (per-file open/footer/task overhead
+    vs useful work)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ev = suite.events_ts_long(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="zk_layout_")
+    small, big = f"{base}/small", f"{base}/compacted"
+    ev.repartition(256).write.mode("overwrite").parquet(small)
+    ev.coalesce(4).write.mode("overwrite").parquet(big)
+
+    def agg(path):
+        return spark.read.parquet(path).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        )
+
+    out = {
+        "layout_small_files_256": _timed(agg(small)),
+        "layout_compacted_4": _timed(agg(big)),
+    }
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -179,6 +210,7 @@ def main() -> None:
         timings[name] = round(run_query(spark, name, sf_dir), 3)
 
     skew = run_skew(spark, sf_dir)
+    layout = run_layout(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -189,6 +221,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "skew": skew,
+                "layout": layout,
                 "sf": sf,
             }
         )

@@ -122,3 +122,63 @@ class TestStreamingBatchConsistency:
             for r in batch_style.collect()
         }
         assert got_stream == got_batch
+
+
+# -- funnel / retention invariants ------------------------------------------
+
+
+class TestFunnelProperties:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    events = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),        # user
+            st.integers(min_value=0, max_value=5000),     # ts (nanos)
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(rows=events)
+    def test_stage_counts_monotone_nonincreasing(self, spark, rows):
+        """A funnel can never gain sessions at a later stage, for any
+        event soup and any session structure."""
+        from zikeiretsu_rs_spark.operators import sessionize as sz
+
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts bigint, event_type string"
+        )
+        out = sorted(
+            sz.funnel(
+                df, ["view", "click", "purchase"], gap_nanos=500
+            ).collect(),
+            key=lambda r: r["stage_idx"],
+        )
+        counts = [r["n_sessions"] for r in out]
+        assert counts == sorted(counts, reverse=True)
+        assert all(0 <= r["n_sessions"] for r in out)
+
+    @settings(max_examples=10, deadline=None)
+    @given(rows=events)
+    def test_retention_base_equals_cohort_size(self, spark, rows):
+        """Offset 0 always holds the whole cohort (retention 1.0), and
+        no offset can exceed it."""
+        from zikeiretsu_rs_spark.operators import aggregates
+
+        df = spark.createDataFrame(
+            [(u, t) for (u, t, _) in rows], "user_id bigint, ts bigint"
+        )
+        out = aggregates.cohort_retention(df, 1000).collect()
+        base = {
+            r["cohort_bucket"]: r["n_users"]
+            for r in out
+            if r["bucket_offset"] == 0
+        }
+        for r in out:
+            assert r["cohort_bucket"] in base  # every cohort has offset 0
+            assert r["n_users"] <= base[r["cohort_bucket"]]
+            if r["bucket_offset"] == 0:
+                assert r["retention"] == 1.0

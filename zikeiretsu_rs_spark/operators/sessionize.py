@@ -116,5 +116,10 @@ def funnel(
         "stage_idx",
         "stage",
         "n_sessions",
-        F.round(F.col("n_sessions") / F.col("_base"), 6).alias("conversion"),
+        # NULL when no session reaches stage 0 (empty-funnel edge case
+        # caught by the hypothesis monotonicity property)
+        F.when(
+            F.col("_base") > 0,
+            F.round(F.col("n_sessions") / F.col("_base"), 6),
+        ).alias("conversion"),
     )

@@ -2089,9 +2089,9 @@ r AS (SELECT
       FROM p)
 SELECT * FROM (
   SELECT 0 AS stage_idx, 'view' AS stage, n0 AS n_sessions,
-         round(n0::DOUBLE / n0, 6) AS conversion FROM r
-  UNION ALL SELECT 1, 'click', n1, round(n1::DOUBLE / n0, 6) FROM r
-  UNION ALL SELECT 2, 'purchase', n2, round(n2::DOUBLE / n0, 6) FROM r)
+         round(n0::DOUBLE / nullif(n0, 0), 6) AS conversion FROM r
+  UNION ALL SELECT 1, 'click', n1, round(n1::DOUBLE / nullif(n0, 0), 6) FROM r
+  UNION ALL SELECT 2, 'purchase', n2, round(n2::DOUBLE / nullif(n0, 0), 6) FROM r)
 """
     sqls["weekly_retention"] = f"""
 WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),
