@@ -191,6 +191,92 @@ def chunk_documents(
     )
 
 
+def chunk_containment(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_doc_freq: int | None = None,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Partial-overlap (containment) detection: document-level near-dup
+    misses the case where doc A merely QUOTES a chunk of doc B
+    (boilerplate, syndication, template reuse). Chunk both docs with a
+    sliding window, find cross-document near-duplicate CHUNK pairs,
+    and report per doc pair the fraction of each side's chunks that
+    have a near-dup on the other side.
+
+    Chunk ids are `doc_id * 100_000 + chunk_idx` (fits documents up to
+    ~2.4M tokens at the default stride; swap for a struct key beyond
+    that). The chunk pair join is `dedup.ngram_jaccard_pairs` — pass
+    `hash_shingles`/`max_shingle_doc_freq` for the guarded scale twin
+    exactly as with document-level dedup.
+
+    Output: doc_lo < doc_hi, matched_lo/hi (distinct chunks with a
+    cross-side near-dup), n_chunks_lo/hi, containment_lo/hi (round 6).
+    """
+    from .dedup import ngram_jaccard_pairs
+
+    surr = 100_000
+    chunks = chunk_documents(df, id_col, text_col, chunk_tokens, stride)
+    cdf = chunks.select(
+        (F.col(id_col) * surr + F.col("chunk_idx")).alias("cid"),
+        "chunk_text",
+    )
+    pairs = ngram_jaccard_pairs(
+        cdf,
+        "cid",
+        "chunk_text",
+        n=n,
+        threshold=threshold,
+        max_shingle_doc_freq=max_shingle_doc_freq,
+        hash_shingles=hash_shingles,
+    )
+    # cid_a < cid_b implies doc_a <= doc_b; keep cross-document pairs
+    cross = pairs.select(
+        (F.col("id_a") / surr).cast("long").alias("doc_lo"),
+        F.col("id_a").alias("cid_lo"),
+        (F.col("id_b") / surr).cast("long").alias("doc_hi"),
+        F.col("id_b").alias("cid_hi"),
+    ).where(F.col("doc_lo") != F.col("doc_hi"))
+    matched = cross.groupBy("doc_lo", "doc_hi").agg(
+        F.count_distinct("cid_lo").alias("matched_lo"),
+        F.count_distinct("cid_hi").alias("matched_hi"),
+    )
+    sizes = chunks.groupBy(id_col).agg(F.count("*").alias("nc"))
+    return (
+        matched.join(
+            sizes.select(
+                F.col(id_col).alias("doc_lo"), F.col("nc").alias("n_chunks_lo")
+            ),
+            "doc_lo",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("doc_hi"), F.col("nc").alias("n_chunks_hi")
+            ),
+            "doc_hi",
+        )
+        .select(
+            "doc_lo",
+            "doc_hi",
+            "matched_lo",
+            "matched_hi",
+            "n_chunks_lo",
+            "n_chunks_hi",
+            F.round(F.col("matched_lo") / F.col("n_chunks_lo"), 6).alias(
+                "containment_lo"
+            ),
+            F.round(F.col("matched_hi") / F.col("n_chunks_hi"), 6).alias(
+                "containment_hi"
+            ),
+        )
+    )
+
+
 def _gram_col(n: int) -> Column:
     """All (non-distinct) word n-grams of the ``_ws`` array column."""
     return F.expr(

@@ -1418,6 +1418,17 @@ def q_url_dedup(spark, sf_dir):
     return urls.url_dedup(urls.synthesize_urls(docs, "doc_id"), "doc_id", "url")
 
 
+def q_chunk_containment(spark, sf_dir):
+    """Cross-document partial-overlap detection: sliding-window chunks
+    + chunk-level near-dup pairs aggregated to per-doc-pair
+    containment fractions (catches quoting/boilerplate that doc-level
+    dedup misses)."""
+    return curation.chunk_containment(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=32, stride=24, n=3, threshold=0.5,
+    )
+
+
 def q_events_outliers(spark, sf_dir):
     """Per-user z-score outliers (z > 3) with decimal-exact moments —
     the outlier SET is reproducible on any engine/partitioning."""
@@ -1553,6 +1564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_sessions": q_funnel_sessions,
     "weekly_retention": q_weekly_retention,
     "events_outliers": q_events_outliers,
+    "chunk_containment": q_chunk_containment,
     # scan path changed this round (native-ts pushdown)
     "ts_head_limit": q_ts_head_limit,
     "ts_range_scan": q_ts_range_scan,
@@ -1588,12 +1600,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_user_event_counts": q_pivot_user_event_counts,
     "rollup_region_nation": q_rollup_region_nation,
     # r02-green scale-critical sample (keeps the last-two-rounds window)
-    "sessionize_30m": q_sessionize_30m,
     "revenue_by_nation": q_revenue_by_nation,
     "dedup_ngram_jaccard_scaled": q_dedup_ngram_jaccard_scaled,
     "dedup_minhash_verified": q_dedup_minhash_verified,
     # -- tail: hash-verified green in CORRECTNESS_r02; re-verified each
     # round by the local gate ------------------------------------------
+    "sessionize_30m": q_sessionize_30m,
     "asof_purchase_click": q_asof_purchase_click,
     "twa_user_1h": q_twa_user_1h,
     "gapfill_user_6h": q_gapfill_user_6h,
