@@ -161,6 +161,21 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
             max_shingle_doc_freq=64,
         )
     )
+
+    # chunk-level pair: chunking multiplies the stop-phrase df (every
+    # chunk overlapping the boilerplate carries its shingles), so the
+    # containment operator's guarded default matters even more here
+    from zikeiretsu_rs_spark.operators import curation
+
+    out["skew_chunk_containment_unguarded"] = _timed(
+        curation.chunk_containment(
+            docs, "doc_id", "text",
+            max_shingle_doc_freq=None, hash_shingles=False,
+        )
+    )
+    out["skew_chunk_containment_guarded"] = _timed(
+        curation.chunk_containment(docs, "doc_id", "text")
+    )
     return out
 
 

@@ -208,6 +208,14 @@ class TestUrls:
         ("http://host.com/p/?utm_a=1", "http://host.com/p"),
         ("http://host.com/p?id=2&utm_campaign=c", "http://host.com/p?id=2"),
         ("http://host.com/p?utm_a=1&utm_b=2", "http://host.com/p"),
+        # boundary anchoring: 'utm_'/'fbclid' as a SUFFIX of another
+        # parameter name must NOT be stripped (regression: unanchored
+        # pattern matched inside names/values and corrupted canonicals)
+        ("http://host.com/p?xutm_source=a", "http://host.com/p?xutm_source=a"),
+        ("http://host.com/p?myfbclid=1&id=2", "http://host.com/p?myfbclid=1&id=2"),
+        ("http://host.com/p?utm_a=1&utm_b=2&id=3", "http://host.com/p?id=3"),
+        ("http://host.com/p?utm_a=1&id=3&utm_b=2", "http://host.com/p?id=3"),
+        ("http://host.com/p?gclid=g&fbclid=f", "http://host.com/p"),
         ("ftp://Files.example.org/x", "ftp://files.example.org/x"),
         ("not a url", None),
     ]

@@ -199,8 +199,8 @@ def chunk_containment(
     stride: int = 24,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_doc_freq: int | None = None,
-    hash_shingles: bool = False,
+    max_shingle_doc_freq: int | None = 64,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Partial-overlap (containment) detection: document-level near-dup
     misses the case where doc A merely QUOTES a chunk of doc B
@@ -211,9 +211,18 @@ def chunk_containment(
 
     Chunk ids are `doc_id * 100_000 + chunk_idx` (fits documents up to
     ~2.4M tokens at the default stride; swap for a struct key beyond
-    that). The chunk pair join is `dedup.ngram_jaccard_pairs` — pass
-    `hash_shingles`/`max_shingle_doc_freq` for the guarded scale twin
-    exactly as with document-level dedup.
+    that). The chunk pair join is `dedup.ngram_jaccard_pairs`.
+
+    The skew guard defaults ON: chunk-level shingles are MORE
+    boilerplate-heavy than whole documents (the operator's premise is
+    repeated quoting), so the unguarded shingle self-join is exactly
+    the quadratic stop-shingle hazard the bench skew section measures.
+    The default cap (64) sits above the fixture corpora's max
+    chunk-shingle doc-frequency (30 at sf0.1, measured), so guarded
+    output is value-identical to the exact form at every test sf while
+    bounding per-shingle join fanout at production scale; pass
+    `max_shingle_doc_freq=None, hash_shingles=False` explicitly for
+    the unguarded oracle-parity twin.
 
     Output: doc_lo < doc_hi, matched_lo/hi (distinct chunks with a
     cross-side near-dup), n_chunks_lo/hi, containment_lo/hi (round 6).

@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 # one URL split into (scheme)://(authority)(rest) — authority ends at
 # the first '/', '?' or '#'; rest keeps everything except the fragment
 URL_SPLIT_PATTERN = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)"
-TRACKING_PARAM_PATTERN = r"(utm_[a-z]+|gclid|fbclid)=[^&#]*&?"
+# anchored to a real '?'/'&' separator so 'xutm_source=...' or a
+# 'utm_' substring inside another parameter's value is NOT stripped;
+# the repetition group handles back-to-back tracking params in one
+# match (a global replace that consumed the separator would otherwise
+# skip every second one). Replacement keeps the captured separator.
+TRACKING_PARAM_PATTERN = r"([?&])((utm_[a-z]+|gclid|fbclid)=[^&#]*&?)+"
+TRACKING_PARAM_REPLACEMENT = "$1"
 DEFAULT_PORT_PATTERN = r":(80|443)$"
 DANGLING_SEP_PATTERN = r"[?&]$"
 SLASH_BEFORE_QUERY_PATTERN = r"/+\?"
@@ -52,7 +58,7 @@ def canonical_url(url: Column) -> Column:
     host = F.regexp_extract(url, URL_SPLIT_PATTERN, 2)
     rest = F.regexp_extract(url, URL_SPLIT_PATTERN, 3)
     host = F.regexp_replace(F.lower(host), DEFAULT_PORT_PATTERN, "")
-    rest = F.regexp_replace(rest, TRACKING_PARAM_PATTERN, "")
+    rest = F.regexp_replace(rest, TRACKING_PARAM_PATTERN, TRACKING_PARAM_REPLACEMENT)
     rest = F.regexp_replace(rest, DANGLING_SEP_PATTERN, "")
     rest = F.regexp_replace(rest, SLASH_BEFORE_QUERY_PATTERN, "?")
     rest = F.regexp_replace(rest, TRAILING_SLASH_PATTERN, "")

@@ -1422,7 +1422,11 @@ def q_chunk_containment(spark, sf_dir):
     """Cross-document partial-overlap detection: sliding-window chunks
     + chunk-level near-dup pairs aggregated to per-doc-pair
     containment fractions (catches quoting/boilerplate that doc-level
-    dedup misses)."""
+    dedup misses). Runs the GUARDED plan (df-capped, hashed shingle
+    keys — the operator's defaults); the cap (64) exceeds the measured
+    max chunk-shingle doc-frequency at every test sf (30 at sf0.1), so
+    the output is value-identical to the exact formulation the DuckDB
+    oracle computes."""
     return curation.chunk_containment(
         load(spark, sf_dir, "documents"), "doc_id", "text",
         chunk_tokens=32, stride=24, n=3, threshold=0.5,
@@ -2169,6 +2173,45 @@ SELECT doc_id, (start_token // 24)::BIGINT AS chunk_idx, start_token,
        array_to_string(toks, ' ') AS chunk_text
 FROM c
 """
+    # chunk_containment = doc_chunks oracle (sliding windows) composed
+    # with the dedup_ngram_jaccard oracle (shingle Jaccard) at chunk
+    # granularity, aggregated to per-doc-pair containment fractions.
+    # cid = doc_id * 100000 + chunk_idx mirrors the Spark surrogate.
+    sqls["chunk_containment"] = r"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+c AS (SELECT doc_id, i AS start_token,
+             ws[i + 1 : least(i + 32, len(ws))] AS toks
+      FROM w, LATERAL (SELECT unnest(generate_series(0, len(ws) - 1, 24)) AS i) t
+      WHERE len(ws) > 0),
+ch AS (SELECT doc_id, doc_id * 100000 + (start_token // 24) AS cid, toks
+       FROM c),
+sh AS (SELECT DISTINCT cid, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+       FROM ch, LATERAL (SELECT unnest(generate_series(1, len(toks)-2)) AS i) t
+       WHERE len(toks) >= 3),
+sz AS (SELECT cid, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.cid AS cid_a, b.cid AS cid_b, count(*) AS cnt
+          FROM sh a JOIN sh b ON a.s = b.s AND a.cid < b.cid
+          GROUP BY 1, 2),
+pairs AS (SELECT cid_a, cid_b FROM inter
+          JOIN sz sa ON sa.cid = cid_a
+          JOIN sz sb ON sb.cid = cid_b
+          WHERE cnt / (sa.n + sb.n - cnt) >= 0.5),
+cr AS (SELECT (cid_a // 100000)::BIGINT AS doc_lo, cid_a AS cid_lo,
+              (cid_b // 100000)::BIGINT AS doc_hi, cid_b AS cid_hi
+       FROM pairs WHERE cid_a // 100000 != cid_b // 100000),
+matched AS (SELECT doc_lo, doc_hi,
+                   count(DISTINCT cid_lo)::BIGINT AS matched_lo,
+                   count(DISTINCT cid_hi)::BIGINT AS matched_hi
+            FROM cr GROUP BY 1, 2),
+nchunks AS (SELECT doc_id, count(*)::BIGINT AS nc FROM ch GROUP BY 1)
+SELECT doc_lo, doc_hi, matched_lo, matched_hi,
+       lo.nc AS n_chunks_lo, hi.nc AS n_chunks_hi,
+       round(matched_lo / lo.nc, 6) AS containment_lo,
+       round(matched_hi / hi.nc, 6) AS containment_hi
+FROM matched JOIN nchunks lo ON lo.doc_id = doc_lo
+             JOIN nchunks hi ON hi.doc_id = doc_hi
+"""
     sqls["vocab_topk"] = r"""
 WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
            FROM documents),
@@ -2290,7 +2333,7 @@ c AS (
       ':(80|443)$', '') ||
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)', 3),
-      '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+      '([?&])((utm_[a-z]+|gclid|fbclid)=[^&#]*&?)+', '\1', 'g'),
       '[?&]$', ''), '/+\?', '?'), '/+$', '') AS canonical_url
   FROM u)
 SELECT canonical_url, min(doc_id) AS rep_id, count(*) AS dup_count,
