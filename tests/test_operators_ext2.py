@@ -166,6 +166,51 @@ class TestKmeansCentroids:
         assert set(out.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
 
 
+class TestCellSizing:
+    def test_n_cells_for_sqrt_rule(self):
+        from zikeiretsu_rs_spark.operators.similarity import n_cells_for
+
+        assert n_cells_for(1) == 2  # floor
+        assert n_cells_for(100) == 10  # perfect square
+        assert n_cells_for(101) == 11  # ceil
+        assert n_cells_for(10_000) == 100
+        assert n_cells_for(1_000_000_000) == 31_623  # ceil(sqrt(1e9))
+
+    def test_n_cells_for_target_rule(self):
+        from zikeiretsu_rs_spark.operators.similarity import n_cells_for
+
+        assert n_cells_for(1000, target_cell_rows=100) == 10
+        assert n_cells_for(1001, target_cell_rows=100) == 11  # ceil
+        assert n_cells_for(50, target_cell_rows=100) == 2  # floor
+
+    def test_assign_cells_arrow_matches_expression(self, spark, emb):
+        from zikeiretsu_rs_spark.operators.similarity import (
+            assign_cells,
+            assign_cells_arrow,
+            kmeans_centroids,
+        )
+
+        cents = kmeans_centroids(emb, n_cells=3, max_iter=5)
+        expr = {
+            r["vec_id"]: (r["cell"], round(r["_n"], 9))
+            for r in assign_cells(emb, cents).collect()
+        }
+        arrow = {
+            r["vec_id"]: (r["cell"], round(r["_n"], 9))
+            for r in assign_cells_arrow(emb, cents).collect()
+        }
+        assert expr == arrow
+
+    def test_semantic_dedup_default_scales_cells(self, spark, emb):
+        """With no n_cells/centroids, semantic_dedup sizes cells by
+        n_cells_for — the anti-scale-trap default."""
+        from zikeiretsu_rs_spark.operators.similarity import semantic_dedup
+
+        out = semantic_dedup(emb, threshold=0.40)
+        assert out.count() == emb.count()
+        assert set(out.columns) == {"vec_id", "dup_of", "is_kept"}
+
+
 class TestLshPairs:
     def test_subset_of_bruteforce_and_exact_scores(self, spark, emb):
         from zikeiretsu_rs_spark.operators.similarity import (

@@ -278,6 +278,127 @@ def lsh_topk(
     )
 
 
+def n_cells_for(n_rows: int, target_cell_rows: int | None = None) -> int:
+    """Cell-count sizing rule for the IVF / semantic-dedup coarse
+    quantizer — the knob that keeps the within-cell quadratic work
+    bounded as the corpus grows (a FIXED n_cells is quadratic-in-corpus
+    at any real scale).
+
+    - default: n_cells = ceil(sqrt(N)) — balanced cells hold ~sqrt(N)
+      rows, so total within-cell pair work is ~N^1.5, not N^2, and the
+      largest self-join side grows as sqrt(N).
+    - with `target_cell_rows`: n_cells = ceil(N / target) — pins the
+      expected cell size to a constant (pick it so a cell's vectors fit
+      an executor's memory), making total pair work ~N * target / 2,
+      i.e. linear in N.
+
+    Exact integer arithmetic (isqrt), no float sqrt edge cases.
+    """
+    n_rows = max(1, n_rows)
+    if target_cell_rows is not None:
+        return max(2, -(-n_rows // target_cell_rows))
+    s = __import__("math").isqrt(n_rows)
+    if s * s < n_rows:
+        s += 1
+    return max(2, s)
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-coarse-centroid assignment by cosine: (id, _vec, _n,
+    cell). Map-side only — the centroids enter the plan as literal
+    arrays (the broadcast-a-fitted-model pattern); the vector norm is
+    computed once here so downstream pair joins do a single dot product
+    per pair."""
+    v = with_double_vec(corpus, vec_col).select(F.col(id_col), "_vec")
+    scores = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(F.col("_vec"), F.array(*[F.lit(x) for x in c]))
+                    / (
+                        _norm(F.col("_vec"))
+                        * _norm(F.array(*[F.lit(x) for x in c]))
+                    )
+                ).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return v.withColumn("cell", F.array_max(scores)["cell"]).withColumn(
+        "_n", _norm(F.col("_vec"))
+    )
+
+
+def assign_cells_arrow(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized twin of `assign_cells` for LARGE centroid
+    counts: one numpy (rows x dim) @ (dim x n_cells) matmul per record
+    batch instead of an n_cells-literal Catalyst expression per row.
+    Beyond a few dozen cells the expression tree's analysis/codegen
+    cost dominates the query (measured: 45 cells doubles-up in a
+    self-join plan stalled analysis for minutes at sf0.1), and at the
+    hundreds-to-thousands of cells a 100 TB corpus needs
+    (`n_cells_for`), per-centroid expressions are the wrong shape
+    outright. Same output contract: (id, _vec, _n, cell); cell = argmax
+    cosine (numpy argmax takes the LOWEST index on exact float ties,
+    where the expression path takes the highest — ties are
+    measure-zero on real embeddings)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cmat = np.array(centroids, dtype=np.float64)  # (n_cells, dim)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    schema = T.StructType(
+        [
+            T.StructField(
+                id_col, corpus.schema[id_col].dataType, True
+            ),
+            T.StructField("_vec", T.ArrayType(T.DoubleType()), True),
+            T.StructField("_n", T.DoubleType(), True),
+            T.StructField("cell", T.IntegerType(), True),
+        ]
+    )
+    src = with_double_vec(corpus, vec_col).select(F.col(id_col), "_vec")
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(list(pdf["_vec"]), dtype=np.float64)
+            norms = np.sqrt((vecs * vecs).sum(axis=1))
+            # cosine argmax == (v @ c / |c|) argmax; |v| cancels
+            cells = np.argmax((vecs @ cmat.T) / cnorm, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "_vec": pdf["_vec"],
+                    "_n": norms,
+                    "cell": cells.astype(np.int32),
+                }
+            )
+
+    return src.mapInPandas(batches, schema)
+
+
+# expression-path assignment is fine up to this many centroids; past
+# it the per-centroid literal expression tree dominates analysis and
+# execution, and the Arrow matmul path takes over (see
+# assign_cells_arrow docstring for the measured cliff)
+MAX_EXPR_CENTROIDS = 16
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_cells: int,
@@ -424,7 +545,7 @@ def head_centroids(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.40,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
@@ -442,35 +563,31 @@ def semantic_dedup(
     centroid quality controls balance, and `kmeans_centroids` is the
     drop-in upgrade). Assignment is a map-side broadcast of n_cells
     literal centroids; the join shuffles each side once, keyed by
-    cell.
+    cell. When neither `n_cells` nor `centroids` is given, n_cells
+    SCALES with the corpus via `n_cells_for` (~ceil(sqrt(N))) — a
+    fixed cell count would make the within-cell join quadratic in the
+    corpus at any real scale; pin n_cells explicitly only for
+    oracle-rederivable fixtures.
 
     Output: one row per corpus vector — id, dup_of (the smallest
     same-cell id within threshold, NULL if none), is_kept.
     """
     v = with_double_vec(corpus, vec_col).select(F.col(id_col), "_vec")
     if centroids is None:
+        if n_cells is None:
+            n_cells = n_cells_for(corpus.count())
         centroids = head_centroids(corpus, n_cells, id_col, vec_col)
-    scores = F.array(
-        *[
-            F.struct(
-                (
-                    _dot(F.col("_vec"), F.array(*[F.lit(x) for x in c]))
-                    / (
-                        _norm(F.col("_vec"))
-                        * _norm(F.array(*[F.lit(x) for x in c]))
-                    )
-                ).alias("score"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    # norms are computed ONCE per vector before the self-join — the
+    # norms are computed ONCE per vector in assign_cells — the
     # within-cell pair count is quadratic in cell size, so per-pair
-    # work must be a single dot product, not dot + two norms
-    asn = v.withColumn("cell", F.array_max(scores)["cell"]).withColumn(
-        "_n", _norm(F.col("_vec"))
+    # work must be a single dot product, not dot + two norms. Small
+    # centroid sets stay on the pure-expression path (no-UDF, oracle
+    # fixtures); large ones switch to the Arrow matmul path.
+    assign = (
+        assign_cells
+        if len(centroids) <= MAX_EXPR_CENTROIDS
+        else assign_cells_arrow
     )
+    asn = assign(corpus, centroids, id_col, vec_col)
     a = asn.select(
         F.col("cell"),
         F.col(id_col).alias("id_a"),

@@ -1515,6 +1515,65 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_kmeans(spark, sf_dir):
+    """The SCALE-SIZED semantic-dedup path: kmeans_centroids
+    (pyspark.ml Lloyd, fixed seed) with n_cells = n_cells_for(N)
+    (= ceil(sqrt(N)), so the within-cell self-join side grows as
+    sqrt(N) and total pair work is ~N^1.5 — a fixed cell count would
+    be quadratic-in-corpus). Assignment runs the Arrow matmul path
+    (one numpy (rows x dim) @ (dim x n_cells) per batch — per-centroid
+    literal expressions stop scaling past a few dozen cells).
+
+    A learned quantizer's cell membership is not oracle-rederivable,
+    so the gate checks exact invariants the oracle CAN recompute:
+    - sound_ok: every emitted (dup_of, vec_id) pair is in the
+      brute-force >=threshold pair set (precision 1 — the within-cell
+      filter is exact cosine, so any violation means a broken join);
+    - recall_ok: >= 25% of the vectors the exact epsilon-ball dedup
+      drops are also dropped here (measured 0.36-0.44 across sfs on
+      this weakly-clustered corpus — near-threshold 0.40-0.51 cosine
+      pairs often straddle kmeans cells; a REAL near-dup workload at
+      0.9+ sits deep inside a cell);
+    - balance_ok: the largest cell holds <= 8x the sqrt(N) target
+      (the within-cell join side actually IS bounded);
+    - n_vecs / n_cells anchor the row to the corpus and sizing rule.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_cells = similarity.n_cells_for(n)
+    cents = similarity.kmeans_centroids(emb, n_cells)
+    out = similarity.semantic_dedup(emb, threshold=0.40, centroids=cents)
+    brute = similarity.cosine_pairs_above(emb, threshold=0.40)
+    dropped = out.where(~F.col("is_kept")).select("vec_id", "dup_of")
+    bad = dropped.join(
+        brute,
+        (dropped["dup_of"] == brute["id_a"])
+        & (dropped["vec_id"] == brute["id_b"]),
+        "left_anti",
+    )
+    exact_dropped = brute.select(F.col("id_b").alias("vec_id")).distinct()
+    hits = exact_dropped.join(dropped, "vec_id", "left_semi")
+    cell_sizes = similarity.assign_cells_arrow(emb, cents).groupBy("cell").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        emb.agg(F.count("*").alias("n_vecs"))
+        .crossJoin(bad.agg(F.count("*").alias("_n_bad")))
+        .crossJoin(exact_dropped.agg(F.count("*").alias("_n_exact")))
+        .crossJoin(hits.agg(F.count("*").alias("_n_hit")))
+        .crossJoin(cell_sizes.agg(F.max("c").alias("_max_cell")))
+        .select(
+            "n_vecs",
+            F.lit(n_cells).cast("long").alias("n_cells"),
+            (F.col("_n_bad") == 0).alias("sound_ok"),
+            (F.col("_n_hit") >= 0.25 * F.col("_n_exact")).alias("recall_ok"),
+            (F.col("_max_cell") <= F.lit(8 * (n / n_cells))).alias(
+                "balance_ok"
+            ),
+        )
+    )
+
+
 def q_skew_salted_join(spark, sf_dir):
     """Skew-stress join, gated: 90% of fact rows collapse onto ONE hot
     join key (every user_id with last digit 0-8 maps to hot_id 0), then
@@ -1555,6 +1614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- head: checked by the driver gate this round ---------------------
     # never gated before / new this round
     "sketch_quantiles_check": q_sketch_quantiles_check,
+    "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
     "dedup_clusters_scaled": q_dedup_clusters_scaled,
     "skew_salted_join": q_skew_salted_join,
     "text_gopher_rules": q_text_gopher_rules,
@@ -2654,6 +2714,17 @@ FROM events GROUP BY 1
     sqls["sketch_quantiles_check"] = """
 SELECT event_type, TRUE AS q50_ok, TRUE AS q90_ok
 FROM events GROUP BY 1
+"""
+    # learned-quantizer semantic dedup: cell membership is model state,
+    # so the oracle pins the corpus anchor + the n_cells sizing rule
+    # (ceil(sqrt(N)), exact for these counts: IEEE sqrt of a perfect
+    # square is exact, ceil of a non-square's sqrt matches isqrt+1)
+    # and hash-matches the invariant booleans
+    sqls["semantic_dedup_kmeans"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(greatest(2, ceil(sqrt(count(*)))) AS BIGINT) AS n_cells,
+       TRUE AS sound_ok, TRUE AS recall_ok, TRUE AS balance_ok
+FROM embeddings
 """
     sqls["ann_lsh_recall_check"] = """
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
