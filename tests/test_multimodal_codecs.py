@@ -345,6 +345,149 @@ class TestPngCodec:
         )
         assert _decode_png(png16) == (None,) * 4
 
+
+def _scalar_unfilter_pix_sum(raw, w, h, channels):
+    """Per-byte reference reconstruction (the pre-vectorization
+    formulation) — the oracle for the numpy scanline paths."""
+    from zikeiretsu_rs_spark.operators.multimodal import _paeth
+
+    stride = w * channels
+    pix_sum = 0
+    prev = bytearray(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        for x in range(stride):
+            left = line[x - channels] if x >= channels else 0
+            up = prev[x]
+            ul = prev[x - channels] if x >= channels else 0
+            if ftype == 1:
+                line[x] = (line[x] + left) & 0xFF
+            elif ftype == 2:
+                line[x] = (line[x] + up) & 0xFF
+            elif ftype == 3:
+                line[x] = (line[x] + (left + up) // 2) & 0xFF
+            elif ftype == 4:
+                line[x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        pix_sum += sum(line)
+        prev = line
+    return pix_sum
+
+
+class TestPngVectorizedUnfilter:
+    """The numpy scanline reconstruction (cumsum Sub, whole-row Up,
+    scalar Average/Paeth) must be byte-equivalent to the per-byte
+    reference on adversarial filter mixes and all channel counts."""
+
+    def _png(self, w, h, channels, seed, ftype_fn):
+        import random
+        import struct as _s
+        import zlib
+
+        from zikeiretsu_rs_spark.operators.multimodal import (
+            _PNG_SIG,
+            _paeth,
+            _png_chunk,
+        )
+
+        rng = random.Random(seed)
+        color = {1: 0, 3: 2, 4: 6}[channels]
+        stride = w * channels
+        img = [[rng.randrange(256) for _ in range(stride)] for _ in range(h)]
+        filtered = bytearray()
+        prev = [0] * stride
+        for y in range(h):
+            ftype = ftype_fn(y)
+            filtered.append(ftype)
+            row = img[y]
+            for x in range(stride):
+                left = row[x - channels] if x >= channels else 0
+                up = prev[x]
+                ul = prev[x - channels] if x >= channels else 0
+                pred = [0, left, up, (left + up) // 2, _paeth(left, up, ul)][
+                    ftype
+                ]
+                filtered.append((row[x] - pred) & 0xFF)
+            prev = row
+        ihdr = _s.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        png = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+            + _png_chunk(b"IEND", b"")
+        )
+        return png, bytes(filtered), sum(sum(r) for r in img)
+
+    @pytest.mark.parametrize("channels", [1, 3, 4])
+    @pytest.mark.parametrize(
+        "ftype_fn,label",
+        [
+            (lambda y: y % 5, "cycling"),
+            (lambda y: 4, "all-paeth"),
+            (lambda y: 3, "all-average"),
+            (lambda y: 1, "all-sub"),
+            (lambda y: [4, 1, 4, 3, 2, 0][y % 6], "mixed"),
+        ],
+        ids=lambda v: v if isinstance(v, str) else "",
+    )
+    def test_matches_scalar_reference(self, channels, ftype_fn, label):
+        w, h = 19, 11
+        png, filtered, want = self._png(w, h, channels, hash(label), ftype_fn)
+        assert _decode_png(png) == (w, h, channels, want)
+        assert (
+            _scalar_unfilter_pix_sum(filtered, w, h, channels) == want
+        )
+
+    def test_encoder_matches_scalar_reference_bytes(self):
+        """The vectorized encoder emits byte-for-byte the same PNG the
+        per-byte formulation produced (same filters, same deltas)."""
+        import struct as _s
+        import zlib
+
+        from zikeiretsu_rs_spark.operators.multimodal import (
+            _PNG_SIG,
+            _paeth,
+            _png_chunk,
+            _png_dims,
+        )
+
+        for media_id in (0, 3, 17, 123, 2**33 + 5):
+            w, h = _png_dims(media_id)
+            bpp = 3
+            i = 0
+            rows = []
+            for _y in range(h):
+                row = bytearray(w * bpp)
+                for x in range(w * bpp):
+                    row[x] = (media_id * 131 + i * 7) % 256
+                    i += 1
+                rows.append(row)
+            filtered = bytearray()
+            prev = bytearray(w * bpp)
+            for y, row in enumerate(rows):
+                ftype = (media_id + y) % 5
+                filtered.append(ftype)
+                for x in range(w * bpp):
+                    left = row[x - bpp] if x >= bpp else 0
+                    up = prev[x]
+                    ul = prev[x - bpp] if x >= bpp else 0
+                    pred = [
+                        0, left, up, (left + up) // 2, _paeth(left, up, ul)
+                    ][ftype]
+                    filtered.append((row[x] - pred) & 0xFF)
+                prev = row
+            ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            want = (
+                _PNG_SIG
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+                + _png_chunk(b"IEND", b"")
+            )
+            assert _encode_png(media_id) == want
+
+
+class TestPngCodecBoundaries:
     @settings(max_examples=100, deadline=None)
     @given(st.binary(max_size=128))
     def test_never_crashes_on_garbage(self, payload):

@@ -299,45 +299,50 @@ def _encode_png(media_id: int) -> bytes:
     — the same arithmetic family as the BMP fixture, so the oracle form
     is identical. Scanline y uses filter type (media_id + y) % 5,
     exercising every PNG filter (None/Sub/Up/Average/Paeth) on every
-    corpus."""
+    corpus.
+
+    Fully numpy-vectorized: encode-side filtering predicts from RAW
+    neighbor planes (left/up/upper-left shifts of the raw image), so
+    every filter — Paeth included — is a whole-image array expression;
+    the only Python-level work left is the zlib call. Byte-identical
+    to the per-byte reference formulation (pinned by
+    tests/test_multimodal_codecs.py)."""
     import zlib
+
+    import numpy as np
 
     w, h = _png_dims(media_id)
     bpp = 3  # bytes per pixel, RGB8
-    raw_rows = []
-    i = 0
-    for _y in range(h):
-        row = bytearray(w * bpp)
-        for x in range(w * bpp):
-            row[x] = (media_id * 131 + i * 7) % 256
-            i += 1
-        raw_rows.append(row)
-    filtered = bytearray()
-    prev = bytearray(w * bpp)
-    for y, row in enumerate(raw_rows):
-        ftype = (media_id + y) % 5
-        filtered.append(ftype)
-        for x in range(w * bpp):
-            left = row[x - bpp] if x >= bpp else 0
-            up = prev[x]
-            ul = prev[x - bpp] if x >= bpp else 0
-            if ftype == 0:
-                v = row[x]
-            elif ftype == 1:
-                v = row[x] - left
-            elif ftype == 2:
-                v = row[x] - up
-            elif ftype == 3:
-                v = row[x] - (left + up) // 2
-            else:
-                v = row[x] - _paeth(left, up, ul)
-            filtered.append(v & 0xFF)
-        prev = row
+    stride = w * bpp
+    raw = (
+        ((media_id * 131 + np.arange(h * stride, dtype=np.int64) * 7) % 256)
+        .astype(np.int16)
+        .reshape(h, stride)
+    )
+    left = np.zeros_like(raw)
+    left[:, bpp:] = raw[:, :-bpp]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    ul = np.zeros_like(raw)
+    ul[1:, bpp:] = raw[:-1, :-bpp]
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    paeth = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+    )
+    preds = np.stack(
+        [np.zeros_like(raw), left, up, (left + up) // 2, paeth]
+    )  # (5, h, stride)
+    ftypes = (media_id + np.arange(h, dtype=np.int64)) % 5
+    chosen = preds[ftypes, np.arange(h)]
+    out = np.empty((h, stride + 1), dtype=np.uint8)
+    out[:, 0] = ftypes
+    out[:, 1:] = ((raw - chosen) % 256).astype(np.uint8)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + _png_chunk(b"IDAT", zlib.compress(out.tobytes(), 6))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -402,28 +407,51 @@ def _decode_png(payload: bytes | None):
     stride = w * channels
     if len(raw) != (stride + 1) * h:
         return bad
+    import numpy as np
+
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = mat[:, 0]
+    if (ftypes > 4).any():
+        return bad
+    # Scanline reconstruction. None/Up/Sub have no left-to-right data
+    # dependency once the previous ROW is known, so they are whole-row
+    # numpy expressions (Sub is a per-channel-lane cumsum — addition
+    # mod 256 commutes with the prefix sum). Average and Paeth predict
+    # from the RECONSTRUCTED left pixel, a genuinely sequential chain
+    # along x, so they fall back to a tight scalar loop (vectorizing
+    # 3-byte lane steps through numpy costs more per step than Python
+    # ints). Row order stays sequential because every filter may read
+    # the previous reconstructed row.
     pix_sum = 0
-    prev = bytearray(stride)
+    prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
-        base = y * (stride + 1)
-        ftype = raw[base]
-        if ftype > 4:
-            return bad
-        line = bytearray(raw[base + 1 : base + 1 + stride])
-        for x in range(stride):
-            left = line[x - channels] if x >= channels else 0
-            up = prev[x]
-            ul = prev[x - channels] if x >= channels else 0
-            if ftype == 1:
-                line[x] = (line[x] + left) & 0xFF
-            elif ftype == 2:
-                line[x] = (line[x] + up) & 0xFF
-            elif ftype == 3:
-                line[x] = (line[x] + (left + up) // 2) & 0xFF
-            elif ftype == 4:
-                line[x] = (line[x] + _paeth(left, up, ul)) & 0xFF
-        pix_sum += sum(line)
-        prev = line
+        ftype = ftypes[y]
+        line = mat[y, 1:].astype(np.int64)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:
+            cur = np.cumsum(line.reshape(w, channels), axis=0).reshape(
+                stride
+            ) % 256
+        elif ftype == 2:
+            cur = (line + prev) % 256
+        else:
+            lv = line.tolist()
+            pv = prev.tolist()
+            out_row = [0] * stride
+            if ftype == 3:
+                for x in range(stride):
+                    left = out_row[x - channels] if x >= channels else 0
+                    out_row[x] = (lv[x] + (left + pv[x]) // 2) & 0xFF
+            else:
+                for x in range(stride):
+                    left = out_row[x - channels] if x >= channels else 0
+                    up_v = pv[x]
+                    ul = pv[x - channels] if x >= channels else 0
+                    out_row[x] = (lv[x] + _paeth(left, up_v, ul)) & 0xFF
+            cur = np.array(out_row, dtype=np.int64)
+        pix_sum += int(cur.sum())
+        prev = cur
     return w, h, channels, pix_sum
 
 
