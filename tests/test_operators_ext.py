@@ -314,3 +314,121 @@ class TestMultimodal:
             "payload",
             "mime",
         ]
+
+
+class TestQualityWeightedSample:
+    def test_acceptance_and_weights(self, spark):
+        from zikeiretsu_rs_spark.operators import sampling
+
+        rows = [(i, min(1.0, i / 100.0)) for i in range(0, 400)]
+        df = spark.createDataFrame(rows, ["doc_id", "quality"])
+        out = {r["doc_id"]: r for r in
+               sampling.quality_weighted_sample(df, "doc_id", "quality").collect()}
+        # quality 0 rows can never be kept
+        assert 0 not in out
+        # every kept row's bucket is under its own threshold, and the
+        # weight is the exact inverse acceptance probability
+        buckets = {
+            r["doc_id"]: r["bk"]
+            for r in df.select(
+                "doc_id",
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+                .cast("int").alias("bk"),
+            ).collect()
+        }
+        for i, r in out.items():
+            thr = int(r["quality"] * 256)
+            assert buckets[i] < thr
+            assert r["weight"] == round(256.0 / thr, 6)
+        # rows with quality 1.0 are always kept (thr = 256 > any bucket)
+        always = [i for i, q in rows if q == 1.0]
+        assert set(always) <= set(out)
+        # higher quality strictly raises the acceptance probability:
+        # the kept fraction of the low-quality half is below the
+        # kept fraction of the high-quality half
+        lo = sum(1 for i in out if i < 200) / 200
+        hi = sum(1 for i in out if i >= 200) / 200
+        assert lo < hi
+
+    def test_subset_of_input(self, spark):
+        from zikeiretsu_rs_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(i, 0.5) for i in range(100)], ["doc_id", "quality"]
+        )
+        out = sampling.quality_weighted_sample(df, "doc_id", "quality")
+        assert out.count() < 100
+        assert out.join(df, "doc_id", "left_anti").count() == 0
+
+
+class TestSourceMixWeights:
+    def test_binding_source_kept_whole(self, spark):
+        from zikeiretsu_rs_spark.operators import curation
+
+        rows = (
+            [(f"a{i}", "web", "w " * 100) for i in range(10)]     # 1000 tokens
+            + [(f"b{i}", "books", "b " * 100) for i in range(2)]  # 200 tokens
+        )
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        out = {
+            r["source"]: r
+            for r in curation.source_mix_weights(
+                df, "source", "text", {"web": 0.5, "books": 0.5}
+            ).collect()
+        }
+        # books is binding (200/0.5 = 400 < 1000/0.5): rate 1.0
+        assert out["books"]["acceptance_rate"] == 1.0
+        # web accepts 0.5*400/1000 = 0.2
+        assert out["web"]["acceptance_rate"] == 0.2
+        assert out["web"]["expected_tokens"] == 200.0
+        # resulting mix hits the target shares exactly
+        assert out["web"]["expected_tokens"] == out["books"]["expected_tokens"]
+
+    def test_unknown_source_dropped(self, spark):
+        from zikeiretsu_rs_spark.operators import curation
+
+        df = spark.createDataFrame(
+            [(1, "web", "x y z"), (2, "spam", "a b c")],
+            ["doc_id", "source", "text"],
+        )
+        out = {
+            r["source"]: r
+            for r in curation.source_mix_weights(
+                df, "source", "text", {"web": 1.0}
+            ).collect()
+        }
+        assert out["spam"]["acceptance_rate"] == 0.0
+        assert out["spam"]["target_share"] == 0.0
+        assert out["web"]["acceptance_rate"] == 1.0
+
+
+class TestUnigramLogprob:
+    def test_hand_computed_tiny_corpus(self, spark):
+        import math
+
+        from zikeiretsu_rs_spark.operators import text as tx
+
+        # corpus: a a b | b c  -> N=5, tf: a=2 b=2 c=1
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c")], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: r for r in tx.unigram_logprob(df, "doc_id", "text").collect()
+        }
+        lp = {t: round(math.log(n / 5), 9) for t, n in {"a": 2, "b": 2, "c": 1}.items()}
+        want1 = round((2 * lp["a"] + lp["b"]) / 3, 6)
+        want2 = round((lp["b"] + lp["c"]) / 2, 6)
+        assert out[1]["n_tokens"] == 3 and out[1]["avg_logprob"] == want1
+        assert out[2]["n_tokens"] == 2 and out[2]["avg_logprob"] == want2
+
+    def test_rare_terms_score_lower(self, spark):
+        from zikeiretsu_rs_spark.operators import text as tx
+
+        common = " ".join(["the"] * 50)
+        rare = "zxqv wvut qpon mlkj"
+        df = spark.createDataFrame(
+            [(1, common), (2, rare)], ["doc_id", "text"]
+        )
+        out = {r["doc_id"]: r["avg_logprob"]
+               for r in tx.unigram_logprob(df, "doc_id", "text").collect()}
+        assert out[2] < out[1]

@@ -155,6 +155,79 @@ def duplicated_span_stats(
     ).select(id_col, "n_spans", "n_dup_spans", "dup_frac")
 
 
+def source_mix_weights(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    target_shares: dict[str, float],
+) -> DataFrame:
+    """Mixture planning: given target token SHARES per source (the
+    data-mixing recipe of a pretraining run), compute each source's
+    acceptance rate so the sampled corpus hits the target proportions
+    while keeping as many tokens as possible.
+
+    The binding constraint is the source with the smallest
+    available/target ratio: total_budget = min_s(tokens_s / share_s);
+    rate_s = share_s * total_budget / tokens_s (== 1 for the binding
+    source, < 1 for over-represented ones). Token counts are whitespace
+    tokens (`words_col`), summed exactly.
+
+    Scale shape: one groupBy(source) over map-side-combined token
+    counts, a 1-row min-aggregate broadcast back — no data shuffle
+    beyond the per-source rollup; sources number in the hundreds, not
+    millions.
+
+    Output: source, n_docs, n_tokens, target_share, acceptance_rate
+    (round 6), expected_tokens (round 2).
+    """
+    shares = F.create_map(
+        *[F.lit(x) for kv in target_shares.items() for x in kv]
+    )
+    per_src = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(words_col(F.col(text_col))).alias("_nt"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("_nt").alias("n_tokens"))
+        .withColumn("target_share", shares[F.col("source")])
+    )
+    known = per_src.where(
+        F.col("target_share").isNotNull() & (F.col("target_share") > 0)
+    )
+    budget = known.agg(
+        F.min(F.col("n_tokens") / F.col("target_share")).alias("_budget")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(budget))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.coalesce(F.col("target_share"), F.lit(0.0)).alias(
+                "target_share"
+            ),
+            F.round(
+                F.when(
+                    F.col("target_share").isNotNull()
+                    & (F.col("target_share") > 0),
+                    F.least(
+                        F.lit(1.0),
+                        F.col("target_share")
+                        * F.col("_budget")
+                        / F.col("n_tokens"),
+                    ),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("acceptance_rate"),
+        )
+        .withColumn(
+            "expected_tokens",
+            F.round(F.col("acceptance_rate") * F.col("n_tokens"), 2),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

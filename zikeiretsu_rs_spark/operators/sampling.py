@@ -132,6 +132,35 @@ def stratified_sample(
     return safe.unionByName(rescue)
 
 
+def quality_weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Importance sampling by a per-row quality score in [0, 1]: row
+    acceptance probability = floor(quality * 256) / 256, decided by the
+    same content-hash bucket as `deterministic_sample` — so the sample
+    is reproducible on any engine/partitioning AND biased toward
+    high-quality rows (the quality-weighted mixing step of a training
+    pipeline; cf. the sampling weights of DoReMi/DataComp-style
+    curation). Kept rows carry `weight` = 1/p (Horvitz-Thompson
+    inverse-probability weight), so downstream token counts and loss
+    statistics stay unbiased estimates of the full corpus.
+
+    quality == 0 rows (threshold 0) can never be kept; map-side only —
+    no shuffle, no UDF.
+
+    Output: key, quality, weight (round 6).
+    """
+    thr = F.floor(F.col(quality_col) * 256).cast("int")
+    kept = df.select(F.col(key_col), F.col(quality_col)).where(
+        _bucket256(F.col(key_col)) < thr
+    )
+    return kept.withColumn(
+        "weight", F.round(F.lit(256.0) / thr.cast("double"), 6)
+    )
+
+
 def train_test_split(
     df: DataFrame,
     key_col: str,

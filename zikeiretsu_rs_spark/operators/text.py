@@ -191,6 +191,66 @@ def vocab_top_df(
     )
 
 
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-LM quality scoring, the perplexity-filter step of a
+    CCNet-style curation pipeline reduced to its distributed skeleton:
+    fit a unigram MLE language model ON the corpus itself (P(w) =
+    tf(w)/N over token positions), then score each document by its
+    mean token log-probability. Outlier documents (gibberish, boiler-
+    plate, wrong-language) sit in the low tail; a production pipeline
+    swaps the unigram table for KenLM shards — the JOIN SHAPE is the
+    part that has to scale, and it is identical.
+
+    Scale shape: positions are reduced to per-(doc, term) counts FIRST
+    (map-side combine absorbs duplicate tokens), so the model join is
+    (doc-term rows) ⋈ (term stats) — an equi-join on the term, linear,
+    with AQE handling stopword-term skew; N is a 1-row broadcast. Per-
+    term log-probs are rounded to 9 decimals and accumulated in
+    DECIMAL, so every engine/partitioning produces identical doubles
+    (the BM25 pattern).
+
+    Output: id, n_tokens, avg_logprob (round 6) — one row per document
+    with at least one token.
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("term")
+    )
+    tfd = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf_d"))
+    tf = tfd.groupBy("term").agg(F.sum("tf_d").alias("tf"))
+    n_total = tf.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        tfd.join(tf, "term")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col(id_col),
+            "tf_d",
+            # ln(p) ∈ (-inf, 0] but ≥ ln(1/N) ≈ -40 even at 100 TB:
+            # decimal(12,9) holds it; tf_d ≤ doc length: decimal(12,0).
+            # The product stays at precision 25 scale 9 — no silent
+            # rescale in Spark, no overflow in DuckDB.
+            F.round(F.log(F.col("tf") / F.col("n_total")), 9)
+            .cast("decimal(12,9)")
+            .alias("_lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf_d").alias("n_tokens"),
+            F.sum(F.col("tf_d").cast("decimal(12,0)") * F.col("_lp")).alias(
+                "_sum_lp"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(
+                F.col("_sum_lp").cast("double") / F.col("n_tokens"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized lowercase text. (The rolling-hash variant for

@@ -1574,6 +1574,47 @@ def q_semantic_dedup_kmeans(spark, sf_dir):
     )
 
 
+def q_quality_weighted_sample(spark, sf_dir):
+    """Importance sampling biased by the quality score: acceptance
+    probability floor(quality*256)/256 decided by the md5 content-hash
+    bucket, kept rows carrying the 1/p Horvitz-Thompson weight —
+    engine/partitioning-stable (the oracle re-derives every kept row
+    and weight)."""
+    docs = load(spark, sf_dir, "documents")
+    scored = text.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "quality"
+    )
+    return sampling.quality_weighted_sample(scored, "doc_id", "quality")
+
+
+# the pretraining mixing recipe for the fixture's 20 sources: shares
+# proportional to 1 + (k % 3); the oracle embeds the same literals
+MIX_TARGET_SHARES = {
+    f"src{k}": (1 + k % 3) / sum(1 + j % 3 for j in range(20))
+    for k in range(20)
+}
+
+
+def q_source_mix_weights(spark, sf_dir):
+    """Data-mixing planner: per-source acceptance rates that hit the
+    target token shares while keeping the binding source whole
+    (budget = min tokens_s/share_s). One source rollup + a 1-row
+    broadcast — no corpus shuffle."""
+    return curation.source_mix_weights(
+        load(spark, sf_dir, "documents"), "source", "text",
+        MIX_TARGET_SHARES,
+    )
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram-LM quality score (the CCNet perplexity-filter
+    join shape): per-(doc,term) counts joined to term stats, DECIMAL
+    log-prob accumulation, mean per document."""
+    return text.unigram_logprob(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def q_skew_salted_join(spark, sf_dir):
     """Skew-stress join, gated: 90% of fact rows collapse onto ONE hot
     join key (every user_id with last digit 0-8 maps to hot_id 0), then
@@ -1615,6 +1656,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never gated before / new this round
     "sketch_quantiles_check": q_sketch_quantiles_check,
     "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
+    "quality_weighted_sample": q_quality_weighted_sample,
+    "source_mix_weights": q_source_mix_weights,
+    "unigram_logprob": q_unigram_logprob,
     "dedup_clusters_scaled": q_dedup_clusters_scaled,
     "skew_salted_join": q_skew_salted_join,
     "text_gopher_rules": q_text_gopher_rules,
@@ -2529,6 +2573,62 @@ FROM documents
     sqls["deterministic_sample"] = """
 SELECT doc_id, text FROM documents
 WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 32
+"""
+    sqls["quality_weighted_sample"] = f"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+           FROM documents),
+m AS (SELECT doc_id, len(ws) AS n_tokens,
+             len(list_intersect(ws, [{_STOP_EN}])) AS n_stop_markers
+      FROM w),
+q AS (SELECT doc_id,
+             least(1.0, (n_tokens / 100.0) * 0.5 +
+                        CASE WHEN n_stop_markers > 0 THEN 0.5 ELSE 0.0 END)
+               AS quality
+      FROM m),
+t AS (SELECT doc_id, quality,
+             CAST(floor(quality * 256) AS INT) AS thr,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT)
+               AS bk
+      FROM q)
+SELECT doc_id, quality, round(256.0 / thr, 6) AS weight
+FROM t WHERE bk < thr
+"""
+    _mix_shares = ", ".join(
+        f"('{s}', {v!r})" for s, v in MIX_TARGET_SHARES.items()
+    )
+    sqls["source_mix_weights"] = f"""
+WITH tgt(source, target_share) AS (VALUES {_mix_shares}),
+per_src AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS n_tokens
+  FROM documents GROUP BY 1),
+j AS (SELECT p.source, n_docs, n_tokens, t.target_share
+      FROM per_src p LEFT JOIN tgt t USING (source)),
+b AS (SELECT min(n_tokens / target_share) AS budget
+      FROM j WHERE target_share IS NOT NULL AND target_share > 0)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       coalesce(target_share, 0.0) AS target_share,
+       round(CASE WHEN target_share IS NOT NULL AND target_share > 0
+                  THEN least(1.0, target_share * budget / n_tokens)
+                  ELSE 0.0 END, 6) AS acceptance_rate,
+       round(round(CASE WHEN target_share IS NOT NULL AND target_share > 0
+                        THEN least(1.0, target_share * budget / n_tokens)
+                        ELSE 0.0 END, 6) * n_tokens, 2) AS expected_tokens
+FROM j, b
+"""
+    sqls["unigram_logprob"] = r"""
+WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS term FROM d),
+tfd AS (SELECT doc_id, term, count(*) AS tf_d FROM t GROUP BY 1, 2),
+tf AS (SELECT term, sum(tf_d) AS tf FROM tfd GROUP BY 1),
+n AS (SELECT sum(tf) AS n_total FROM tf)
+SELECT doc_id, CAST(sum(tf_d) AS BIGINT) AS n_tokens,
+       round(CAST(sum(CAST(tf_d AS DECIMAL(12,0)) *
+                      CAST(round(ln(tf / n_total), 9) AS DECIMAL(12,9)))
+                  AS DOUBLE) / sum(tf_d), 6) AS avg_logprob
+FROM tfd JOIN tf USING (term), n
+GROUP BY doc_id
 """
     sqls["train_test_split"] = """
 WITH b AS (
