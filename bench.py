@@ -58,6 +58,13 @@ HEADLINE = [
     "text_bm25",
     "doc_chunks",
     "dedup_clusters_scaled",
+    # round-4 operator families (production paths only — the
+    # verification twins with brute-force ground truth inside, e.g.
+    # semantic_dedup_kmeans_check, run in the driver gate instead)
+    "chunk_containment",
+    "quality_weighted_sample",
+    "source_mix_weights",
+    "unigram_logprob",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

@@ -121,10 +121,12 @@ class TestNoCartesian:
                 "__ts_threshold" in plan
                 or "share" in name
                 or name.endswith("_check")
-                # bm25's corpus stats (N, avgdl) are a 1-row aggregate
-                # broadcast into the scoring join — same sanctioned
+                # bm25's corpus stats (N, avgdl), the unigram LM's
+                # token total, and the mix planner's budget are 1-row
+                # aggregate broadcasts into a join — same sanctioned
                 # scalar-broadcast shape as the ts-limit threshold
-                or name == "text_bm25"
+                or name in ("text_bm25", "unigram_logprob",
+                            "source_mix_weights")
             ), f"{name}: unexpected nested-loop join\n{plan}"
 
 

@@ -1655,7 +1655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- head: checked by the driver gate this round ---------------------
     # never gated before / new this round
     "sketch_quantiles_check": q_sketch_quantiles_check,
-    "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
+    "semantic_dedup_kmeans_check": q_semantic_dedup_kmeans,
     "quality_weighted_sample": q_quality_weighted_sample,
     "source_mix_weights": q_source_mix_weights,
     "unigram_logprob": q_unigram_logprob,
@@ -2820,7 +2820,7 @@ FROM events GROUP BY 1
     # (ceil(sqrt(N)), exact for these counts: IEEE sqrt of a perfect
     # square is exact, ceil of a non-square's sqrt matches isqrt+1)
     # and hash-matches the invariant booleans
-    sqls["semantic_dedup_kmeans"] = """
+    sqls["semantic_dedup_kmeans_check"] = """
 SELECT CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(greatest(2, ceil(sqrt(count(*)))) AS BIGINT) AS n_cells,
        TRUE AS sound_ok, TRUE AS recall_ok, TRUE AS balance_ok
