@@ -76,10 +76,13 @@ HEADLINE = [
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
-    df = suite.QUERIES[name](spark, sf_dir)
-    t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    """Steady-state min-of-2 (same protocol as the skew/layout
+    sections): a single-shot run_query measured 1.2-1.4x phantom
+    'regressions' on untouched queries purely from first-execution
+    codegen JIT + page-cache state — round-over-round comparisons need
+    the steady-state floor, not one sample. (Protocol change in round
+    4; CHANGES_r04 reports the r03-comparable single-shot delta too.)"""
+    return _timed(suite.QUERIES[name](spark, sf_dir))
 
 
 # -- skew stress section ----------------------------------------------------
