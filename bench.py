@@ -65,6 +65,8 @@ HEADLINE = [
     "quality_weighted_sample",
     "source_mix_weights",
     "unigram_logprob",
+    "source_overlap_matrix",  # banded pair path, not the exact twin
+    "embedding_quantize",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

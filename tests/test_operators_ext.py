@@ -432,3 +432,69 @@ class TestUnigramLogprob:
         out = {r["doc_id"]: r["avg_logprob"]
                for r in tx.unigram_logprob(df, "doc_id", "text").collect()}
         assert out[2] < out[1]
+
+
+class TestQuantizeEmbeddings:
+    def test_roundtrip_error_bound_and_range(self, spark):
+        from zikeiretsu_rs_spark.operators import similarity
+
+        rows = [
+            (1, [0.5, -0.25, 0.125, 1.0]),
+            (2, [-2.0, 2.0, 0.0, 0.3]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+            (4, [1e-6, -1e-6, 5e-7, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {r["vec_id"]: r for r in
+               similarity.quantize_embeddings(df, "vec_id", "embedding").collect()}
+        src = dict(rows)
+        for vid, r in out.items():
+            assert all(-127 <= q <= 127 for q in r["qvec"])
+            if vid == 3:
+                assert r["scale"] == 0.0 and all(q == 0 for q in r["qvec"])
+                continue
+            scale = max(abs(x) for x in src[vid]) / 127.0
+            for q, x in zip(r["qvec"], src[vid]):
+                assert abs(x - q * scale) <= scale / 2 + 1e-12
+            # the max component hits +/-127 exactly
+            assert max(abs(q) for q in r["qvec"]) == 127
+
+    def test_half_up_rule(self, spark):
+        from zikeiretsu_rs_spark.operators import similarity
+
+        # scale = 1.0/127 -> x = 0.5*scale sits exactly on the .5
+        # boundary; half-UP quantizes it to 1, not 0 (round-half-even
+        # would give 0 — the rule must be floor(x/s + 0.5))
+        s = 1.0 / 127
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.5 * s, -0.5 * s])], ["vec_id", "embedding"]
+        )
+        (r,) = similarity.quantize_embeddings(df, "vec_id", "embedding").collect()
+        assert r["qvec"][1] == 1
+        assert r["qvec"][2] == 0  # floor(-0.5 + 0.5) = 0
+
+
+class TestSourceOverlapMatrix:
+    def test_counts_unordered_source_pairs(self, spark):
+        from zikeiretsu_rs_spark.operators import curation
+
+        docs = spark.createDataFrame(
+            [(1, "web"), (2, "books"), (3, "web"), (4, "wiki")],
+            ["doc_id", "source"],
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (2, 4)], ["id_a", "id_b"]
+        )
+        out = {
+            (r["source_lo"], r["source_hi"]): r["n_pairs"]
+            for r in curation.source_overlap_matrix(
+                docs, pairs, "doc_id", "source"
+            ).collect()
+        }
+        # (1,2) and (2,3) both bridge books<->web; (1,3) is web-web;
+        # (2,4) is books<->wiki
+        assert out == {
+            ("books", "web"): 2,
+            ("web", "web"): 1,
+            ("books", "wiki"): 1,
+        }

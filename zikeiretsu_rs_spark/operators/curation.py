@@ -228,6 +228,56 @@ def source_mix_weights(
     )
 
 
+def source_overlap_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    source_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cross-source duplication diagnostic: project a near-dup PAIR set
+    (from any dedup family — exact, n-gram, MinHash-verified) onto the
+    source dimension and count pairs per unordered source pair. High
+    off-diagonal counts mean two feeds syndicate the same content —
+    the signal that drives source-level dedup priorities and mixing
+    corrections in a crawl lake.
+
+    Scale shape: two broadcast-or-shuffle equi-joins of the (small)
+    pair set against the (id -> source) projection, then a groupBy on
+    the source pair — cost is O(|pairs|), never O(corpus²); the pair
+    set itself comes from the linear banded path at scale.
+
+    Output: source_lo <= source_hi (lexicographic), n_pairs.
+    """
+    src = docs.select(
+        F.col(id_col).alias("_id"), F.col(source_col).alias("_src")
+    )
+    joined = (
+        pairs.select(id_a, id_b)
+        .join(
+            src.select(
+                F.col("_id").alias(id_a), F.col("_src").alias("_src_a")
+            ),
+            id_a,
+        )
+        .join(
+            src.select(
+                F.col("_id").alias(id_b), F.col("_src").alias("_src_b")
+            ),
+            id_b,
+        )
+    )
+    return (
+        joined.select(
+            F.least("_src_a", "_src_b").alias("source_lo"),
+            F.greatest("_src_a", "_src_b").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -619,6 +619,45 @@ def semantic_dedup(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage-scale step
+    for a 100 TB embedding lake (4x smaller than float32, 8x smaller
+    than the float64 working form; ANN candidate generation runs fine
+    on int8, exact re-scoring re-reads the float column for the tiny
+    candidate set). scale = max|x| / 127; q_i = floor(x_i/scale + 0.5)
+    (explicit half-up — `round` half-even differs between engines);
+    zero vectors quantize to all-zero with scale 0.
+
+    Pure Catalyst expressions (transform/aggregate) — no UDF, no
+    shuffle; the dequantization error is bounded by scale/2 per
+    component, which `quantize_error_check` pins under the oracle.
+
+    Output: id, scale (round 9), qvec (array<int> in [-127, 127]).
+    """
+    v = with_double_vec(df, vec_col)
+    absmax = F.aggregate(
+        F.transform(F.col("_vec"), lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = absmax / F.lit(127.0)
+    q = F.when(scale == 0, F.transform(F.col("_vec"), lambda x: F.lit(0))).otherwise(
+        F.transform(
+            F.col("_vec"),
+            lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"),
+        )
+    )
+    return v.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        q.alias("qvec"),
+    )
+
+
 def lsh_pairs_above(
     df: DataFrame,
     threshold: float,
