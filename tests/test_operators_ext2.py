@@ -442,3 +442,39 @@ class TestLeakageSafeSplit:
             for r in sampling.train_test_split(docs, "doc_id").collect()
         }
         assert out == plain
+
+
+class TestIvfArrowDispatch:
+    def test_large_centroid_set_matches_expression_path(
+        self, spark, monkeypatch
+    ):
+        """Past MAX_EXPR_CENTROIDS the corpus-side assignment runs the
+        Arrow matmul path; results must match the expression path on
+        TIE-FREE data (on exact real-arithmetic score ties the two
+        paths may round differently — numpy pairwise summation vs the
+        expression left-fold — so the axis-aligned `emb` fixture is
+        deliberately not used here)."""
+        from zikeiretsu_rs_spark.operators import similarity
+
+        import random
+
+        rng = random.Random(42)
+        rows = [
+            (i, [rng.random() + 0.01 for _ in range(8)]) for i in range(60)
+        ]
+        corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        cents = similarity.sample_centroids(corpus, 20, "vec_id", "embedding")
+        queries = corpus.limit(3)
+
+        def run():
+            return sorted(
+                (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+                for r in similarity.ivf_topk(
+                    corpus, queries, k=3, dim=8, nprobe=4, centroids=cents
+                ).collect()
+            )
+
+        arrow = run()  # 20 > 16: arrow path
+        monkeypatch.setattr(similarity, "MAX_EXPR_CENTROIDS", 1000)
+        expr = run()  # forced expression path
+        assert arrow == expr and len(arrow) > 0

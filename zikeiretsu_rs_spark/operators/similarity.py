@@ -340,6 +340,7 @@ def assign_cells_arrow(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Arrow-vectorized twin of `assign_cells` for LARGE centroid
     counts: one numpy (rows x dim) @ (dim x n_cells) matmul per record
@@ -350,9 +351,17 @@ def assign_cells_arrow(
     hundreds-to-thousands of cells a 100 TB corpus needs
     (`n_cells_for`), per-centroid expressions are the wrong shape
     outright. Same output contract: (id, _vec, _n, cell); cell = argmax
-    cosine (numpy argmax takes the LOWEST index on exact float ties,
-    where the expression path takes the highest — ties are
-    measure-zero on real embeddings)."""
+    cosine with ties broken toward the HIGHEST cell index — the same
+    tie order as the expression path's array_max over struct(score,
+    cell). The two paths agree wherever score gaps exceed float
+    rounding (pinned on tie-free data by tests/test_operators_ext2.py);
+    on exact real-arithmetic ties the computed floats themselves can
+    differ (numpy pairwise summation vs expression left-fold), which is
+    measure-zero on real embeddings.
+
+    `metric`: "cosine" (assign_cells parity — semantic dedup) or "dot"
+    (raw inner product, `_cell_scores` parity — the ivf_topk coarse
+    quantizer, which scores cells by unnormalized dot)."""
     import numpy as np
     import pandas as pd
 
@@ -378,8 +387,14 @@ def assign_cells_arrow(
                 continue
             vecs = np.array(list(pdf["_vec"]), dtype=np.float64)
             norms = np.sqrt((vecs * vecs).sum(axis=1))
-            # cosine argmax == (v @ c / |c|) argmax; |v| cancels
-            cells = np.argmax((vecs @ cmat.T) / cnorm, axis=1)
+            # cosine argmax == (v @ c / |c|) argmax; |v| cancels.
+            # np.argmax returns the FIRST max; reverse the cell axis to
+            # take the LAST (match array_max's (score, cell) ordering)
+            scores = vecs @ cmat.T
+            if metric == "cosine":
+                scores = scores / cnorm
+            n_cells = scores.shape[1]
+            cells = n_cells - 1 - np.argmax(scores[:, ::-1], axis=1)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -485,14 +500,29 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = sample_centroids(corpus, n_cells, id_col, vec_col)
-    c = with_double_vec(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("_vec").alias("_cv"),
-        _norm(F.col("_vec")).alias("_cn"),
-        F.array_max(_cell_scores(F.col("_vec"), centroids))["cell"].alias(
-            "cell"
-        ),
-    )
+    if len(centroids) > MAX_EXPR_CENTROIDS:
+        # corpus-side assignment flips to the Arrow matmul path past
+        # the expression-tree cliff (see assign_cells_arrow); the query
+        # side stays expression — queries are few and need the sorted
+        # nprobe slice, not just the argmax. metric="dot" matches
+        # _cell_scores' raw-inner-product quantizer
+        c = assign_cells_arrow(
+            corpus, centroids, id_col, vec_col, metric="dot"
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_vec").alias("_cv"),
+            F.col("_n").alias("_cn"),
+            "cell",
+        )
+    else:
+        c = with_double_vec(corpus, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_vec").alias("_cv"),
+            _norm(F.col("_vec")).alias("_cn"),
+            F.array_max(_cell_scores(F.col("_vec"), centroids))["cell"].alias(
+                "cell"
+            ),
+        )
     q = with_double_vec(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_vec").alias("_qv"),
