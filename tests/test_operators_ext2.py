@@ -478,3 +478,87 @@ class TestIvfArrowDispatch:
         monkeypatch.setattr(similarity, "MAX_EXPR_CENTROIDS", 1000)
         expr = run()  # forced expression path
         assert arrow == expr and len(arrow) > 0
+
+
+class TestPrefixFilterJaccard:
+    """AllPairs/PPJoin prefix filtering: completeness is a theorem, so
+    the output must EQUAL the brute-force formulation on any corpus."""
+
+    def _corpus(self, spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_equals_exact_on_near_dup_corpus(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "a completely different set of words entirely here"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (5, "quick brown fox jumps over the lazy"),  # subset
+        ]
+        df = self._corpus(spark, rows)
+        for t in (0.3, 0.5, 0.8):
+            exact = sorted(
+                map(tuple, dedup.ngram_jaccard_pairs(
+                    df, "doc_id", "text", threshold=t).collect())
+            )
+            pf = sorted(
+                map(tuple, dedup.prefix_filter_jaccard_pairs(
+                    df, "doc_id", "text", threshold=t).collect())
+            )
+            assert pf == exact, f"threshold {t}"
+
+    def test_equals_exact_under_hot_shingle_skew(self, spark):
+        """The adversarial shape: one boilerplate phrase in every doc.
+        The hot shingles sort LAST in the rare-first canonical order,
+        so they leave every prefix — yet the near-dup pair must still
+        be found via its rare shared shingles."""
+        boiler = "all rights reserved click here to subscribe now"
+        rows = [(i, f"{boiler} unique{i} words{i} here{i}") for i in range(30)]
+        rows += [
+            (100, f"{boiler} same rare payload shingle text today"),
+            (101, f"{boiler} same rare payload shingle text friday"),
+        ]
+        df = self._corpus(spark, rows)
+        exact = sorted(
+            map(tuple, dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", threshold=0.5).collect())
+        )
+        pf = sorted(
+            map(tuple, dedup.prefix_filter_jaccard_pairs(
+                df, "doc_id", "text", threshold=0.5).collect())
+        )
+        assert pf == exact
+        assert (100, 101) in {(a, b) for a, b, _ in pf}
+
+    def test_prefix_prunes_hot_shingles_from_candidates(self, spark):
+        """Every doc shares the boilerplate, so the all-shingle join
+        yields ~all pairs; the prefix join must collide only docs
+        whose RARE prefixes intersect."""
+        boiler = "all rights reserved click here to subscribe now"
+        uniq = lambda i: " ".join(f"w{i}x{j}" for j in range(10))
+        rows = [(i, f"{boiler} {uniq(i)}") for i in range(20)]
+        df = self._corpus(spark, rows)
+        cand = dedup.prefix_filter_candidates(
+            df, "doc_id", "text", threshold=0.5
+        ).count()
+        # Each doc: 18 words -> 16 shingles, 6 boiler-only (df=20) and
+        # 10 touching unique words (df=1). Prefix length at t=0.5 is
+        # 16 - 8 + 1 = 9 <= 10 rare shingles, so every prefix consists
+        # purely of per-doc-unique shingles: zero collisions, vs
+        # C(20,2)=190 candidate pairs for the all-shingle join.
+        assert cand == 0
+
+    def test_string_and_hashed_prefixes_agree(self, spark):
+        rows = [
+            (1, "shared text body one two three four five six"),
+            (2, "shared text body one two three four five seven"),
+            (3, "nothing in common with anything else at all ok"),
+        ]
+        df = self._corpus(spark, rows)
+        s = sorted(map(tuple, dedup.prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.4, hash_shingles=False
+        ).collect()))
+        h = sorted(map(tuple, dedup.prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.4, hash_shingles=True
+        ).collect()))
+        assert s == h and len(s) >= 1

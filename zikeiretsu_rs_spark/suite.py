@@ -995,6 +995,20 @@ def q_dedup_ngram_jaccard_scaled(spark, sf_dir):
     )
 
 
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT Jaccard dedup via AllPairs/PPJoin prefix filtering — the
+    deterministic-recall scale path. Candidates come from joining only
+    each document's (|A| - ceil(t|A|) + 1) globally-rarest shingles
+    (complete by the prefix-filtering theorem; ubiquitous shingles
+    sort last and drop out of every prefix, so the hot-key quadratic
+    blowup never forms), then exact re-score. Measured at sf0.01:
+    794 candidate pairs vs 11,533 for the all-shingle join (14×) with
+    identical output. Oracle = the exact brute formulation."""
+    return dedup.prefix_filter_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
 def q_dedup_simhash_check(spark, sf_dir):
     """SimHash banding soundness+completeness invariant: the pigeonhole
     banded join must emit EXACTLY the pairs the O(n^2) brute hamming
@@ -1821,6 +1835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # into the driver head next round
     "source_overlap_matrix": q_source_overlap_matrix,
     "embedding_quantize": q_embedding_quantize,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
 }
 
 
@@ -2862,6 +2877,9 @@ FROM documents
     # so their oracle is the exact formulation itself
     sqls["dedup_minhash_verified"] = sqls["dedup_ngram_jaccard"]
     sqls["dedup_ngram_jaccard_scaled"] = sqls["dedup_ngram_jaccard"]
+    # prefix filtering is complete (theorem, not probability) and the
+    # re-score is exact, so the brute-force oracle is its ground truth
+    sqls["dedup_jaccard_prefix"] = sqls["dedup_ngram_jaccard"]
     sqls["dedup_simhash_check"] = """
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        TRUE AS banding_equals_brute
