@@ -66,3 +66,61 @@ class TestApproxQuantiles:
         for k in exact:
             assert approx[k][0] == pytest.approx(exact[k][0], abs=2.0)
             assert approx[k][1] == pytest.approx(exact[k][1], abs=2.0)
+
+
+class TestHeavyHitters:
+    """Misra-Gries invariants — theorems that must hold for ANY
+    partitioning and any item order."""
+
+    def _check(self, spark, items, capacity, n_parts):
+        df = spark.createDataFrame(
+            [(x,) for x in items], ["item"]
+        ).repartition(n_parts)
+        summary = sketches.space_saving_summary(df, "item", capacity).collect()
+        delta = sum(r["pdelta"] for r in summary)
+        hh = {
+            r["item"]: (r["est"], r["err_bound"])
+            for r in sketches.heavy_hitters(df, "item", capacity).collect()
+        }
+        import collections
+
+        true = collections.Counter(items)
+        if hh:  # the merged view must agree with the raw summaries
+            assert next(iter(hh.values()))[1] == delta
+        for item, cnt in true.items():
+            if item in hh:
+                est = hh[item][0]
+                assert est <= cnt <= est + delta, (item, est, cnt, delta)
+            else:
+                assert cnt <= delta, (item, cnt, delta)
+        return hh, delta
+
+    def test_zipf_stream_tracks_heavies(self, spark):
+        items = (
+            ["alpha"] * 500 + ["beta"] * 300 + ["gamma"] * 120
+            + [f"tail{i}" for i in range(200)]
+        )
+        hh, delta = self._check(spark, items, capacity=8, n_parts=4)
+        # the three heavies dominate the error bound -> must be found
+        assert {"alpha", "beta", "gamma"} <= set(hh)
+
+    def test_adversarial_uniform_stream(self, spark):
+        # uniform items: nothing is guaranteed to survive, but the
+        # bound invariants must still hold
+        items = [f"u{i % 50}" for i in range(1000)]
+        self._check(spark, items, capacity=4, n_parts=8)
+
+    def test_partitioning_invariance_of_guarantee(self, spark):
+        items = ["hot"] * 400 + [f"t{i}" for i in range(300)]
+        for parts in (1, 3, 16):
+            hh, delta = self._check(spark, items, capacity=8, n_parts=parts)
+            assert "hot" in hh
+
+    def test_summary_size_bounded(self, spark):
+        items = [f"x{i}" for i in range(2000)]
+        df = spark.createDataFrame([(x,) for x in items], ["item"]).repartition(6)
+        s = sketches.space_saving_summary(df, "item", capacity=16)
+        rows = s.collect()
+        assert len(rows) <= 6 * 17
+        per_part_items = [r for r in rows if r["item"] is not None]
+        assert len(per_part_items) <= 6 * 16

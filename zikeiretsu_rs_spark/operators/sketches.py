@@ -78,3 +78,79 @@ def approx_quantiles_by(
         for q in quantiles
     ]
     return df.groupBy(*key_cols).agg(*aggs)
+
+
+def space_saving_summary(
+    df: DataFrame, item_col: str, capacity: int = 64
+) -> DataFrame:
+    """Distributed Misra-Gries (Space-Saving-family) heavy-hitter
+    summary with BOUNDED state — the 100 TB answer to "top items by
+    frequency" when the item universe itself is too large to shuffle.
+
+    Per input partition, an MG summary of at most `capacity` counters
+    is maintained with the mergeable-summaries batch rule (Agarwal et
+    al., "Mergeable Summaries", PODS'12): each Arrow batch is reduced
+    to exact value_counts (vectorized), merged into the summary, and
+    if the summary exceeds capacity the (capacity+1)-th largest count
+    is subtracted from every counter and non-positive counters drop —
+    accumulating that subtraction in the partition's error `pdelta`.
+    Invariants (theorems, any partitioning / any order):
+
+      est(i) <= true(i) <= est(i) + sum_p pdelta_p
+      true(i) >  sum_p pdelta_p  =>  i is present in the summary
+
+    with sum_p pdelta_p <= n / (capacity + 1).
+
+    Output: one row per tracked (partition, item) with its partial
+    `est` plus one NULL-item row per partition carrying `pdelta`.
+    Row count is <= n_partitions * (capacity + 1) — merge-side state
+    is independent of both corpus size and item cardinality.
+    """
+    import pandas as pd
+
+    def mg_partition(batches):
+        counters: dict = {}
+        delta = 0
+        for pdf in batches:
+            vc = pdf[item_col].dropna().value_counts()
+            for item, cnt in vc.items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                delta += cut
+                counters = {
+                    k: v - cut for k, v in counters.items() if v > cut
+                }
+        items = list(counters)
+        yield pd.DataFrame(
+            {
+                "item": items + [None],
+                "est": [counters[i] for i in items] + [0],
+                "pdelta": [0] * len(items) + [delta],
+            }
+        )
+
+    src = df.select(F.col(item_col).cast("string").alias(item_col))
+    return src.mapInPandas(
+        mg_partition, schema="item string, est bigint, pdelta bigint"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, item_col: str, capacity: int = 64
+) -> DataFrame:
+    """Merged global heavy-hitter estimates from the per-partition
+    summaries: item, est (lower bound on true count), err_bound (the
+    global MG error: true count <= est + err_bound; any item whose
+    true count exceeds err_bound is guaranteed present).
+
+    The merge aggregates <= n_partitions * (capacity + 1) summary rows
+    — a broadcast-scale relation regardless of corpus size."""
+    s = space_saving_summary(df, item_col, capacity)
+    delta_total = s.agg(F.sum("pdelta").alias("err_bound"))
+    merged = (
+        s.where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("est").alias("est"))
+    )
+    return merged.crossJoin(F.broadcast(delta_total))

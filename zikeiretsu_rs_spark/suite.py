@@ -764,6 +764,57 @@ def q_sketch_distinct_check(spark, sf_dir):
     )
 
 
+def q_heavy_hitters_check(spark, sf_dir):
+    """Misra-Gries heavy-hitter invariants over the document token
+    stream (capacity 8 — far below the vocabulary, so decrement
+    rounds ARE exercised). For the exact top-10 terms (oracle
+    recomputes term, exact_cnt):
+      - heavy_found_ok: exact_cnt > err_bound implies the term is in
+        the merged summary (the MG completeness theorem — holds for
+        ANY partitioning, so the boolean is partitioning-stable);
+      - bounds_ok: a summarized term satisfies
+        est <= exact_cnt <= est + err_bound.
+    Bounded state: <= n_partitions*(capacity+1) summary rows merge
+    regardless of corpus size or vocabulary cardinality."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("term")
+    )
+    exact = toks.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+    top10 = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(10)
+    s = sketches.space_saving_summary(toks, "term", capacity=8)
+    merged = (
+        s.where(F.col("item").isNotNull())
+        .groupBy(F.col("item").alias("term"))
+        .agg(F.sum("est").alias("est"))
+    )
+    delta = s.agg(F.sum("pdelta").alias("err_bound"))
+    return (
+        top10.crossJoin(F.broadcast(delta))
+        .join(F.broadcast(merged), "term", "left")
+        .select(
+            "term",
+            "exact_cnt",
+            (
+                (F.col("exact_cnt") <= F.col("err_bound"))
+                | F.col("est").isNotNull()
+            ).alias("heavy_found_ok"),
+            (
+                F.col("est").isNull()
+                | (
+                    (F.col("est") <= F.col("exact_cnt"))
+                    & (
+                        F.col("exact_cnt")
+                        <= F.col("est") + F.col("err_bound")
+                    )
+                )
+            ).alias("bounds_ok"),
+        )
+    )
+
+
 def q_sketch_hll_rollup_check(spark, sf_dir):
     """Mergeability + accuracy invariant for the DataSketches rollup
     path: daily HLL sketches MERGED to event_type must estimate within
@@ -1836,6 +1887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap_matrix": q_source_overlap_matrix,
     "embedding_quantize": q_embedding_quantize,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+    "heavy_hitters_check": q_heavy_hitters_check,
 }
 
 
@@ -2891,6 +2943,16 @@ SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
 FROM events GROUP BY 1
 """
     sqls["sketch_hll_rollup_check"] = sqls["sketch_distinct_check"]
+    # MG invariants are theorems for any partitioning; the oracle
+    # recomputes the exact top-10 term counts and pins the booleans
+    sqls["heavy_hitters_check"] = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+c AS (SELECT term, count(*)::BIGINT AS exact_cnt FROM toks GROUP BY 1)
+SELECT term, exact_cnt, TRUE AS heavy_found_ok, TRUE AS bounds_ok
+FROM c ORDER BY exact_cnt DESC, term ASC LIMIT 10
+"""
     sqls["sketch_quantiles_check"] = """
 SELECT event_type, TRUE AS q50_ok, TRUE AS q90_ok
 FROM events GROUP BY 1
