@@ -498,3 +498,43 @@ class TestSourceOverlapMatrix:
             ("web", "web"): 1,
             ("books", "wiki"): 1,
         }
+
+
+class TestPhraseMatch:
+    def _run(self, spark, docs, phrases):
+        from zikeiretsu_rs_spark.operators import search
+
+        d = spark.createDataFrame(docs, ["doc_id", "text"])
+        p = spark.createDataFrame(phrases, ["phrase_id", "phrase"])
+        return {
+            (r["doc_id"], r["phrase_id"]): (r["n_occurrences"], r["first_pos"])
+            for r in search.phrase_match(d, p, "doc_id", "text").collect()
+        }
+
+    def test_basic_and_absent(self, spark):
+        out = self._run(
+            spark,
+            [(1, "the quick brown fox"), (2, "quick the brown fox")],
+            [(10, "quick brown"), (11, "brown quick")],
+        )
+        assert out == {(1, 10): (1, 1)}  # order matters; absent phrase absent
+
+    def test_overlapping_occurrences_counted(self, spark):
+        # "a a a a" contains "a a" three times (overlapping) — the
+        # anchor-keyed count must see all three
+        out = self._run(spark, [(1, "a a a a")], [(7, "a a")])
+        assert out == {(1, 7): (3, 0)}
+
+    def test_repeated_word_phrase(self, spark):
+        out = self._run(
+            spark,
+            [(1, "stop the war stop the madness stop the war")],
+            [(5, "stop the war")],
+        )
+        assert out == {(1, 5): (2, 0)}
+
+    def test_case_and_whitespace_normalized(self, spark):
+        out = self._run(
+            spark, [(1, "  Hello   WORLD again ")], [(3, "hello world")]
+        )
+        assert out == {(1, 3): (1, 0)}

@@ -116,3 +116,63 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Exact multi-word phrase matching via a positional inverted
+    index — the classic IR formulation, one equi-join instead of a
+    full-text substring scan.
+
+    Postings are (doc, term, position) from a single posexplode.
+    Each phrase explodes to (phrase, idx, term); joining postings to
+    phrase terms on `term` and grouping by the implied anchor
+    position (pos - idx) finds full occurrences: an anchor with
+    phrase_len matched rows has every phrase word at its required
+    offset (each (doc, anchor+idx) position holds exactly one term,
+    so the count cannot double). Overlapping occurrences are counted
+    correctly — each anchor is its own group (substring-replace
+    counting would miss overlaps).
+
+    Scale shape: the phrase side is tiny and broadcast; the join
+    touches only postings whose term appears in some phrase (inverted
+    -index prune), cost ~ matched postings, never corpus size.
+
+    Output: phrase_id, doc id, n_occurrences, first_pos (0-based
+    token offset of the first occurrence).
+    """
+    from .text import words_col
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(words_col(F.col(text_col))).alias("pos", "term"),
+    )
+    pw = words_col(F.col(phrase_col))
+    pterms = phrases.select(
+        F.col(phrase_id_col).alias("phrase_id"),
+        F.size(pw).alias("plen"),
+        F.posexplode(pw).alias("idx", "term"),
+    )
+    return (
+        toks.join(F.broadcast(pterms), "term")
+        .select(
+            F.col(id_col),
+            "phrase_id",
+            "plen",
+            (F.col("pos") - F.col("idx")).alias("anchor"),
+        )
+        .groupBy(id_col, "phrase_id", "plen", "anchor")
+        .agg(F.count("*").alias("_hits"))
+        .where(F.col("_hits") == F.col("plen"))
+        .groupBy(id_col, "phrase_id")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("anchor").alias("first_pos"),
+        )
+    )

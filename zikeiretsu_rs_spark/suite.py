@@ -1560,6 +1560,25 @@ def q_vocab_topk(spark, sf_dir):
     return text.vocab_top_df(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase occurrences via the positional inverted index:
+    postings join phrase terms on term, grouped by the implied anchor
+    (pos - idx); an anchor with phrase_len hits is a full occurrence.
+    Counts overlapping occurrences correctly (anchor-keyed, not
+    substring-replace). Oracle re-derives positions in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(
+        [(1, "table hash"), (2, "customer join"), (3, "part filter small")],
+        ["phrase_id", "phrase"],
+    )
+    return search.phrase_match(docs, phrases, "doc_id", "text").select(
+        "doc_id",
+        "phrase_id",
+        "n_occurrences",
+        F.col("first_pos").cast("bigint").alias("first_pos"),
+    )
+
+
 def q_text_bm25(spark, sf_dir):
     """Okapi BM25 top-10 per probe query (probes = the first 5 docs'
     texts): distributed inverted-index scoring with decimal-exact
@@ -1888,6 +1907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "heavy_hitters_check": q_heavy_hitters_check,
+    "phrase_search": q_phrase_search,
 }
 
 
@@ -2932,6 +2952,23 @@ FROM documents
     # prefix filtering is complete (theorem, not probability) and the
     # re-score is exact, so the brute-force oracle is its ground truth
     sqls["dedup_jaccard_prefix"] = sqls["dedup_ngram_jaccard"]
+    sqls["phrase_search"] = r"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+toks AS (SELECT doc_id, i - 1 AS pos, ws[i] AS term
+         FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t),
+p(phrase_id, idx, term, plen) AS (VALUES
+   (1, 0, 'table', 2), (1, 1, 'hash', 2),
+   (2, 0, 'customer', 2), (2, 1, 'join', 2),
+   (3, 0, 'part', 3), (3, 1, 'filter', 3), (3, 2, 'small', 3)),
+m AS (SELECT t.doc_id, p.phrase_id, p.plen, t.pos - p.idx AS anchor,
+             count(*) AS hits
+      FROM toks t JOIN p ON t.term = p.term GROUP BY 1, 2, 3, 4)
+SELECT doc_id, phrase_id::BIGINT AS phrase_id,
+       count(*)::BIGINT AS n_occurrences,
+       min(anchor)::BIGINT AS first_pos
+FROM m WHERE hits = plen GROUP BY 1, 2
+"""
     sqls["dedup_simhash_check"] = """
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        TRUE AS banding_equals_brute
