@@ -485,6 +485,71 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier volume: 5 joins; the dim chain
+    (region -> nation -> customer/supplier) broadcasts, the fact-fact
+    lineitem-orders join shuffles on orderkey; revenue in DECIMAL."""
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    nr = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nr), supp.s_nationkey == nr.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    return agg.select(
+        "n_name", F.col("_rev").cast("double").alias("revenue")
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promo-revenue share for one ship month: broadcast
+    part join + conditional DECIMAL sums, single IEEE division."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.sum(
+            F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )
+        ).alias("_promo"),
+        F.sum(rev).alias("_total"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0)
+            * F.col("_promo").cast("double")
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
 def q_tpch_q10(spark, sf_dir):
     """TPC-H Q10 returned-item reporting: 3 joins + decimal revenue,
     deterministic top-20 customers."""
@@ -1908,6 +1973,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "heavy_hitters_check": q_heavy_hitters_check,
     "phrase_search": q_phrase_search,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q14": q_tpch_q14,
 }
 
 
@@ -2952,6 +3019,37 @@ FROM documents
     # prefix filtering is complete (theorem, not probability) and the
     # re-score is exact, so the brute-force oracle is its ground truth
     sqls["dedup_jaccard_prefix"] = sqls["dedup_ngram_jaccard"]
+    sqls["tpch_q5"] = """
+SELECT n_name,
+       CAST(sum(l_extendedprice::DECIMAL(12,2)
+                * (1::DECIMAL(3,2) - l_discount::DECIMAL(4,2))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+    sqls["tpch_q14"] = """
+WITH a AS (
+  SELECT sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN l_extendedprice::DECIMAL(12,2)
+                       * (1::DECIMAL(3,2) - l_discount::DECIMAL(4,2))
+                  ELSE 0::DECIMAL(12,2) END) AS promo,
+         sum(l_extendedprice::DECIMAL(12,2)
+             * (1::DECIMAL(3,2) - l_discount::DECIMAL(4,2))) AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01')
+SELECT round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS promo_revenue_pct
+FROM a
+"""
     sqls["phrase_search"] = r"""
 WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
            FROM documents),
