@@ -67,6 +67,11 @@ HEADLINE = [
     "unigram_logprob",
     "source_overlap_matrix",  # banded pair path, not the exact twin
     "embedding_quantize",
+    # round-4 second batch
+    "dedup_jaccard_prefix",  # exact-recall prefix-filter scale path
+    "phrase_search",
+    "tpch_q5",
+    "tpch_q14",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

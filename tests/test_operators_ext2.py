@@ -562,3 +562,74 @@ class TestPrefixFilterJaccard:
             df, "doc_id", "text", threshold=0.4, hash_shingles=True
         ).collect()))
         assert s == h and len(s) >= 1
+
+
+class TestProductQuantization:
+    def test_exact_when_codebook_covers_corpus(self, spark):
+        """With ksub >= corpus size the hash-sampled codebook contains
+        every corpus subvector, so reconstruction is exact and the ADC
+        ranking must equal brute-force cosine top-k."""
+        import random
+
+        rng = random.Random(3)
+        rows = [(i, [rng.random() for _ in range(16)]) for i in range(20)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        queries = emb.where(F.col("vec_id") < 3)
+        book = similarity.pq_codebook(emb, m=4, ksub=32)
+        adc = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in similarity.pq_topk(emb, queries, book, k=5).collect()
+        }
+        exact = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in similarity.cosine_topk(emb, queries, k=5).collect()
+        }
+        assert adc == exact
+
+    def test_encode_picks_nearest_centroid(self, spark):
+        import numpy as np
+        import random
+
+        rng = random.Random(9)
+        rows = [(i, [rng.random() for _ in range(8)]) for i in range(30)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        book = similarity.pq_codebook(emb, m=2, ksub=4)
+        codes = {
+            r["vec_id"]: r["codes"]
+            for r in similarity.pq_encode(emb, book).collect()
+        }
+        cmat = np.array(book)  # (m, ksub, dsub)
+        for vid, vec in rows:
+            v = np.array(vec).reshape(2, 4)
+            for j in range(2):
+                d = ((cmat[j] - v[j]) ** 2).sum(axis=1)
+                assert codes[vid][j] == int(np.argmin(d))
+
+    def test_codes_partitioning_invariant(self, spark):
+        import random
+
+        rng = random.Random(5)
+        rows = [(i, [rng.random() for _ in range(8)]) for i in range(40)]
+        base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        book = similarity.pq_codebook(base, m=4, ksub=8)
+        a = {
+            r["vec_id"]: list(r["codes"])
+            for r in similarity.pq_encode(base.repartition(1), book).collect()
+        }
+        b = {
+            r["vec_id"]: list(r["codes"])
+            for r in similarity.pq_encode(base.repartition(7), book).collect()
+        }
+        assert a == b
+
+    def test_kmeans_codebook_shape_and_determinism(self, spark):
+        import random
+
+        rng = random.Random(1)
+        rows = [(i, [rng.random() for _ in range(8)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        b1 = similarity.pq_codebook_kmeans(emb, m=2, ksub=3, seed=7)
+        b2 = similarity.pq_codebook_kmeans(emb, m=2, ksub=3, seed=7)
+        assert len(b1) == 2 and all(len(s) == 3 for s in b1)
+        assert all(len(c) == 4 for s in b1 for c in s)
+        assert b1 == b2

@@ -755,3 +755,237 @@ def lsh_pairs_above(
         .where(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-scale ANN codes + ADC search
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebook (Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI'11):
+    the dim is split into `m` contiguous subspaces; subspace j's
+    `ksub` centroids are the subvectors of the ksub corpus vectors
+    with the smallest xxhash64(id) — the same reproducible
+    hash-sample 'training' as `sample_centroids` (k-means|| seeding
+    without iterations; `pq_codebook_kmeans` is the quality path).
+    Returns codebook[m][ksub][dsub] as plain floats — a tiny model
+    artifact broadcast into every encode/search plan."""
+    rows = (
+        with_double_vec(corpus, vec_col)
+        .select("_vec", F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(ksub)
+        .collect()
+    )
+    seeds = [[float(x) for x in r["_vec"]] for r in rows]
+    dim = len(seeds[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    dsub = dim // m
+    return [
+        [vec[j * dsub : (j + 1) * dsub] for vec in seeds] for j in range(m)
+    ]
+
+
+def pq_codebook_kmeans(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Quality path: per-subspace pyspark.ml KMeans (m distributed
+    Lloyd fits over the sliced corpus), mirroring `kmeans_centroids`.
+    Deterministic for a fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = with_double_vec(corpus, vec_col)
+    dim = len(v.select("_vec").first()["_vec"])
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    dsub = dim // m
+    book = []
+    for j in range(m):
+        feats = v.select(
+            array_to_vector(
+                F.slice(F.col("_vec"), j * dsub + 1, dsub)
+            ).alias("features")
+        )
+        model = KMeans(k=ksub, maxIter=max_iter, seed=seed).fit(feats)
+        book.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return book
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as m uint8 codes — the L2-argmin centroid
+    per subspace. 64 float64 dims become m bytes (64x smaller at
+    m=8): the representation that lets a 100 TB embedding lake's
+    candidate scan live in memory.
+
+    Arrow-vectorized throughout (one (rows, m, ksub) distance tensor
+    per record batch via einsum — the per-centroid-literal expression
+    tree hits the same analysis cliff `assign_cells_arrow` documents,
+    and PQ always has m*ksub >= 128 centroids). Argmin ties break to
+    the LOWEST centroid index (np.argmin first-match), deterministic
+    for any batching since per-row distances are batch-independent.
+
+    Output: id, codes (array<int>, length m).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cmat = np.array(codebook, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = cmat.shape
+    c_sq = (cmat * cmat).sum(axis=2)  # (m, ksub)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType, True),
+            T.StructField("codes", T.ArrayType(T.IntegerType()), True),
+        ]
+    )
+    src = with_double_vec(corpus, vec_col).select(F.col(id_col), "_vec")
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(list(pdf["_vec"]), dtype=np.float64).reshape(
+                len(pdf), m, dsub
+            )
+            # argmin_c ||x - c||^2 == argmin_c (||c||^2 - 2 x.c)
+            dots = np.einsum("nmd,mkd->nmk", vecs, cmat)
+            codes = np.argmin(c_sq[None, :, :] - 2.0 * dots, axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": list(codes.astype(np.int32)),
+                }
+            )
+
+    return src.mapInPandas(batches, schema)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation
+    (ADC): each query precomputes an (m, ksub) lookup table of
+    subspace dot products; a coded corpus vector scores as the sum of
+    m table lookups, normalized by |q| and the reconstruction norm
+    (both also table-derived). The scan never touches the float
+    vectors — only the m-byte codes — and each Arrow batch emits just
+    its per-query top-k, so the global merge sees
+    (n_batches * n_queries * k) rows, not the corpus.
+
+    The probe set is collected driver-side (bounded, same sanction as
+    the centroid pulls); exact re-scoring of the final candidates
+    against the float column is the usual refinement step and is what
+    `ann_pq_recall_check` measures the raw ADC ranking against.
+
+    Output: query_id, neighbor_id, adc_cosine (round 6), rank (1..k,
+    ties by neighbor id).
+    """
+    import heapq
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    cmat = np.array(codebook, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = cmat.shape
+    c_sq = (cmat * cmat).sum(axis=2)  # (m, ksub)
+    qrows = (
+        with_double_vec(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), "_vec")
+        .collect()
+    )
+    qids = [r["query_id"] for r in qrows]
+    qmat = np.array([r["_vec"] for r in qrows], dtype=np.float64).reshape(
+        len(qids), m, dsub
+    )
+    qnorm = np.sqrt((qmat.reshape(len(qids), -1) ** 2).sum(axis=1))
+    luts = np.einsum("qmd,mkd->qmk", qmat, cmat)  # (nq, m, ksub)
+
+    if codes is None:
+        codes = pq_encode(corpus, codebook, id_col, vec_col)
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType, True),
+            T.StructField(
+                "neighbor_id", corpus.schema[id_col].dataType, True
+            ),
+            T.StructField("adc_cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            cd = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            ar = np.arange(m)
+            # reconstruction norm of each coded vector from c_sq
+            rnorm = np.sqrt(c_sq[ar[None, :], cd].sum(axis=1))  # (n,)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                num = luts[qi][ar[None, :], cd].sum(axis=1)  # (n,)
+                denom = qnorm[qi] * rnorm
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, num / denom, 0.0)
+                # self-matches are excluded, matching cosine_topk
+                cand = [i for i in range(n) if ids[i] != qids[qi]]
+                top = heapq.nsmallest(
+                    min(k, len(cand)), cand, key=lambda i: (-cos[i], ids[i])
+                )
+                for i in top:
+                    out_q.append(qids[qi])
+                    out_n.append(ids[i])
+                    out_s.append(cos[i])
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "adc_cosine": out_s,
+                }
+            )
+
+    scored = codes.mapInPandas(batches, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_cosine", 6).alias("adc_cosine"),
+            "rank",
+        )
+    )
