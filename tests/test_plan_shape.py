@@ -100,6 +100,7 @@ CARTESIAN_ALLOWED = {
     "embedding_neardup",
     "ann_lsh_recall_check",
     "ann_ivf_recall_check",
+    "ann_pq_recall_check",
     "embedding_neardup_lsh_check",
     "dedup_simhash_check",
 }
@@ -153,3 +154,38 @@ class TestWindowsAreKeyed:
             assert "ASC NULLS FIRST" not in args.split(",")[0], (
                 f"{name}: unpartitioned window: {args}\n"
             )
+
+
+class TestRound4PlanShapes:
+    def test_q5_broadcasts_dim_chain(self, spark):
+        df = suite.QUERIES["tpch_q5"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        # supplier, customer, nation(+region) broadcast; only the
+        # lineitem-orders fact join may shuffle
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+
+    def test_q14_pushes_shipdate_and_prunes(self, spark):
+        df = suite.QUERIES["tpch_q14"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "GreaterThanOrEqual(l_shipdate," in plan, plan
+        assert "LessThan(l_shipdate," in plan, plan
+        scan = plan.split("ReadSchema: ")[1].splitlines()[0]
+        assert "l_quantity" not in scan and "l_returnflag" not in scan, scan
+
+    def test_phrase_search_broadcasts_phrase_terms(self, spark):
+        df = suite.QUERIES["phrase_search"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        # the postings-side join against the tiny phrase table must be
+        # a broadcast, not a shuffle of the posting lists
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_prefix_filter_joins_on_shingle_key(self, spark):
+        df = suite.QUERIES["dedup_jaccard_prefix"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "CartesianProduct" not in plan, plan
+        # candidate generation is an equi-join (SortMergeJoin or
+        # ShuffledHashJoin on the shingle key), never a nested loop
+        # over documents
+        assert (
+            "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        ), plan
