@@ -633,3 +633,56 @@ class TestProductQuantization:
         assert len(b1) == 2 and all(len(s) == 3 for s in b1)
         assert all(len(c) == 4 for s in b1 for c in s)
         assert b1 == b2
+
+
+class TestIvfPq:
+    def test_full_probe_equals_pq(self, spark):
+        """nprobe == n_cells probes everything, so IVFPQ must equal
+        the plain PQ ADC ranking."""
+        import random
+
+        rng = random.Random(11)
+        rows = [(i, [rng.random() for _ in range(16)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        queries = emb.where(F.col("vec_id") < 3)
+        book = similarity.pq_codebook(emb, m=4, ksub=8)
+        cents = similarity.sample_centroids(emb, 4, "vec_id", "embedding")
+        full = sorted(
+            map(
+                tuple,
+                similarity.ivfpq_topk(
+                    emb, queries, book, k=5, n_cells=4, nprobe=4,
+                    centroids=cents,
+                ).collect(),
+            )
+        )
+        pq = sorted(
+            map(tuple, similarity.pq_topk(emb, queries, book, k=5).collect())
+        )
+        assert full == pq
+
+    def test_partial_probe_subset_of_full(self, spark):
+        import random
+
+        rng = random.Random(13)
+        rows = [(i, [rng.random() for _ in range(16)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        queries = emb.where(F.col("vec_id") < 3)
+        book = similarity.pq_codebook(emb, m=4, ksub=8)
+        cents = similarity.sample_centroids(emb, 4, "vec_id", "embedding")
+        part = similarity.ivfpq_topk(
+            emb, queries, book, k=5, n_cells=4, nprobe=2, centroids=cents
+        ).collect()
+        # every (query, neighbor, score) the partial probe emits must
+        # carry the same ADC score the full scan assigns
+        full = {
+            (r["query_id"], r["neighbor_id"]): r["adc_cosine"]
+            for r in similarity.ivfpq_topk(
+                emb, queries, book, k=40, n_cells=4, nprobe=4,
+                centroids=cents,
+            ).collect()
+        }
+        assert len(part) > 0
+        for r in part:
+            key = (r["query_id"], r["neighbor_id"])
+            assert key in full and full[key] == r["adc_cosine"]

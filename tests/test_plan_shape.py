@@ -101,6 +101,7 @@ CARTESIAN_ALLOWED = {
     "ann_lsh_recall_check",
     "ann_ivf_recall_check",
     "ann_pq_recall_check",
+    "ann_ivfpq_recall_check",
     "embedding_neardup_lsh_check",
     "dedup_simhash_check",
 }

@@ -989,3 +989,141 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    n_cells: int = 32,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF + PQ composed — the production 100 TB ANN layout (the
+    FAISS IVFPQ shape): corpus vectors live in coarse inverted lists
+    AND are stored as m-byte PQ codes; a query probes its `nprobe`
+    best cells and ADC-scores only the codes inside them. Scan cost
+    per query is (nprobe / n_cells) * corpus * m bytes — both factors
+    composable: cells prune IO (write the code table partitioned by
+    `cell` and partition pruning does it for free), codes shrink what
+    remains.
+
+    This variant encodes RAW vectors (IVFFlat-with-codes); classic
+    residual encoding (encode x - centroid[cell]) is a quality
+    upgrade that needs per-cell LUTs (m*ksub*nprobe entries per
+    query) — same plan shape, noted here for parity with the paper.
+
+    Probe selection mirrors ivf_topk's raw-dot coarse quantizer; cell
+    assignment uses the Arrow matmul path (IVFPQ cell counts always
+    exceed the expression cliff in practice).
+
+    Output: query_id, neighbor_id, adc_cosine (round 6), rank.
+    """
+    import heapq
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = sample_centroids(corpus, n_cells, id_col, vec_col)
+    cmat_coarse = np.array(centroids, dtype=np.float64)  # (n_cells, dim)
+    pmat = np.array(codebook, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = pmat.shape
+    p_sq = (pmat * pmat).sum(axis=2)
+
+    # inverted lists: cell via Arrow matmul, codes via the PQ encoder —
+    # one pass each, joined on id (in a lake deployment both columns
+    # are written together, partitioned by cell)
+    cells = assign_cells_arrow(
+        corpus, centroids, id_col, vec_col, metric="dot"
+    ).select(F.col(id_col), "cell")
+    codes = pq_encode(corpus, codebook, id_col, vec_col)
+    coded = codes.join(cells, id_col)
+
+    qrows = (
+        with_double_vec(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), "_vec")
+        .collect()
+    )
+    qids = [r["query_id"] for r in qrows]
+    qmat = np.array([r["_vec"] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    # raw-dot coarse scores, ties to the highest cell (ivf_topk parity)
+    qscores = qmat @ cmat_coarse.T  # (nq, n_cells)
+    order = np.argsort(-qscores, axis=1, kind="stable")
+    probes = [set(int(c) for c in order[i, :nprobe]) for i in range(len(qids))]
+    luts = np.einsum(
+        "qmd,mkd->qmk", qmat.reshape(len(qids), m, dsub), pmat
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType, True),
+            T.StructField(
+                "neighbor_id", corpus.schema[id_col].dataType, True
+            ),
+            T.StructField("adc_cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def batches(it):
+        ar = np.arange(m)
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            cd = np.array(list(pdf["codes"]), dtype=np.int64)
+            cells_b = pdf["cell"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            rnorm = np.sqrt(p_sq[ar[None, :], cd].sum(axis=1))
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                cand = [
+                    i
+                    for i in range(n)
+                    if cells_b[i] in probes[qi] and ids[i] != qids[qi]
+                ]
+                if not cand:
+                    continue
+                num = luts[qi][ar[None, :], cd[cand]].sum(axis=1)
+                denom = qnorm[qi] * rnorm[cand]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, num / denom, 0.0)
+                pos = {c: j for j, c in enumerate(cand)}
+                top = heapq.nsmallest(
+                    min(k, len(cand)),
+                    cand,
+                    key=lambda i: (-cos[pos[i]], ids[i]),
+                )
+                for i in top:
+                    out_q.append(qids[qi])
+                    out_n.append(ids[i])
+                    out_s.append(cos[pos[i]])
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "adc_cosine": out_s,
+                }
+            )
+
+    scored = coded.mapInPandas(batches, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_cosine", 6).alias("adc_cosine"),
+            "rank",
+        )
+    )

@@ -1246,6 +1246,31 @@ def q_ann_pq_recall_check(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_recall_check(spark, sf_dir):
+    """IVF + PQ composed (the FAISS IVFPQ layout): coarse inverted
+    lists prune the scan to nprobe/n_cells of the corpus AND the
+    scanned rows are m-byte ADC codes, not floats. At n_cells=32,
+    nprobe=16 (scanning ~half the corpus) measured recall@10 is
+    0.39-0.53 across sfs — nearly the full-PQ scan's 0.42-0.59 at
+    half the IO; floor 0.20."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    book = similarity.pq_codebook(emb, m=16, ksub=64)
+    approx = similarity.ivfpq_topk(
+        emb, queries, book, k=10, n_cells=32, nprobe=16
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    stats = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("_n_exact"),
+    )
+    return stats.crossJoin(hits.agg(F.count("*").alias("_n_hit"))).select(
+        "n_queries",
+        (F.col("_n_hit") / F.col("_n_exact") >= 0.20).alias("recall_ok"),
+    )
+
+
 def q_embedding_neardup_lsh(spark, sf_dir):
     """LSH-bucketed pair mining (scale path of embedding_neardup).
     This corpus has no true near-dups (max cosine ~0.51), so recall at
@@ -2001,6 +2026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5": q_tpch_q5,
     "tpch_q14": q_tpch_q14,
     "ann_pq_recall_check": q_ann_pq_recall_check,
+    "ann_ivfpq_recall_check": q_ann_ivfpq_recall_check,
 }
 
 
@@ -3184,6 +3210,7 @@ FROM embeddings WHERE vec_id < 10
 """
     sqls["ann_ivf_recall_check"] = sqls["ann_lsh_recall_check"]
     sqls["ann_pq_recall_check"] = sqls["ann_lsh_recall_check"]
+    sqls["ann_ivfpq_recall_check"] = sqls["ann_lsh_recall_check"]
     sqls["embedding_neardup_lsh_check"] = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 scored AS (
