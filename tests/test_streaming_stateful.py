@@ -219,3 +219,99 @@ def test_streaming_url_dedup_composition(spark, tmp_path):
     assert len(rows) == 3
     emitted_ts = sorted(r["ts"] for r in rows)
     assert emitted_ts == [base, base + 1, base + 4 * NANOS_PER_SEC]
+
+
+def test_streaming_heavy_hitters_cross_batch(spark, tmp_path):
+    """MG state must accumulate across micro-batches: the per-bucket
+    bound and completeness theorems hold for the CONCATENATED stream,
+    not just the last batch."""
+    import collections
+
+    from pyspark.sql import functions as F
+    from zikeiretsu_rs_spark.streaming.stateful import streaming_heavy_hitters
+
+    item_schema = T.StructType([T.StructField("item", T.StringType())])
+
+    def write_items(name, items):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame([(x,) for x in items], item_schema).coalesce(
+            1
+        ).write.parquet(stage)
+        src = str(tmp_path / "hh_src")
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(
+            glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/{name}.parquet"
+        )
+        return src
+
+    b1 = ["hot"] * 50 + [f"t{i}" for i in range(40)]
+    b2 = ["hot"] * 30 + ["warm"] * 25 + [f"u{i}" for i in range(40)]
+    write_items("b1", b1)
+    src = write_items("b2", b2)
+
+    stream = (
+        spark.readStream.schema(item_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_heavy_hitters(stream, "item", capacity=8, n_buckets=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("select * from hh_stream").collect()
+    # keep only each bucket's LATEST summary (update semantics)
+    latest = {}
+    for r in rows:
+        if (
+            r["bucket"] not in latest
+            or r["batch_seq"] > latest[r["bucket"]][0]["batch_seq"]
+        ):
+            latest[r["bucket"]] = [r]
+        elif r["batch_seq"] == latest[r["bucket"]][0]["batch_seq"]:
+            latest[r["bucket"]].append(r)
+
+    # reconstruct the per-bucket summaries
+    bucket_of = {
+        r["item"]: r["bucket"]
+        for r in spark.createDataFrame(
+            [(x,) for x in set(b1 + b2)], item_schema
+        )
+        .select(
+            "item",
+            F.pmod(F.xxhash64(F.col("item")), F.lit(4)).cast("long").alias(
+                "bucket"
+            ),
+        )
+        .collect()
+    }
+    true = collections.Counter(b1 + b2)
+    est = {}
+    bdelta = {}
+    for b, rs in latest.items():
+        bdelta[b] = rs[0]["bdelta"]
+        for r in rs:
+            if r["item"] is not None:
+                est[r["item"]] = r["est"]
+
+    for item, cnt in true.items():
+        b = bucket_of[item]
+        d = bdelta.get(b, 0)
+        if item in est:
+            assert est[item] <= cnt <= est[item] + d, (item, est[item], cnt, d)
+        else:
+            assert cnt <= d, (item, cnt, d)
+    # "hot" spans both batches (50 + 30): far above any bucket's
+    # delta, so the cross-batch state MUST report it
+    assert "hot" in est and est["hot"] <= 80
+    # a single batch alone would cap hot's estimate at 50; the state
+    # carrying over means the estimate exceeds that
+    assert est["hot"] > 50 - bdelta[bucket_of["hot"]]

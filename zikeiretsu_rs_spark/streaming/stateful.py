@@ -235,3 +235,101 @@ def stateful_dedup_first_seen(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+HH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("item", T.StringType(), True),
+        T.StructField("est", T.LongType(), False),
+        T.StructField("bdelta", T.LongType(), False),
+        T.StructField("batch_seq", T.LongType(), False),
+    ]
+)
+
+HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType()), False),
+        T.StructField("counts", T.ArrayType(T.LongType()), False),
+        T.StructField("delta", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
+
+def _make_heavy_fn(capacity: int):
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        if state.exists:
+            items, counts, delta, seq = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters, delta, seq = {}, 0, 0
+        for pdf in pdfs:
+            vc = pdf["item"].dropna().value_counts()
+            for item, cnt in vc.items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                delta += cut
+                counters = {
+                    k: v - cut for k, v in counters.items() if v > cut
+                }
+        seq += 1
+        state.update((list(counters), list(counters.values()), delta, seq))
+        items_now = list(counters)
+        yield pd.DataFrame(
+            {
+                "bucket": [bucket] * (len(items_now) or 1),
+                "item": items_now or [None],
+                "est": [counters[i] for i in items_now] or [0],
+                "bdelta": [delta] * (len(items_now) or 1),
+                "batch_seq": [seq] * (len(items_now) or 1),
+            }
+        )
+
+    return update
+
+
+def streaming_heavy_hitters(
+    stream_df: DataFrame,
+    item_col: str,
+    capacity: int = 64,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Cross-batch heavy hitters: items shard by hash into `n_buckets`
+    state buckets (each item lives in exactly ONE bucket, so no
+    cross-bucket merge is ever needed); each bucket keeps a
+    Misra-Gries summary of at most `capacity` counters in the state
+    store, updated per micro-batch with the same mergeable batch rule
+    as the batch operator (`operators.sketches.space_saving_summary`).
+
+    Per-bucket invariants after any number of batches (theorems, any
+    batch boundaries — replay/retry-stable):
+      est(i) <= true(i) <= est(i) + bdelta(bucket(i))
+      true(i) > bdelta(bucket(i))  =>  i is in the emitted summary
+
+    Output ("update" semantics): each batch re-emits the bucket's
+    CURRENT summary rows (item NULL when the bucket tracks nothing)
+    tagged with batch_seq — downstream takes the latest batch_seq per
+    bucket. State is bounded at n_buckets * capacity counters total.
+
+    Input: any schema containing `item_col` (cast to string).
+    """
+    src = stream_df.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.pmod(F.xxhash64(F.col(item_col).cast("string")), F.lit(n_buckets))
+        .cast("long")
+        .alias("bucket"),
+    )
+    return src.groupBy("bucket").applyInPandasWithState(
+        _make_heavy_fn(capacity),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
