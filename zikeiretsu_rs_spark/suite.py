@@ -1423,6 +1423,29 @@ def q_deterministic_sample(spark, sf_dir):
     )
 
 
+def q_training_shards(spark, sf_dir):
+    """Deterministic global training shuffle, expressed the way it
+    scales: shard = content-hash bucket, order = within-shard hash
+    rank (KEYED window — a single global row_number would funnel the
+    corpus through one task). The (shard, pos) pair is a total,
+    engine/partitioning-independent training order; epochs re-seed by
+    changing the salt. Writers emit one file per shard."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    shard = F.pmod(
+        F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1,
+        F.lit(8),
+    ).cast("bigint")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("_h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 def q_train_test_split(spark, sf_dir):
     """Stable hash-range train/valid/test assignment, counted per
     split (rows never migrate between splits as data grows)."""
@@ -2027,6 +2050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14": q_tpch_q14,
     "ann_pq_recall_check": q_ann_pq_recall_check,
     "ann_ivfpq_recall_check": q_ann_ivfpq_recall_check,
+    "training_shards": q_training_shards,
 }
 
 
@@ -2841,6 +2865,19 @@ FROM documents
     sqls["deterministic_sample"] = """
 SELECT doc_id, text FROM documents
 WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 32
+"""
+    sqls["training_shards"] = """
+WITH h AS (SELECT doc_id,
+                  md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS hh
+           FROM documents),
+s AS (SELECT doc_id, hh,
+             CAST((strpos('0123456789abcdef', substring(hh, 1, 1)) - 1) % 8
+                  AS BIGINT) AS shard
+      FROM h)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+            AS BIGINT) AS pos
+FROM s
 """
     sqls["quality_weighted_sample"] = f"""
 WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
