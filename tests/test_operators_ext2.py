@@ -686,3 +686,88 @@ class TestIvfPq:
         for r in part:
             key = (r["query_id"], r["neighbor_id"])
             assert key in full and full[key] == r["adc_cosine"]
+
+
+class TestBpeLearning:
+    @staticmethod
+    def _ref_bpe(texts, n_merges, min_freq=2):
+        """Pure-Python reference BPE (Sennrich et al.), ties broken
+        lexicographically — the ground truth for the distributed
+        implementation."""
+        import collections
+
+        wf = collections.Counter(w for t in texts for w in t.lower().split())
+        vocab = {w: list(w) + ["</w>"] for w in wf}
+        merges = []
+        for _ in range(n_merges):
+            pc = collections.Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wf[w]
+            if not pc:
+                break
+            (l, r), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if f < min_freq:
+                break
+            merges.append((l, r, f))
+            for w in vocab:
+                s = vocab[w]
+                res, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                vocab[w] = res
+        return merges
+
+    def test_merge_sequence_matches_reference(self, spark):
+        from zikeiretsu_rs_spark.operators import bpe
+
+        texts = [
+            "low lower lowest low low",
+            "new newer newest new lower",
+            "wide wider widest low new",
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        got = bpe.learn_merges(df, "text", n_merges=15)
+        assert got == self._ref_bpe(texts, 15)
+        assert len(got) > 5  # the corpus supports a real merge chain
+
+    def test_repeated_symbol_greedy_merge(self, spark):
+        from zikeiretsu_rs_spark.operators import bpe
+
+        # "aaaa": pair (a,a) has 3 positions but greedy left-to-right
+        # merging yields [aa, aa, </w>] — the reference semantics
+        df = spark.createDataFrame(
+            [(1, "aaaa aaaa"), (2, "aaaa aa")], ["doc_id", "text"]
+        )
+        got = bpe.learn_merges(df, "text", n_merges=3)
+        assert got == self._ref_bpe(["aaaa aaaa", "aaaa aa"], 3)
+
+    def test_segment_counts(self, spark):
+        from zikeiretsu_rs_spark.operators import bpe
+
+        texts = ["low low lower", "newest newest"]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        merges = bpe.learn_merges(df, "text", n_merges=10)
+        out = {
+            r["doc_id"]: (r["n_words"], r["n_subwords"])
+            for r in bpe.segment(df, merges, "doc_id", "text").collect()
+        }
+        # segmentation never yields fewer than one subword per word,
+        # nor more than chars + end marker
+        for i, t in enumerate(texts):
+            words = t.split()
+            n_words, n_sub = out[i]
+            assert n_words == len(words)
+            assert n_sub >= n_words
+            assert n_sub <= sum(len(w) + 1 for w in words)
+        # "low" appears 3x in doc 0 and merges to a single token
+        assert out[0][1] < sum(len(w) + 1 for w in texts[0].split())

@@ -1,0 +1,201 @@
+"""Distributed BPE vocabulary learning (Sennrich et al., "Neural
+Machine Translation of Rare Words with Subword Units", ACL'16) — the
+tokenizer-TRAINING side of a training-data pipeline, beyond the
+`text.bpe_token_count` pre-tokenizer.
+
+Scale shape: everything iterates over the DISTINCT-WORD frequency
+table, never the corpus — the classic BPE trick (a 100 TB corpus has a
+bounded word vocabulary; pair counts are word-level counts weighted by
+word frequency). Each merge round is:
+
+  1. one explode of adjacent symbol pairs over the vocab rows,
+  2. one map-side-combined groupBy summing word-frequency weights,
+  3. a 1-ROW argmax collect (bounded driver state, like the
+     connected-components convergence check and centroid pulls),
+  4. an Arrow `mapInPandas` pass applying the merge greedily
+     left-to-right to each symbol sequence (the merge scan is
+     inherently sequential per word; words are independent rows).
+
+Lineage is truncated with `localCheckpoint` every few rounds — an
+n_merges-deep transform chain would otherwise grow the plan linearly
+with rounds (the iterative-algorithm housekeeping Spark needs and a
+driver loop is allowed to do).
+
+Determinism: ties in pair frequency break lexicographically on
+(left, right), so the learned merge sequence is a pure function of
+the corpus — engine- and partitioning-independent (pinned against a
+pure-Python reference implementation in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import words_col
+
+END_MARK = "</w>"
+
+
+def word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct lowercase whitespace words with corpus frequencies —
+    the only relation BPE training ever iterates over."""
+    return (
+        df.select(F.explode(words_col(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """(word, freq, syms): characters plus the end-of-word marker."""
+    return words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END_MARK))
+        ).alias("syms"),
+    )
+
+
+def _merge_pass(vocab: DataFrame, left: str, right: str) -> DataFrame:
+    """Apply one merge greedily left-to-right to every symbol
+    sequence (Arrow-batched; the scan has a sequential dependency per
+    word, but words are independent and the vocab relation is small
+    relative to the corpus)."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType(), True),
+            T.StructField("freq", T.LongType(), True),
+            T.StructField("syms", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    merged = left + right
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for syms in pdf["syms"]:
+                s = list(syms)
+                res = []
+                i = 0
+                n = len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == left and s[i + 1] == right:
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                out.append(res)
+            yield pd.DataFrame(
+                {"word": pdf["word"], "freq": pdf["freq"], "syms": out}
+            )
+
+    return vocab.mapInPandas(batches, schema)
+
+
+def learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+    min_pair_freq: int = 2,
+    checkpoint_every: int = 5,
+) -> list[tuple[str, str, int]]:
+    """Learn `n_merges` BPE merges from the corpus. Returns
+    [(left, right, weighted_pair_freq), ...] in merge order. Stops
+    early when the best pair's frequency falls below
+    `min_pair_freq`."""
+    vocab = _initial_symbols(word_freqs(df, text_col)).cache()
+    merges: list[tuple[str, str, int]] = []
+    for r in range(n_merges):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1), "
+                    "(s, i) -> struct(s as l, syms[i + 1] as r))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.desc("pf"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pf"] < min_pair_freq:
+            break
+        left, right, pf = best[0]["l"], best[0]["r"], int(best[0]["pf"])
+        merges.append((left, right, pf))
+        vocab = _merge_pass(vocab, left, right)
+        if (r + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
+def segment(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Apply a learned merge list to segment documents: output
+    (id, n_words, n_subwords). Single Arrow pass over the corpus; the
+    merge list is a broadcast-sized Python closure."""
+    import pandas as pd
+
+    order = [(l, r) for l, r, _ in merges]
+
+    def seg_word(word: str) -> int:
+        s = list(word) + [END_MARK]
+        for left, right in order:
+            i = 0
+            res = []
+            n = len(s)
+            while i < n:
+                if i + 1 < n and s[i] == left and s[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            s = res
+        return len(s)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("n_words", T.LongType(), True),
+            T.StructField("n_subwords", T.LongType(), True),
+        ]
+    )
+    src = df.select(
+        F.col(id_col), words_col(F.col(text_col)).alias("_ws")
+    )
+
+    def batches(it):
+        cache: dict[str, int] = {}
+        for pdf in it:
+            n_words, n_sub = [], []
+            for ws in pdf["_ws"]:
+                total = 0
+                for w in ws:
+                    if w not in cache:
+                        cache[w] = seg_word(w)
+                    total += cache[w]
+                n_words.append(len(ws))
+                n_sub.append(total)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": n_words,
+                    "n_subwords": n_sub,
+                }
+            )
+
+    return src.mapInPandas(batches, schema)

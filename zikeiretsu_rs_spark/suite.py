@@ -1423,6 +1423,46 @@ def q_deterministic_sample(spark, sf_dir):
     )
 
 
+def q_bpe_learn(spark, sf_dir):
+    """Distributed BPE vocabulary training (Sennrich et al. subword
+    merges): every round iterates the DISTINCT-WORD frequency table —
+    one pair explode, one weighted groupBy, a 1-row argmax collect,
+    one Arrow merge pass — never the corpus. Iterative argmax is not
+    SQL-expressible, so this is a rows-only driver check; the merge
+    SEQUENCE is pinned exactly against a pure-Python reference BPE in
+    tests, and `bpe_first_merge_check` value-gates round 1 against an
+    independent DuckDB recomputation."""
+    from .operators import bpe
+
+    merges = bpe.learn_merges(
+        load(spark, sf_dir, "documents"), "text", n_merges=12
+    )
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, pf)
+            for i, (left, right, pf) in enumerate(merges)
+        ],
+        "rank bigint, left_sym string, right_sym string, pair_freq bigint",
+    )
+
+
+def q_bpe_first_merge_check(spark, sf_dir):
+    """Value gate for BPE round 1: the argmax character pair (weighted
+    by word frequency, ties lexicographic) that `learn_merges` picks
+    first, compared hash-exact against the oracle's independent SQL
+    recomputation of the same argmax."""
+    from .operators import bpe
+
+    merges = bpe.learn_merges(
+        load(spark, sf_dir, "documents"), "text", n_merges=1
+    )
+    left, right, pf = merges[0]
+    return spark.createDataFrame(
+        [(left, right, pf)],
+        "left_sym string, right_sym string, pair_freq bigint",
+    )
+
+
 def q_training_shards(spark, sf_dir):
     """Deterministic global training shuffle, expressed the way it
     scales: shard = content-hash bucket, order = within-shard hash
@@ -2051,6 +2091,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_recall_check": q_ann_pq_recall_check,
     "ann_ivfpq_recall_check": q_ann_ivfpq_recall_check,
     "training_shards": q_training_shards,
+    "bpe_learn": q_bpe_learn,
+    "bpe_first_merge_check": q_bpe_first_merge_check,
 }
 
 
@@ -2865,6 +2907,23 @@ FROM documents
     sqls["deterministic_sample"] = """
 SELECT doc_id, text FROM documents
 WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 32
+"""
+    # bpe_learn itself is iterative (no oracle — rows-only check);
+    # round 1's argmax IS SQL-expressible and value-gates the pair
+    # counting, weighting, and tie-break that every later round reuses
+    sqls["bpe_first_merge_check"] = r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents),
+wf AS (SELECT word, count(*)::BIGINT AS freq FROM words GROUP BY 1),
+cs AS (SELECT word, freq,
+              list_append(string_split(word, ''), '</w>') AS syms
+       FROM wf),
+pairs AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq)::BIGINT AS pf
+          FROM cs, LATERAL (SELECT unnest(generate_series(1, len(syms)-1)) AS i) t
+          GROUP BY 1, 2)
+SELECT l AS left_sym, r AS right_sym, pf AS pair_freq
+FROM pairs ORDER BY pf DESC, l ASC, r ASC LIMIT 1
 """
     sqls["training_shards"] = """
 WITH h AS (SELECT doc_id,
