@@ -103,3 +103,40 @@ class TestRate:
             ("a", 10 * NS, 5.0),
             ("b", 5 * NS, None),
         ]
+
+
+class TestEwmaRows:
+    def test_hand_computed_series(self, spark):
+        from zikeiretsu_rs_spark.operators import timeseries
+
+        rows = [(1, 10, 1, 4.0), (1, 20, 2, 8.0), (1, 30, 3, 2.0),
+                (2, 10, 4, 6.0)]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+        out = {
+            (r["user_id"], r["ts"]): r["ewma"]
+            for r in timeseries.ewma_rows(
+                df, ["user_id"], "value", ["ts", "event_id"],
+                window=3, alpha=0.25,
+            ).collect()
+        }
+        # weights newest-first: 1, 0.75, 0.5625
+        assert out[(1, 10)] == 4.0
+        assert out[(1, 20)] == round((8.0 + 0.75 * 4.0) / 1.75, 6)
+        assert out[(1, 30)] == round(
+            (2.0 + 0.75 * 8.0 + 0.5625 * 4.0) / 2.3125, 6
+        )
+        assert out[(2, 10)] == 6.0  # keys independent
+
+    def test_partitioning_invariance(self, spark):
+        from zikeiretsu_rs_spark.operators import timeseries
+
+        rows = [(u, t, u * 100 + t, float((u * 7 + t) % 13))
+                for u in range(3) for t in range(20)]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+        a = sorted(map(tuple, timeseries.ewma_rows(
+            df.repartition(1), ["user_id"], "value", ["ts", "event_id"]
+        ).collect()))
+        b = sorted(map(tuple, timeseries.ewma_rows(
+            df.repartition(9), ["user_id"], "value", ["ts", "event_id"]
+        ).collect()))
+        assert a == b

@@ -172,3 +172,54 @@ def sample_rate(
             (F.col(value_col) - prev_v) / (dt / F.lit(1_000_000_000)),
         ).alias("rate_per_sec"),
     )
+
+
+def ewma_rows(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    order_cols: list[str],
+    window: int = 8,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Exponentially-weighted moving average over the last `window`
+    samples per key (row-lag EWMA; a time-decay half-life variant
+    would swap the fixed lag weights for pow(decay, dt) — same plan).
+
+    Engine-exact: the lag weights (1-alpha)^j are precomputed Python
+    literals rounded to 9 decimals, each term rounds to 9 decimals
+    before DECIMAL(28,9) accumulation, one final double division —
+    the repo-wide recipe that makes float window aggregates
+    hash-stable across engines and partition orders. The window is a
+    KEYED lag window: per-key state, no global funnel.
+
+    Output: input columns + ewma (round 6).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    weights = [round((1.0 - alpha) ** j, 9) for j in range(window)]
+    num_terms = []
+    den_terms = []
+    for j, wt in enumerate(weights):
+        lagged = F.lag(F.col(value_col), j).over(w)
+        num_terms.append(
+            F.coalesce(
+                F.round(lagged * F.lit(wt), 9).cast("decimal(28,9)"),
+                F.lit(0).cast("decimal(28,9)"),
+            )
+        )
+        den_terms.append(
+            F.when(lagged.isNotNull(), F.lit(wt).cast("decimal(28,9)"))
+            .otherwise(F.lit(0).cast("decimal(28,9)"))
+        )
+    num = num_terms[0]
+    for t in num_terms[1:]:
+        num = num + t
+    den = den_terms[0]
+    for t in den_terms[1:]:
+        den = den + t
+    return df.withColumn(
+        "ewma",
+        F.round(num.cast("double") / den.cast("double"), 6),
+    )

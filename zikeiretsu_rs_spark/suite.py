@@ -762,6 +762,20 @@ def q_twa_user_1h(spark, sf_dir):
     )
 
 
+def q_ewma_user(spark, sf_dir):
+    """Row-lag EWMA (window 8, alpha 0.25) of value per user — keyed
+    lag window, literal weights, decimal-exact term accumulation."""
+    df = events_ts_long(spark, sf_dir)
+    return timeseries.ewma_rows(
+        df.select("user_id", "ts", "event_id", "value"),
+        ["user_id"],
+        "value",
+        ["ts", "event_id"],
+        window=8,
+        alpha=0.25,
+    )
+
+
 def q_gapfill_user_6h(spark, sf_dir):
     """LOCF gap fill on a 6h grid per user (grid generated per key —
     rows scale with key spans, not a global grid)."""
@@ -2093,6 +2107,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shards": q_training_shards,
     "bpe_learn": q_bpe_learn,
     "bpe_first_merge_check": q_bpe_first_merge_check,
+    "ewma_user": q_ewma_user,
 }
 
 
@@ -2924,6 +2939,23 @@ pairs AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq)::BIGINT AS pf
           GROUP BY 1, 2)
 SELECT l AS left_sym, r AS right_sym, pf AS pair_freq
 FROM pairs ORDER BY pf DESC, l ASC, r ASC LIMIT 1
+"""
+    _ew = [round(0.75 ** j, 9) for j in range(8)]
+    _ew_num = " + ".join(
+        f"COALESCE(round(lag(value, {j}) OVER w * {w!r}, 9)::DECIMAL(28,9),"
+        " 0::DECIMAL(28,9))"
+        for j, w in enumerate(_ew)
+    )
+    _ew_den = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL"
+        f" THEN {w!r}::DECIMAL(28,9) ELSE 0::DECIMAL(28,9) END"
+        for j, w in enumerate(_ew)
+    )
+    sqls["ewma_user"] = f"""
+WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, value FROM events)
+SELECT user_id, ts, event_id, value,
+       round(({_ew_num})::DOUBLE / ({_ew_den})::DOUBLE, 6) AS ewma
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
     sqls["training_shards"] = """
 WITH h AS (SELECT doc_id,
