@@ -513,3 +513,48 @@ class TestUnsupportedCodecBoundary:
         assert len(out) == 1
         r = out[0]
         assert not r["ok"] and r["width"] is None and r["n_bytes"] == 12
+
+
+class TestAudioFrameFeatures:
+    def test_frame_math_on_known_signal(self, spark):
+        from zikeiretsu_rs_spark.operators import multimodal
+        import math
+
+        media = multimodal.synthesize_wav_media(
+            spark.createDataFrame([(5,)], ["doc_id"]), "doc_id"
+        )
+        rows = {
+            r["frame_idx"]: r
+            for r in multimodal.audio_frame_features(media, frame_len=32)
+            .collect()
+        }
+        samples = multimodal._wav_samples(5)
+        n = len(samples)
+        assert len(rows) == (n + 31) // 32
+        for f, r in rows.items():
+            fr = samples[f * 32 : (f + 1) * 32]
+            assert r["n_in_frame"] == len(fr)
+            assert r["rms"] == round(
+                math.sqrt(sum(v * v for v in fr) / len(fr)), 6
+            )
+            zc = sum(
+                1
+                for i in range(1, len(fr))
+                if (fr[i] >= 0) != (fr[i - 1] >= 0)
+            )
+            assert r["n_zero_cross"] == zc
+
+    def test_invalid_payload_skipped(self, spark):
+        from pyspark.sql import types as T
+        from zikeiretsu_rs_spark.operators import multimodal
+
+        schema = T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not a wav")), (2, None)], schema
+        )
+        assert multimodal.audio_frame_features(df).count() == 0

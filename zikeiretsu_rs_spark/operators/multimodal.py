@@ -816,3 +816,94 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
         .drop("_szb")
         .mapInPandas(batches, FRAME_SCHEMA)
     )
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("n_in_frame", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("n_zero_cross", T.IntegerType(), True),
+    ]
+)
+
+
+def _decode_wav_samples(payload: bytes | None):
+    """RIFF/WAVE chunk walk returning the raw int16 mono samples (or
+    None) — the sample-level twin of `_decode_wav` for feature
+    extraction."""
+    if payload is None or len(payload) < 44:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, bits, n_ch, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt " and csz >= 16:
+            fmt_code, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_code != 1:
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)
+    if rate is None or data is None or bits != 16 or n_ch != 1:
+        return None
+    import numpy as np
+
+    return np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(
+        np.int64
+    )
+
+
+def audio_frame_features(df: DataFrame, frame_len: int = 32) -> DataFrame:
+    """Per-frame audio features over decoded PCM: RMS (from the exact
+    integer sum of squares) and zero-crossing count per non-overlapping
+    `frame_len`-sample frame — the feature-extraction stage of an
+    audio curation pipeline (silence trimming, energy filtering),
+    computed with real decoded samples, no native audio libs.
+
+    Frames are row-local (one media payload explodes to its frames
+    inside the Arrow batch — no shuffle); a zero crossing is a sign
+    change between adjacent samples WITHIN the frame (sign(x) := x >= 0).
+
+    Output: media_id, frame_idx, n_in_frame, rms (round 6),
+    n_zero_cross.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_id, out_f, out_n, out_r, out_z = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = _decode_wav_samples(payload)
+                if samples is None or len(samples) == 0:
+                    continue
+                n = len(samples)
+                for f in range((n + frame_len - 1) // frame_len):
+                    fr = samples[f * frame_len : (f + 1) * frame_len]
+                    cnt = len(fr)
+                    sum_sq = int((fr * fr).sum())
+                    nonneg = fr >= 0
+                    zc = int((nonneg[1:] != nonneg[:-1]).sum())
+                    out_id.append(mid)
+                    out_f.append(f)
+                    out_n.append(cnt)
+                    out_r.append(math.sqrt(sum_sq / cnt))
+                    out_z.append(zc)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "frame_idx": pd.Series(out_f, dtype="int32"),
+                    "n_in_frame": pd.Series(out_n, dtype="int32"),
+                    "rms": pd.Series(out_r, dtype="float64"),
+                    "n_zero_cross": pd.Series(out_z, dtype="int32"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, AUDIO_FRAMES_SCHEMA
+    ).withColumn("rms", F.round("rms", 6))

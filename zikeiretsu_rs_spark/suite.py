@@ -1366,6 +1366,19 @@ def q_multimodal_audio(spark, sf_dir):
     return multimodal.decode_audio(media)
 
 
+def q_multimodal_audio_frames(spark, sf_dir):
+    """Per-frame audio feature extraction over REAL decoded PCM: RMS
+    and zero-crossing count per 32-sample frame (the energy/silence
+    features an audio curation pipeline filters on). Frames explode
+    row-locally inside the Arrow batch — no shuffle; the oracle
+    recomputes every frame's features from doc_id arithmetic, so the
+    decoder + framing must invert the encoder exactly."""
+    media = multimodal.synthesize_wav_media(
+        load(spark, sf_dir, "documents"), "doc_id"
+    )
+    return multimodal.audio_frame_features(media, frame_len=32)
+
+
 def q_text_token_stats(spark, sf_dir):
     return text.token_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -2108,6 +2121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_learn": q_bpe_learn,
     "bpe_first_merge_check": q_bpe_first_merge_check,
     "ewma_user": q_ewma_user,
+    "multimodal_audio_frames": q_multimodal_audio_frames,
 }
 
 
@@ -3384,6 +3398,24 @@ SELECT media_id,
                   / n), 6) AS rms,
        TRUE AS ok
 FROM d
+"""
+    sqls["multimodal_audio_frames"] = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                  64 + doc_id % 64 AS n
+           FROM documents),
+fr AS (SELECT media_id, n, unnest(generate_series(0, (n + 31) // 32 - 1)) AS f
+       FROM d),
+x AS (SELECT media_id, CAST(f AS INT) AS frame_idx,
+             least(32 * f + 32, n) - 32 * f AS cnt,
+             list_transform(generate_series(32 * f, least(32 * f + 32, n) - 1),
+                            i -> ((media_id * 31 + i * 17) % 4096) - 2048) AS s
+      FROM fr)
+SELECT media_id, frame_idx, CAST(cnt AS INT) AS n_in_frame,
+       round(sqrt(list_sum(list_transform(s, v -> v * v)) / cnt), 6) AS rms,
+       CAST(len(list_filter(generate_series(2, len(s)),
+                            j -> (s[j] >= 0) != (s[j - 1] >= 0)))
+            AS INT) AS n_zero_cross
+FROM x
 """
     sqls["multimodal_resize"] = """
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
