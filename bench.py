@@ -72,6 +72,10 @@ HEADLINE = [
     "phrase_search",
     "tpch_q5",
     "tpch_q14",
+    "training_shards",
+    "ewma_user",
+    "multimodal_audio_frames",
+    "bpe_learn",  # iterative vocabulary training (12 merge rounds)
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

@@ -771,3 +771,41 @@ class TestBpeLearning:
             assert n_sub <= sum(len(w) + 1 for w in words)
         # "low" appears 3x in doc 0 and merges to a single token
         assert out[0][1] < sum(len(w) + 1 for w in texts[0].split())
+
+
+class TestPqRefined:
+    def test_refined_rank_exact_within_candidates(self, spark):
+        """Refined output must rank candidates by EXACT cosine: with a
+        codebook covering the corpus (exact reconstruction) the
+        refined top-k equals brute force for any expand >= 1."""
+        import random
+
+        rng = random.Random(21)
+        rows = [(i, [rng.random() for _ in range(16)]) for i in range(25)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        queries = emb.where(F.col("vec_id") < 3)
+        book = similarity.pq_codebook(emb, m=4, ksub=32)
+        got = sorted(map(tuple, similarity.pq_topk_refined(
+            emb, queries, book, k=5, expand=1).collect()))
+        brute = sorted(map(tuple, similarity.cosine_topk(
+            emb, queries, k=5).collect()))
+        assert got == brute
+
+    def test_scores_are_exact_cosines(self, spark):
+        import random
+
+        rng = random.Random(23)
+        rows = [(i, [rng.random() for _ in range(8)]) for i in range(30)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        queries = emb.where(F.col("vec_id") < 2)
+        book = similarity.pq_codebook(emb, m=2, ksub=4)  # coarse codes
+        brute = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in similarity.cosine_topk(emb, queries, k=30).collect()
+        }
+        for r in similarity.pq_topk_refined(
+            emb, queries, book, k=5, expand=2
+        ).collect():
+            # whatever candidates ADC proposed, their emitted scores
+            # are the exact cosines, not the ADC approximations
+            assert brute[(r["query_id"], r["neighbor_id"])] == r["cosine"]

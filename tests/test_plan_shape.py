@@ -102,6 +102,7 @@ CARTESIAN_ALLOWED = {
     "ann_ivf_recall_check",
     "ann_pq_recall_check",
     "ann_ivfpq_recall_check",
+    "ann_pq_refined_recall_check",
     "embedding_neardup_lsh_check",
     "dedup_simhash_check",
 }

@@ -1127,3 +1127,59 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+def pq_topk_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    expand: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production two-stage ANN: ADC over PQ codes proposes
+    k*expand candidates per query (cheap, code-only scan), then ONLY
+    those candidates are exactly re-scored against the float column
+    and the true top-k of the candidate set is returned. The float
+    reads are limited to n_queries*k*expand rows — the refinement that
+    turns quantization error into a recall knob (larger `expand` →
+    recall approaches the ADC candidate recall ceiling) while keeping
+    exact scores in the output.
+
+    Output: query_id, neighbor_id, cosine (exact, round 6), rank.
+    """
+    cand = pq_topk(
+        corpus, queries, codebook, k=k * expand, id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    c = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_vec").alias("_cv"),
+        _norm(F.col("_vec")).alias("_cn"),
+    )
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qv"),
+        _norm(F.col("_vec")).alias("_qn"),
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_cv"), F.col("_qv"))
+                / (F.col("_cn") * F.col("_qn")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

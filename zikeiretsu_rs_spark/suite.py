@@ -1285,6 +1285,28 @@ def q_ann_ivfpq_recall_check(spark, sf_dir):
     )
 
 
+def q_ann_pq_refined_recall_check(spark, sf_dir):
+    """The production two-stage shape: ADC proposes k*4 candidates
+    from the m-byte codes, exact re-scoring reads floats for ONLY
+    those rows. Measured recall@10 0.82-0.92 across sfs (vs 0.42-0.59
+    raw ADC — refinement turns quantization error into a recall knob);
+    floor 0.60."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    book = similarity.pq_codebook(emb, m=16, ksub=64)
+    approx = similarity.pq_topk_refined(emb, queries, book, k=10, expand=4)
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    stats = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("_n_exact"),
+    )
+    return stats.crossJoin(hits.agg(F.count("*").alias("_n_hit"))).select(
+        "n_queries",
+        (F.col("_n_hit") / F.col("_n_exact") >= 0.60).alias("recall_ok"),
+    )
+
+
 def q_embedding_neardup_lsh(spark, sf_dir):
     """LSH-bucketed pair mining (scale path of embedding_neardup).
     This corpus has no true near-dups (max cosine ~0.51), so recall at
@@ -2122,6 +2144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_first_merge_check": q_bpe_first_merge_check,
     "ewma_user": q_ewma_user,
     "multimodal_audio_frames": q_multimodal_audio_frames,
+    "ann_pq_refined_recall_check": q_ann_pq_refined_recall_check,
 }
 
 
@@ -3353,6 +3376,7 @@ FROM embeddings WHERE vec_id < 10
     sqls["ann_ivf_recall_check"] = sqls["ann_lsh_recall_check"]
     sqls["ann_pq_recall_check"] = sqls["ann_lsh_recall_check"]
     sqls["ann_ivfpq_recall_check"] = sqls["ann_lsh_recall_check"]
+    sqls["ann_pq_refined_recall_check"] = sqls["ann_lsh_recall_check"]
     sqls["embedding_neardup_lsh_check"] = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 scored AS (
