@@ -92,8 +92,15 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     'regressions' on untouched queries purely from first-execution
     codegen JIT + page-cache state — round-over-round comparisons need
     the steady-state floor, not one sample. (Protocol change in round
-    4; CHANGES_r04 reports the r03-comparable single-shot delta too.)"""
-    return _timed(suite.QUERIES[name](spark, sf_dir))
+    4; CHANGES_r04 reports the r03-comparable single-shot delta too.)
+
+    The BUILD call runs inside the timer: iterative operators
+    (connected components, BPE merge rounds) execute driver-loop
+    actions during query construction, and timing only the final
+    noop write would report a near-zero number for exactly the
+    queries that do the most work (second round-4 protocol fix;
+    affects dedup_clusters_scaled and bpe_learn)."""
+    return _timed(lambda: suite.QUERIES[name](spark, sf_dir))
 
 
 # -- skew stress section ----------------------------------------------------
@@ -102,14 +109,18 @@ def run_query(spark, name: str, sf_dir: str) -> float:
 # so the headline total stays comparable across rounds.
 
 
-def _timed(df, reps: int = 2) -> float:
+def _timed(df_or_build, reps: int = 2) -> float:
     """Steady-state time: min over `reps` full executions (the first
     run of a new plan shape pays one-time whole-stage-codegen JIT cost
-    — ~4s observed — which is noise for a throughput comparison)."""
+    — ~4s observed — which is noise for a throughput comparison).
+    Accepts a DataFrame or a zero-arg builder; a builder re-runs any
+    construction-time driver work (iterative algorithms) every rep so
+    that work is measured, not hidden."""
+    build = df_or_build if callable(df_or_build) else (lambda: df_or_build)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        build().write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
 
@@ -180,6 +191,15 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
             threshold=0.5,
             hash_shingles=True,
             max_shingle_doc_freq=64,
+        )
+    )
+    # prefix filtering on the same skewed corpus: EXACT recall (no df
+    # cap, no hashing loss) while the hot shingles drop out of every
+    # prefix by the rare-first canonical order — the deterministic
+    # alternative to the guarded join above
+    out["skew_shingle_prefix_filter"] = _timed(
+        dedup.prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
         )
     )
 

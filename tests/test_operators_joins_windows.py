@@ -305,3 +305,32 @@ class TestZscoreOutliers:
             "user_id bigint, ts bigint, value double",
         )
         assert aggregates.zscore_outliers(df, "user_id", "value").count() == 0
+
+
+class TestMadOutliers:
+    def test_poisoned_key_still_detected(self, spark):
+        """The scenario z-scores fail on: one key has huge anomalies
+        that inflate mean/std; MAD flags them anyway."""
+        from zikeiretsu_rs_spark.operators import aggregates
+
+        rows = [(1, t, 10.0 + (t % 3) * 0.5) for t in range(20)]
+        rows += [(1, 100, 5000.0), (1, 101, 6000.0)]
+        rows += [(2, t, 50.0) for t in range(10)]  # constant: mad 0
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        out = aggregates.mad_outliers(df, "user_id", "value", k=3.0)
+        got = {(r["user_id"], r["ts"]) for r in out.collect()}
+        assert (1, 100) in got and (1, 101) in got
+        # constant key produces nothing (mad = 0 guard)
+        assert not any(u == 2 for u, _ in got)
+
+    def test_median_is_discrete_order_statistic(self, spark):
+        from zikeiretsu_rs_spark.operators import aggregates
+
+        # even count: disc median = element at position n/2 (4 of
+        # [1,2,4,8] -> 2), never the interpolated 3.0
+        rows = [(1, t, v) for t, v in enumerate([1.0, 2.0, 4.0, 8.0])]
+        rows += [(1, 10, 100.0)]  # n=5, median = 4.0
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        out = aggregates.mad_outliers(df, "user_id", "value", k=1.0)
+        meds = {r["med"] for r in out.collect()}
+        assert meds <= {4.0}

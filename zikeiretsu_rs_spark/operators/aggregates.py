@@ -165,3 +165,76 @@ def zscore_outliers(
             ).alias("zscore"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: float = 3.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key robust (median/MAD) anomaly detection — the outlier
+    detector that heavy outliers cannot poison: z-scores inflate the
+    mean and std with the very anomalies being hunted; the median and
+    the median absolute deviation have a 50% breakdown point.
+
+    Both medians are DISCRETE (type-1) order statistics — the value at
+    floor((n-1)/2)+1 of the ascending (value, ts) sort — so no
+    interpolation arithmetic exists to differ between engines: the
+    outlier SET is bit-reproducible (same recipe as
+    `windows.quantile_disc_per_group`). Two keyed sort windows, no
+    joins; flags |x - med| > k * 1.4826 * mad (the Gaussian-consistent
+    MAD scale factor).
+
+    Output: key, ts, value, med, mad, robust_z (round 6) for flagged
+    rows; keys with mad = 0 yield no rows (degenerate distribution).
+    """
+    from pyspark.sql import Window
+
+    def disc_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(key_col).orderBy(
+            F.col(col).asc(), F.col(ts_col).asc()
+        )
+        wk = Window.partitionBy(key_col)
+        return (
+            frame.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(wk))
+            .withColumn(
+                out,
+                F.max(
+                    F.when(
+                        F.col("_rn")
+                        == F.floor((F.col("_n") - 1) / 2) + 1,
+                        F.col(col),
+                    )
+                ).over(wk),
+            )
+            .drop("_rn", "_n")
+        )
+
+    with_med = disc_median(
+        df.select(key_col, ts_col, value_col), value_col, "med"
+    ).withColumn("_absdev", F.abs(F.col(value_col) - F.col("med")))
+    with_mad = disc_median(with_med, "_absdev", "mad").drop("_absdev")
+    return (
+        with_mad.where(
+            (F.col("mad") > 0)
+            & (
+                F.abs(F.col(value_col) - F.col("med"))
+                > F.lit(k) * F.lit(1.4826) * F.col("mad")
+            )
+        )
+        .select(
+            key_col,
+            ts_col,
+            value_col,
+            "med",
+            "mad",
+            F.round(
+                (F.col(value_col) - F.col("med"))
+                / (F.lit(1.4826) * F.col("mad")),
+                6,
+            ).alias("robust_z"),
+        )
+    )

@@ -1736,6 +1736,19 @@ def q_events_outliers(spark, sf_dir):
     )
 
 
+def q_events_mad_outliers(spark, sf_dir):
+    """Per-user robust median/MAD outliers (|x-med| > 3·1.4826·mad) —
+    the anomaly detector the anomalies can't poison (50% breakdown
+    point vs the mean/std the z-score version uses). Discrete order
+    statistics, so the outlier set is engine-exact."""
+    return aggregates.mad_outliers(
+        events_ts_long(spark, sf_dir).select("user_id", "ts", "value"),
+        "user_id",
+        "value",
+        k=3.0,
+    )
+
+
 def q_funnel_sessions(spark, sf_dir):
     """Ordered view→click→purchase funnel at 30-minute-session
     granularity: keyed session window + one aggregate, no joins."""
@@ -2145,6 +2158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_user": q_ewma_user,
     "multimodal_audio_frames": q_multimodal_audio_frames,
     "ann_pq_refined_recall_check": q_ann_pq_refined_recall_check,
+    "events_mad_outliers": q_events_mad_outliers,
 }
 
 
@@ -2265,6 +2279,28 @@ SELECT event_type,
        max(CASE WHEN rn = floor((n - 1) * 0.5) + 1 THEN value END) AS q50,
        max(CASE WHEN rn = floor((n - 1) * 0.9) + 1 THEN value END) AS q90
 FROM r GROUP BY 1
+"""
+    sqls["events_mad_outliers"] = """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, value FROM events),
+r1 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value ASC, ts ASC) AS rn,
+              count(*) OVER (PARTITION BY user_id) AS n
+       FROM e),
+m1 AS (SELECT *, max(CASE WHEN rn = floor((n - 1) / 2) + 1 THEN value END)
+                   OVER (PARTITION BY user_id) AS med
+       FROM r1),
+d AS (SELECT user_id, ts, value, med, abs(value - med) AS adev FROM m1),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                    ORDER BY adev ASC, ts ASC) AS rn2,
+              count(*) OVER (PARTITION BY user_id) AS n2
+       FROM d),
+m2 AS (SELECT *, max(CASE WHEN rn2 = floor((n2 - 1) / 2) + 1 THEN adev END)
+                   OVER (PARTITION BY user_id) AS mad
+       FROM r2)
+SELECT user_id, ts, value, med, mad,
+       round((value - med) / (1.4826 * mad), 6) AS robust_z
+FROM m2
+WHERE mad > 0 AND abs(value - med) > 3.0 * 1.4826 * mad
 """
     sqls["semi_join_priority"] = """
 SELECT o_orderpriority, count(*) AS n_orders
