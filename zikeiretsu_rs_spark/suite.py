@@ -2142,7 +2142,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # added mid-round-4 AFTER the head-50 was frozen by the coverage
     # window (every slot is spoken for): oracle-verified in
     # CORRECTNESS_LOCAL_r04 at sf0.01 AND sf0.1 this round, rotated
-    # into the driver head next round
+    # into the driver head next round (this applies to every query
+    # from here down — the round-4 second batch included)
     "source_overlap_matrix": q_source_overlap_matrix,
     "embedding_quantize": q_embedding_quantize,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
