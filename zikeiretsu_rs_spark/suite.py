@@ -2163,6 +2163,61 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Query roles: which declared queries are the PRODUCTION paths you run
+# at corpus scale, which exist to VERIFY a scale path against ground
+# truth (brute-force twins and *_check invariants — they embed an
+# O(n^2) baseline BY DESIGN and must never run at corpus scale), and
+# which are raw ESTIMATOR outputs (approximate by contract, each paired
+# with an oracle-green deterministic companion). Everything not listed
+# is production.
+# ---------------------------------------------------------------------------
+
+VERIFICATION_QUERIES = {
+    # brute-force twins kept as oracle ground truth for a scale path
+    "dedup_ngram_jaccard",      # exact all-shingle twin of *_scaled / _prefix
+    "dedup_clusters",           # exact-graph twin of dedup_clusters_scaled
+    "ann_cosine_topk",          # brute cosine baseline for LSH/IVF/PQ
+    "embedding_neardup",        # brute pair mining baseline
+    "dedup_minhash_verified",   # banded candidates == exact set proof
+    # invariant checks (embed the baseline to compare against)
+    "dedup_simhash_check",
+    "ann_lsh_recall_check",
+    "ann_ivf_recall_check",
+    "ann_pq_recall_check",
+    "ann_ivfpq_recall_check",
+    "ann_pq_refined_recall_check",
+    "embedding_neardup_lsh_check",
+    "sketch_distinct_check",
+    "sketch_hll_rollup_check",
+    "sketch_quantiles_check",
+    "semantic_dedup_kmeans_check",
+    "heavy_hitters_check",
+    "bpe_first_merge_check",
+}
+
+ESTIMATOR_QUERIES = {
+    # raw approximate outputs; no DuckDB oracle by design — each has a
+    # deterministic companion above and/or pytest pinning
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_neardup_lsh",
+    "sketch_distinct_users",
+    "sketch_hll_daily_rollup",
+    "bpe_learn",  # iterative; sequence pinned vs reference BPE in tests
+}
+
+
+def query_role(name: str) -> str:
+    if name in VERIFICATION_QUERIES:
+        return "verification"
+    if name in ESTIMATOR_QUERIES:
+        return "estimator"
+    return "production"
+
+
 def _oracle_dialect(fragment_name: str) -> str:
     """Oracle SQL for the ts_* entries, computed from the SAME compiled
     condition the Spark side uses (so both sides agree on the
