@@ -809,3 +809,54 @@ class TestPqRefined:
             # whatever candidates ADC proposed, their emitted scores
             # are the exact cosines, not the ADC approximations
             assert brute[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+class TestResidualIvfPq:
+    def test_exact_when_residuals_covered(self, spark):
+        """Corpus built as centroid + tiny displacement, codebook
+        trained on a sample that covers every distinct residual: the
+        reconstruction is exact, so residual-IVFADC at full probe
+        equals brute-force cosine."""
+        import random
+
+        rng = random.Random(31)
+        cents = [[10.0 * (i == j) for j in range(8)] for i in range(4)]
+        rows = []
+        for i in range(24):
+            c = cents[i % 4]
+            disp = [0.1 * ((i // 4) % 3 - 1) * (j % 2) for j in range(8)]
+            rows.append((i, [c[j] + disp[j] for j in range(8)]))
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        queries = emb.where(F.col("vec_id") < 3)
+        rbook = similarity.pq_codebook_residual(
+            emb, cents, m=2, ksub=64, n_train=64
+        )
+        got = sorted(map(tuple, similarity.ivfpq_residual_topk(
+            emb, queries, rbook, k=5, n_cells=4, nprobe=4, centroids=cents
+        ).collect()))
+        brute = sorted(map(tuple, similarity.cosine_topk(
+            emb, queries, k=5).collect()))
+        assert got == brute
+
+    def test_partial_probe_scores_consistent(self, spark):
+        import random
+
+        rng = random.Random(33)
+        rows = [(i, [rng.random() for _ in range(16)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        queries = emb.where(F.col("vec_id") < 3)
+        cents = similarity.sample_centroids(emb, 4, "vec_id", "embedding")
+        rbook = similarity.pq_codebook_residual(emb, cents, m=4, ksub=16)
+        full = {
+            (r["query_id"], r["neighbor_id"]): r["adc_cosine"]
+            for r in similarity.ivfpq_residual_topk(
+                emb, queries, rbook, k=40, n_cells=4, nprobe=4,
+                centroids=cents,
+            ).collect()
+        }
+        part = similarity.ivfpq_residual_topk(
+            emb, queries, rbook, k=5, n_cells=4, nprobe=2, centroids=cents
+        ).collect()
+        assert len(part) > 0
+        for r in part:
+            assert full[(r["query_id"], r["neighbor_id"])] == r["adc_cosine"]

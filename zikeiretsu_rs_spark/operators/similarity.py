@@ -1183,3 +1183,209 @@ def pq_topk_refined(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def pq_codebook_residual(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_train: int = 256,
+) -> list[list[list[float]]]:
+    """Deterministic RESIDUAL PQ codebook (the classic IVFADC
+    formulation): train on (x - coarse_centroid[cell(x)]) so the code
+    universe spans the within-cell displacement, not absolute
+    position. A hash-ordered sample of `n_train` vectors is pulled
+    driver-side (bounded, same sanction as centroid pulls), residuals
+    computed in numpy, and the first ksub distinct residuals under
+    the hash order become each subspace's centroids."""
+    import numpy as np
+
+    rows = (
+        with_double_vec(corpus, vec_col)
+        .select("_vec", F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(max(n_train, ksub))
+        .collect()
+    )
+    vecs = np.array([r["_vec"] for r in rows], dtype=np.float64)
+    cmat = np.array(centroids, dtype=np.float64)
+    cells = np.argmax(vecs @ cmat.T, axis=1)  # raw-dot quantizer parity
+    res = vecs - cmat[cells]
+    dim = res.shape[1]
+    assert dim % m == 0
+    dsub = dim // m
+    take = res[:ksub]
+    return [
+        [list(map(float, take[i, j * dsub : (j + 1) * dsub]))
+         for i in range(len(take))]
+        for j in range(m)
+    ]
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    n_cells: int = 32,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding (Jegou et al. §IV): each corpus
+    vector stores (cell, PQ codes of x - centroid[cell]); a query
+    reconstructs x̂ = centroid[cell] + Σ_m codebook[m][code_m] purely
+    from per-(probed-cell) lookup tables:
+
+      q·x̂      = q·centroid[cell] + Σ_m LUT_q[m][code_m]
+      |x̂|²     = |centroid|² + 2·Σ_m cross_cell[m][code_m] + Σ_m |c|²
+
+    where LUT_q = q-subspace · codebook and cross_cell = centroid-
+    subspace · codebook are (m, ksub) tables computed driver-side per
+    probed cell (nprobe·m·ksub floats per query — broadcast-scale).
+    The scan still touches only (cell, m bytes) per row.
+
+    Output: query_id, neighbor_id, adc_cosine (round 6), rank.
+    """
+    import heapq
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = sample_centroids(corpus, n_cells, id_col, vec_col)
+    cmat = np.array(centroids, dtype=np.float64)  # (n_cells, dim)
+    n_cells = cmat.shape[0]
+    pmat = np.array(codebook, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = pmat.shape
+    p_sq = (pmat * pmat).sum(axis=2)  # (m, ksub)
+    cent_sq = (cmat * cmat).sum(axis=1)  # (n_cells,)
+    # cross_cell[c][m][k] = centroid_c subspace m · codebook[m][k]
+    cent_sub = cmat.reshape(n_cells, m, dsub)
+    cross = np.einsum("cmd,mkd->cmk", cent_sub, pmat)
+
+    # corpus side: cell + residual codes (one Arrow pass)
+    src = with_double_vec(corpus, vec_col).select(F.col(id_col), "_vec")
+    schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType, True),
+            T.StructField("cell", T.IntegerType(), True),
+            T.StructField("codes", T.ArrayType(T.IntegerType()), True),
+        ]
+    )
+
+    def encode(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.array(list(pdf["_vec"]), dtype=np.float64)
+            cells = np.argmax(vecs @ cmat.T, axis=1)
+            res = (vecs - cmat[cells]).reshape(n, m, dsub)
+            dots = np.einsum("nmd,mkd->nmk", res, pmat)
+            codes = np.argmin(p_sq[None, :, :] - 2.0 * dots, axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cells.astype(np.int32),
+                    "codes": list(codes.astype(np.int32)),
+                }
+            )
+
+    coded = src.mapInPandas(encode, schema)
+
+    qrows = (
+        with_double_vec(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), "_vec")
+        .collect()
+    )
+    qids = [r["query_id"] for r in qrows]
+    qmat = np.array([r["_vec"] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    q_dot_cent = qmat @ cmat.T  # (nq, n_cells)
+    order = np.argsort(-q_dot_cent, axis=1, kind="stable")
+    probes = [set(int(c) for c in order[i, :nprobe]) for i in range(len(qids))]
+    luts = np.einsum("qmd,mkd->qmk", qmat.reshape(len(qids), m, dsub), pmat)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType, True),
+            T.StructField(
+                "neighbor_id", corpus.schema[id_col].dataType, True
+            ),
+            T.StructField("adc_cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def score(it):
+        ar = np.arange(m)
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            cd = np.array(list(pdf["codes"]), dtype=np.int64)
+            cells_b = pdf["cell"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            res_sq = p_sq[ar[None, :], cd].sum(axis=1)  # Σ|c_code|²
+            cross_term = cross[cells_b[:, None], ar[None, :], cd].sum(
+                axis=1
+            )  # Σ cent·c_code
+            recon_sq = cent_sq[cells_b] + 2.0 * cross_term + res_sq
+            rnorm = np.sqrt(np.maximum(recon_sq, 0.0))
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                mask = np.array(
+                    [
+                        cells_b[i] in probes[qi] and ids[i] != qids[qi]
+                        for i in range(n)
+                    ]
+                )
+                if not mask.any():
+                    continue
+                idx = np.nonzero(mask)[0]
+                num = (
+                    q_dot_cent[qi][cells_b[idx]]
+                    + luts[qi][ar[None, :], cd[idx]].sum(axis=1)
+                )
+                denom = qnorm[qi] * rnorm[idx]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, num / denom, 0.0)
+                pos = {int(g): j for j, g in enumerate(idx)}
+                top = heapq.nsmallest(
+                    min(k, len(idx)),
+                    list(idx),
+                    key=lambda i: (-cos[pos[int(i)]], ids[i]),
+                )
+                for i in top:
+                    out_q.append(qids[qi])
+                    out_n.append(ids[i])
+                    out_s.append(cos[pos[int(i)]])
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "adc_cosine": out_s,
+                }
+            )
+
+    scored = coded.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_cosine", 6).alias("adc_cosine"),
+            "rank",
+        )
+    )
