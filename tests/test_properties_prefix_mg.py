@@ -1,0 +1,138 @@
+"""Property-based validation (hypothesis, pure Python — no Spark
+session) of the two THEOREMS the round-4 scale paths rely on:
+
+1. Prefix filtering (AllPairs/PPJoin): any pair with Jaccard >= t
+   shares an element within both documents' (|X| - ceil(t|X|) + 1)
+   rarest-first prefixes under a common canonical order, for ANY
+   corpus. The Spark operator (`dedup.prefix_filter_candidates`)
+   implements exactly this selection; here hypothesis hammers the
+   selection rule itself over random set families.
+
+2. Misra-Gries with the mergeable-summaries batch rule: for any
+   stream, any partitioning into batches, and any capacity,
+   est(i) <= true(i) <= est(i) + delta and true(i) > delta implies
+   presence. This is the rule `sketches.space_saving_summary` and the
+   streaming twin run per Arrow batch / micro-batch.
+"""
+
+import collections
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# --- shared pure-Python models (mirrors of the Spark formulations) ---
+
+
+def prefix_of(items: set, order: dict, t: float) -> set:
+    n = len(items)
+    plen = n - math.ceil(t * n) + 1
+    ranked = sorted(items, key=lambda x: order[x])
+    return set(ranked[:plen])
+
+
+def mg_merge_batches(batches, capacity):
+    counters: dict = {}
+    delta = 0
+    for batch in batches:
+        for item, cnt in collections.Counter(batch).items():
+            counters[item] = counters.get(item, 0) + cnt
+        if len(counters) > capacity:
+            cut = sorted(counters.values(), reverse=True)[capacity]
+            delta += cut
+            counters = {k: v - cut for k, v in counters.items() if v > cut}
+    return counters, delta
+
+
+# --- strategies ---
+
+small_sets = st.sets(
+    st.integers(min_value=0, max_value=40), min_size=1, max_size=15
+)
+
+
+class TestPrefixFilterTheorem:
+    @settings(max_examples=500, deadline=None)
+    @given(
+        a=small_sets,
+        b=small_sets,
+        t=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+        seed=st.integers(0, 1000),
+    )
+    def test_qualifying_pairs_share_prefix_element(self, a, b, t, seed):
+        inter = len(a & b)
+        union = len(a | b)
+        if inter / union < t:
+            return  # only qualifying pairs are claimed
+        # ANY common total order works; use a seed-scrambled one to
+        # hammer orders unrelated to frequency too
+        universe = a | b
+        order = {x: hash((seed, x)) for x in universe}
+        pa = prefix_of(a, order, t)
+        pb = prefix_of(b, order, t)
+        assert pa & pb, (sorted(a), sorted(b), t)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        a=small_sets,
+        t=st.sampled_from([0.3, 0.5, 0.8]),
+    )
+    def test_prefix_never_empty(self, a, t):
+        order = {x: x for x in a}
+        assert prefix_of(a, order, t)
+
+
+class TestMisraGriesTheorems:
+    @settings(max_examples=300, deadline=None)
+    @given(
+        stream=st.lists(
+            st.integers(min_value=0, max_value=25), min_size=0, max_size=400
+        ),
+        capacity=st.integers(min_value=1, max_value=12),
+        n_batches=st.integers(min_value=1, max_value=6),
+    )
+    def test_bounds_and_completeness_any_batching(
+        self, stream, capacity, n_batches
+    ):
+        size = max(1, (len(stream) + n_batches - 1) // n_batches)
+        batches = [
+            stream[i : i + size] for i in range(0, max(len(stream), 1), size)
+        ]
+        counters, delta = mg_merge_batches(batches, capacity)
+        true = collections.Counter(stream)
+        # global error bound
+        assert delta <= len(stream) / (capacity + 1) + 1e-9
+        for item, cnt in true.items():
+            if item in counters:
+                est = counters[item]
+                assert est <= cnt <= est + delta
+            else:
+                assert cnt <= delta
+        # summary never exceeds capacity
+        assert len(counters) <= capacity
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        stream=st.lists(
+            st.integers(min_value=0, max_value=10), min_size=10, max_size=200
+        ),
+        capacity=st.integers(min_value=2, max_value=8),
+    )
+    def test_merged_partitions_match_guarantees_of_union(
+        self, stream, capacity
+    ):
+        """Partition the stream arbitrarily, summarize each part, then
+        merge the summaries with the same rule — the MG merge theorem:
+        the merged summary obeys the union's bounds."""
+        mid = len(stream) // 2
+        c1, d1 = mg_merge_batches([stream[:mid]], capacity)
+        c2, d2 = mg_merge_batches([stream[mid:]], capacity)
+        merged = dict(c1)
+        for k, v in c2.items():
+            merged[k] = merged.get(k, 0) + v
+        delta = d1 + d2
+        true = collections.Counter(stream)
+        for item, cnt in true.items():
+            est = merged.get(item, 0)
+            assert est <= cnt <= est + delta
