@@ -99,6 +99,48 @@ def main() -> None:
         "doc_id"
     ).select("doc_id", "split", F.round("quality", 3).alias("quality")).show()
 
+    # -- round-4 additions: exact-recall prefix-filter dedup, heavy
+    #    hitters, phrase search, BPE vocabulary training, PQ ANN codes
+    from zikeiretsu_rs_spark.operators import bpe, search, similarity, sketches
+
+    print("== prefix-filter exact Jaccard (AllPairs/PPJoin — no LSH miss)")
+    dedup.prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).show()
+
+    print("== heavy hitters (bounded-state Misra-Gries)")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    )
+    sketches.heavy_hitters(toks, "term", capacity=4).orderBy(
+        F.desc("est")
+    ).show(5)
+
+    print("== positional phrase search")
+    phrases = spark.createDataFrame(
+        [(1, "quick brown fox")], ["phrase_id", "phrase"]
+    )
+    search.phrase_match(docs, phrases, "doc_id", "text").orderBy(
+        "doc_id"
+    ).show()
+
+    print("== BPE vocabulary training (first 5 merges)")
+    for left, right, freq in bpe.learn_merges(docs, "text", n_merges=5):
+        print(f"   merge {left!r} + {right!r}  (weighted freq {freq})")
+
+    print("== PQ codes + ADC search with exact refinement")
+    import random
+
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rng.random() for _ in range(16)]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    book = similarity.pq_codebook(emb, m=4, ksub=16)
+    similarity.pq_topk_refined(
+        emb, emb.where(F.col("vec_id") < 2), book, k=3
+    ).show()
+
     spark.stop()
 
 
