@@ -247,6 +247,45 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
         "layout_small_files_256": _timed(agg(small)),
         "layout_compacted_4": _timed(agg(big)),
     }
+
+    # Z-order vs single-key sort: row groups a (user_id AND ts) box
+    # predicate must read, counted from the SAME parquet footer
+    # min/max stats the scanner prunes with (counts, not seconds —
+    # the corpus is too small for the IO delta to clear timing noise,
+    # but the stats are exactly what scales).
+    import duckdb
+
+    from zikeiretsu_rs_spark.catalog import zorder as zo
+
+    plain_p, z_p = f"{base}/plain64", f"{base}/zorder64"
+    ev.repartitionByRange(64, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(plain_p)
+    zo.zorder_write(ev, ["user_id", "ts"], z_p, n_files=64)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    t1, t2 = lo + (hi - lo) // 4, lo + (hi - lo) // 3
+    con = duckdb.connect()
+
+    def rowgroups(path):
+        return con.sql(f"""
+        WITH rg AS (
+          SELECT file_name, row_group_id,
+                 max(CASE WHEN path_in_schema='user_id'
+                     THEN stats_min_value::BIGINT END) AS umin,
+                 max(CASE WHEN path_in_schema='user_id'
+                     THEN stats_max_value::BIGINT END) AS umax,
+                 max(CASE WHEN path_in_schema='ts'
+                     THEN stats_min_value::BIGINT END) AS tmin,
+                 max(CASE WHEN path_in_schema='ts'
+                     THEN stats_max_value::BIGINT END) AS tmax
+          FROM parquet_metadata('{path}/*.parquet')
+          WHERE path_in_schema IN ('user_id','ts') GROUP BY 1,2)
+        SELECT count(*) FILTER (umax >= 100 AND umin <= 140
+                                AND tmax >= {t1} AND tmin <= {t2})
+        FROM rg""").fetchone()[0]
+
+    out["layout_box_rowgroups_plain64"] = float(rowgroups(plain_p))
+    out["layout_box_rowgroups_zorder64"] = float(rowgroups(z_p))
     shutil.rmtree(base, ignore_errors=True)
     return out
 
