@@ -860,3 +860,43 @@ class TestResidualIvfPq:
         assert len(part) > 0
         for r in part:
             assert full[(r["query_id"], r["neighbor_id"])] == r["adc_cosine"]
+
+
+class TestSemanticDecontaminate:
+    def test_planted_paraphrase_flagged(self, spark):
+        # corpus vector 10 IS eval vector 0 (cosine 1); vector 11 is
+        # orthogonal to everything in the eval set
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (10, [2.0, 0.0, 0.0, 0.0]),   # same direction as eval 0
+            (11, [0.0, 0.0, 1.0, 0.0]),   # orthogonal
+            (12, [1.0, 1.0, 0.0, 0.0]),   # cos 0.707 to both
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {
+            r["vec_id"]: (r["max_eval_cosine"], r["contaminated"])
+            for r in similarity.semantic_decontaminate(
+                emb.where(F.col("vec_id") >= 10),
+                emb.where(F.col("vec_id") < 10),
+                0.9,
+            ).collect()
+        }
+        assert out[10] == (1.0, True)
+        assert out[11] == (0.0, False)
+        assert out[12][0] == 0.707107 and not out[12][1]
+        assert len(out) == 3  # every corpus row present, clean or not
+
+    def test_no_shuffle_of_corpus(self, spark):
+        """The eval side must broadcast: the plan may shuffle only the
+        per-row max aggregation, never join-exchange the corpus."""
+        rows = [(i, [float(i % 7), 1.0, 0.0, 0.0]) for i in range(50)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        df = similarity.semantic_decontaminate(
+            emb.where(F.col("vec_id") >= 5),
+            emb.where(F.col("vec_id") < 5),
+            0.5,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan

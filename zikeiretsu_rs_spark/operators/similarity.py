@@ -1389,3 +1389,51 @@ def ivfpq_residual_topk(
             "rank",
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level eval decontamination: flag every corpus vector
+    whose cosine to ANY eval vector reaches `threshold` — the
+    semantic complement of n-gram decontamination (paraphrases and
+    translations leak with zero shared 8-grams; embeddings catch
+    them).
+
+    Scale shape: the eval set is SMALL by definition and broadcasts;
+    the scan is map-side only — each corpus row scores against the
+    broadcast eval vectors and keeps the max, no shuffle of the
+    corpus, no pair materialization beyond the per-row max. At
+    eval-set sizes past broadcast comfort, swap the broadcast join
+    for the LSH-bucketed `lsh_pairs_above` between the two sets.
+
+    Output: id, max_eval_cosine (round 6), contaminated (boolean) —
+    one row per corpus vector (the mixing decision needs the clean
+    rows too, not just the flags).
+    """
+    c = with_double_vec(corpus, vec_col).select(
+        F.col(id_col), F.col("_vec").alias("_cv"),
+        _norm(F.col("_vec")).alias("_cn"),
+    )
+    e = with_double_vec(eval_set, vec_col).select(
+        F.col(id_col).alias("_eid"), F.col("_vec").alias("_ev"),
+        _norm(F.col("_vec")).alias("_en"),
+    )
+    scored = (
+        c.join(F.broadcast(e))
+        .withColumn(
+            "_cos",
+            _dot(F.col("_cv"), F.col("_ev")) / (F.col("_cn") * F.col("_en")),
+        )
+        .groupBy(id_col)
+        .agg(F.max("_cos").alias("_max_cos"))
+    )
+    return scored.select(
+        id_col,
+        F.round("_max_cos", 6).alias("max_eval_cosine"),
+        (F.round("_max_cos", 6) >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -1307,6 +1307,18 @@ def q_ann_pq_refined_recall_check(spark, sf_dir):
     )
 
 
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-level eval decontamination (the semantic complement
+    of the 8-gram `decontaminate_eval`: paraphrases leak with zero
+    shared n-grams). Eval set = vec_id < 5 (broadcast); the corpus
+    scan is map-side only — per-row max cosine against the broadcast
+    eval vectors, no shuffle, no pair materialization."""
+    emb = load(spark, sf_dir, "embeddings")
+    eval_set = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return similarity.semantic_decontaminate(corpus, eval_set, 0.35)
+
+
 def q_embedding_neardup_lsh(spark, sf_dir):
     """LSH-bucketed pair mining (scale path of embedding_neardup).
     This corpus has no true near-dups (max cosine ~0.51), so recall at
@@ -2160,6 +2172,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio_frames": q_multimodal_audio_frames,
     "ann_pq_refined_recall_check": q_ann_pq_refined_recall_check,
     "events_mad_outliers": q_events_mad_outliers,
+    "semantic_decontaminate": q_semantic_decontaminate,
 }
 
 
@@ -2953,6 +2966,19 @@ scored AS (
            AS cosine
   FROM v a, v b WHERE a.vec_id < b.vec_id)
 SELECT * FROM scored WHERE cosine >= 0.40
+"""
+    sqls["semantic_decontaminate"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ev AS (SELECT e FROM v WHERE vec_id < 5),
+c AS (SELECT vec_id, e FROM v WHERE vec_id >= 5),
+m AS (SELECT c.vec_id,
+             max(list_dot_product(c.e, ev.e) /
+                 (sqrt(list_dot_product(c.e, c.e))
+                  * sqrt(list_dot_product(ev.e, ev.e)))) AS mc
+      FROM c, ev GROUP BY 1)
+SELECT vec_id, round(mc, 6) AS max_eval_cosine,
+       round(mc, 6) >= 0.35 AS contaminated
+FROM m
 """
     sqls["text_token_stats"] = """
 WITH w AS (SELECT doc_id, length(text) AS n_chars,
