@@ -76,6 +76,8 @@ HEADLINE = [
     "ewma_user",
     "multimodal_audio_frames",
     "bpe_learn",  # iterative vocabulary training (12 merge rounds)
+    "events_mad_outliers",
+    "semantic_decontaminate",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes
