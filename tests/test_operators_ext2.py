@@ -900,3 +900,49 @@ class TestSemanticDecontaminate:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestPrioritySample:
+    def test_weight_bias_and_determinism(self, spark):
+        from zikeiretsu_rs_spark.operators import sampling
+
+        # heavy rows (weight 1000) vs light rows (weight 1): the k
+        # sample must be dominated by heavy rows
+        rows = [(i, 1000.0) for i in range(50)] + [
+            (i, 1.0) for i in range(50, 100)
+        ]
+        df = spark.createDataFrame(rows, ["key", "w"])
+        out = sampling.priority_sample(df, "key", "w", k=20).collect()
+        assert len(out) == 20
+        heavy = sum(1 for r in out if r["w"] == 1000.0)
+        assert heavy >= 15
+        # rerun + repartition => identical sample
+        again = sampling.priority_sample(
+            df.repartition(7), "key", "w", k=20
+        ).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_census_when_corpus_small(self, spark):
+        from zikeiretsu_rs_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 1.0)], ["key", "w"]
+        )
+        out = sampling.priority_sample(df, "key", "w", k=10).collect()
+        assert len(out) == 2
+        # census: qhat is the raw weight
+        assert {r["key"]: r["qhat"] for r in out} == {1: 5.0, 2: 1.0}
+
+    def test_no_global_sort_in_plan(self, spark):
+        from zikeiretsu_rs_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(i, float(i % 9 + 1)) for i in range(100)], ["key", "w"]
+        )
+        plan = (
+            sampling.priority_sample(df, "key", "w", k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        # the boundary is a broadcast scalar, not a global sort+window
+        assert "Window" not in plan

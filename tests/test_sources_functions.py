@@ -110,3 +110,27 @@ class TestFunctions:
         df = spark.createDataFrame([([1.0, 0.0], [0.6, 0.8])], ["a", "b"])
         got = df.select(zf.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
         assert got == pytest.approx(0.6)
+
+
+class TestSuiteContract:
+    """Driver-contract consistency: every oracle belongs to a declared
+    query, the rows-only set is exactly the labeled estimator set, and
+    role labels cover the suite."""
+
+    def test_oracles_and_roles_consistent(self):
+        from zikeiretsu_rs_spark import suite
+
+        qs, osql = suite.QUERIES, suite.oracle_sql()
+        assert set(osql) <= set(qs)
+        assert {n for n in qs if n not in osql} == suite.ESTIMATOR_QUERIES
+        for n in qs:
+            assert suite.query_role(n) in (
+                "production", "verification", "estimator"
+            )
+        assert suite.VERIFICATION_QUERIES <= set(qs)
+        assert suite.ESTIMATOR_QUERIES <= set(qs)
+        # verification queries must be oracle- or companion-backed:
+        # every *_check has an oracle entry
+        for n in suite.VERIFICATION_QUERIES:
+            if n.endswith("_check"):
+                assert n in osql, n

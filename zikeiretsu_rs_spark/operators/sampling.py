@@ -216,3 +216,73 @@ def leakage_safe_split(
         .drop("node")
     )
     return train_test_split(out, "cluster_id", test_256, valid_256)
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Priority ("sequential Poisson") weighted sampling without
+    replacement (Ohlsson; Duffield-Lund-Thorup): each row gets
+    priority = u / w where u is its content-hash uniform in (0, 1],
+    and the k SMALLEST priorities are kept. Inclusion probability is
+    ~proportional to weight, and the sample is a pure function of
+    content (u = md5-derived — engine/partitioning/rerun-stable, no
+    RNG state).
+
+    Scale shape: the boundary row comes from `orderBy(...).limit(k+1)`
+    — Spark compiles that to TakeOrderedAndProject (per-partition
+    top-(k+1), merged once), NOT a global sort; the kept set is then a
+    scalar-threshold filter against the broadcast boundary, the same
+    shape as the distinct-ts limits. No un-keyed window anywhere.
+
+    The Duffield-Lund-Thorup estimator rides along: with tau = the
+    (k+1)-th smallest priority, qhat = max(w, 1/tau) makes sum(qhat)
+    an unbiased estimate of the population weight from the sample
+    alone (qhat = w when the corpus has <= k rows: the sample is a
+    census).
+
+    Output: the k sampled rows + priority (round 9) + qhat (round 6).
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32))  # (0, 1]
+    w = F.col(weight_col).cast("double")
+    withp = df.withColumn("_pri", u / w)
+    # distributed top-(k+1) by (priority, key) — total order, no ties
+    boundary = (
+        withp.select("_pri", F.col(key_col).alias("_bkey"))
+        .orderBy(F.col("_pri").asc(), F.col("_bkey").asc())
+        .limit(k + 1)
+        .agg(
+            F.max(F.struct("_pri", "_bkey")).alias("_b"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            F.col("_b._pri").alias("_tau"),
+            F.col("_b._bkey").alias("_tkey"),
+            F.col("_n").alias("_n"),
+        )
+    )
+    joined = withp.crossJoin(F.broadcast(boundary))
+    kept = joined.where(
+        # fewer than k+1 rows total -> census (keep everything);
+        # otherwise strictly below the boundary row in (pri, key) order
+        (F.col("_n") < k + 1)
+        | (F.col("_pri") < F.col("_tau"))
+        | ((F.col("_pri") == F.col("_tau")) & (F.col(key_col) < F.col("_tkey")))
+    )
+    return kept.select(
+        *df.columns,
+        F.round("_pri", 9).alias("priority"),
+        F.round(
+            F.when(F.col("_n") < k + 1, w).otherwise(
+                F.greatest(w, F.lit(1.0) / F.col("_tau"))
+            ),
+            6,
+        ).alias("qhat"),
+    )

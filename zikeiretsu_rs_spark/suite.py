@@ -1547,6 +1547,16 @@ def q_training_shards(spark, sf_dir):
     )
 
 
+def q_priority_sample(spark, sf_dir):
+    """Priority (sequential-Poisson) weighted sample of 50 docs by
+    n_chars: content-hash priorities, distributed top-k boundary
+    (TakeOrderedAndProject, no global sort, no un-keyed window),
+    DLT qhat estimator riding along."""
+    return sampling.priority_sample(
+        load(spark, sf_dir, "documents"), "doc_id", "n_chars", k=50
+    )
+
+
 def q_train_test_split(spark, sf_dir):
     """Stable hash-range train/valid/test assignment, counted per
     split (rows never migrate between splits as data grows)."""
@@ -2173,6 +2183,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_refined_recall_check": q_ann_pq_refined_recall_check,
     "events_mad_outliers": q_events_mad_outliers,
     "semantic_decontaminate": q_semantic_decontaminate,
+    "priority_sample": q_priority_sample,
 }
 
 
@@ -3124,6 +3135,19 @@ SELECT doc_id, shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
             AS BIGINT) AS pos
 FROM s
+"""
+    sqls["priority_sample"] = """
+WITH h AS (SELECT doc_id, text, lang, source, n_chars,
+                  ((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) + 1.0) / 4294967296.0) / n_chars AS pri
+           FROM documents),
+r AS (SELECT *, row_number() OVER (ORDER BY pri, doc_id) AS rn FROM h),
+tau AS (SELECT pri AS t FROM r WHERE rn = 51)
+SELECT doc_id, text, lang, source, n_chars,
+       round(pri, 9) AS priority,
+       round(greatest(CAST(n_chars AS DOUBLE),
+                      1.0 / (SELECT t FROM tau)), 6) AS qhat
+FROM r WHERE rn <= 50
 """
     sqls["quality_weighted_sample"] = f"""
 WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
