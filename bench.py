@@ -78,6 +78,8 @@ HEADLINE = [
     "bpe_learn",  # iterative vocabulary training (12 merge rounds)
     "events_mad_outliers",
     "semantic_decontaminate",
+    "priority_sample",
+    "asof_next_purchase",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

@@ -334,3 +334,44 @@ class TestMadOutliers:
         out = aggregates.mad_outliers(df, "user_id", "value", k=1.0)
         meds = {r["med"] for r in out.collect()}
         assert meds <= {4.0}
+
+
+class TestAsofForward:
+    def test_earliest_following_and_ties(self, spark):
+        from zikeiretsu_rs_spark.operators import joins
+
+        left = spark.createDataFrame(
+            [(1, 100, "a"), (1, 250, "b"), (2, 100, "c")],
+            ["k", "ts", "tag"],
+        )
+        right = spark.createDataFrame(
+            [(1, 100, 7, 1.0), (1, 200, 8, 2.0), (1, 200, 9, 3.0),
+             (1, 300, 10, 4.0)],
+            ["k", "ts", "rid", "v"],
+        )
+        out = {
+            r["tag"]: (r["right_ts"], r["right_rid"])
+            for r in joins.asof_join_forward(
+                left, right, on=["k"], payload_cols=["rid"],
+                tiebreak_col="rid",
+            ).collect()
+        }
+        # equal ts IS visible forward
+        assert out["a"] == (100, 7)
+        # among ts-200 duplicates the SMALLEST tiebreak wins... but b
+        # is at 250 so its next is 300
+        assert out["b"] == (300, 10)
+        # no following right row for key 2 -> NULLs survive (left join)
+        assert out["c"] == (None, None)
+
+    def test_duplicate_ts_tiebreak_is_smallest(self, spark):
+        from zikeiretsu_rs_spark.operators import joins
+
+        left = spark.createDataFrame([(1, 150, "x")], ["k", "ts", "tag"])
+        right = spark.createDataFrame(
+            [(1, 200, 9, 1.0), (1, 200, 8, 2.0)], ["k", "ts", "rid", "v"]
+        )
+        r = joins.asof_join_forward(
+            left, right, on=["k"], payload_cols=["rid"], tiebreak_col="rid"
+        ).collect()[0]
+        assert (r["right_ts"], r["right_rid"]) == (200, 8)

@@ -133,7 +133,10 @@ class TestNoCartesian:
                             # broadcast-eval-set scan: the corpus maps
                             # over a broadcast of the (small) eval
                             # vectors — the intended plan
-                            "semantic_decontaminate")
+                            "semantic_decontaminate",
+                            # 1-row boundary broadcast (the same
+                            # scalar-threshold shape as the ts limits)
+                            "priority_sample")
             ), f"{name}: unexpected nested-loop join\n{plan}"
 
 

@@ -88,6 +88,77 @@ def asof_join_backward(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    payload_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    prefix: str = "right_",
+) -> DataFrame:
+    """Forward (look-ahead) as-of join: for every left row, attach the
+    EARLIEST right row with `right.ts >= left.ts` and equal keys —
+    the mirror of `asof_join_backward` ("what was the next quote /
+    event after this point"). Same union-and-scan single keyed window,
+    reversed direction: descending ts with an unbounded-preceding
+    `last(ignorenulls)` carries the nearest following right row.
+
+    Tie rules mirror backward: at equal ts the right row IS visible;
+    among right duplicates at the same (keys, ts) the SMALLEST
+    `tiebreak_col` wins (the "first" following row — deterministic).
+
+    Output: `on` + ts + remaining left columns + `{prefix}{ts_col}` +
+    `{prefix}{c}` for each payload column.
+    """
+    left_extra = [c for c in left.columns if c not in on and c != ts_col]
+    ltypes = dict(left.dtypes)
+
+    r_struct = F.struct(
+        F.col(ts_col).alias(ts_col),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    r = right.select(
+        *on,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        (F.col(tiebreak_col) if tiebreak_col else F.lit(0))
+        .cast("long")
+        .alias("_tb"),
+        r_struct.alias("_r"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_extra],
+    )
+    r_struct_ddl = r.schema["_r"].dataType.simpleString()
+    l = left.select(
+        *on,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_tb"),
+        F.lit(None).cast(r_struct_ddl).alias("_r"),
+        *left_extra,
+    )
+    # descending scan: right rows sort before left rows at equal ts
+    # (visible), and among equal-ts right rows the LARGEST _tb comes
+    # first so the smallest one is carried last -> wins
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(
+            F.col(ts_col).desc(), F.col("_side").asc(), F.col("_tb").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).withColumn(
+        "_m", F.last("_r", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("_side") == 1).select(
+        *on,
+        ts_col,
+        *left_extra,
+        F.col(f"_m.{ts_col}").alias(f"{prefix}{ts_col}"),
+        *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in payload_cols],
+    )
+
+
 def semi_join(left: DataFrame, right: DataFrame, condition) -> DataFrame:
     """EXISTS semi-join: left rows with >=1 match (native left_semi —
     broadcast/AQE-eligible, output never exceeds the left side)."""

@@ -749,6 +749,28 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_asof_next_purchase(spark, sf_dir):
+    """Forward as-of join (the backward join's mirror): for every
+    click, the EARLIEST purchase at-or-after it by the same user —
+    conversion-lag shape. Same union-and-scan single keyed window,
+    descending."""
+    e = events_ts_long(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    return joins.asof_join_forward(
+        clicks,
+        purchases,
+        on=["user_id"],
+        payload_cols=["event_id"],
+        tiebreak_col="event_id",
+        prefix="purchase_",
+    )
+
+
 def q_twa_user_1h(spark, sf_dir):
     """Time-weighted average of value per (user, hour) — irregular
     samples hold until the next sample, clamped to bucket end."""
@@ -2184,6 +2206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_mad_outliers": q_events_mad_outliers,
     "semantic_decontaminate": q_semantic_decontaminate,
     "priority_sample": q_priority_sample,
+    "asof_next_purchase": q_asof_next_purchase,
 }
 
 
@@ -2318,6 +2341,27 @@ c AS (SELECT *,
                             CASE WHEN side = 0 THEN event_id ELSE 0 END
                    ROWS UNBOUNDED PRECEDING))
 SELECT user_id, ts, event_id AS purchase_id, value, click_ts, click_event_id
+FROM c WHERE side = 1
+"""
+    sqls["asof_next_purchase"] = """
+WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts, event_type, value
+           FROM events WHERE event_type IN ('click', 'purchase')),
+u AS (SELECT user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side,
+             event_id, value
+      FROM e),
+c AS (SELECT *,
+        last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+          OVER w AS purchase_ts,
+        last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+          OVER w AS purchase_event_id
+      FROM u
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts DESC, side ASC,
+                            CASE WHEN side = 0 THEN -event_id ELSE 0 END
+                   ROWS UNBOUNDED PRECEDING))
+SELECT user_id, ts, event_id AS click_id, value, purchase_ts,
+       purchase_event_id
 FROM c WHERE side = 1
 """
     sqls["range_join_click_context"] = """
