@@ -538,3 +538,48 @@ class TestPhraseMatch:
             spark, [(1, "  Hello   WORLD again ")], [(3, "hello world")]
         )
         assert out == {(1, 3): (1, 0)}
+
+
+class TestPhraseMatchRandomized:
+    def test_batch_against_python_reference(self, spark):
+        """50 random docs x 12 random phrases over a 3-letter alphabet
+        (maximal overlap pressure: repeated words, overlapping
+        occurrences, phrases longer than docs) — one Spark run, every
+        (doc, phrase) pair compared to a pure-Python sliding scan."""
+        import random
+
+        from zikeiretsu_rs_spark.operators import search
+
+        rng = random.Random(99)
+        words = ["a", "b", "c"]
+        docs = [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 12))))
+            for i in range(50)
+        ]
+        phrases = [
+            (j, " ".join(rng.choice(words) for _ in range(rng.randint(1, 4))))
+            for j in range(12)
+        ]
+        expected = {}
+        for i, text in docs:
+            toks = text.split()
+            for j, ph in enumerate(p for _, p in phrases):
+                pt = phrases[j][1].split()
+                anchors = [
+                    a
+                    for a in range(len(toks) - len(pt) + 1)
+                    if toks[a : a + len(pt)] == pt
+                ]
+                if anchors:
+                    expected[(i, j)] = (len(anchors), anchors[0])
+        got = {
+            (r["doc_id"], r["phrase_id"]): (r["n_occurrences"], r["first_pos"])
+            for r in search.phrase_match(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                spark.createDataFrame(phrases, ["phrase_id", "phrase"]),
+                "doc_id",
+                "text",
+            ).collect()
+        }
+        assert got == expected
+        assert len(expected) > 50  # the corpus actually overlaps

@@ -946,3 +946,35 @@ class TestPrioritySample:
         assert "TakeOrderedAndProject" in plan
         # the boundary is a broadcast scalar, not a global sort+window
         assert "Window" not in plan
+
+
+class TestPrefixFilterRandomized:
+    def test_batch_random_corpora_equal_exact(self, spark):
+        """Three seeds x near-dup-heavy random corpora over a tiny
+        vocabulary — prefix-filter output must equal the brute-force
+        join on every one (completeness is a theorem; this hammers the
+        Spark implementation of it, incl. hashed prefixes)."""
+        import random
+
+        for seed in (5, 17, 41):
+            rng = random.Random(seed)
+            vocab = [f"w{v}" for v in range(8)]
+            base = [
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 10)))
+                for _ in range(12)
+            ]
+            rows = []
+            did = 0
+            for text in base:
+                rows.append((did, text)); did += 1
+                if rng.random() < 0.5:  # planted near-dup
+                    toks = text.split()
+                    toks[rng.randrange(len(toks))] = rng.choice(vocab)
+                    rows.append((did, " ".join(toks))); did += 1
+            df = spark.createDataFrame(rows, ["doc_id", "text"])
+            exact = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", n=2, threshold=0.4).collect()))
+            pf = sorted(map(tuple, dedup.prefix_filter_jaccard_pairs(
+                df, "doc_id", "text", n=2, threshold=0.4).collect()))
+            assert pf == exact, f"seed {seed}"
+            assert len(exact) > 0, f"seed {seed}: corpus had no pairs"
