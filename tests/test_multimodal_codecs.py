@@ -558,3 +558,137 @@ class TestAudioFrameFeatures:
             [(1, bytearray(b"not a wav")), (2, None)], schema
         )
         assert multimodal.audio_frame_features(df).count() == 0
+
+
+class TestGifCodec:
+    """Real GIF89a codec: LZW entropy coding with variable code widths,
+    extension-block walking, palette mapping — the last
+    no-native-library format worth a real decoder."""
+
+    @pytest.mark.parametrize("media_id", [0, 1, 7, 16, 17, 187, 12345])
+    def test_roundtrip(self, media_id):
+        import numpy as np
+
+        w, h = multimodal._gif_dims(media_id)
+        payload = multimodal._encode_gif(media_id)
+        idx = multimodal._gif_indices(media_id, w * h)
+        pal = np.frombuffer(
+            multimodal._gif_palette_bytes(), dtype=np.uint8
+        ).reshape(256, 3)
+        assert multimodal._decode_gif(payload) == (
+            w,
+            h,
+            3,
+            int(idx.sum(dtype=np.int64)),
+            int(pal[idx].sum(dtype=np.int64)),
+        )
+        # container structure: magic, GCT flag, GCE present, trailer
+        assert payload[:6] == b"GIF89a"
+        assert payload[10] & 0x80  # global color table flag
+        assert payload[13 + 768] == 0x21  # extension introducer
+        assert payload[-1] == 0x3B
+
+    def test_lzw_width_growth_is_exercised(self):
+        # every fixture has >= 16*12=192 pixels -> decoder table crosses
+        # 512 entries only for larger ones; check a big one explicitly
+        w, h = multimodal._gif_dims(16)  # 32 x ...
+        assert w * h > 300  # enough pixels to push past 9-bit codes
+
+    def test_lzw_kwkwk_and_table_reset(self):
+        import numpy as np
+
+        # KwKwK: run of identical symbols forces the code==len(table) path
+        run = np.zeros(9000, dtype=np.uint8)
+        assert multimodal._lzw_decompress(
+            multimodal._lzw_compress(run)
+        ) == bytes(run)
+        # random data grows the table to 4096 and forces a CLEAR reset
+        rng = np.random.RandomState(3)
+        big = rng.randint(0, 256, 30000).astype(np.uint8)
+        assert multimodal._lzw_decompress(
+            multimodal._lzw_compress(big)
+        ) == bytes(big)
+
+    @given(st.binary(min_size=0, max_size=64))
+    @settings(max_examples=60, deadline=None)
+    def test_never_crashes_on_garbage(self, payload):
+        multimodal._decode_gif(payload)
+        multimodal._lzw_decompress(payload)
+
+    @pytest.mark.parametrize(
+        "mutate",
+        [
+            lambda p: p[:20],  # truncated in the color table
+            lambda p: b"GIF90a" + p[6:],  # bad magic
+            lambda p: p[: len(p) // 2],  # truncated mid-LZW-stream
+            # clobber the image-descriptor introducer (fixed offset:
+            # header 13 + GCT 768 + GCE 8)
+            lambda p: p[: 13 + 768 + 8] + b"\x2d" + p[13 + 768 + 8 + 1 :],
+        ],
+    )
+    def test_rejects_corruption(self, mutate):
+        p = multimodal._encode_gif(42)
+        assert multimodal._decode_gif(mutate(p))[0] is None
+
+    def test_corrupt_lzw_stream_rejected(self):
+        p = bytearray(multimodal._encode_gif(42))
+        # flip bits deep inside the LZW data (after GCT + GCE + desc)
+        off = 13 + 768 + 8 + 10 + 5
+        p[off] ^= 0xFF
+        p[off + 1] ^= 0xFF
+        out = multimodal._decode_gif(bytes(p))
+        # either cleanly rejected or decoded to a checksum != expected;
+        # must never raise
+        import numpy as np
+
+        w, h = multimodal._gif_dims(42)
+        expect = int(multimodal._gif_indices(42, w * h).sum(dtype=np.int64))
+        assert out[0] is None or out[3] != expect
+
+    def test_local_color_table_overrides_global(self):
+        import numpy as np
+
+        # hand-build a 2x2 GIF with a local table and no global one
+        idx = np.array([0, 1, 2, 3], dtype=np.uint8)
+        lzw = multimodal._lzw_compress(idx, 2)
+        p = bytearray(b"GIF89a")
+        p += struct.pack("<HHBBB", 2, 2, 0x00, 0, 0)  # no GCT
+        p += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0x81)  # LCT: 4 entries
+        p += bytes((10, 0, 0, 20, 0, 0, 30, 0, 0, 40, 0, 0))  # 4 entries
+        p += bytes((2,))
+        p += bytes((len(lzw),)) + lzw + b"\x00\x3b"
+        w, h, ch, isum, rsum = multimodal._decode_gif(bytes(p))
+        assert (w, h, ch) == (2, 2, 3)
+        assert isum == 6
+        assert rsum == 10 + 20 + 30 + 40
+
+
+class TestGifSparkPlumbing:
+    def test_synthesize_decode(self, spark):
+        import numpy as np
+
+        df = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+        out = (
+            multimodal.decode_gif(
+                multimodal.synthesize_gif_media(df, "doc_id")
+            )
+            .orderBy("media_id")
+            .collect()
+        )
+        assert len(out) == 24
+        pal = np.frombuffer(
+            multimodal._gif_palette_bytes(), dtype=np.uint8
+        ).reshape(256, 3)
+        for r in out:
+            w, h = multimodal._gif_dims(r["media_id"])
+            idx = multimodal._gif_indices(r["media_id"], w * h)
+            assert r["ok"] and (r["width"], r["height"]) == (w, h)
+            assert r["idx_sum"] == int(idx.sum(dtype=np.int64))
+            assert r["rgb_sum"] == int(pal[idx].sum(dtype=np.int64))
+
+    def test_bad_payload_rows_surface(self, spark):
+        rows = [(1, "image", bytearray(b"nope"), "image/gif"), (2, "image", None, "image/gif")]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        out = {r["media_id"]: r for r in multimodal.decode_gif(df).collect()}
+        assert not out[1]["ok"] and not out[2]["ok"]
+        assert out[1]["width"] is None

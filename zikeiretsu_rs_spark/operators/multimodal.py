@@ -907,3 +907,339 @@ def audio_frame_features(df: DataFrame, frame_len: int = 32) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         batches, AUDIO_FRAMES_SCHEMA
     ).withColumn("rms", F.round("rms", 6))
+
+
+# ---------------------------------------------------------------------------
+# real pure-Python GIF codec (LZW entropy coding)
+# ---------------------------------------------------------------------------
+
+GIF_MIN_CODE_SIZE = 8  # 256-color global palette
+
+
+def _gif_dims(media_id: int) -> tuple[int, int]:
+    """Deterministic fixture dimensions: large enough that the LZW
+    string table crosses the 512-entry boundary (so variable code-width
+    growth 9->10 bits is exercised on every payload)."""
+    return 16 + media_id % 17, 12 + media_id % 11
+
+
+def _gif_palette_bytes() -> bytes:
+    """256-entry global color table; entry j = (j, j*7 % 256,
+    j*37 % 256) — pure id arithmetic, oracle-recomputable."""
+    out = bytearray()
+    for j in range(256):
+        out += bytes((j, (j * 7) % 256, (j * 37) % 256))
+    return bytes(out)
+
+
+def _gif_indices(media_id: int, n: int):
+    """Pixel palette indices: i -> (media_id*131 + i*7) % 256."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.int64)
+    return ((media_id * 131 + i * 7) % 256).astype(np.uint8)
+
+
+def _lzw_compress(indices, min_code_size: int = GIF_MIN_CODE_SIZE) -> bytes:
+    """GIF-variant LZW: variable code width starting at
+    min_code_size+1, LSB-first bit packing, CLEAR emitted first, EOI
+    last, table reset at 4096 entries. Code widths follow the
+    DECODER's table-growth schedule (the decoder lags the encoder's
+    table by one entry — simulating the decoder sidesteps the classic
+    early-change off-by-one and matches GIF89a, which has none)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    bit_buf = 0
+    bit_cnt = 0
+
+    # decoder-simulated width state
+    dec_next = eoi + 1
+    dec_width = min_code_size + 1
+    first_after_clear = True
+
+    def emit(code: int) -> None:
+        nonlocal bit_buf, bit_cnt, dec_next, dec_width, first_after_clear
+        bit_buf |= code << bit_cnt
+        bit_cnt += dec_width
+        while bit_cnt >= 8:
+            out.append(bit_buf & 0xFF)
+            bit_buf >>= 8
+            bit_cnt -= 8
+
+    def account(code: int) -> None:
+        # decoder table bookkeeping AFTER it reads `code`
+        nonlocal dec_next, dec_width, first_after_clear
+        if code == clear:
+            dec_next = eoi + 1
+            dec_width = min_code_size + 1
+            first_after_clear = True
+            return
+        if code == eoi:
+            return
+        if first_after_clear:
+            first_after_clear = False
+            return
+        if dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << dec_width) and dec_width < 12:
+                dec_width += 1
+
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(clear)}
+    next_code = eoi + 1
+
+    emit(clear)
+    account(clear)
+    w = b""
+    for k in bytes(indices):
+        wk = w + bytes((k,))
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        account(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        else:
+            # table full: reset both sides (spec-conformant CLEAR)
+            emit(clear)
+            account(clear)
+            table = {bytes((i,)): i for i in range(clear)}
+            next_code = eoi + 1
+        w = bytes((k,))
+    if w:
+        emit(table[w])
+        account(table[w])
+    emit(eoi)
+    if bit_cnt:
+        out.append(bit_buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(
+    data: bytes, min_code_size: int = GIF_MIN_CODE_SIZE
+) -> bytes | None:
+    """GIF-variant LZW decoder (spec rule: width grows when the next
+    table slot reaches 2**width; no early change). Returns None on a
+    malformed stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    base = [bytes((i,)) for i in range(clear)]
+    table = list(base)
+    table += [b"", b""]  # clear / eoi placeholders
+    width = min_code_size + 1
+
+    out = bytearray()
+    prev: bytes | None = None
+    bit_buf = 0
+    bit_cnt = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while bit_cnt < width:
+            if pos >= n:
+                return None  # ran out before EOI
+            bit_buf |= data[pos] << bit_cnt
+            bit_cnt += 8
+            pos += 1
+        code = bit_buf & ((1 << width) - 1)
+        bit_buf >>= width
+        bit_cnt -= width
+        if code == clear:
+            table = list(base) + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+            out += entry
+            prev = entry
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _encode_gif(media_id: int) -> bytes:
+    """Byte-valid GIF89a fixture: logical screen descriptor, 256-entry
+    global color table, a Graphic Control Extension (so decoders must
+    walk extension sub-blocks), one image descriptor, LZW-compressed
+    indices in 255-byte sub-blocks, trailer."""
+    w, h = _gif_dims(media_id)
+    idx = _gif_indices(media_id, w * h)
+    lzw = _lzw_compress(idx)
+
+    out = bytearray(b"GIF89a")
+    # packed: GCT present (0x80) | 8 bpp color res (0x70) | GCT size 7
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += _gif_palette_bytes()
+    # graphic control extension: introducer, label, block size 4,
+    # packed=0, delay=0, transparent index=0, terminator
+    out += bytes((0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00))
+    # image descriptor: no local color table, no interlace
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x00)
+    out += bytes((GIF_MIN_CODE_SIZE,))
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out += bytes((len(chunk),)) + chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+DECODED_GIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("idx_sum", T.LongType(), True),
+        T.StructField("rgb_sum", T.LongType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def _decode_gif(payload: bytes | None):
+    """REAL GIF decode: header + logical screen descriptor, global
+    color table, extension-block walk, image descriptor (+ optional
+    local color table), LZW decompression, palette mapping. Returns
+    (width, height, channels, idx_sum, rgb_sum) or Nones."""
+    import numpy as np
+
+    bad = (None, None, None, None, None)
+    if payload is None or len(payload) < 13:
+        return bad
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return bad
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n_ent = 2 << (packed & 0x07)
+        if len(payload) < pos + 3 * n_ent:
+            return bad
+        palette = np.frombuffer(
+            payload[pos : pos + 3 * n_ent], dtype=np.uint8
+        ).reshape(n_ent, 3)
+        pos += 3 * n_ent
+    while pos < len(payload):
+        intro = payload[pos]
+        if intro == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1  # terminator
+        elif intro == 0x2C:  # image descriptor
+            if len(payload) < pos + 10:
+                return bad
+            _x, _y, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if ipacked & 0x80:  # local color table overrides
+                n_ent = 2 << (ipacked & 0x07)
+                if len(payload) < pos + 3 * n_ent:
+                    return bad
+                palette = np.frombuffer(
+                    payload[pos : pos + 3 * n_ent], dtype=np.uint8
+                ).reshape(n_ent, 3)
+                pos += 3 * n_ent
+            if ipacked & 0x40:  # interlaced fixtures not produced here
+                return bad
+            if pos >= len(payload) or palette is None:
+                return bad
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                blen = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + blen]
+                pos += 1 + blen
+            pos += 1  # block terminator
+            if not (2 <= mcs <= 8):
+                return bad
+            raw = _lzw_decompress(bytes(lzw), mcs)
+            if raw is None or len(raw) != iw * ih:
+                return bad
+            idx = np.frombuffer(raw, dtype=np.uint8)
+            if int(idx.max(initial=0)) >= len(palette):
+                return bad
+            rgb = palette[idx]
+            return (
+                int(iw),
+                int(ih),
+                3,
+                int(idx.sum(dtype=np.int64)),
+                int(rgb.sum(dtype=np.int64)),
+            )
+        elif intro == 0x3B:  # trailer before any image
+            return bad
+        else:
+            return bad
+    return bad
+
+
+def synthesize_gif_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture generator: one real GIF89a payload per row, palette
+    indices a pure function of the id (schema = MEDIA_SCHEMA)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": ids.map(_encode_gif),
+                    "mime": "image/gif",
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
+
+
+def decode_gif(df: DataFrame) -> DataFrame:
+    """REAL GIF decode over binary payloads: extension walk, LZW
+    decompression (variable code widths, table resets), palette-mapped
+    RGB checksum. No n_bytes column — LZW stream length is
+    encoder-dependent, like PNG's DEFLATE."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = pdf["payload"].map(_decode_gif)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": parsed.map(lambda d: d[0]),
+                    "height": parsed.map(lambda d: d[1]),
+                    "channels": parsed.map(lambda d: d[2]),
+                    "idx_sum": parsed.map(lambda d: d[3]),
+                    "rgb_sum": parsed.map(lambda d: d[4]),
+                    "ok": parsed.map(lambda d: d[0] is not None),
+                }
+            )
+
+    sized = df.withColumn(
+        "_szb", F.pmod(F.coalesce(F.length("payload"), F.lit(0)), F.lit(64))
+    )
+    return (
+        sized.repartition(F.col("_szb"))
+        .drop("_szb")
+        .mapInPandas(batches, DECODED_GIF_SCHEMA)
+    )

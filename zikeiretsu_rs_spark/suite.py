@@ -1729,6 +1729,22 @@ def q_multimodal_frames(spark, sf_dir):
     return multimodal.frame_sample(media, every_n=2)
 
 
+def q_multimodal_gif(spark, sf_dir):
+    """REAL GIF decode: synthesize byte-valid GIF89a payloads (256-entry
+    global color table, Graphic Control Extension, LZW-compressed
+    indices with variable code widths crossing the 9→10-bit boundary),
+    then fully decode them — extension walk, LZW decompression, palette
+    mapping — via Arrow-batched mapInPandas. The oracle recomputes
+    width, height, the palette-index checksum and the palette-mapped
+    RGB checksum from doc_id arithmetic; matching sums prove the LZW
+    entropy decode is byte-exact through the whole compress/decompress
+    cycle."""
+    media = multimodal.synthesize_gif_media(
+        load(spark, sf_dir, "documents"), "doc_id"
+    )
+    return multimodal.decode_gif(media)
+
+
 def q_text_gopher_rules(spark, sf_dir):
     """Gopher-style quality rules (token bounds, mean word length,
     alpha-word fraction, stop-word presence) as pure codegen
@@ -2207,6 +2223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontaminate": q_semantic_decontaminate,
     "priority_sample": q_priority_sample,
     "asof_next_purchase": q_asof_next_purchase,
+    "multimodal_gif": q_multimodal_gif,
 }
 
 
@@ -3669,6 +3686,24 @@ SELECT media_id,
             AS BIGINT) AS frame_sum,
        TRUE AS ok
 FROM d, LATERAL (SELECT unnest(generate_series(0, (n - 1) // 2)) AS k) t
+"""
+    sqls["multimodal_gif"] = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                  16 + doc_id % 17 AS w, 12 + doc_id % 11 AS h
+           FROM documents)
+SELECT media_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                                    i -> (media_id * 131 + i * 7) % 256))
+            AS BIGINT) AS idx_sum,
+       CAST(list_sum(list_transform(generate_series(0, w * h - 1), i ->
+              ((media_id * 131 + i * 7) % 256)
+              + (((media_id * 131 + i * 7) % 256) * 7) % 256
+              + (((media_id * 131 + i * 7) % 256) * 37) % 256))
+            AS BIGINT) AS rgb_sum,
+       TRUE AS ok
+FROM d
 """
     # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / ann_ivf_topk:
     # intentionally no direct oracle (hash-function/quantizer-dependent
