@@ -978,3 +978,149 @@ class TestPrefixFilterRandomized:
                 df, "doc_id", "text", n=2, threshold=0.4).collect()))
             assert pf == exact, f"seed {seed}"
             assert len(exact) > 0, f"seed {seed}: corpus had no pairs"
+
+
+class TestBpeBatched:
+    """Batched BPE (top-B symbol-disjoint merges per round): B=1 must
+    equal sequential BPE exactly; B>1 must equal a pure-Python
+    reference that uses the same greedy disjoint selection; the batch
+    apply must commute with sequential application (the disjointness
+    theorem)."""
+
+    @staticmethod
+    def _ref_batched(texts, n_merges, batch_size, min_freq=2):
+        import collections
+
+        from zikeiretsu_rs_spark.operators.bpe import select_disjoint_pairs
+
+        wf = collections.Counter(w for t in texts for w in t.lower().split())
+        vocab = {w: list(w) + ["</w>"] for w in wf}
+        rounds = []
+        done = 0
+        while done < n_merges:
+            take = min(batch_size, n_merges - done)
+            pc = collections.Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wf[w]
+            ranked = sorted(
+                ((l, r, f) for (l, r), f in pc.items() if f >= min_freq),
+                key=lambda x: (-x[2], x[0], x[1]),
+            )
+            sel = select_disjoint_pairs(ranked, take)
+            if not sel:
+                break
+            rounds.append(sel)
+            done += len(sel)
+            mm = {(l, r): l + r for l, r, _ in sel}
+            for w in vocab:
+                s = vocab[w]
+                res, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and (s[i], s[i + 1]) in mm:
+                        res.append(mm[(s[i], s[i + 1])])
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                vocab[w] = res
+        return rounds
+
+    TEXTS = [
+        "low lower lowest low low",
+        "new newer newest new lower",
+        "wide wider widest low new",
+        "deep deeper deepest deep wide",
+    ]
+
+    def test_batch_size_1_equals_sequential(self, spark):
+        from zikeiretsu_rs_spark.operators import bpe
+
+        df = spark.createDataFrame(
+            list(enumerate(self.TEXTS)), ["doc_id", "text"]
+        )
+        rounds = bpe.learn_merges_batched(
+            df, "text", n_merges=10, batch_size=1
+        )
+        flat = [m for rnd in rounds for m in rnd]
+        assert flat == bpe.learn_merges(df, "text", n_merges=10)
+
+    def test_matches_reference_batched(self, spark):
+        from zikeiretsu_rs_spark.operators import bpe
+
+        df = spark.createDataFrame(
+            list(enumerate(self.TEXTS)), ["doc_id", "text"]
+        )
+        for bs in (2, 4):
+            got = bpe.learn_merges_batched(
+                df, "text", n_merges=12, batch_size=bs
+            )
+            assert got == self._ref_batched(self.TEXTS, 12, bs)
+
+    def test_randomized_reference_equivalence(self, spark):
+        import random
+
+        from zikeiretsu_rs_spark.operators import bpe
+
+        rng = random.Random(11)
+        for trial in range(3):
+            texts = [
+                " ".join(
+                    "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+                    for _ in range(rng.randint(3, 10))
+                )
+                for _ in range(12)
+            ]
+            df = spark.createDataFrame(
+                list(enumerate(texts)), ["doc_id", "text"]
+            )
+            bs = rng.choice([2, 3, 5])
+            got = bpe.learn_merges_batched(
+                df, "text", n_merges=9, batch_size=bs
+            )
+            assert got == self._ref_batched(texts, 9, bs), (trial, bs, texts)
+
+    def test_selection_is_symbol_disjoint(self, spark):
+        from zikeiretsu_rs_spark.operators import bpe
+
+        df = spark.createDataFrame(
+            list(enumerate(self.TEXTS)), ["doc_id", "text"]
+        )
+        for rnd in bpe.learn_merges_batched(df, "text", n_merges=12, batch_size=4):
+            syms = [s for l, r, _ in rnd for s in (l, r)]
+            assert len(syms) == len(set(syms))
+
+    def test_batch_apply_commutes_with_sequential(self, spark):
+        """The disjointness theorem: one batched scan == applying the
+        same merges one at a time, in ANY order."""
+        from zikeiretsu_rs_spark.operators import bpe
+
+        df = spark.createDataFrame(
+            list(enumerate(self.TEXTS)), ["doc_id", "text"]
+        )
+        vocab = bpe._initial_symbols(bpe.word_freqs(df, "text"))
+        pairs = [("l", "o"), ("e", "r"), ("w", "i")]  # symbol-disjoint
+        batched = {
+            r["word"]: list(r["syms"])
+            for r in bpe._batch_merge_pass(vocab, pairs).collect()
+        }
+        for order in (pairs, pairs[::-1], [pairs[1], pairs[2], pairs[0]]):
+            v = vocab
+            for left, right in order:
+                v = bpe._merge_pass(v, left, right)
+            seq = {r["word"]: list(r["syms"]) for r in v.collect()}
+            assert seq == batched
+
+    def test_fewer_driver_rounds(self, spark):
+        from zikeiretsu_rs_spark.operators import bpe
+
+        df = spark.createDataFrame(
+            list(enumerate(self.TEXTS)), ["doc_id", "text"]
+        )
+        rounds = bpe.learn_merges_batched(df, "text", n_merges=12, batch_size=6)
+        total = sum(len(r) for r in rounds)
+        assert total == 12  # corpus supports the full merge budget
+        # strictly fewer driver rounds than sequential BPE's 12 (the
+        # whole point); disjointness may keep rounds under batch_size
+        assert len(rounds) < total
+        assert max(len(r) for r in rounds) > 1

@@ -207,3 +207,132 @@ def segment(
             )
 
     return src.mapInPandas(batches, schema)
+
+
+def _batch_merge_pass(
+    vocab: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a SYMBOL-DISJOINT batch of merges in one Arrow pass.
+    Disjointness (no symbol appears in two selected pairs) makes the
+    batch commute: occurrences of distinct pairs cannot overlap, a
+    merge cannot create or destroy an occurrence of another selected
+    pair (the fused symbol is new), so one left-to-right scan equals
+    applying the merges sequentially in any order — pinned in tests."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType(), True),
+            T.StructField("freq", T.LongType(), True),
+            T.StructField("syms", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    merge_map = {(left, right): left + right for left, right in pairs}
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for syms in pdf["syms"]:
+                s = list(syms)
+                res = []
+                i = 0
+                n = len(s)
+                while i < n:
+                    if i + 1 < n and (s[i], s[i + 1]) in merge_map:
+                        res.append(merge_map[(s[i], s[i + 1])])
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                out.append(res)
+            yield pd.DataFrame(
+                {"word": pdf["word"], "freq": pdf["freq"], "syms": out}
+            )
+
+    return vocab.mapInPandas(batches, schema)
+
+
+def select_disjoint_pairs(
+    ranked: list[tuple[str, str, int]], batch_size: int
+) -> list[tuple[str, str, int]]:
+    """Greedy symbol-disjoint selection over a (pf DESC, l, r)-ranked
+    pair list: take a pair unless it shares a symbol with one already
+    taken. Pure function — shared by the Spark path, the pytest
+    reference, and (as a recursive CTE) the DuckDB oracle."""
+    used: set[str] = set()
+    out: list[tuple[str, str, int]] = []
+    for left, right, pf in ranked:
+        if left in used or right in used:
+            continue
+        out.append((left, right, pf))
+        used.add(left)
+        used.add(right)
+        if len(out) >= batch_size:
+            break
+    return out
+
+
+def learn_merges_batched(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+    batch_size: int = 8,
+    min_pair_freq: int = 2,
+    candidate_pool: int | None = None,
+) -> list[list[tuple[str, str, int]]]:
+    """Batched BPE training — the path to real vocab sizes: each round
+    selects the top-`batch_size` SYMBOL-DISJOINT pairs by weighted
+    frequency and applies them all in ONE Arrow pass, so driver
+    round-trips (the per-round scheduling overhead `learn_merges`
+    measures) shrink by ~batch_size x. Returns one list of
+    (left, right, pf) per round, selection order within a round.
+
+    Relation to sequential BPE: batch_size=1 is EXACTLY
+    `learn_merges` (pinned in tests). For batch_size>1 the merges
+    within a round commute (disjointness), but pair counts are not
+    recomputed between them — the classic batched-BPE approximation
+    (each selected pair's count is exact at selection time because no
+    other selected merge can change it; only the NEXT round's
+    candidates see the batch).
+
+    Scale shape: candidates come from a distributed top-K
+    (`candidate_pool`, default max(64, 8*batch_size)) — a
+    TakeOrdered boundary, never a full pair-table collect; greedy
+    selection over K rows is bounded driver state like the centroid
+    and strata pulls. If fewer than batch_size disjoint pairs exist in
+    the pool the round proceeds with what it found."""
+    pool = candidate_pool or max(64, 8 * batch_size)
+    vocab = _initial_symbols(word_freqs(df, text_col)).cache()
+    rounds: list[list[tuple[str, str, int]]] = []
+    done = 0
+    while done < n_merges:
+        take = min(batch_size, n_merges - done)
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1), "
+                    "(s, i) -> struct(s as l, syms[i + 1] as r))"
+                )
+            ).alias("p"),
+        )
+        ranked = [
+            (r["l"], r["r"], int(r["pf"]))
+            for r in (
+                pairs.groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("pf"))
+                .orderBy(F.desc("pf"), F.asc("l"), F.asc("r"))
+                .limit(pool)
+                .collect()
+            )
+            if r["pf"] >= min_pair_freq
+        ]
+        selected = select_disjoint_pairs(ranked, take)
+        if not selected:
+            break
+        rounds.append(selected)
+        done += len(selected)
+        vocab = _batch_merge_pass(
+            vocab, [(left, right) for left, right, _ in selected]
+        ).localCheckpoint(eager=True)
+    return rounds

@@ -1546,6 +1546,56 @@ def q_bpe_first_merge_check(spark, sf_dir):
     )
 
 
+def q_bpe_batch_learn(spark, sf_dir):
+    """Batched BPE training — top-8 SYMBOL-DISJOINT merges per round
+    applied in one Arrow pass, cutting driver round-trips ~8x (the
+    per-round scheduling overhead is what dominates `bpe_learn` at
+    small vocab sizes; this is the documented path to real vocab
+    sizes). Disjointness makes each round's merges commute, so every
+    selected pair's frequency is exact at selection time. Iterative —
+    rows-only driver check; batch_size=1 ≡ sequential BPE and the
+    full batched sequence is pinned against a pure-Python reference
+    in tests; round 1 is value-gated by `bpe_batch_round_check`."""
+    from .operators import bpe
+
+    rounds = bpe.learn_merges_batched(
+        load(spark, sf_dir, "documents"), "text", n_merges=24, batch_size=8
+    )
+    return spark.createDataFrame(
+        [
+            (rnd + 1, i + 1, left, right, pf)
+            for rnd, sel in enumerate(rounds)
+            for i, (left, right, pf) in enumerate(sel)
+        ],
+        "round bigint, sel_rank bigint, left_sym string,"
+        " right_sym string, pair_freq bigint",
+    )
+
+
+def q_bpe_batch_round_check(spark, sf_dir):
+    """Value gate for batched BPE round 1: the greedy symbol-disjoint
+    top-8 selection over the weighted pair counts, compared hash-exact
+    against a DuckDB recursive-CTE oracle that re-derives the pair
+    table AND re-runs the greedy walk independently."""
+    from .operators import bpe
+
+    rounds = bpe.learn_merges_batched(
+        load(spark, sf_dir, "documents"),
+        "text",
+        n_merges=8,
+        batch_size=8,
+        candidate_pool=512,
+    )
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, pf)
+            for i, (left, right, pf) in enumerate(rounds[0])
+        ],
+        "sel_rank bigint, left_sym string, right_sym string,"
+        " pair_freq bigint",
+    )
+
+
 def q_training_shards(spark, sf_dir):
     """Deterministic global training shuffle, expressed the way it
     scales: shard = content-hash bucket, order = within-shard hash
@@ -2224,6 +2274,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_sample": q_priority_sample,
     "asof_next_purchase": q_asof_next_purchase,
     "multimodal_gif": q_multimodal_gif,
+    "bpe_batch_learn": q_bpe_batch_learn,
+    "bpe_batch_round_check": q_bpe_batch_round_check,
 }
 
 
@@ -2258,6 +2310,7 @@ VERIFICATION_QUERIES = {
     "semantic_dedup_kmeans_check",
     "heavy_hitters_check",
     "bpe_first_merge_check",
+    "bpe_batch_round_check",
 }
 
 ESTIMATOR_QUERIES = {
@@ -2271,6 +2324,7 @@ ESTIMATOR_QUERIES = {
     "sketch_distinct_users",
     "sketch_hll_daily_rollup",
     "bpe_learn",  # iterative; sequence pinned vs reference BPE in tests
+    "bpe_batch_learn",  # iterative; batched sequence pinned in tests
 }
 
 
@@ -3166,6 +3220,46 @@ pairs AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq)::BIGINT AS pf
           GROUP BY 1, 2)
 SELECT l AS left_sym, r AS right_sym, pf AS pair_freq
 FROM pairs ORDER BY pf DESC, l ASC, r ASC LIMIT 1
+"""
+    # batched BPE round 1: the oracle re-derives the weighted pair
+    # table AND re-runs the greedy symbol-disjoint walk as a recursive
+    # CTE (take a pair unless either symbol was already used; stop at
+    # 8 selections) — fully independent of the Spark implementation
+    sqls["bpe_batch_round_check"] = r"""
+WITH RECURSIVE words AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents),
+wf AS (SELECT word, count(*)::BIGINT AS freq FROM words GROUP BY 1),
+cs AS (SELECT word, freq,
+              list_append(string_split(word, ''), '</w>') AS syms
+       FROM wf),
+pairs AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq)::BIGINT AS pf
+          FROM cs, LATERAL (SELECT unnest(generate_series(1, len(syms)-1)) AS i) t
+          GROUP BY 1, 2
+          HAVING sum(freq) >= 2),
+ranked AS (SELECT l, r, pf,
+                  row_number() OVER (ORDER BY pf DESC, l ASC, r ASC) AS rk
+           FROM pairs),
+greedy AS (
+  SELECT 0::BIGINT AS rk, CAST(NULL AS VARCHAR) AS l,
+         CAST(NULL AS VARCHAR) AS r, CAST(NULL AS BIGINT) AS pf,
+         FALSE AS taken, []::VARCHAR[] AS used, 0 AS n_sel
+  UNION ALL
+  SELECT t.rk, t.l, t.r, t.pf,
+         (NOT list_contains(g.used, t.l))
+           AND (NOT list_contains(g.used, t.r)) AS taken,
+         CASE WHEN (NOT list_contains(g.used, t.l))
+                   AND (NOT list_contains(g.used, t.r))
+              THEN list_append(list_append(g.used, t.l), t.r)
+              ELSE g.used END AS used,
+         g.n_sel + CASE WHEN (NOT list_contains(g.used, t.l))
+                             AND (NOT list_contains(g.used, t.r))
+                        THEN 1 ELSE 0 END AS n_sel
+  FROM greedy g JOIN ranked t ON t.rk = g.rk + 1
+  WHERE g.n_sel < 8)
+SELECT row_number() OVER (ORDER BY rk) AS sel_rank,
+       l AS left_sym, r AS right_sym, pf AS pair_freq
+FROM greedy WHERE taken
 """
     _ew = [round(0.75 ** j, 9) for j in range(8)]
     _ew_num = " + ".join(
