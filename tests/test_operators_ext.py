@@ -583,3 +583,45 @@ class TestPhraseMatchRandomized:
         }
         assert got == expected
         assert len(expected) > 50  # the corpus actually overlaps
+
+
+class TestLineDedup:
+    """C4-style duplicated-line removal: duplicated lines keep exactly
+    their first (doc_id, idx) occurrence; unique lines always
+    survive."""
+
+    def test_first_occurrence_kept(self, spark):
+        from zikeiretsu_rs_spark.operators.dedup import line_dedup
+
+        dup = "a b c d"  # 4-word lines for a tight fixture
+        rows = [
+            (1, f"{dup} w x y z"),        # line0 = dup (first), line1 unique
+            (2, f"{dup} p q r s"),        # line0 = dup (loses)
+            (3, f"m n o t {dup}"),        # line1 = dup (loses)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r
+            for r in line_dedup(df, "doc_id", "text", line_words=4).collect()
+        }
+        assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 2
+        assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1
+        assert out[3]["n_lines"] == 2 and out[3]["n_kept"] == 1
+
+    def test_within_doc_duplicates_also_collapse(self, spark):
+        from zikeiretsu_rs_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(7, "a b a b a b")], ["doc_id", "text"]
+        )
+        row = line_dedup(df, "doc_id", "text", line_words=2).collect()[0]
+        assert row["n_lines"] == 3 and row["n_kept"] == 1
+
+    def test_kept_hash_sum_content_sensitive(self, spark):
+        from zikeiretsu_rs_spark.operators.dedup import line_dedup
+
+        a = spark.createDataFrame([(1, "x y z w")], ["doc_id", "text"])
+        b = spark.createDataFrame([(1, "x y z v")], ["doc_id", "text"])
+        ha = line_dedup(a, "doc_id", "text", 2).collect()[0]["kept_hash_sum"]
+        hb = line_dedup(b, "doc_id", "text", 2).collect()[0]["kept_hash_sum"]
+        assert ha != hb

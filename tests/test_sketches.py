@@ -124,3 +124,84 @@ class TestHeavyHitters:
         assert len(rows) <= 6 * 17
         per_part_items = [r for r in rows if r["item"] is not None]
         assert len(per_part_items) <= 6 * 16
+
+
+class TestCountMinSketch:
+    """Count-Min sketch: one-sided error theorem, cell-exact
+    mergeability, and partitioning invariance."""
+
+    def _corpus(self, spark, seed=5, n=400):
+        import random
+
+        rng = random.Random(seed)
+        rows = [(i, rng.choice("abcdefgh") * rng.randint(1, 3)) for i in range(n)]
+        return spark.createDataFrame(rows, ["i", "item"])
+
+    def test_never_underestimates(self, spark):
+        from zikeiretsu_rs_spark.operators import sketches
+
+        df = self._corpus(spark)
+        cms = sketches.cms_build(df, "item", depth=3, width=16)
+        true = df.groupBy(F.col("item")).count().withColumnRenamed(
+            "count", "true_cnt"
+        )
+        est = sketches.cms_estimate(cms, true, "item", depth=3, width=16)
+        for r in est.collect():
+            assert r["cms_est"] >= r["true_cnt"], r
+
+    def test_merge_equals_single_build(self, spark):
+        from zikeiretsu_rs_spark.operators import sketches
+
+        df = self._corpus(spark)
+        half_a = df.where(F.col("i") % 2 == 0)
+        half_b = df.where(F.col("i") % 2 == 1)
+        merged = sketches.cms_merge(
+            sketches.cms_build(half_a, "item", depth=3, width=16).unionAll(
+                sketches.cms_build(half_b, "item", depth=3, width=16)
+            )
+        )
+        single = sketches.cms_build(df, "item", depth=3, width=16)
+        key = lambda rows: sorted(
+            (r["j"], r["bucket"], r["cnt"]) for r in rows
+        )
+        assert key(merged.collect()) == key(single.collect())
+
+    def test_partitioning_invariance(self, spark):
+        from zikeiretsu_rs_spark.operators import sketches
+
+        df = self._corpus(spark)
+        a = sketches.cms_build(df.repartition(1), "item", depth=3, width=16)
+        b = sketches.cms_build(df.repartition(7, "item"), "item", depth=3, width=16)
+        key = lambda rows: sorted(
+            (r["j"], r["bucket"], r["cnt"]) for r in rows
+        )
+        assert key(a.collect()) == key(b.collect())
+
+    def test_wide_sketch_is_exact_for_distinct_items(self, spark):
+        from zikeiretsu_rs_spark.operators import sketches
+
+        # width >> items and 4 independent rows: collisions in ALL
+        # rows simultaneously are overwhelmingly unlikely -> exact
+        rows = [(i, f"item{i % 20}") for i in range(200)]
+        df = spark.createDataFrame(rows, ["i", "item"])
+        cms = sketches.cms_build(df, "item", depth=4, width=4096)
+        true = df.groupBy("item").count().withColumnRenamed("count", "true_cnt")
+        est = sketches.cms_estimate(cms, true, "item", depth=4, width=4096)
+        for r in est.collect():
+            assert r["cms_est"] == r["true_cnt"] == 10
+
+    def test_weighted_build(self, spark):
+        from zikeiretsu_rs_spark.operators import sketches
+
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 7), ("b", 1)], ["item", "wt"]
+        )
+        cms = sketches.cms_build(df, "item", weight_col="wt", depth=2, width=64)
+        items = spark.createDataFrame([("a",), ("b",)], ["item"])
+        est = {
+            r["item"]: r["cms_est"]
+            for r in sketches.cms_estimate(
+                cms, items, "item", depth=2, width=64
+            ).collect()
+        }
+        assert est["a"] >= 12 and est["b"] >= 1

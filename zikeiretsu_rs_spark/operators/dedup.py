@@ -582,3 +582,69 @@ def prefix_filter_jaccard_pairs(
     return exact_jaccard_for_pairs(df, cand, id_col, text_col, n).where(
         F.col("jaccard") >= F.lit(threshold)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_words: int = 8,
+) -> DataFrame:
+    """C4-style duplicated-line removal (Raffel et al., "Exploring the
+    Limits of Transfer Learning", JMLR'20 §2.2 — C4 drops any line
+    occurring more than once in the corpus; cf. the reference README's
+    "Record deduplication" upcoming feature). Documents here are
+    single-line word streams, so a "line" is a non-overlapping
+    `line_words`-word segment — the same convention as the chunker.
+
+    Every duplicated line keeps exactly its FIRST occurrence (global
+    (doc_id, line_idx) order) and loses the rest; unique lines always
+    survive. Output per document: n_lines, n_kept, and the sum of the
+    kept lines' hashes (content-verifying without shipping text).
+
+    Scale shape: one posexplode, one groupBy(line) for the
+    first-occurrence/count table (keyed — no global window), one
+    equi-join back, one groupBy(doc). All linear; the only skew risk
+    is a line duplicated across a large fraction of the corpus, which
+    the groupBy absorbs map-side (count + min are both partial-able).
+
+    Output: doc_id, n_lines, n_kept, kept_hash_sum.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    lines = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), words.alias("_w")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(_w) / {line_words}.0)"
+                f" as int) - 1), i -> array_join(slice(_w, i * {line_words}"
+                f" + 1, {line_words}), ' '))"
+            )
+        ).alias("idx", "line"),
+    )
+    lines = lines.withColumn(
+        "lhash", F.conv(F.substring(F.md5("line"), 1, 8), 16, 10).cast("long")
+    )
+    firsts = lines.groupBy("line").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("doc_id", "idx")).alias("first_occ"),
+    )
+    kept = (
+        lines.join(firsts, "line")
+        .withColumn(
+            "keep",
+            (F.col("cnt") == 1)
+            | (
+                (F.col("doc_id") == F.col("first_occ.doc_id"))
+                & (F.col("idx") == F.col("first_occ.idx"))
+            ),
+        )
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("lhash")).otherwise(F.lit(0))).alias(
+            "kept_hash_sum"
+        ),
+    )

@@ -154,3 +154,116 @@ def heavy_hitters(
         .agg(F.sum("est").alias("est"))
     )
     return merged.crossJoin(F.broadcast(delta_total))
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05) as a
+    sparse (row, bucket, cnt) relation — at most depth*width rows of
+    state no matter the corpus or item cardinality, and MERGEABLE:
+    sketches of shards add cell-wise (`cms_merge`), so daily sketches
+    roll up without re-scanning history.
+
+    Scale shape: the item stream is reduced to exact per-item counts
+    FIRST (one map-side-combined groupBy — the only corpus-sized
+    step); the depth-way explode happens on the distinct-item table,
+    not the stream. Hash row j of item x is md5-arithmetic
+    (`conv(substr(md5('cms{j}:'||x),1,8),16,10) % width`) — pure
+    engine-portable expressions, so an oracle can rebuild every cell
+    exactly.
+
+    Output: j (0..depth-1), bucket (0..width-1), cnt.
+    """
+    if weight_col is None:
+        counts = df.groupBy(F.col(item_col).cast("string").alias("item")).agg(
+            F.count("*").alias("w")
+        )
+    else:
+        counts = df.groupBy(F.col(item_col).cast("string").alias("item")).agg(
+            F.sum(weight_col).alias("w")
+        )
+    rows = counts.select(
+        "item", "w", F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("j")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"),
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("item"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        rows.select("j", bucket.alias("bucket"), "w")
+        .groupBy("j", "bucket")
+        .agg(F.sum("w").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge CMS sketches built with the same (depth, width): cells
+    add. Input/output schema: j, bucket, cnt."""
+    return sketches.groupBy("j", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, items: DataFrame, item_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-query the sketch for each row of `items`: est(x) =
+    min_j cell[j][h_j(x)] — the one-sided CMS guarantee
+    (est >= true always; est <= true + N/width per row in
+    expectation). `items` is expected to be small (a candidate or
+    report set) and is broadcast into the depth-way expansion; the
+    sketch side is at most depth*width rows.
+
+    Output: items' columns + cms_est.
+    """
+    probes = items.withColumn(
+        "item", F.col(item_col).cast("string")
+    ).withColumn("j", F.explode(F.expr(f"sequence(0, {depth - 1})")))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"),
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("item"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    probes = probes.withColumn("bucket", bucket)
+    joined = probes.join(F.broadcast(cms), ["j", "bucket"], "left").withColumn(
+        "cell", F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    out_cols = [c for c in items.columns]
+    return (
+        joined.groupBy(*out_cols)
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+    )

@@ -1546,6 +1546,46 @@ def q_bpe_first_merge_check(spark, sf_dir):
     )
 
 
+def q_sketch_cms_check(spark, sf_dir):
+    """Count-Min sketch over the document term stream (depth 4, width
+    1024 — far below the vocabulary, so collisions ARE exercised),
+    point-queried at the exact top-10 terms. The hash rows are
+    engine-portable md5 arithmetic, so the oracle rebuilds every
+    touched CELL exactly — this gate is value-exact on the estimates
+    themselves, not a tolerance check. `never_under` pins the CMS
+    one-sided theorem (est >= true, always)."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        )
+    )
+    true_counts = terms.groupBy("term").agg(F.count("*").alias("true_cnt"))
+    top = true_counts.orderBy(F.desc("true_cnt"), F.asc("term")).limit(10)
+    cms = sketches.cms_build(terms, "term", depth=4, width=1024)
+    est = sketches.cms_estimate(cms, top, "term", depth=4, width=1024)
+    return est.select(
+        "term",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("true_cnt")).alias("never_under"),
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style duplicated-line removal: non-overlapping 8-word
+    segments; every line duplicated across the corpus keeps exactly
+    its first (doc_id, idx) occurrence. One keyed groupBy for the
+    first-occurrence table, one equi-join back — no global window.
+    Oracle re-derives segmentation, duplicate counting, and the
+    first-occurrence rule with window functions in SQL."""
+    from .operators import dedup
+
+    return dedup.line_dedup(
+        load(spark, sf_dir, "documents"), "doc_id", "text", line_words=8
+    )
+
+
 def q_bpe_batch_learn(spark, sf_dir):
     """Batched BPE training — top-8 SYMBOL-DISJOINT merges per round
     applied in one Arrow pass, cutting driver round-trips ~8x (the
@@ -2276,6 +2316,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_gif": q_multimodal_gif,
     "bpe_batch_learn": q_bpe_batch_learn,
     "bpe_batch_round_check": q_bpe_batch_round_check,
+    "line_dedup": q_line_dedup,
+    "sketch_cms_check": q_sketch_cms_check,
 }
 
 
@@ -2311,6 +2353,7 @@ VERIFICATION_QUERIES = {
     "heavy_hitters_check",
     "bpe_first_merge_check",
     "bpe_batch_round_check",
+    "sketch_cms_check",
 }
 
 ESTIMATOR_QUERIES = {
@@ -3220,6 +3263,56 @@ pairs AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq)::BIGINT AS pf
           GROUP BY 1, 2)
 SELECT l AS left_sym, r AS right_sym, pf AS pair_freq
 FROM pairs ORDER BY pf DESC, l ASC, r ASC LIMIT 1
+"""
+    # count-min sketch: the md5-arithmetic hash rows are recomputable
+    # in SQL, so the oracle rebuilds the touched cells exactly and the
+    # gate is value-exact on the estimates
+    sqls["sketch_cms_check"] = r"""
+WITH terms AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+tc AS (SELECT term, count(*)::BIGINT AS true_cnt FROM terms GROUP BY 1),
+top AS (SELECT term, true_cnt FROM tc
+        ORDER BY true_cnt DESC, term ASC LIMIT 10),
+cells AS (SELECT j,
+                 CAST('0x' || substring(md5('cms' || CAST(j AS VARCHAR)
+                      || ':' || term), 1, 8) AS BIGINT) % 1024 AS bucket,
+                 sum(true_cnt)::BIGINT AS cnt
+          FROM tc, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) t
+          GROUP BY 1, 2),
+probes AS (SELECT top.term, top.true_cnt, s.j,
+                  CAST('0x' || substring(md5('cms' || CAST(s.j AS VARCHAR)
+                       || ':' || top.term), 1, 8) AS BIGINT) % 1024 AS bucket
+           FROM top CROSS JOIN
+                (SELECT unnest(generate_series(0, 3)) AS j) s),
+est AS (SELECT p.term, p.true_cnt,
+               min(coalesce(c.cnt, 0))::BIGINT AS cms_est
+        FROM probes p
+        LEFT JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+        GROUP BY 1, 2)
+SELECT term, true_cnt, cms_est, cms_est >= true_cnt AS never_under
+FROM est
+"""
+    sqls["line_dedup"] = r"""
+WITH w AS (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+l AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+             array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ') AS line
+      FROM w, LATERAL (SELECT unnest(generate_series(0,
+               CAST(ceil(len(ws) / 8.0) AS INT) - 1)) AS i) t),
+k AS (SELECT doc_id, idx, line,
+             CAST('0x' || substring(md5(line), 1, 8) AS BIGINT) AS lhash,
+             count(*) OVER (PARTITION BY line) AS cnt,
+             row_number() OVER (PARTITION BY line
+                                ORDER BY doc_id, idx) AS rn
+      FROM l)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN cnt = 1 OR rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN cnt = 1 OR rn = 1 THEN lhash ELSE 0 END)::BIGINT
+         AS kept_hash_sum
+FROM k GROUP BY doc_id
 """
     # batched BPE round 1: the oracle re-derives the weighted pair
     # table AND re-runs the greedy symbol-disjoint walk as a recursive
