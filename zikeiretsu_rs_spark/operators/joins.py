@@ -253,3 +253,63 @@ def range_join(
         )
         .drop("_bk")
     )
+
+
+def bloom_filtered_join(
+    big: DataFrame,
+    big_key: str,
+    small: DataFrame,
+    small_key: str,
+    n_bits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """Inner join with a broadcast Bloom-filter pre-pass: the big side
+    is pruned MAP-SIDE (before its shuffle/probe) against a bitmap of
+    the small side's keys, then the surviving rows take the exact join
+    — false positives are eliminated there, and a Bloom filter has no
+    false negatives, so the result is IDENTICAL to the plain join
+    (oracle-gated). This is the manual form of Spark's runtime-filter
+    pushdown, kept explicit so selectivity and bitmap size are
+    controllable and testable.
+
+    Scale shape: the small side's distinct keys are collected once
+    (the same driver bound as any broadcast dim — this operator is for
+    big⋈small joins) and folded into an n_bits bitmap shipped as ONE
+    array<long> literal of n_bits/64 words (16 KiB at the default —
+    plan-sized, not data-sized). The k probe positions are
+    md5-arithmetic expressions (JVM codegen, no UDF); at k=5 and
+    n_bits/|keys| >= 16 the false-positive rate is < 1%, so ~99% of
+    non-matching big-side rows never reach the join's exchange.
+    """
+    import hashlib
+
+    keys = [r[0] for r in small.select(small_key).distinct().collect()]
+    words = [0] * (n_bits // 64)
+    for key in keys:
+        s = str(key)
+        for j in range(k):
+            h = (
+                int(hashlib.md5(f"bf{j}:{s}".encode()).hexdigest()[:8], 16)
+                % n_bits
+            )
+            words[h // 64] |= 1 << (h % 64)
+    # two's-complement into signed 64-bit Spark longs
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    test = None
+    for j in range(k):
+        pos = (
+            f"pmod(cast(conv(substring(md5(concat('bf{j}:', "
+            f"cast({big_key} as string))), 1, 8), 16, 10) as bigint), "
+            f"{n_bits})"
+        )
+        cond = F.expr(
+            f"(element_at(_bm, cast(({pos}) div 64 as int) + 1) & "
+            f"shiftleft(1L, cast(({pos}) % 64 as int))) != 0"
+        )
+        test = cond if test is None else (test & cond)
+
+    filtered = big.withColumn("_bm", F.lit(words)).where(test).drop("_bm")
+    return filtered.join(
+        F.broadcast(small), filtered[big_key] == small[small_key], "inner"
+    )

@@ -1546,6 +1546,31 @@ def q_bpe_first_merge_check(spark, sf_dir):
     )
 
 
+def q_bloom_filtered_join(spark, sf_dir):
+    """Bloom-prefiltered big⋈small join: lineitem pruned MAP-SIDE
+    against a 16 KiB broadcast bitmap of one brand's part keys before
+    the exact broadcast join (which removes the <1% false positives).
+    No false negatives, so the result is identical to the plain join —
+    the oracle IS the plain SQL join. The transparency gate for the
+    runtime-filter technique, like `skew_salted_join` is for salting."""
+    from .operators import joins
+
+    li = load(spark, sf_dir, "lineitem")
+    brand = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    joined = joins.bloom_filtered_join(li, "l_partkey", brand, "p_partkey")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)")
+        - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
 def q_sketch_cms_check(spark, sf_dir):
     """Count-Min sketch over the document term stream (depth 4, width
     1024 — far below the vocabulary, so collisions ARE exercised),
@@ -2318,6 +2343,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_batch_round_check": q_bpe_batch_round_check,
     "line_dedup": q_line_dedup,
     "sketch_cms_check": q_sketch_cms_check,
+    "bloom_filtered_join": q_bloom_filtered_join,
 }
 
 
@@ -3263,6 +3289,20 @@ pairs AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq)::BIGINT AS pf
           GROUP BY 1, 2)
 SELECT l AS left_sym, r AS right_sym, pf AS pair_freq
 FROM pairs ORDER BY pf DESC, l ASC, r ASC LIMIT 1
+"""
+    # bloom join transparency: the oracle is the PLAIN join — a Bloom
+    # filter has no false negatives and the exact join removes false
+    # positives, so the prefiltered result must be identical
+    sqls["bloom_filtered_join"] = """
+SELECT p.p_brand,
+       count(*)::BIGINT AS n_items,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+         AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#13'
+GROUP BY p.p_brand
 """
     # count-min sketch: the md5-arithmetic hash rows are recomputable
     # in SQL, so the oracle rebuilds the touched cells exactly and the
