@@ -80,6 +80,11 @@ HEADLINE = [
     "semantic_decontaminate",
     "priority_sample",
     "asof_next_purchase",
+    # round-4 third batch
+    "multimodal_gif",
+    "bpe_batch_learn",  # batched vocabulary training (24 merges, B=8)
+    "line_dedup",
+    "bloom_filtered_join",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes
@@ -294,6 +299,80 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_ann(spark, sf_dir: str) -> dict[str, float]:
+    """Residual vs raw IVFPQ encoding on a CLUSTERED corpus — the
+    fixture embeddings are near-uniform, which hides the residual
+    win (VERDICT r03 / round-4 note), so this section synthesizes
+    cluster structure: every vector is pulled 75% of the way toward
+    its k-means centroid. Residual PQ then codes only the within-cell
+    displacement (a ~4x smaller universe than absolute position at
+    shrink 0.25), which is the entire point of the IVFADC
+    formulation. Reports recall@10 of both encodings at the SAME
+    byte budget and probe count."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from zikeiretsu_rs_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = sim.kmeans_centroids(emb, 16)
+    cmat = np.array(cents, dtype=np.float64)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def shrink(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cells = np.argmax(vecs @ cmat.T, axis=1)
+            out = cmat[cells] + 0.25 * (vecs - cmat[cells])
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "embedding": list(out)}
+            )
+
+    clustered = (
+        sim.with_double_vec(emb, "embedding")
+        .select("vec_id", F.col("_vec").alias("embedding"))
+        .mapInPandas(shrink, schema)
+        .localCheckpoint(eager=True)
+    )
+    queries = clustered.where(F.col("vec_id") < 10)
+    exact = sim.cosine_topk(clustered, queries, k=10)
+    cents_c = sim.kmeans_centroids(clustered, 16)
+
+    def recall(approx):
+        hits = approx.join(
+            exact, ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        return round(hits / exact.count(), 4)
+
+    book_raw = sim.pq_codebook(clustered, m=16, ksub=64)
+    raw = sim.ivfpq_topk(
+        clustered, queries, book_raw, k=10, n_cells=16, nprobe=4,
+        centroids=cents_c,
+    )
+    book_res = sim.pq_codebook_residual(
+        clustered, cents_c, m=16, ksub=64
+    )
+    res = sim.ivfpq_residual_topk(
+        clustered, queries, book_res, k=10, n_cells=16, nprobe=4,
+        centroids=cents_c,
+    )
+    return {
+        "ann_clustered_recall_ivfpq_raw": recall(raw),
+        "ann_clustered_recall_ivfadc_residual": recall(res),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -310,6 +389,7 @@ def main() -> None:
 
     skew = run_skew(spark, sf_dir)
     layout = run_layout(spark, sf_dir)
+    ann = run_ann(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -321,6 +401,7 @@ def main() -> None:
                 "queries": timings,
                 "skew": skew,
                 "layout": layout,
+                "ann": ann,
                 "sf": sf,
             }
         )
