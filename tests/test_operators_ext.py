@@ -625,3 +625,49 @@ class TestLineDedup:
         ha = line_dedup(a, "doc_id", "text", 2).collect()[0]["kept_hash_sum"]
         hb = line_dedup(b, "doc_id", "text", 2).collect()[0]["kept_hash_sum"]
         assert ha != hb
+
+
+class TestQualityClassifier:
+    def test_deterministic_and_partition_invariant(self, spark):
+        from zikeiretsu_rs_spark.operators.text import (
+            quality_classifier_score,
+        )
+
+        rows = [(i, f"alpha beta gamma tok{i % 7} delta") for i in range(40)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        a = quality_classifier_score(df.repartition(1), "doc_id", "text")
+        b = quality_classifier_score(df.repartition(8, "doc_id"), "doc_id", "text")
+        key = lambda d: sorted(tuple(r) for r in d.collect())
+        assert key(a) == key(b)
+
+    def test_w_sum_matches_python_reference(self, spark):
+        import hashlib
+
+        from zikeiretsu_rs_spark.operators.text import (
+            quality_classifier_score,
+        )
+
+        text = "the quick brown fox the"
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        row = quality_classifier_score(df, "doc_id", "text").collect()[0]
+
+        def w(term):
+            idx = int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % 1024
+            return (
+                int(
+                    hashlib.md5(f"w:{idx}".encode()).hexdigest()[:8], 16
+                )
+                % 2001
+                - 1000
+            )
+
+        expect = sum(w(t) for t in text.split())
+        assert row["w_sum"] == expect and row["n_tokens"] == 5
+        # ppm fields follow the explicit half-up rule
+        import math
+
+        score = expect / (1000.0 * 5)
+        assert row["score_ppm"] == math.floor(score * 1e6 + 0.5)
+        prob = 1.0 / (1.0 + math.exp(-4.0 * score))
+        assert row["prob_ppm"] == math.floor(prob * 1e6 + 0.5)
+        assert row["keep"] == (prob >= 0.5)

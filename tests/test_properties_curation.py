@@ -182,3 +182,72 @@ class TestUrlCanonicalProperties:
             assert ":80/" not in c and not c.endswith(":80")
             assert ":443/" not in c and not c.endswith(":443")
             assert not c.endswith("/") or c.endswith("://")
+
+
+def _cdc_corpus(seed: int = 13, n: int = 200) -> str:
+    import random
+
+    rng = random.Random(seed)
+    return " ".join(
+        "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz")
+            for _ in range(rng.randint(2, 9))
+        )
+        for _ in range(n)
+    )
+
+
+class TestCdcChunks:
+    """Content-defined chunking: the boundary set is a pure function
+    of local content, so edits shift only the chunks they touch."""
+
+    LONG = _cdc_corpus()
+
+    def test_partition_covers_document(self, spark):
+        from zikeiretsu_rs_spark.operators.curation import cdc_chunks
+
+        df = spark.createDataFrame([(1, self.LONG)], ["doc_id", "text"])
+        rows = sorted(
+            cdc_chunks(df, "doc_id", "text").collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        # chunks tile [1, n] exactly
+        assert rows[0]["start_word"] == 1
+        for a, b in zip(rows, rows[1:]):
+            assert b["start_word"] == a["start_word"] + a["n_words"]
+        assert sum(r["n_words"] for r in rows) == 200
+        assert len(rows) > 3  # mask 16 on 200 words: real boundaries
+
+    def test_prefix_edit_preserves_later_chunks(self, spark):
+        from zikeiretsu_rs_spark.operators.curation import cdc_chunks
+
+        df1 = spark.createDataFrame([(1, self.LONG)], ["doc_id", "text"])
+        df2 = spark.createDataFrame(
+            [(1, "zz yy xx " + self.LONG)], ["doc_id", "text"]
+        )
+        fp1 = {r["chunk_fp"] for r in cdc_chunks(df1, "doc_id", "text").collect()}
+        fp2 = {r["chunk_fp"] for r in cdc_chunks(df2, "doc_id", "text").collect()}
+        # all but the first chunk survive a 3-word prepend
+        assert len(fp1 & fp2) >= len(fp1) - 1
+
+    def test_fixed_stride_chunking_does_not_survive_edit(self, spark):
+        """The contrast that motivates CDC: fixed windows all shift."""
+        from zikeiretsu_rs_spark.operators.curation import chunk_documents
+
+        df1 = spark.createDataFrame([(1, self.LONG)], ["doc_id", "text"])
+        df2 = spark.createDataFrame(
+            [(1, "zz yy xx " + self.LONG)], ["doc_id", "text"]
+        )
+        t1 = {r["chunk_text"] for r in chunk_documents(df1, "doc_id", "text").collect()}
+        t2 = {r["chunk_text"] for r in chunk_documents(df2, "doc_id", "text").collect()}
+        assert len(t1 & t2) <= 1  # fixed windows: (almost) nothing survives
+
+    def test_short_docs_single_chunk(self, spark):
+        from zikeiretsu_rs_spark.operators.curation import cdc_chunks
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "one"), (3, "x y z")], ["doc_id", "text"]
+        )
+        rows = cdc_chunks(df, "doc_id", "text").collect()
+        assert len(rows) == 3
+        assert all(r["chunk_idx"] == 1 for r in rows)

@@ -625,3 +625,85 @@ def source_rollup(
         "avg_tokens",
         "keep_source",
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    mask: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC family): a chunk
+    boundary falls after word i wherever the rolling hash of the last
+    `window` words is 0 mod `mask` (expected chunk length = `mask`
+    words), plus a forced boundary at the end. Unlike the fixed-stride
+    `chunk_documents`, boundaries are functions of LOCAL CONTENT — an
+    edit near the front of a document shifts word positions but leaves
+    every later boundary (and so every later chunk hash) intact, which
+    is what makes CDC the dedup-friendly chunking: near-identical
+    documents share most chunk fingerprints despite insertions
+    (pinned in tests).
+
+    The rolling hash and the per-chunk fingerprint use the engine-
+    portable word-value arithmetic of `rolling_fingerprint` (length /
+    first / last char), so the oracle recomputes both; the fold runs
+    mod 1e15 with init 0.
+
+    Pure Catalyst array expressions — no UDF, no shuffle; one output
+    row per chunk via a single posexplode.
+
+    Output: id, chunk_idx (1-based), start_word (1-based), n_words,
+    chunk_fp.
+    """
+    mod = 1_000_000_007
+    fp_mod = 10**15
+    wv = "x -> length(x) * 131 + ascii(x) + ascii(substr(x, -1, 1))"
+    # 31^(window-1-j) coefficients for the rolling window hash
+    coeffs = [31 ** (window - 1 - j) for j in range(window)]
+    roll = " + ".join(
+        f"element_at(_wv, cast(i as int) - {window - 1 - j}) * {coeffs[j]}L"
+        for j in range(window)
+    )
+    base = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(split(trim(lower({text_col})), '\\\\s+'), {wv})"
+        ).alias("_wv"),
+    ).where(F.size("_wv") > 0)
+    # boundary positions: every i in [window, n] with hash%mask==0,
+    # plus n itself (array_distinct keeps the first occurrence)
+    bounded = base.withColumn(
+        "_bnd",
+        F.expr(
+            f"array_distinct(concat("
+            f"  IF(size(_wv) >= {window},"
+            f"     filter(transform(sequence({window}, size(_wv)),"
+            f"       i -> IF((({roll}) % {mod}) % {mask} = 0,"
+            f"            cast(i as int), -1)),"
+            f"       x -> x != -1),"
+            f"     cast(array() as array<int>)),"
+            f"  array(size(_wv))))"
+        ),
+    )
+    return bounded.select(
+        F.col(id_col),
+        "_wv",
+        "_bnd",
+        F.posexplode(F.expr("sequence(1, size(_bnd))")).alias("_p", "_j"),
+    ).select(
+        F.col(id_col),
+        F.col("_j").cast("long").alias("chunk_idx"),
+        F.expr(
+            "IF(_j = 1, 1, element_at(_bnd, _j - 1) + 1)"
+        ).cast("long").alias("start_word"),
+        F.expr(
+            "element_at(_bnd, _j) - IF(_j = 1, 0, element_at(_bnd, _j - 1))"
+        ).cast("long").alias("n_words"),
+        F.expr(
+            f"aggregate(slice(_wv, IF(_j = 1, 1, element_at(_bnd, _j - 1)"
+            f" + 1), element_at(_bnd, _j)"
+            f" - IF(_j = 1, 0, element_at(_bnd, _j - 1))),"
+            f" 0L, (acc, v) -> (acc * 31 + v) % {fp_mod})"
+        ).alias("chunk_fp"),
+    )

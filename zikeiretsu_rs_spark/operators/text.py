@@ -340,3 +340,72 @@ def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.regexp_count(text, F.lit(PII_PATTERNS["phone"][0])).alias("n_phones"),
         clean.alias("clean_text"),
     )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 1024,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality filtering, the fastText-classifier step of a
+    DCLM/FineWeb-Edu-style curation pipeline reduced to its
+    distributed skeleton: a linear scorer over hashing-trick
+    bag-of-words features. The weight vector here is a deterministic
+    hash function of the feature index (md5 arithmetic, integer
+    weights in [-1000, 1000] at scale 1/1000), so the SCORING PLAN —
+    the part that has to scale — is exactly a production classifier's
+    (per-token feature hash, map-side-combined per-doc reduction,
+    sigmoid on the dot product) while every number stays
+    engine-recomputable; a deployment swaps the hash weights for a
+    trained artifact without touching the plan.
+
+    Per-token integer weights are accumulated as BIGINT (exact — no
+    float-order divergence), divided once per document. Score and
+    sigmoid are emitted as parts-per-million BIGINTs via the explicit
+    half-up rule floor(x*1e6 + 0.5) (the `quantize_embeddings`
+    pattern): `round(double, 6)` half-boundary handling differs
+    between engines, and scores like w_sum/(1000*16) hit exact
+    7-decimal halves constantly.
+
+    Output: id, n_tokens, w_sum (exact), score_ppm, prob_ppm, keep.
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("term")
+    )
+    idx = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % dim
+    )
+    w_int = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w:"), idx.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    per_doc = tokens.select(F.col(id_col), w_int.alias("_w")).groupBy(
+        id_col
+    ).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("_w").cast("long").alias("w_sum"),
+    )
+    score = F.col("w_sum") / (F.lit(1000.0) * F.col("n_tokens"))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(4.0) * score))
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "w_sum",
+        F.floor(score * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "score_ppm"
+        ),
+        F.floor(prob * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "prob_ppm"
+        ),
+        (prob >= F.lit(threshold)).alias("keep"),
+    )

@@ -1546,6 +1546,34 @@ def q_bpe_first_merge_check(spark, sf_dir):
     )
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (Rabin/FastCDC family): boundaries
+    where the 4-word rolling hash is 0 mod 16, so edits shift only
+    the chunks they touch — the dedup-friendly chunking. Pure
+    Catalyst array expressions, zero shuffle; oracle re-derives the
+    word values, rolling hash, boundary set, and per-chunk polynomial
+    fingerprint with DuckDB list lambdas."""
+    from .operators import curation
+
+    return curation.cdc_chunks(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style model-based quality filter skeleton: linear
+    scorer over hashing-trick bag-of-words features (dim 1024), with
+    deterministic md5-arithmetic weights so the oracle recomputes
+    every feature hash, the exact BIGINT weight sum, and the sigmoid
+    independently. The scoring plan — explode, map-side-combined
+    per-doc reduction, no joins — is a production classifier's."""
+    from .operators import text as text_ops
+
+    return text_ops.quality_classifier_score(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def q_bloom_filtered_join(spark, sf_dir):
     """Bloom-prefiltered big⋈small join: lineitem pruned MAP-SIDE
     against a 16 KiB broadcast bitmap of one brand's part keys before
@@ -2344,6 +2372,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "sketch_cms_check": q_sketch_cms_check,
     "bloom_filtered_join": q_bloom_filtered_join,
+    "quality_classifier": q_quality_classifier,
+    "cdc_chunks": q_cdc_chunks,
 }
 
 
@@ -3289,6 +3319,70 @@ pairs AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq)::BIGINT AS pf
           GROUP BY 1, 2)
 SELECT l AS left_sym, r AS right_sym, pf AS pair_freq
 FROM pairs ORDER BY pf DESC, l ASC, r ASC LIMIT 1
+"""
+    # content-defined chunking: word values, rolling hash, boundary
+    # set and chunk fingerprints all re-derived with list lambdas
+    sqls["cdc_chunks"] = r"""
+WITH w AS (SELECT doc_id,
+                  list_transform(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> CAST(length(x) * 131 + ascii(x)
+                              + ascii(substr(x, -1, 1)) AS BIGINT)) AS wv
+           FROM documents),
+w2 AS (SELECT doc_id, wv, len(wv) AS n FROM w WHERE len(wv) > 0),
+b0 AS (SELECT doc_id, wv, n,
+              CASE WHEN n >= 4 THEN
+                list_filter(list_transform(generate_series(4, n),
+                  i -> CASE WHEN ((wv[i-3] * 29791 + wv[i-2] * 961
+                                   + wv[i-1] * 31 + wv[i])
+                                  % 1000000007) % 16 = 0
+                       THEN i ELSE -1 END),
+                  x -> x != -1)
+              ELSE [] END AS f
+       FROM w2),
+b AS (SELECT doc_id, wv, n,
+             CASE WHEN len(f) > 0 AND f[-1] = n THEN f
+                  ELSE list_append(f, n) END AS bnd
+      FROM b0),
+c AS (SELECT doc_id, wv, bnd, unnest(generate_series(1, len(bnd))) AS j
+      FROM b)
+SELECT doc_id,
+       CAST(j AS BIGINT) AS chunk_idx,
+       CAST(CASE WHEN j = 1 THEN 1 ELSE bnd[j-1] + 1 END AS BIGINT)
+         AS start_word,
+       CAST(bnd[j] - CASE WHEN j = 1 THEN 0 ELSE bnd[j-1] END AS BIGINT)
+         AS n_words,
+       CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_slice(wv,
+                  CASE WHEN j = 1 THEN 1 ELSE bnd[j-1] + 1 END, bnd[j])),
+              (a, b) -> (a * 31 + b) % 1000000000000000) AS BIGINT)
+         AS chunk_fp
+FROM c
+"""
+    # quality classifier: weights are md5 arithmetic, the weight sum
+    # is exact BIGINT — the oracle recomputes hash, sum, and sigmoid
+    sqls["quality_classifier"] = r"""
+WITH tokens AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+w AS (SELECT doc_id,
+             (CAST('0x' || substring(md5('w:' || CAST(
+                  CAST('0x' || substring(md5(term), 1, 8) AS BIGINT) % 1024
+                  AS VARCHAR)), 1, 8) AS BIGINT) % 2001) - 1000 AS w_int
+      FROM tokens),
+d AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             sum(w_int)::BIGINT AS w_sum
+      FROM w GROUP BY 1)
+SELECT doc_id, n_tokens, w_sum,
+       CAST(floor(w_sum / (1000.0 * n_tokens) * 1e6 + 0.5) AS BIGINT)
+         AS score_ppm,
+       CAST(floor(1.0 / (1.0 + exp(-4.0 * (w_sum / (1000.0 * n_tokens))))
+                  * 1e6 + 0.5) AS BIGINT) AS prob_ppm,
+       1.0 / (1.0 + exp(-4.0 * (w_sum / (1000.0 * n_tokens)))) >= 0.5
+         AS keep
+FROM d
 """
     # bloom join transparency: the oracle is the PLAIN join — a Bloom
     # filter has no false negatives and the exact join removes false
