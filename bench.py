@@ -85,6 +85,9 @@ HEADLINE = [
     "bpe_batch_learn",  # batched vocabulary training (24 merges, B=8)
     "line_dedup",
     "bloom_filtered_join",
+    "quality_classifier",
+    "cdc_chunks",
+    "text_tfidf",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

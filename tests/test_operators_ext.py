@@ -671,3 +671,68 @@ class TestQualityClassifier:
         prob = 1.0 / (1.0 + math.exp(-4.0 * score))
         assert row["prob_ppm"] == math.floor(prob * 1e6 + 0.5)
         assert row["keep"] == (prob >= 0.5)
+
+
+class TestTfidf:
+    def test_ranking_semantics(self, spark):
+        from zikeiretsu_rs_spark.operators.search import tfidf_topk
+
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana cherry"),
+                (2, "apple apple apple banana"),
+                (3, "zebra yak xylophone"),
+                (4, "apple"),
+            ],
+            ["doc_id", "text"],
+        )
+        q = spark.createDataFrame([(100, "apple")], ["query_id", "query_text"])
+        rows = sorted(
+            tfidf_topk(docs, q, "doc_id", "text", k=4).collect(),
+            key=lambda r: r["rank"],
+        )
+        got = [r["doc_id"] for r in rows]
+        assert 3 not in got  # no query term -> no candidate
+        # doc 4 is ALL about apple: cosine normalization ranks it first
+        assert got[0] == 4
+        assert len(got) == 3
+        assert all(rows[i]["score"] >= rows[i + 1]["score"] for i in range(2))
+
+    def test_matches_python_reference(self, spark):
+        import math
+
+        from zikeiretsu_rs_spark.operators.search import tfidf_topk
+
+        texts = {1: "a b c", 2: "a a d", 3: "b d d e", 4: "c e a"}
+        docs = spark.createDataFrame(
+            list(texts.items()), ["doc_id", "text"]
+        )
+        q = spark.createDataFrame([(9, "a d")], ["query_id", "query_text"])
+        got = {
+            r["doc_id"]: r["score"]
+            for r in tfidf_topk(docs, q, "doc_id", "text", k=4).collect()
+        }
+        n = len(texts)
+        dfc = {}
+        for t in texts.values():
+            for term in set(t.split()):
+                dfc[term] = dfc.get(term, 0) + 1
+
+        def weights(text):
+            tf = {}
+            for term in text.split():
+                tf[term] = tf.get(term, 0) + 1
+            return {
+                t: (1.0 + math.log(c)) * math.log(n / dfc[t])
+                for t, c in tf.items()
+            }
+
+        for d, text in texts.items():
+            w = weights(text)
+            norm = math.sqrt(sum(v * v for v in w.values()))
+            s = sum(
+                round(w[t] / norm, 9) for t in ("a", "d") if t in w
+            )
+            if s or set("ad") & set(text.split()):
+                if d in got:
+                    assert abs(got[d] - round(s, 6)) < 1e-9, (d, got[d], s)

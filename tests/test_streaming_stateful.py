@@ -315,3 +315,66 @@ def test_streaming_heavy_hitters_cross_batch(spark, tmp_path):
     # a single batch alone would cap hot's estimate at 50; the state
     # carrying over means the estimate exceeds that
     assert est["hot"] > 50 - bdelta[bucket_of["hot"]]
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """Cross-batch CMS state must equal the batch-built sketch over
+    the concatenated stream — cells add, so the equivalence is EXACT
+    for any batch boundaries."""
+    from pyspark.sql import functions as F
+    from zikeiretsu_rs_spark.operators.sketches import cms_build
+    from zikeiretsu_rs_spark.streaming.stateful import streaming_cms
+
+    item_schema = T.StructType([T.StructField("item", T.StringType())])
+
+    def write_items(name, items):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame([(x,) for x in items], item_schema).coalesce(
+            1
+        ).write.parquet(stage)
+        src = str(tmp_path / "cms_src")
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(
+            glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/{name}.parquet"
+        )
+        return src
+
+    b1 = ["hot"] * 20 + [f"t{i}" for i in range(15)]
+    b2 = ["hot"] * 10 + ["warm"] * 9 + [f"t{i}" for i in range(10)]
+    write_items("b1", b1)
+    src = write_items("b2", b2)
+
+    stream = (
+        spark.readStream.schema(item_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_cms(stream, "item", depth=3, width=32)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("select * from cms_stream").collect()
+    latest = {}
+    for r in rows:
+        k = (r["j"], r["bucket"])
+        if k not in latest or r["batch_seq"] > latest[k]["batch_seq"]:
+            latest[k] = r
+    stream_cells = {k: v["cnt"] for k, v in latest.items()}
+
+    full = spark.createDataFrame([(x,) for x in b1 + b2], item_schema)
+    batch_cells = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_build(full, "item", depth=3, width=32).collect()
+    }
+    assert stream_cells == batch_cells
+    # and at least one cell was updated in both batches
+    assert any(r["batch_seq"] == 2 for r in latest.values())

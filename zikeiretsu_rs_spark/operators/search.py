@@ -176,3 +176,82 @@ def phrase_match(
             F.min("anchor").alias("first_pos"),
         )
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+) -> DataFrame:
+    """Cosine-normalized TF-IDF retrieval — the classic vector-space
+    sibling of `bm25_topk`, sharing its posting-table join shape
+    (broadcast query terms ⋈ tf ⋈ df, 1-row stats broadcast, DECIMAL
+    term-score accumulation).
+
+    w(t, d) = (1 + ln tf) * ln(N / df); score(q, d) =
+    sum over distinct query terms of w(t, d) / ||d||, where ||d|| is
+    the document's TF-IDF L2 norm over ALL its terms (computed from
+    the same posting table with one extra keyed aggregate — no second
+    corpus scan). Query-side weights are uniform (set-of-terms
+    query), so ranking matches the standard lnc.ltc scheme up to the
+    query-constant factor.
+
+    Output: query_id, doc_id, score (round 6), rank (1..k, ties by
+    doc id).
+    """
+    ws = words_col(F.col(text_col))
+    toks = docs.select(F.col(id_col), F.explode(ws).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    stats = docs.agg(F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfc"))
+    weighted = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_w",
+            (F.lit(1.0) + F.log("tf"))
+            * F.log(F.col("n_docs") / F.col("dfc")),
+        )
+    )
+    # document L2 norms over ALL terms, from the posting table
+    norms = weighted.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm")
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(words_col(F.col(query_text_col)))
+        ).alias("term"),
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(weighted, "term")
+        .join(norms, id_col)
+        .withColumn(
+            "_ts",
+            F.round(
+                F.when(F.col("_norm") > 0, F.col("_w") / F.col("_norm"))
+                .otherwise(F.lit(0.0)),
+                9,
+            ).cast("decimal(28,9)"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_ts").alias("_s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(F.col("_s").cast("double"), 6).alias("score"),
+            "rank",
+        )
+    )

@@ -333,3 +333,107 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CMS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("j", T.IntegerType(), False),
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("batch_seq", T.LongType(), False),
+    ]
+)
+
+CMS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
+
+def _make_cms_fn():
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        j, bucket = key
+        if state.exists:
+            cnt, seq = state.get
+        else:
+            cnt, seq = 0, 0
+        for pdf in pdfs:
+            cnt += int(pdf["w"].sum())
+        seq += 1
+        state.update((cnt, seq))
+        yield pd.DataFrame(
+            {
+                "j": [j],
+                "bucket": [bucket],
+                "cnt": [cnt],
+                "batch_seq": [seq],
+            }
+        )
+
+    return update
+
+
+def streaming_cms(
+    stream_df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Cross-batch Count-Min sketch: each of the depth*width cells is
+    an independent state-store counter keyed by (j, bucket) — cells
+    add, so after ANY batch boundaries the state equals
+    `sketches.cms_build` over the concatenated stream (exact
+    equivalence, pinned in tests; replay/retry-stable because
+    addition commutes). The hash rows are the same md5 arithmetic as
+    the batch operator, so a batch-built sketch and a stream-built
+    sketch are interchangeable artifacts.
+
+    State is bounded at depth*width counters TOTAL, independent of
+    stream length and item cardinality — the streaming answer to
+    "term frequencies over an unbounded corpus feed".
+
+    Output ("update" semantics): every touched cell re-emits its
+    CURRENT count tagged with the cell's batch_seq; downstream keeps
+    the latest (j, bucket, batch_seq) row per cell, unioning with
+    zero for never-touched cells.
+    """
+    src = stream_df.select(
+        F.col(item_col).cast("string").alias("item")
+    ).withColumn("j", F.explode(F.expr(f"sequence(0, {depth - 1})")))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"),
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("item"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    cells = src.select(
+        F.col("j").cast("int").alias("j"),
+        bucket.alias("bucket"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    return cells.groupBy("j", "bucket").applyInPandasWithState(
+        _make_cms_fn(),
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

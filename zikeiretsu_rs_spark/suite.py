@@ -2033,6 +2033,19 @@ def q_text_bm25(spark, sf_dir):
     return search.bm25_topk(docs, probes, "doc_id", "text", k=10)
 
 
+def q_text_tfidf(spark, sf_dir):
+    """Cosine-normalized TF-IDF (lnc.ltc) top-10 per probe query —
+    the vector-space sibling of `text_bm25`, same inverted-index join
+    shape, document norms from one extra keyed aggregate over the
+    posting table (no second corpus scan), decimal-exact
+    accumulation."""
+    docs = load(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return search.tfidf_topk(docs, probes, "doc_id", "text", k=10)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table:
     first-8-ids centroids (oracle-rederivable seeding), cosine
@@ -2374,6 +2387,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_filtered_join": q_bloom_filtered_join,
     "quality_classifier": q_quality_classifier,
     "cdc_chunks": q_cdc_chunks,
+    "text_tfidf": q_text_tfidf,
 }
 
 
@@ -3059,6 +3073,30 @@ scored AS (
            AS DECIMAL(28,9))) AS s
   FROM q JOIN tf USING (term) JOIN dfq USING (term)
        JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, round(s::DOUBLE, 6) AS score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY s DESC, doc_id ASC) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+    sqls["text_tfidf"] = r"""
+WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+stats AS (SELECT count(*) AS n_docs FROM d),
+dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+wgt AS (SELECT tf.doc_id, tf.term,
+               (1.0 + ln(tf)) * ln(n_docs * 1.0 / dfc) AS w
+        FROM tf JOIN dfq USING (term), stats),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM wgt GROUP BY 1),
+q AS (SELECT doc_id AS query_id, unnest(list_distinct(ws)) AS term
+      FROM d WHERE doc_id < 5),
+scored AS (
+  SELECT q.query_id, wgt.doc_id,
+         sum(CAST(round(CASE WHEN nn > 0 THEN w / nn ELSE 0 END, 9)
+             AS DECIMAL(28,9))) AS s
+  FROM q JOIN wgt USING (term) JOIN nrm ON wgt.doc_id = nrm.doc_id
   GROUP BY 1, 2)
 SELECT query_id, doc_id, round(s::DOUBLE, 6) AS score,
        row_number() OVER (PARTITION BY query_id
