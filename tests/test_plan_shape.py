@@ -128,7 +128,7 @@ class TestNoCartesian:
                 # token total, and the mix planner's budget are 1-row
                 # aggregate broadcasts into a join — same sanctioned
                 # scalar-broadcast shape as the ts-limit threshold
-                or name in ("text_bm25", "unigram_logprob",
+                or name in ("text_bm25", "text_tfidf", "unigram_logprob",
                             "source_mix_weights",
                             # broadcast-eval-set scan: the corpus maps
                             # over a broadcast of the (small) eval

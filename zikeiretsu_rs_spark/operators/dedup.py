@@ -602,14 +602,20 @@ def line_dedup(
     survive. Output per document: n_lines, n_kept, and the sum of the
     kept lines' hashes (content-verifying without shipping text).
 
-    Scale shape: one posexplode, one groupBy(line) for the
-    first-occurrence/count table (keyed — no global window), one
-    equi-join back, one groupBy(doc). All linear; the only skew risk
-    is a line duplicated across a large fraction of the corpus, which
-    the groupBy absorbs map-side (count + min are both partial-able).
+    Scale shape: one posexplode, then ONE line-keyed shuffle computing
+    both the duplicate count and the first-occurrence rank as keyed
+    windows over the same Exchange (the groupBy+join-back formulation
+    costs a second full-data shuffle — audited and rejected), then one
+    groupBy(doc). All linear; the skew risk is a line duplicated
+    across a large fraction of the corpus — a hot window partition
+    (AQE cannot split a window partition), which is exactly the
+    boilerplate case line dedup exists to REMOVE; cap pathological
+    lines upstream with the same doc-frequency guard as the shingle
+    joins if a corpus needs it.
 
     Output: doc_id, n_lines, n_kept, kept_hash_sum.
     """
+    from pyspark.sql import Window
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     lines = df.select(
         F.col(id_col).cast("long").alias("doc_id"), words.alias("_w")
@@ -626,20 +632,15 @@ def line_dedup(
     lines = lines.withColumn(
         "lhash", F.conv(F.substring(F.md5("line"), 1, 8), 16, 10).cast("long")
     )
-    firsts = lines.groupBy("line").agg(
-        F.count("*").alias("cnt"),
-        F.min(F.struct("doc_id", "idx")).alias("first_occ"),
-    )
-    kept = (
-        lines.join(firsts, "line")
-        .withColumn(
-            "keep",
-            (F.col("cnt") == 1)
-            | (
-                (F.col("doc_id") == F.col("first_occ.doc_id"))
-                & (F.col("idx") == F.col("first_occ.idx"))
-            ),
-        )
+    w_cnt = Window.partitionBy("line")
+    w_first = Window.partitionBy("line").orderBy("doc_id", "idx")
+    kept = lines.select(
+        "doc_id",
+        "lhash",
+        (
+            (F.count("*").over(w_cnt) == 1)
+            | (F.row_number().over(w_first) == 1)
+        ).alias("keep"),
     )
     return kept.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_lines"),
