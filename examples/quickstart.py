@@ -141,6 +141,52 @@ def main() -> None:
         emb, emb.where(F.col("vec_id") < 2), book, k=3
     ).show()
 
+    # -- round-4 fourth batch: C4 line dedup, content-defined chunks,
+    #    batched BPE, count-min, bloom join, quality classifier, TF-IDF
+    from zikeiretsu_rs_spark.operators import curation, joins
+
+    print("== C4-style line dedup (first occurrence wins)")
+    dedup.line_dedup(docs, "doc_id", "text", line_words=4).orderBy(
+        "doc_id"
+    ).show()
+
+    print("== content-defined chunking (edit-stable boundaries)")
+    curation.cdc_chunks(docs, "doc_id", "text").orderBy(
+        "doc_id", "chunk_idx"
+    ).show(6)
+
+    print("== batched BPE (top-B symbol-disjoint merges per round)")
+    for rnd, sel in enumerate(
+        bpe.learn_merges_batched(docs, "text", n_merges=6, batch_size=3)
+    ):
+        print(f"   round {rnd + 1}: " + ", ".join(
+            f"{l!r}+{r!r}" for l, r, _ in sel
+        ))
+
+    print("== count-min sketch estimates for the top terms")
+    cms = sketches.cms_build(toks, "term", depth=3, width=64)
+    top = toks.groupBy("term").count().withColumnRenamed("count", "true_cnt")
+    sketches.cms_estimate(cms, top, "term", depth=3, width=64).orderBy(
+        F.desc("true_cnt")
+    ).show(5)
+
+    print("== bloom-prefiltered join (identical to the plain join)")
+    small = docs.where(F.col("doc_id") == 1).select("doc_id")
+    joins.bloom_filtered_join(
+        docs.select(F.col("doc_id").alias("k"), "text"), "k", small, "doc_id"
+    ).select("k").show()
+
+    print("== hashed linear quality classifier (fastText skeleton)")
+    text.quality_classifier_score(docs, "doc_id", "text").orderBy(
+        "doc_id"
+    ).show()
+
+    print("== TF-IDF retrieval (lnc.ltc)")
+    probes = docs.where(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    search.tfidf_topk(docs, probes, "doc_id", "text", k=3).show()
+
     spark.stop()
 
 
