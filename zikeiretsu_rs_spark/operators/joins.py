@@ -272,37 +272,40 @@ def bloom_filtered_join(
     pushdown, kept explicit so selectivity and bitmap size are
     controllable and testable.
 
-    Scale shape: the small side's distinct keys are collected once
-    (the same driver bound as any broadcast dim — this operator is for
+    Scale shape: the small side's set BIT POSITIONS are computed by
+    Spark itself (one tiny job: distinct keys × k xxhash64 probes —
+    the same driver bound as any broadcast dim; this operator is for
     big⋈small joins) and folded into an n_bits bitmap shipped as ONE
     array<long> literal of n_bits/64 words (16 KiB at the default —
-    plan-sized, not data-sized). The k probe positions are
-    md5-arithmetic expressions (JVM codegen, no UDF); at k=5 and
-    n_bits/|keys| >= 16 the false-positive rate is < 1%, so ~99% of
-    non-matching big-side rows never reach the join's exchange.
+    plan-sized, not data-sized). The probe side evaluates the SAME
+    xxhash64 expressions (JVM codegen, no UDF, and xxhash64 is far
+    cheaper per row than a cryptographic hash); because both sides
+    run the identical Spark expression, no Python reimplementation of
+    the hash exists to drift. At k=5 and n_bits/|keys| >= 16 the
+    false-positive rate is < 1%, so ~99% of non-matching big-side
+    rows never reach the join's exchange.
     """
-    import hashlib
 
-    keys = [r[0] for r in small.select(small_key).distinct().collect()]
+    def pos_expr(j: int, key_col: str) -> str:
+        return (
+            f"pmod(xxhash64(concat('bf{j}:', cast({key_col} as string))), "
+            f"{n_bits})"
+        )
+
+    pos_cols = [
+        F.expr(pos_expr(j, small_key)).alias(f"_p{j}") for j in range(k)
+    ]
     words = [0] * (n_bits // 64)
-    for key in keys:
-        s = str(key)
+    for row in small.select(*pos_cols).distinct().collect():
         for j in range(k):
-            h = (
-                int(hashlib.md5(f"bf{j}:{s}".encode()).hexdigest()[:8], 16)
-                % n_bits
-            )
+            h = row[f"_p{j}"]
             words[h // 64] |= 1 << (h % 64)
     # two's-complement into signed 64-bit Spark longs
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
     test = None
     for j in range(k):
-        pos = (
-            f"pmod(cast(conv(substring(md5(concat('bf{j}:', "
-            f"cast({big_key} as string))), 1, 8), 16, 10) as bigint), "
-            f"{n_bits})"
-        )
+        pos = pos_expr(j, big_key)
         cond = F.expr(
             f"(element_at(_bm, cast(({pos}) div 64 as int) + 1) & "
             f"shiftleft(1L, cast(({pos}) % 64 as int))) != 0"
