@@ -222,8 +222,14 @@ def synthesize_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
-        batches, MEDIA_SCHEMA
+    # spread synthesis across tasks: the source table is often a
+    # single input split, which would serialize the encoder
+    # (round-robin — an expression key hashes 32 values into 32
+    # partitions with balls-into-bins collisions and leaves cores idle)
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col))
+        .repartition(32)
+        .mapInPandas(batches, MEDIA_SCHEMA)
     )
 
 
@@ -471,8 +477,14 @@ def synthesize_png_media(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
-        batches, MEDIA_SCHEMA
+    # spread synthesis across tasks: the source table is often a
+    # single input split, which would serialize the encoder
+    # (round-robin — an expression key hashes 32 values into 32
+    # partitions with balls-into-bins collisions and leaves cores idle)
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col))
+        .repartition(32)
+        .mapInPandas(batches, MEDIA_SCHEMA)
     )
 
 
@@ -590,8 +602,14 @@ def synthesize_wav_media(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
-        batches, MEDIA_SCHEMA
+    # spread synthesis across tasks: the source table is often a
+    # single input split, which would serialize the encoder
+    # (round-robin — an expression key hashes 32 values into 32
+    # partitions with balls-into-bins collisions and leaves cores idle)
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col))
+        .repartition(32)
+        .mapInPandas(batches, MEDIA_SCHEMA)
     )
 
 
@@ -755,8 +773,14 @@ def synthesize_video_media(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
-        batches, MEDIA_SCHEMA
+    # spread synthesis across tasks: the source table is often a
+    # single input split, which would serialize the encoder
+    # (round-robin — an expression key hashes 32 values into 32
+    # partitions with balls-into-bins collisions and leaves cores idle)
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col))
+        .repartition(32)
+        .mapInPandas(batches, MEDIA_SCHEMA)
     )
 
 
@@ -923,13 +947,20 @@ def _gif_dims(media_id: int) -> tuple[int, int]:
     return 16 + media_id % 17, 12 + media_id % 11
 
 
+_GIF_PALETTE_CACHE: bytes | None = None
+
+
 def _gif_palette_bytes() -> bytes:
     """256-entry global color table; entry j = (j, j*7 % 256,
-    j*37 % 256) — pure id arithmetic, oracle-recomputable."""
-    out = bytearray()
-    for j in range(256):
-        out += bytes((j, (j * 7) % 256, (j * 37) % 256))
-    return bytes(out)
+    j*37 % 256) — pure id arithmetic, oracle-recomputable. Constant,
+    so built once per process (it is appended to every payload)."""
+    global _GIF_PALETTE_CACHE
+    if _GIF_PALETTE_CACHE is None:
+        out = bytearray()
+        for j in range(256):
+            out += bytes((j, (j * 7) % 256, (j * 37) % 256))
+        _GIF_PALETTE_CACHE = bytes(out)
+    return _GIF_PALETTE_CACHE
 
 
 def _gif_indices(media_id: int, n: int):
@@ -1209,8 +1240,14 @@ def synthesize_gif_media(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
-        batches, MEDIA_SCHEMA
+    # spread synthesis across tasks: the source table is often a
+    # single input split, which would serialize the encoder
+    # (round-robin — an expression key hashes 32 values into 32
+    # partitions with balls-into-bins collisions and leaves cores idle)
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col))
+        .repartition(32)
+        .mapInPandas(batches, MEDIA_SCHEMA)
     )
 
 
