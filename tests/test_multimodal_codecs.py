@@ -692,3 +692,31 @@ class TestGifSparkPlumbing:
         out = {r["media_id"]: r for r in multimodal.decode_gif(df).collect()}
         assert not out[1]["ok"] and not out[2]["ok"]
         assert out[1]["width"] is None
+
+
+class TestGifInterlace:
+    def test_interlaced_image_deinterlaces(self):
+        import numpy as np
+
+        w, h = multimodal._gif_dims(5)
+        idx = multimodal._gif_indices(5, w * h).reshape(h, w)
+        order = multimodal._gif_interlace_order(h)
+        stored = idx[order].reshape(-1)  # rows in transmission order
+        lzw = multimodal._lzw_compress(stored)
+        p = bytearray(b"GIF89a")
+        p += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        p += multimodal._gif_palette_bytes()
+        p += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+        p += bytes((8,))
+        for off in range(0, len(lzw), 255):
+            c = lzw[off : off + 255]
+            p += bytes((len(c),)) + c
+        p += b"\x00\x3b"
+        out = multimodal._decode_gif(bytes(p))
+        # de-interlaced result must equal the progressive encoding's
+        assert out == multimodal._decode_gif(multimodal._encode_gif(5))
+
+    def test_interlace_order_is_a_permutation(self):
+        for h in (1, 2, 3, 7, 8, 9, 22):
+            order = multimodal._gif_interlace_order(h)
+            assert sorted(order) == list(range(h))

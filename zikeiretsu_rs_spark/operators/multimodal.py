@@ -1146,6 +1146,16 @@ DECODED_GIF_SCHEMA = T.StructType(
 )
 
 
+def _gif_interlace_order(height: int) -> list[int]:
+    """GIF89a interlace row transmission order: pass 1 = rows 0,8,16…,
+    pass 2 = 4,12,…, pass 3 = 2,6,10,…, pass 4 = 1,3,5,… — the stored
+    scanline sequence an interlaced image's LZW stream carries."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
 def _decode_gif(payload: bytes | None):
     """REAL GIF decode: header + logical screen descriptor, global
     color table, extension-block walk, image descriptor (+ optional
@@ -1189,8 +1199,7 @@ def _decode_gif(payload: bytes | None):
                     payload[pos : pos + 3 * n_ent], dtype=np.uint8
                 ).reshape(n_ent, 3)
                 pos += 3 * n_ent
-            if ipacked & 0x40:  # interlaced fixtures not produced here
-                return bad
+            interlaced = bool(ipacked & 0x40)
             if pos >= len(payload) or palette is None:
                 return bad
             mcs = payload[pos]
@@ -1207,6 +1216,11 @@ def _decode_gif(payload: bytes | None):
             if raw is None or len(raw) != iw * ih:
                 return bad
             idx = np.frombuffer(raw, dtype=np.uint8)
+            if interlaced:
+                rows = idx.reshape(ih, iw)
+                out_rows = np.empty_like(rows)
+                out_rows[_gif_interlace_order(ih)] = rows
+                idx = out_rows.reshape(-1)
             if int(idx.max(initial=0)) >= len(palette):
                 return bad
             rgb = palette[idx]
