@@ -88,6 +88,9 @@ HEADLINE = [
     "quality_classifier",
     "cdc_chunks",
     "text_tfidf",
+    "source_temperature_mix",
+    "quality_rank_calibration",
+    "events_cap_per_user",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

@@ -311,3 +311,97 @@ class TestVocab:
             ("apple", 3),
             ("banana", 2),
         ]
+
+
+class TestTemperatureWeights:
+    def test_alpha_one_is_proportional(self, spark):
+        from zikeiretsu_rs_spark.operators.curation import (
+            source_temperature_weights,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c d", "big"), (2, "a b", "big"), (3, "x", "small")],
+            ["doc_id", "text", "source"],
+        )
+        out = {
+            r["source"]: r
+            for r in source_temperature_weights(
+                df, "source", "text", alpha=1.0
+            ).collect()
+        }
+        for r in out.values():
+            assert r["temperature_share_ppm"] == r["natural_share_ppm"]
+            assert r["boost_ppm"] == 1_000_000
+
+    def test_low_alpha_boosts_small_sources(self, spark):
+        from zikeiretsu_rs_spark.operators.curation import (
+            source_temperature_weights,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "w " * 50, "big") for i in range(10)]
+            + [(100, "w w w", "small")],
+            ["doc_id", "text", "source"],
+        )
+        out = {
+            r["source"]: r
+            for r in source_temperature_weights(
+                df, "source", "text", alpha=0.5
+            ).collect()
+        }
+        assert out["small"]["boost_ppm"] > 1_000_000
+        assert out["big"]["boost_ppm"] < 1_000_000
+        # shares still ~sum to 1
+        tot = sum(r["temperature_share_ppm"] for r in out.values())
+        assert abs(tot - 1_000_000) <= 2
+
+
+class TestQualityRankNormalize:
+    def test_percentiles_per_source(self, spark):
+        from zikeiretsu_rs_spark.operators.curation import (
+            quality_rank_normalize,
+        )
+
+        rows = [
+            (1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+            (4, "b", 5.0), (5, "b", 500.0),
+            (6, "c", 42.0),  # singleton source
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "src", "q"])
+        out = {
+            r["doc_id"]: r["pct_ppm"]
+            for r in quality_rank_normalize(df, "doc_id", "src", "q").collect()
+        }
+        assert (out[1], out[2], out[3]) == (0, 500_000, 1_000_000)
+        assert (out[4], out[5]) == (0, 1_000_000)
+        assert out[6] == 0  # defined for singletons
+
+    def test_tie_break_is_deterministic(self, spark):
+        from zikeiretsu_rs_spark.operators.curation import (
+            quality_rank_normalize,
+        )
+
+        rows = [(i, "a", 7.0) for i in range(5)]
+        df = spark.createDataFrame(rows, ["doc_id", "src", "q"])
+        a = quality_rank_normalize(df.repartition(1), "doc_id", "src", "q")
+        b = quality_rank_normalize(df.repartition(5), "doc_id", "src", "q")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestCapPerKey:
+    def test_caps_and_keeps_earliest(self, spark):
+        from zikeiretsu_rs_spark.operators.sampling import cap_per_key
+
+        rows = [(u, t, f"e{u}_{t}") for u in (1, 2) for t in range(10)]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+        out = cap_per_key(df, "user_id", ["ts", "event_id"], k=3)
+        got = sorted((r["user_id"], r["ts"]) for r in out.collect())
+        assert got == [(1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (2, 2)]
+
+    def test_small_keys_untouched(self, spark):
+        from zikeiretsu_rs_spark.operators.sampling import cap_per_key
+
+        df = spark.createDataFrame(
+            [(1, 5, "a"), (2, 1, "b")], ["user_id", "ts", "event_id"]
+        )
+        assert cap_per_key(df, "user_id", ["ts", "event_id"], 10).count() == 2

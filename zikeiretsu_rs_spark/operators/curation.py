@@ -707,3 +707,92 @@ def cdc_chunks(
             f" 0L, (acc, v) -> (acc * 31 + v) % {fp_mod})"
         ).alias("chunk_fp"),
     )
+
+
+def source_temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-based mixture weighting (the multilingual/multi-
+    source sampling rule of GPT-3 / PaLM / mT5): sampling probability
+    p_s ∝ n_s^alpha, so alpha < 1 up-weights small sources relative
+    to their natural share and alpha = 1 recovers proportional
+    sampling. Reported per source: the natural token share, the
+    temperature-adjusted share, and the relative up/down-weight
+    factor.
+
+    Scale shape: identical to `source_mix_weights` — one
+    map-side-combined groupBy(source), a 1-row normalization
+    broadcast; shares are emitted as parts-per-million BIGINTs via
+    the explicit half-up rule (pow/sum ordering stays deterministic
+    because the per-source aggregate is exact-integer token counts
+    and sources number in the hundreds).
+
+    Output: source, n_docs, n_tokens, natural_share_ppm,
+    temperature_share_ppm, boost_ppm (temperature/natural * 1e6).
+    """
+    per_src = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(words_col(F.col(text_col))).alias("_nt"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("_nt").alias("n_tokens"))
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("_total"),
+        F.sum(F.pow(F.col("n_tokens"), F.lit(alpha))).alias("_ptotal"),
+    )
+    nat = F.col("n_tokens") / F.col("_total")
+    temp = F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("_ptotal")
+    ppm = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            ppm(nat).alias("natural_share_ppm"),
+            ppm(temp).alias("temperature_share_ppm"),
+            ppm(temp / nat).alias("boost_ppm"),
+        )
+    )
+
+
+def quality_rank_normalize(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Per-source percentile-rank calibration of a quality score —
+    the step before a GLOBAL quality threshold when sources have
+    incomparable score distributions (a web crawl's 0.6 is not a
+    curated corpus's 0.6): within each source, pct = (rank-1)/(n-1)
+    over (quality, id) order, so thresholding at pct >= p keeps the
+    same top fraction of EVERY source.
+
+    Scale shape: one source-keyed window (rank + count share a single
+    Exchange); deterministic total order via the id tiebreak;
+    percentile emitted as ppm under the explicit half-up rule.
+    Single-document sources emit pct 0 (defined, not NULL).
+
+    Output: id, source, quality, pct_ppm.
+    """
+    w_rank = Window.partitionBy(source_col).orderBy(
+        F.col(quality_col).asc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy(source_col)
+    rank = F.row_number().over(w_rank)
+    n = F.count("*").over(w_all)
+    pct = F.when(n > 1, (rank - F.lit(1)) / (n - F.lit(1))).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.col(quality_col).alias("quality"),
+        F.floor(pct * F.lit(1e6) + F.lit(0.5)).cast("long").alias("pct_ppm"),
+    )

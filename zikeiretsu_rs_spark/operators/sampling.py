@@ -15,7 +15,7 @@ string compare on the first byte.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -285,4 +285,32 @@ def priority_sample(
             ),
             6,
         ).alias("qhat"),
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Per-key contribution cap — keep at most `k` rows per key in a
+    deterministic (order_cols) total order. The anti-dominance
+    primitive of user-generated corpora: without it, one prolific
+    user/domain floods its slice of the training mix (the per-entity
+    dedup/cap rule most pipelines apply before mixing).
+
+    Scale shape: one keyed window (row_number over the key) — no
+    global ordering, parallel by key; a hot key costs O(its rows),
+    bounded output k per key.
+
+    Output: the input columns, capped.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
     )

@@ -1546,6 +1546,43 @@ def q_bpe_first_merge_check(spark, sf_dir):
     )
 
 
+def q_source_temperature_mix(spark, sf_dir):
+    """Temperature-based mixture weighting (p_s ∝ n_s^alpha, the
+    GPT-3/PaLM/mT5 multilingual sampling rule) at alpha=0.7: one
+    map-side-combined per-source rollup + a 1-row normalization
+    broadcast; shares as ppm integers under the explicit half-up
+    rule."""
+    from .operators import curation
+
+    return curation.source_temperature_weights(
+        load(spark, sf_dir, "documents"), "source", "text", alpha=0.7
+    )
+
+
+def q_quality_rank_calibration(spark, sf_dir):
+    """Per-source percentile-rank calibration of a score column
+    (n_chars stands in for a model score): one source-keyed window,
+    deterministic (score, id) total order, ppm percentiles — the
+    cross-source calibration step before a global quality cut."""
+    from .operators import curation
+
+    return curation.quality_rank_normalize(
+        load(spark, sf_dir, "documents"), "doc_id", "source", "n_chars"
+    )
+
+
+def q_events_cap_per_user(spark, sf_dir):
+    """Per-key contribution cap: at most 20 earliest events per user
+    in (ts, event_id) order — the anti-dominance rule applied before
+    mixing user-generated data. One keyed window, no global order."""
+    from .operators import sampling
+
+    ev = events_ts_long(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return sampling.cap_per_key(ev, "user_id", ["ts", "event_id"], k=20)
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (Rabin/FastCDC family): boundaries
     where the 4-word rolling hash is 0 mod 16, so edits shift only
@@ -2388,6 +2425,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "cdc_chunks": q_cdc_chunks,
     "text_tfidf": q_text_tfidf,
+    "source_temperature_mix": q_source_temperature_mix,
+    "quality_rank_calibration": q_quality_rank_calibration,
+    "events_cap_per_user": q_events_cap_per_user,
 }
 
 
@@ -3357,6 +3397,42 @@ pairs AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq)::BIGINT AS pf
           GROUP BY 1, 2)
 SELECT l AS left_sym, r AS right_sym, pf AS pair_freq
 FROM pairs ORDER BY pf DESC, l ASC, r ASC LIMIT 1
+"""
+    sqls["source_temperature_mix"] = r"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(string_split_regex(lower(trim(text)), '\s+')))::BIGINT
+           AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (SELECT sum(n_tokens) AS total,
+               sum(pow(n_tokens, 0.7)) AS ptotal FROM per)
+SELECT source, n_docs, n_tokens,
+       CAST(floor(n_tokens / total * 1e6 + 0.5) AS BIGINT)
+         AS natural_share_ppm,
+       CAST(floor(pow(n_tokens, 0.7) / ptotal * 1e6 + 0.5) AS BIGINT)
+         AS temperature_share_ppm,
+       CAST(floor((pow(n_tokens, 0.7) / ptotal) / (n_tokens / total)
+                  * 1e6 + 0.5) AS BIGINT) AS boost_ppm
+FROM per, tot
+"""
+    sqls["quality_rank_calibration"] = """
+WITH r AS (
+  SELECT doc_id, source, n_chars AS quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars ASC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT doc_id, source, quality,
+       CAST(floor(CASE WHEN n > 1
+                       THEN (rn - 1) * 1.0 / (n - 1) ELSE 0 END
+                  * 1e6 + 0.5) AS BIGINT) AS pct_ppm
+FROM r
+"""
+    sqls["events_cap_per_user"] = """
+SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY epoch_ns(ts) ASC, event_id ASC) <= 20
 """
     # content-defined chunking: word values, rolling hash, boundary
     # set and chunk fingerprints all re-derived with list lambdas
