@@ -736,3 +736,58 @@ class TestTfidf:
             if s or set("ad") & set(text.split()):
                 if d in got:
                     assert abs(got[d] - round(s, 6)) < 1e-9, (d, got[d], s)
+
+
+class TestLineDedupRandomized:
+    def test_matches_python_reference_on_random_corpora(self, spark):
+        """Randomized reference equivalence: n_lines/n_kept per doc
+        against a direct pure-Python implementation of the C4 rule."""
+        import random
+
+        rng = random.Random(29)
+        for trial in range(3):
+            k = rng.choice([2, 3, 4])
+            texts = []
+            # build corpora with deliberate cross-doc and within-doc
+            # repeats from a tiny phrase pool
+            pool = [
+                " ".join(
+                    rng.choice("abcdefg") for _ in range(k)
+                )
+                for _ in range(6)
+            ]
+            for _ in range(8):
+                n_seg = rng.randint(1, 5)
+                texts.append(
+                    " ".join(rng.choice(pool) for _ in range(n_seg))
+                )
+            df = spark.createDataFrame(
+                list(enumerate(texts)), ["doc_id", "text"]
+            )
+            from zikeiretsu_rs_spark.operators.dedup import line_dedup
+
+            got = {
+                r["doc_id"]: (r["n_lines"], r["n_kept"])
+                for r in line_dedup(df, "doc_id", "text", line_words=k).collect()
+            }
+            # reference
+            seen = {}
+            lines_per_doc = {}
+            for doc_id, t in enumerate(texts):
+                ws = t.lower().strip().split()
+                lines = [
+                    " ".join(ws[i * k : (i + 1) * k])
+                    for i in range((len(ws) + k - 1) // k)
+                ]
+                lines_per_doc[doc_id] = lines
+                for idx, ln in enumerate(lines):
+                    seen.setdefault(ln, []).append((doc_id, idx))
+            expect = {}
+            for doc_id, lines in lines_per_doc.items():
+                kept = 0
+                for idx, ln in enumerate(lines):
+                    occ = seen[ln]
+                    if len(occ) == 1 or min(occ) == (doc_id, idx):
+                        kept += 1
+                expect[doc_id] = (len(lines), kept)
+            assert got == expect, (trial, texts)
