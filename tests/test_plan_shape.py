@@ -129,7 +129,7 @@ class TestNoCartesian:
                 # aggregate broadcasts into a join — same sanctioned
                 # scalar-broadcast shape as the ts-limit threshold
                 or name in ("text_bm25", "text_tfidf", "unigram_logprob",
-                            "source_mix_weights",
+                            "source_mix_weights", "source_temperature_mix",
                             # broadcast-eval-set scan: the corpus maps
                             # over a broadcast of the (small) eval
                             # vectors — the intended plan
