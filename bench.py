@@ -191,6 +191,53 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
 
+    # bloom prefilter where it actually pays: broadcast DISABLED so
+    # the join is a real shuffle (the 100 TB case — both sides
+    # exchange). The bitmap prunes ~96% of lineitem rows map-side
+    # BEFORE the sort-merge exchange; the broadcast-join headline
+    # query can't show this because the dim side broadcasts anyway.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = suite.load(spark, sf_dir, "lineitem")
+        brand = suite.load(spark, sf_dir, "part").where(
+            F.col("p_brand") == "Brand#13"
+        )
+        out["skew_bloom_shuffle_plain"] = _timed(
+            li.join(brand, li.l_partkey == brand.p_partkey).select(
+                "l_orderkey", "l_quantity", "p_partkey"
+            )
+        )
+
+        def bloom_build():
+            import importlib
+
+            jmod = importlib.import_module(
+                "zikeiretsu_rs_spark.operators.joins"
+            )
+            # broadcast_small=False: the exact join shuffles like the
+            # plain one — only the map-side prefilter differs
+            filtered = jmod.bloom_filtered_join(
+                li, "l_partkey", brand, "p_partkey", broadcast_small=False
+            )
+            return filtered.select("l_orderkey", "l_quantity", "p_partkey")
+
+        out["skew_bloom_shuffle_prefiltered"] = _timed(bloom_build)
+        # the scale-relevant number: rows REACHING the fact exchange.
+        # At sf0.1 the fixed filter-build job (~1.5 s of scheduling)
+        # dwarfs the 600k-row shuffle it saves, so wall-clock favors
+        # plain — the crossover is where fact-shuffle cost exceeds
+        # that fixed cost; the pruning ratio below is what grows.
+        out["skew_bloom_rows_shuffled_plain"] = float(li.count())
+        out["skew_bloom_rows_shuffled_prefiltered"] = float(
+            joins.bloom_prefilter(li, "l_partkey", brand, "p_partkey")
+            .select("l_orderkey")
+            .count()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+
     # stop-shingle skew: unguarded shingle self-join explodes
     # quadratically on the shared shingle; the df-cap guard drops it
     docs = _skewed_docs(spark, sf_dir)

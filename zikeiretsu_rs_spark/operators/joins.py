@@ -255,7 +255,7 @@ def range_join(
     )
 
 
-def bloom_filtered_join(
+def bloom_prefilter(
     big: DataFrame,
     big_key: str,
     small: DataFrame,
@@ -263,14 +263,12 @@ def bloom_filtered_join(
     n_bits: int = 1 << 17,
     k: int = 5,
 ) -> DataFrame:
-    """Inner join with a broadcast Bloom-filter pre-pass: the big side
-    is pruned MAP-SIDE (before its shuffle/probe) against a bitmap of
-    the small side's keys, then the surviving rows take the exact join
-    — false positives are eliminated there, and a Bloom filter has no
-    false negatives, so the result is IDENTICAL to the plain join
-    (oracle-gated). This is the manual form of Spark's runtime-filter
-    pushdown, kept explicit so selectivity and bitmap size are
-    controllable and testable.
+    """The map-side half of `bloom_filtered_join`: big-side rows whose
+    key passes every probe of the small side's bitmap (all true
+    matches plus <1% false positives). Exposed so callers — and the
+    bench — can measure what reaches the join exchange. This is the
+    manual form of Spark's runtime-filter pushdown, kept explicit so
+    selectivity and bitmap size are controllable and testable.
 
     Scale shape: the small side's set BIT POSITIONS are computed by
     Spark itself (one tiny job: distinct keys × k xxhash64 probes —
@@ -312,7 +310,30 @@ def bloom_filtered_join(
         )
         test = cond if test is None else (test & cond)
 
-    filtered = big.withColumn("_bm", F.lit(words)).where(test).drop("_bm")
+    return big.withColumn("_bm", F.lit(words)).where(test).drop("_bm")
+
+
+def bloom_filtered_join(
+    big: DataFrame,
+    big_key: str,
+    small: DataFrame,
+    small_key: str,
+    n_bits: int = 1 << 17,
+    k: int = 5,
+    broadcast_small: bool = True,
+) -> DataFrame:
+    """Inner join with a broadcast Bloom-filter pre-pass: the big side
+    is pruned MAP-SIDE (`bloom_prefilter` — see its docstring for the
+    mechanism and scale shape), then the surviving rows take the exact
+    join, which removes the false positives; a Bloom filter has no
+    false negatives, so the result is IDENTICAL to the plain join
+    (oracle-gated). `broadcast_small=False` lets Catalyst/AQE pick the
+    join strategy — the prefilter's win is strategy-independent (it
+    shrinks what reaches the exchange), and the bench measures it
+    under a forced shuffle join to model the 100 TB
+    both-sides-exchange case."""
+    filtered = bloom_prefilter(big, big_key, small, small_key, n_bits, k)
+    rhs = F.broadcast(small) if broadcast_small else small
     return filtered.join(
-        F.broadcast(small), filtered[big_key] == small[small_key], "inner"
+        rhs, filtered[big_key] == small[small_key], "inner"
     )
