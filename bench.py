@@ -91,6 +91,9 @@ HEADLINE = [
     "source_temperature_mix",
     "quality_rank_calibration",
     "events_cap_per_user",
+    "remove_dup_spans",
+    "text_char_entropy",
+    "bigram_logprob",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

@@ -405,3 +405,106 @@ class TestCapPerKey:
             [(1, 5, "a"), (2, 1, "b")], ["user_id", "ts", "event_id"]
         )
         assert cap_per_key(df, "user_id", ["ts", "event_id"], 10).count() == 2
+
+
+class TestRemoveDupSpans:
+    def test_all_occurrences_removed_including_first(self, spark):
+        from zikeiretsu_rs_spark.operators.curation import remove_dup_spans
+
+        dup = "v w x y z"  # a 5-gram shared across docs
+        rows = [
+            (1, f"{dup} alpha beta"),
+            (2, f"gamma {dup} delta"),
+            (3, "only unique words here today friends"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r
+            for r in remove_dup_spans(df, "doc_id", "text", k=5).collect()
+        }
+        # doc1: 7 tokens, 5 removed (the dup span; FIRST occurrence too)
+        assert (out[1]["n_tokens"], out[1]["n_removed"]) == (7, 5)
+        assert (out[2]["n_tokens"], out[2]["n_removed"]) == (7, 5)
+        assert (out[3]["n_tokens"], out[3]["n_removed"]) == (6, 0)
+
+    def test_overlapping_dup_spans_union_coverage(self, spark):
+        from zikeiretsu_rs_spark.operators.curation import remove_dup_spans
+
+        # 6 shared words -> two overlapping dup 5-grams covering 6 tokens
+        dup = "u v w x y z"
+        rows = [(1, f"{dup} tail"), (2, f"head {dup}")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r
+            for r in remove_dup_spans(df, "doc_id", "text", k=5).collect()
+        }
+        assert out[1]["n_removed"] == 6  # union, not 2x5
+        assert out[2]["n_removed"] == 6
+
+    def test_intra_doc_repeats_untouched(self, spark):
+        from zikeiretsu_rs_spark.operators.curation import remove_dup_spans
+
+        # the same 5-gram twice WITHIN one doc: doc frequency is 1
+        df = spark.createDataFrame(
+            [(1, "a b c d e a b c d e")], ["doc_id", "text"]
+        )
+        row = remove_dup_spans(df, "doc_id", "text", k=5).collect()[0]
+        assert row["n_removed"] == 0
+
+
+class TestCharEntropy:
+    def test_known_values(self, spark):
+        import math
+
+        from zikeiretsu_rs_spark.operators.text import char_entropy
+
+        rows = [(1, "aaaa"), (2, "ab" * 8), (3, "abcd")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r for r in char_entropy(df, "doc_id", "text").collect()
+        }
+        assert out[1]["entropy_ubits"] == 0  # single symbol
+        assert out[2]["entropy_ubits"] == 1_000_000  # two equiprobable
+        assert out[3]["entropy_ubits"] == 2_000_000  # four equiprobable
+        assert out[3]["n_distinct_chars"] == 4
+
+    def test_orders_by_disorder(self, spark):
+        from zikeiretsu_rs_spark.operators.text import char_entropy
+
+        rows = [(1, "aaaaaaaaab"), (2, "the quick brown fox")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r["entropy_ubits"]
+            for r in char_entropy(df, "doc_id", "text").collect()
+        }
+        assert out[1] < out[2]
+
+
+class TestBigramLogprob:
+    def test_matches_python_reference(self, spark):
+        import collections
+        import math
+
+        from zikeiretsu_rs_spark.operators.text import bigram_logprob
+
+        texts = {1: "a b a b c", 2: "a b c c", 3: "b c a"}
+        df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+            for r in bigram_logprob(df, "doc_id", "text").collect()
+        }
+        c12, c1 = collections.Counter(), collections.Counter()
+        for t in texts.values():
+            ws = t.split()
+            for a, b in zip(ws, ws[1:]):
+                c12[(a, b)] += 1
+                c1[a] += 1
+        for d, t in texts.items():
+            ws = t.split()
+            terms = [
+                round(math.log(c12[(a, b)] / c1[a]), 9)
+                for a, b in zip(ws, ws[1:])
+            ]
+            n, s = len(terms), sum(terms)
+            assert got[d][0] == n
+            assert abs(got[d][1] - round(s / n, 6)) < 1e-9, (d, got[d], s / n)

@@ -796,3 +796,83 @@ def quality_rank_normalize(
         F.col(quality_col).alias("quality"),
         F.floor(pct * F.lit(1e6) + F.lit(0.5)).cast("long").alias("pct_ppm"),
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL (the scrub step of Lee
+    et al. 2022's exact-substring dedup, where `duplicated_span_stats`
+    is the diagnostic): every token covered by a word k-gram that
+    occurs in >= `min_doc_freq` DISTINCT documents is removed from
+    EVERY document — including the first occurrence, which is what
+    distinguishes memorization scrubbing from `line_dedup`'s
+    keep-first rule. Intra-document repeats are a different signal
+    (`repetition_stats`) and are not touched here.
+
+    Scale shape: positions explode once to (doc, pos, gram); gram doc
+    frequency is a gram-keyed window over per-(doc, gram) reduced
+    rows (the `duplicated_span_stats` single-lineage trick); covered
+    positions come from a bounded k-wide range explode on DUP gram
+    positions only; the kept/removed verdict is one (doc, pos)
+    left-anti join. Everything is keyed — a hot gram costs
+    O(occurrences·k), never O(occurrences²).
+
+    Output: id, n_tokens, n_removed, kept_fp — kept_fp is the exact
+    BIGINT sum of wordvalue*(pos+1) over surviving tokens
+    (order-sensitive, engine-recomputable; empty survivors -> 0).
+    """
+    wv = "x -> length(x) * 131 + ascii(x) + ascii(substr(x, -1, 1))"
+    toks = (
+        df.select(F.col(id_col), words_col(F.col(text_col)).alias("_ws"))
+        .where(F.size("_ws") > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(f"transform(_ws, {wv})")).alias(
+                "pos", "wval"
+            ),
+        )
+    )
+    grams = (
+        df.select(F.col(id_col), words_col(F.col(text_col)).alias("_ws"))
+        .where(F.size("_ws") >= k)
+        .select(F.col(id_col), F.posexplode(_gram_col(k)).alias("pos", "gram"))
+    )
+    per_doc_gram = grams.groupBy(id_col, "gram").agg(
+        F.collect_list("pos").alias("_positions")
+    )
+    per_doc_gram = per_doc_gram.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("gram"))
+    )
+    covered = (
+        per_doc_gram.where(F.col("_df") >= min_doc_freq)
+        .select(F.col(id_col), F.explode("_positions").alias("_p"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"sequence(_p, _p + {k - 1})")
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    totals = toks.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.sum(F.col("wval") * (F.col("pos") + 1)).alias("_fp"),
+    )
+    return (
+        totals.join(kept_agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce(F.col("_fp"), F.lit(0)).cast("long").alias("kept_fp"),
+        )
+    )

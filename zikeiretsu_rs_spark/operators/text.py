@@ -409,3 +409,104 @@ def quality_classifier_score(
         ),
         (prob >= F.lit(threshold)).alias("keep"),
     )
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy over characters — the classic
+    zero-model gibberish/boilerplate signal (natural text sits near
+    ~4.1 bits/char; 'aaaa…' near 0; random base64 near 6): H =
+    -Σ_c p_c log2 p_c over the lowercased character distribution.
+
+    Scale shape: one explode to (doc, char), one map-side-combined
+    groupBy(doc, char), one groupBy(doc) — per-char terms are rounded
+    to 9 decimals and accumulated in DECIMAL (the repo-wide
+    float-order rule), and the entropy ships as micro-bits (ppm of a
+    bit) under the explicit half-up rule.
+
+    Output: id, n_chars, n_distinct_chars, entropy_ubits.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("cnt"))
+    totals = counts.groupBy(id_col).agg(F.sum("cnt").alias("n_chars"))
+    terms = counts.join(totals, id_col).select(
+        F.col(id_col),
+        "n_chars",
+        F.round(
+            -(F.col("cnt") / F.col("n_chars"))
+            * F.log2(F.col("cnt") / F.col("n_chars")),
+            9,
+        )
+        .cast("decimal(12,9)")
+        .alias("_h"),
+    )
+    return terms.groupBy(id_col, "n_chars").agg(
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        F.floor(F.sum("_h").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("entropy_ubits"),
+    ).select(id_col, "n_chars", "n_distinct_chars", "entropy_ubits")
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-bigram-LM scoring — the n>1 upgrade of
+    `unigram_logprob` with the KenLM-shard join shape: fit bigram MLE
+    ON the corpus (P(w2|w1) = c(w1 w2) / c(w1 ·), the prefix count,
+    so probabilities normalize per context), then score each document
+    by its mean bigram log-probability. Scoring the training corpus
+    itself means every scored bigram has c >= 1 — no smoothing branch
+    to diverge between engines.
+
+    Scale shape: bigram positions reduce to per-(doc, bigram) counts
+    FIRST (map-side combine), the model join is (doc-bigram rows) ⋈
+    (bigram counts) ⋈ (prefix counts) — equi-joins on the gram keys,
+    linear; per-term log-probs round to 9 decimals and accumulate in
+    DECIMAL.
+
+    Output: id, n_bigrams, avg_logprob (round 6) — docs with >= 2
+    tokens.
+    """
+    base = df.select(
+        F.col(id_col), words_col(F.col(text_col)).alias("_ws")
+    ).where(F.size("_ws") >= 2)
+    bigrams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_ws) - 2), i -> "
+                "concat_ws(' ', _ws[i], _ws[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    tfd = bigrams.groupBy(id_col, "bg").agg(F.count("*").alias("tf_d"))
+    c12 = tfd.groupBy("bg").agg(F.sum("tf_d").alias("c12"))
+    prefix = bigrams.select(
+        F.substring_index("bg", " ", 1).alias("w1")
+    ).groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        tfd.join(c12, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(prefix, "w1")
+        .select(
+            F.col(id_col),
+            "tf_d",
+            F.round(F.log(F.col("c12") / F.col("c1")), 9)
+            .cast("decimal(12,9)")
+            .alias("_lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf_d").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("tf_d").cast("decimal(12,0)") * F.col("_lp")
+                ).cast("double")
+                / F.sum("tf_d"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -1546,6 +1546,44 @@ def q_bpe_first_merge_check(spark, sf_dir):
     )
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-span REMOVAL (Lee et al. exact-
+    substring scrub; `doc_dup_spans` is the diagnostic twin): every
+    token covered by a 5-gram occurring in >= 2 distinct docs is
+    removed from EVERY doc, first occurrence included. Keyed windows
+    + a (doc, pos) anti-join, everything linear; kept_fp is an exact
+    position-weighted BIGINT checksum of the surviving tokens."""
+    from .operators import curation
+
+    return curation.remove_dup_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=5
+    )
+
+
+def q_text_char_entropy(spark, sf_dir):
+    """Per-document Shannon character entropy — the zero-model
+    gibberish signal. Exact integer counts, per-char terms rounded to
+    9 decimals and DECIMAL-accumulated, micro-bit output under the
+    explicit half-up rule."""
+    from .operators import text as text_ops
+
+    return text_ops.char_entropy(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Corpus-bigram-LM document scoring (the n>1 KenLM join shape):
+    P(w2|w1) = bigram count / prefix count, mean log-prob per doc,
+    DECIMAL accumulation. Scoring the training corpus itself keeps
+    every count >= 1 — no smoothing branch to diverge."""
+    from .operators import text as text_ops
+
+    return text_ops.bigram_logprob(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def q_source_temperature_mix(spark, sf_dir):
     """Temperature-based mixture weighting (p_s ∝ n_s^alpha, the
     GPT-3/PaLM/mT5 multilingual sampling rule) at alpha=0.7: one
@@ -2428,6 +2466,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_temperature_mix": q_source_temperature_mix,
     "quality_rank_calibration": q_quality_rank_calibration,
     "events_cap_per_user": q_events_cap_per_user,
+    "remove_dup_spans": q_remove_dup_spans,
+    "text_char_entropy": q_text_char_entropy,
+    "bigram_logprob": q_bigram_logprob,
 }
 
 
@@ -3397,6 +3438,72 @@ pairs AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq)::BIGINT AS pf
           GROUP BY 1, 2)
 SELECT l AS left_sym, r AS right_sym, pf AS pair_freq
 FROM pairs ORDER BY pf DESC, l ASC, r ASC LIMIT 1
+"""
+    sqls["remove_dup_spans"] = r"""
+WITH w AS (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+w2 AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+toks AS (SELECT doc_id, i - 1 AS pos,
+                CAST(length(ws[i]) * 131 + ascii(ws[i])
+                     + ascii(substr(ws[i], -1, 1)) AS BIGINT) AS wval
+         FROM w2, LATERAL (SELECT unnest(generate_series(1, n)) AS i) t),
+grams AS (SELECT doc_id, i - 1 AS pos,
+                 array_to_string(list_slice(ws, i, i + 4), ' ') AS gram
+          FROM w2, LATERAL (SELECT unnest(generate_series(1, n - 4)) AS i) t
+          WHERE n >= 5),
+gdf AS (SELECT gram, count(DISTINCT doc_id) AS dfc FROM grams GROUP BY 1),
+cov AS (SELECT DISTINCT g.doc_id, g.pos + o AS pos
+        FROM grams g JOIN gdf USING (gram),
+             LATERAL (SELECT unnest(generate_series(0, 4)) AS o) t
+        WHERE dfc >= 2),
+kept AS (SELECT t.doc_id, t.pos, t.wval
+         FROM toks t LEFT JOIN cov c
+           ON t.doc_id = c.doc_id AND t.pos = c.pos
+         WHERE c.pos IS NULL),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM toks GROUP BY 1),
+ka AS (SELECT doc_id, count(*) AS n_kept,
+              sum(wval * (pos + 1)) AS fp
+       FROM kept GROUP BY 1)
+SELECT tot.doc_id, n_tokens,
+       (n_tokens - coalesce(n_kept, 0))::BIGINT AS n_removed,
+       coalesce(fp, 0)::BIGINT AS kept_fp
+FROM tot LEFT JOIN ka USING (doc_id)
+"""
+    sqls["text_char_entropy"] = """
+WITH ch AS (SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+            FROM documents),
+ch2 AS (SELECT * FROM ch WHERE ch != ''),
+cnts AS (SELECT doc_id, ch, count(*)::BIGINT AS cnt FROM ch2 GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(cnt)::BIGINT AS n_chars FROM cnts GROUP BY 1),
+terms AS (SELECT c.doc_id, n_chars,
+                 CAST(round(-(cnt * 1.0 / n_chars)
+                            * log2(cnt * 1.0 / n_chars), 9)
+                      AS DECIMAL(12,9)) AS h
+          FROM cnts c JOIN tot USING (doc_id))
+SELECT doc_id, n_chars, count(*)::BIGINT AS n_distinct_chars,
+       CAST(floor(CAST(sum(h) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+         AS entropy_ubits
+FROM terms GROUP BY 1, 2
+"""
+    sqls["bigram_logprob"] = r"""
+WITH w AS (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+w2 AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) >= 2),
+bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg, ws[i] AS w1
+       FROM w2, LATERAL (SELECT unnest(generate_series(1, n - 1)) AS i) t),
+tfd AS (SELECT doc_id, bg, count(*)::BIGINT AS tf_d FROM bg GROUP BY 1, 2),
+c12 AS (SELECT bg, sum(tf_d)::BIGINT AS c12 FROM tfd GROUP BY 1),
+c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY 1),
+sc AS (SELECT tfd.doc_id, tf_d,
+              CAST(round(ln(c12 * 1.0 / c1), 9) AS DECIMAL(12,9)) AS lp
+       FROM tfd JOIN c12 USING (bg)
+       JOIN c1 ON string_split(tfd.bg, ' ')[1] = c1.w1)
+SELECT doc_id, sum(tf_d)::BIGINT AS n_bigrams,
+       round(CAST(sum(CAST(tf_d AS DECIMAL(12,0)) * lp) AS DOUBLE)
+             / sum(tf_d), 6) AS avg_logprob
+FROM sc GROUP BY 1
 """
     sqls["source_temperature_mix"] = r"""
 WITH per AS (
