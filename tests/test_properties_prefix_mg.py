@@ -136,3 +136,97 @@ class TestMisraGriesTheorems:
         for item, cnt in true.items():
             est = merged.get(item, 0)
             assert est <= cnt <= est + delta
+
+
+class TestCmsProperties:
+    """Hypothesis: count-min theorems under random weighted streams."""
+
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from("abcdefgh"), st.integers(1, 50)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_never_underestimates_weighted(self, spark, items):
+        from zikeiretsu_rs_spark.operators import sketches
+
+        df = spark.createDataFrame(items, ["item", "wt"])
+        cms = sketches.cms_build(df, "item", weight_col="wt", depth=2, width=8)
+        true = df.groupBy("item").sum("wt").withColumnRenamed(
+            "sum(wt)", "true_cnt"
+        )
+        est = sketches.cms_estimate(cms, true, "item", depth=2, width=8)
+        rows = est.collect()
+        total = sum(w for _, w in items)
+        for r in rows:
+            assert r["cms_est"] >= r["true_cnt"]
+            # CMS row bound: est <= true + (stream total) always
+            assert r["cms_est"] <= total
+
+    @given(
+        st.lists(st.sampled_from("abcdefghij"), min_size=2, max_size=40),
+        st.integers(1, 5),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_merge_equals_single_build_any_split(self, spark, items, pivot):
+        from zikeiretsu_rs_spark.operators import sketches
+
+        cut = min(pivot * len(items) // 6, len(items) - 1)
+        a = spark.createDataFrame([(x,) for x in items[:cut]] or [("_",)], ["item"])
+        b = spark.createDataFrame([(x,) for x in items[cut:]], ["item"])
+        full = spark.createDataFrame(
+            [(x,) for x in (items[:cut] or ["_"]) + items[cut:]], ["item"]
+        )
+        merged = sketches.cms_merge(
+            sketches.cms_build(a, "item", depth=2, width=8).unionAll(
+                sketches.cms_build(b, "item", depth=2, width=8)
+            )
+        )
+        single = sketches.cms_build(full, "item", depth=2, width=8)
+        key = lambda d: sorted(tuple(r) for r in d.collect())
+        assert key(merged) == key(single)
+
+
+class TestDisjointSelectionProperties:
+    """Hypothesis: the greedy symbol-disjoint selection's theorems."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from("abcdef"),
+                st.sampled_from("abcdef"),
+                st.integers(1, 100),
+            ),
+            min_size=0,
+            max_size=20,
+            unique_by=lambda t: (t[0], t[1]),
+        ),
+        st.integers(1, 6),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_disjoint_and_greedy_maximal(self, pairs, batch):
+        from zikeiretsu_rs_spark.operators.bpe import select_disjoint_pairs
+
+        ranked = sorted(pairs, key=lambda x: (-x[2], x[0], x[1]))
+        sel = select_disjoint_pairs(ranked, batch)
+        # symbol-disjoint BETWEEN pairs (within a pair l == r is legal:
+        # repeated-symbol merges like 'a'+'a')
+        for i, (l1, r1, _) in enumerate(sel):
+            for l2, r2, _ in sel[i + 1 :]:
+                assert not ({l1, r1} & {l2, r2}), sel
+        # prefix-greedy: every ranked pair before the last selected one
+        # is either selected or conflicts with an earlier selection
+        used = set()
+        taken = set((l, r) for l, r, _ in sel)
+        count = 0
+        for l, r, f in ranked:
+            if count >= batch:
+                break
+            if (l, r) in taken:
+                used |= {l, r}
+                count += 1
+            else:
+                assert l in used or r in used, (l, r, sel)
+        assert len(sel) <= batch
