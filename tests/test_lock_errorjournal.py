@@ -227,3 +227,61 @@ class TestWritePathIntegration:
         assert len(errs) == 1
         assert errs[0].error_type == errorjournal.FAILED_TO_REFRESH_ROLLUP
         assert "rollup exploded" in errs[0].detail
+
+
+class TestScavengeOnShutdown:
+    """T5 cloud-parity: the reference's shutdown scavenger
+    (store/writable_store/mod.rs:327-346) removes local AND cloud
+    locks whose recorded writer id is the store's own. Here the same
+    rule runs against URI warehouses through fsio."""
+
+    def test_dead_writer_uri_lock_scavenged_on_mock_bucket(self):
+        from pyarrow.fs import _MockFileSystem
+
+        from zikeiretsu_rs_spark.catalog import fsio, lockfile
+
+        fsio.register_scheme_filesystem("mock", _MockFileSystem())
+        try:
+            db = "mock://bucket/wh/default"
+            dead = lockfile.new_writer_id()
+            # a crashed writer left its lock object behind
+            fsio.write_json_atomic(
+                lockfile.lockfile_path(db, "cpu"), {"writer_id": dead}
+            )
+            # a DIFFERENT writer must never scavenge it
+            assert not lockfile.remove_lock_if_same_writer(
+                db, "cpu", lockfile.new_writer_id()
+            )
+            assert fsio.exists(lockfile.lockfile_path(db, "cpu"))
+            # the dead writer's incarnation scavenges; the lock frees
+            assert lockfile.remove_lock_if_same_writer(db, "cpu", dead)
+            with lockfile.metrics_lock(
+                db, "cpu", lockfile.new_writer_id()
+            ) as path:
+                assert fsio.exists(path)
+        finally:
+            fsio.unregister_scheme_filesystem("mock")
+
+    def test_store_scavenges_own_stale_uri_lock_then_persist_proceeds(
+        self, spark, tmp_path
+    ):
+        from zikeiretsu_rs_spark.catalog import fsio
+        from zikeiretsu_rs_spark.ingest.writable_store import WritableStore
+
+        db_dir = f"file://{tmp_path}/wh/default"
+        store = WritableStore(spark, db_dir, "cpu", [FieldType.FLOAT64])
+        # simulate this writer's crashed previous persist
+        fsio.write_json_atomic(
+            lockfile_path(db_dir, "cpu"), {"writer_id": store.writer_id}
+        )
+        store.push(DataPoint.new(nanos(2024, 1, 1), 1.0))
+        with pytest.raises(AcquireLockError):
+            store.persist()
+        assert store.scavenge_on_shutdown()
+        assert store.persist() == 1
+        # a foreign writer's lock is never scavenged
+        fsio.write_json_atomic(
+            lockfile_path(db_dir, "cpu"), {"writer_id": "someone-else"}
+        )
+        assert not store.scavenge_on_shutdown()
+        assert fsio.exists(lockfile_path(db_dir, "cpu"))

@@ -1090,6 +1090,24 @@ class TestBpeBatched:
             syms = [s for l, r, _ in rnd for s in (l, r)]
             assert len(syms) == len(set(syms))
 
+    def test_starved_pool_refills_to_full_greedy(self, spark):
+        """ADVICE r04: a candidate_pool too small for the batch must
+        REFILL, not silently select fewer/different pairs — the result
+        is pool-size-independent (the reference here uses the full
+        pair table). candidate_pool=2 with batch_size=4 forces a
+        refill in every round of this corpus; the hypothesis twin
+        (test_properties_prefix_mg.py) proves the rule over random
+        corpora."""
+        from zikeiretsu_rs_spark.operators import bpe
+
+        df = spark.createDataFrame(
+            list(enumerate(self.TEXTS)), ["doc_id", "text"]
+        )
+        got = bpe.learn_merges_batched(
+            df, "text", n_merges=12, batch_size=4, candidate_pool=2
+        )
+        assert got == self._ref_batched(self.TEXTS, 12, 4)
+
     def test_batch_apply_commutes_with_sequential(self, spark):
         """The disjointness theorem: one batched scan == applying the
         same merges one at a time, in ANY order."""

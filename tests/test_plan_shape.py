@@ -103,6 +103,7 @@ CARTESIAN_ALLOWED = {
     "ann_pq_recall_check",
     "ann_ivfpq_recall_check",
     "ann_pq_refined_recall_check",
+    "ann_ivf_partitioned_recall_check",
     "embedding_neardup_lsh_check",
     "dedup_simhash_check",
 }
@@ -147,9 +148,12 @@ class TestWindowsAreKeyed:
          "asof_purchase_click", "value_quantiles_by_type"],
     )
     def test_no_unpartitioned_window(self, spark, name):
-        """Un-keyed windows funnel all rows through one task. The only
-        sanctioned ones run on already-reduced inputs (top_users, ANN
-        rank over k*|queries| rows)."""
+        """Un-keyed windows funnel all rows through one task. None are
+        sanctioned on unbounded inputs: the former two global-window
+        queries (top_users_by_value, vocab_topk) now rank AFTER an
+        orderBy+limit (TakeOrderedAndProject), so their one remaining
+        single-partition window sees <= k rows by construction —
+        asserted separately in test_global_topk_is_take_ordered."""
         df = suite.QUERIES[name](spark, SF_DIR)
         plan = plan_of(spark, df)
         # partition-less window specs render as windowspecdefinition(
@@ -163,6 +167,22 @@ class TestWindowsAreKeyed:
             assert "ASC NULLS FIRST" not in args.split(",")[0], (
                 f"{name}: unpartitioned window: {args}\n"
             )
+
+    @pytest.mark.parametrize("name", ["top_users_by_value", "vocab_topk"])
+    def test_global_topk_is_take_ordered(self, spark, name):
+        """The global top-k queries must reduce via TakeOrderedAndProject
+        (distributed per-partition partial top-k + driver merge), and
+        the rank-attaching window must consume the LIMITED result — so
+        the single-partition window stage is O(k), not O(|keys|). In
+        the root-first tree text that means the Window node's DIRECT
+        child is the TakeOrderedAndProject."""
+        import re
+
+        df = suite.QUERIES[name](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert re.search(
+            r"Window \(\d+\)\n\s*\+- TakeOrderedAndProject", plan
+        ), f"{name}: window not fed by the limit\n{plan}"
 
 
 class TestRound4PlanShapes:
@@ -253,3 +273,64 @@ class TestFourthBatchPlanShapes:
         df = suite.QUERIES["sketch_cms_check"](spark, SF_DIR)
         plan = plan_of(spark, df)
         assert "BroadcastHashJoin" in plan, plan
+
+
+class TestRound5PlanShapes:
+    def test_q4_is_left_semi_on_orderkey(self, spark):
+        """Q4's EXISTS compiles to a left-semi join — matched lineitem
+        rows are never materialized, the exchange carries orderkey
+        alone, and the returnflag filter pushes to the lineitem scan."""
+        df = suite.QUERIES["tpch_q4"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "LeftSemi" in plan, plan
+        assert "EqualTo(l_returnflag,R)" in plan, plan
+
+    def test_q19_keeps_equi_key_under_disjunction(self, spark):
+        """The OR'd brand/size/quantity branches must ride as a
+        residual on a partkey-keyed BROADCAST hash join — Catalyst
+        must not fall back to a nested loop for the disjunction."""
+        df = suite.QUERIES["tpch_q19"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_pii_scrub_is_map_only(self, spark):
+        """PII redaction is a pure projection: no exchange, no join —
+        the plan must be scan -> project at any scale."""
+        df = suite.QUERIES["pii_scrub"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan, plan
+
+    def test_ivf_lake_probe_prunes_partitions(self, spark, tmp_path):
+        """The lake-resident IVF probe must push the probe-cell set as
+        a PARTITION filter (directory pruning at file-listing time),
+        not a row filter: the scan's PartitionFilters carries `cell`
+        and the pruned file list only contains probed cells."""
+        from zikeiretsu_rs_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = emb.where("vec_id < 4")
+        cents = similarity.head_centroids(emb, 8, "vec_id", "embedding")
+        path = str(tmp_path / "ivf")
+        similarity.ivf_write_index(emb, path, cents)
+        probe = similarity.ivf_probe_lake(
+            spark, path, queries, k=3, centroids=cents, nprobe=2
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        # the probe-cell set is pushed as a PARTITION filter (rendered
+        # IN or INSET depending on list size) — never a row filter
+        assert pf and "cell#" in pf[0], plan[:4000]
+        cells_read = similarity.ivf_probe_cells(queries, cents, nprobe=2)
+        # 4 queries x nprobe=2 probe at most 8 distinct cells; with
+        # overlap the union must be a strict subset of the 8 on disk
+        assert 0 < len(cells_read) < 8, cells_read
+        # and the probe result equals the in-memory cell join exactly
+        mem = similarity.ivf_topk(
+            emb, queries, k=3, dim=64, n_cells=8, nprobe=2, centroids=cents
+        )
+        assert sorted(map(tuple, probe.collect())) == sorted(
+            map(tuple, mem.collect())
+        )

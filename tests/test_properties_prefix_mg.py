@@ -230,3 +230,69 @@ class TestDisjointSelectionProperties:
             else:
                 assert l in used or r in used, (l, r, sel)
         assert len(sel) <= batch
+
+
+class TestBpeBatchedFullGreedyEquivalence:
+    """VERDICT r04 item 5 + ADVICE r04: the pool-refill rule in
+    `learn_merges_batched` must make the bounded top-K candidate pool
+    an EXECUTION knob, not part of the result contract — i.e. per
+    round, selection over the (refilled) pool equals the true greedy
+    over the FULL pair table. Hypothesis hammers the pure selection+
+    refill rule over random corpora; the Spark operator runs the same
+    code path (the pool loop at operators/bpe.py) and is pinned
+    against the full-table reference with a deliberately starved pool
+    in test_operators_ext2.py::TestBpeBatched."""
+
+    @staticmethod
+    def _pair_table(words: list[str], min_freq: int):
+        wf = collections.Counter(words)
+        pc: collections.Counter = collections.Counter()
+        for w, f in wf.items():
+            syms = list(w) + ["</w>"]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        full = sorted(
+            ((l, r, f) for (l, r), f in pc.items()),
+            key=lambda x: (-x[2], x[0], x[1]),
+        )
+        return full, [t for t in full if t[2] >= min_freq]
+
+    @staticmethod
+    def _pool_refill_select(full, min_freq, take, pool):
+        """Pure mirror of the operator's fetch/select/refill loop."""
+        from zikeiretsu_rs_spark.operators.bpe import select_disjoint_pairs
+
+        cur = pool
+        while True:
+            fetched = full[:cur]
+            ranked = [t for t in fetched if t[2] >= min_freq]
+            sel = select_disjoint_pairs(ranked, take)
+            if (
+                len(sel) >= take
+                or len(fetched) < cur
+                or len(ranked) < len(fetched)
+                or cur >= 65536
+            ):
+                return sel
+            cur = min(cur * 4, 65536)
+
+    @given(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=5),
+            min_size=1,
+            max_size=30,
+        ),
+        st.integers(1, 8),
+        st.integers(1, 6),
+        st.integers(1, 2),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_refilled_pool_equals_full_table_greedy(
+        self, words, take, pool, min_freq
+    ):
+        from zikeiretsu_rs_spark.operators.bpe import select_disjoint_pairs
+
+        full, eligible = self._pair_table(words, min_freq)
+        want = select_disjoint_pairs(eligible, take)
+        got = self._pool_refill_select(full, min_freq, take, pool)
+        assert got == want, (words, take, pool, min_freq)

@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import errorjournal
-from ..catalog.lockfile import metrics_lock, new_writer_id
+from ..catalog.lockfile import (
+    metrics_lock,
+    new_writer_id,
+    remove_lock_if_same_writer,
+)
 from ..catalog.manifest import BlockEntry, Manifest
 from ..catalog.registry import SchemaRegistry
 from ..datamodel import (
@@ -168,6 +172,23 @@ class WritableStore:
             for d in self._sorted
             if not (since_nanos <= d.timestamp_nano < until_nanos)
         ]
+
+    def scavenge_on_shutdown(self) -> bool:
+        """Crash-recovery lock scavenging at store shutdown — parity
+        with the reference's `scavange_on_shutdown`
+        (store/writable_store/mod.rs:327-346), which removes the local
+        AND cloud per-metrics locks when their recorded writer id is
+        the store's own. Here one call covers both deployments: the
+        lockfile module routes local paths through unlink and URI
+        warehouses (s3://(s3a)/gs://, or any scheme registered with
+        `fsio.register_scheme_filesystem`) through the pyarrow
+        filesystem delete. The same-writer content rule means a crashed
+        incarnation of THIS writer is cleaned up while another
+        process's live lock is never touched (write.rs:142-167).
+        Returns True when a stale lock was removed."""
+        return remove_lock_if_same_writer(
+            self.db_dir, self.metrics, self.writer_id
+        )
 
     # -- persistence ---------------------------------------------------
     @property

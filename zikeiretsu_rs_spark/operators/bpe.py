@@ -299,8 +299,13 @@ def learn_merges_batched(
     (`candidate_pool`, default max(64, 8*batch_size)) — a
     TakeOrdered boundary, never a full pair-table collect; greedy
     selection over K rows is bounded driver state like the centroid
-    and strata pulls. If fewer than batch_size disjoint pairs exist in
-    the pool the round proceeds with what it found."""
+    and strata pulls. If symbol conflicts exhaust the pool before
+    `batch_size` disjoint pairs are found, the pool is REFILLED (the
+    top-K re-fetched 4x wider, capped at 65536) so the round's
+    selection equals the true greedy over the full pair table — the
+    pool size is an execution knob, not part of the result contract.
+    A round only proceeds short when no further eligible pairs exist
+    at all."""
     pool = candidate_pool or max(64, 8 * batch_size)
     vocab = _initial_symbols(word_freqs(df, text_col)).cache()
     rounds: list[list[tuple[str, str, int]]] = []
@@ -316,18 +321,32 @@ def learn_merges_batched(
                 )
             ).alias("p"),
         )
-        ranked = [
-            (r["l"], r["r"], int(r["pf"]))
-            for r in (
-                pairs.groupBy("p.l", "p.r")
-                .agg(F.sum("freq").alias("pf"))
-                .orderBy(F.desc("pf"), F.asc("l"), F.asc("r"))
-                .limit(pool)
-                .collect()
-            )
-            if r["pf"] >= min_pair_freq
-        ]
-        selected = select_disjoint_pairs(ranked, take)
+        pair_freqs = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.desc("pf"), F.asc("l"), F.asc("r"))
+        )
+        cur_pool = pool
+        while True:
+            fetched = pair_freqs.limit(cur_pool).collect()
+            ranked = [
+                (r["l"], r["r"], int(r["pf"]))
+                for r in fetched
+                if r["pf"] >= min_pair_freq
+            ]
+            selected = select_disjoint_pairs(ranked, take)
+            # refill only when (a) short of the batch, (b) the fetch
+            # was actually truncated (a short fetch, or a tail dropped
+            # by min_pair_freq, proves no eligible pair lies beyond the
+            # pool — the table is pf-descending), and (c) under the cap
+            if (
+                len(selected) >= take
+                or len(fetched) < cur_pool
+                or len(ranked) < len(fetched)
+                or cur_pool >= 65536
+            ):
+                break
+            cur_pool = min(cur_pool * 4, 65536)
         if not selected:
             break
         rounds.append(selected)

@@ -726,9 +726,11 @@ def source_temperature_weights(
     Scale shape: identical to `source_mix_weights` — one
     map-side-combined groupBy(source), a 1-row normalization
     broadcast; shares are emitted as parts-per-million BIGINTs via
-    the explicit half-up rule (pow/sum ordering stays deterministic
-    because the per-source aggregate is exact-integer token counts
-    and sources number in the hundreds).
+    the explicit half-up rule. The pow terms are ROUNDED to 6
+    decimals and accumulated in DECIMAL (the repo-wide
+    round-then-DECIMAL rule): a raw double sum's partial-aggregation
+    order is not guaranteed, so a ppm value sitting on a half
+    boundary could flip between runs/partitionings.
 
     Output: source, n_docs, n_tokens, natural_share_ppm,
     temperature_share_ppm, boost_ppm (temperature/natural * 1e6).
@@ -741,12 +743,18 @@ def source_temperature_weights(
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("_nt").alias("n_tokens"))
     )
+    # per-source pow term, rounded once; every downstream use (the
+    # total AND the numerators) consumes this same rounded value
+    pw = F.round(F.pow(F.col("n_tokens"), F.lit(alpha)), 6).cast(
+        "decimal(30,6)"
+    )
+    per_src = per_src.withColumn("_pw", pw)
     totals = per_src.agg(
         F.sum("n_tokens").alias("_total"),
-        F.sum(F.pow(F.col("n_tokens"), F.lit(alpha))).alias("_ptotal"),
+        F.sum("_pw").alias("_ptotal"),
     )
     nat = F.col("n_tokens") / F.col("_total")
-    temp = F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("_ptotal")
+    temp = F.col("_pw").cast("double") / F.col("_ptotal").cast("double")
     ppm = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
     return (
         per_src.crossJoin(F.broadcast(totals))

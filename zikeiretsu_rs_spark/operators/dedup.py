@@ -617,8 +617,12 @@ def line_dedup(
     """
     from pyspark.sql import Window
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # id kept AS-IS (no cast): a non-numeric id must order and group
+    # under its own type, matching every other dedup operator here —
+    # a silent cast-to-long would NULL string ids and collapse all
+    # documents into one group
     lines = df.select(
-        F.col(id_col).cast("long").alias("doc_id"), words.alias("_w")
+        F.col(id_col).alias("doc_id"), words.alias("_w")
     ).select(
         "doc_id",
         F.posexplode(

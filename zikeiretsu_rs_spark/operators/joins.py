@@ -331,7 +331,17 @@ def bloom_filtered_join(
     join strategy — the prefilter's win is strategy-independent (it
     shrinks what reaches the exchange), and the bench measures it
     under a forced shuffle join to model the 100 TB
-    both-sides-exchange case."""
+    both-sides-exchange case.
+
+    Break-even, MEASURED (bench skew section, sf0.1, forced shuffle,
+    build side one part brand): the bitmap-build job is a flat
+    ~1.2-1.5 s; at the 600k-row fact it loses (0.15 vs 1.3 s), at a
+    16x-widened fact (9.6M rows) it crosses over (2.5 vs 2.2 s), and
+    at 64x (38.4M rows) it wins 3.8x (8.9 vs 2.3 s). Recommendation:
+    leave it off below ~5M pruned-side rows per brand-sized build
+    set, on above — which at 100 TB is always on when the filter
+    prunes meaningfully (here 96%+ of rows never reach the
+    exchange)."""
     filtered = bloom_prefilter(big, big_key, small, small_key, n_bits, k)
     rhs = F.broadcast(small) if broadcast_small else small
     return filtered.join(

@@ -18,7 +18,7 @@ decimals so rank order is reproducible across engines/summation orders.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -1436,4 +1436,143 @@ def semantic_decontaminate(
         id_col,
         F.round("_max_cos", 6).alias("max_eval_cosine"),
         (F.round("_max_cos", 6) >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lake-resident IVF index: the inverted lists written to Parquet
+# PARTITIONED BY cell, so a probe is a partition-pruned scan
+# ---------------------------------------------------------------------------
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF inverted lists on disk: one Parquet
+    partition directory per coarse cell (`cell=<i>/`), rows carrying
+    (neighbor_id, vec, norm). This is the layout `ivf_topk`'s
+    docstring promises — a probe for `nprobe` cells lists only
+    nprobe/n_cells of the partition directories, so the files the
+    scan opens shrink proportionally (classic hypertable/partition
+    pruning, the same lever as `dt=` day partitions in the catalog;
+    reference block-list pruning: zikeiretsu/src/tsdb/storage/block_list.rs).
+
+    Cell assignment reuses ivf_topk's two paths: per-centroid literal
+    expressions up to MAX_EXPR_CENTROIDS, Arrow matmul past the
+    expression-tree cliff. One shuffle-free pass over the corpus; the
+    writer hash-distributes rows within each cell directory."""
+    if len(centroids) > MAX_EXPR_CENTROIDS:
+        assigned = assign_cells_arrow(
+            corpus, centroids, id_col, vec_col, metric="dot"
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_vec").alias("vec"),
+            F.col("_n").alias("norm"),
+            "cell",
+        )
+    else:
+        assigned = with_double_vec(corpus, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_vec").alias("vec"),
+            _norm(F.col("_vec")).alias("norm"),
+            F.array_max(_cell_scores(F.col("_vec"), centroids))["cell"].alias(
+                "cell"
+            ),
+        )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def _query_probe_side(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Query side of an IVF probe: one row per (query, probed cell),
+    carrying the query vector and norm."""
+    return with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qv"),
+        _norm(F.col("_vec")).alias("_qn"),
+        F.explode(
+            F.slice(
+                F.reverse(
+                    F.array_sort(_cell_scores(F.col("_vec"), centroids))
+                ),
+                1,
+                nprobe,
+            )["cell"]
+        ).alias("cell"),
+    )
+
+
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """The UNION of cells a query batch probes — exactly the list
+    `ivf_probe_lake` pushes as the static partition filter (and so
+    exactly the partition directories its scan lists). Bounded by
+    min(|queries| * nprobe, n_cells)."""
+    q = _query_probe_side(queries, centroids, nprobe, id_col, vec_col)
+    return sorted(
+        int(r["cell"]) for r in q.select("cell").distinct().collect()
+    )
+
+
+def ivf_probe_lake(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a lake-resident IVF index written by `ivf_write_index`.
+
+    The probe-cell UNION across the query batch is computed first and
+    applied as a static `cell IN (...)` predicate on the partition
+    column, so Catalyst prunes the non-probed partition directories at
+    file-listing time (the physical plan carries `PartitionFilters:
+    [cell IN ...]`; asserted in tests/test_plan_shape.py). The
+    driver-side collect is bounded by |queries| * nprobe cell ids —
+    queries are a batch, not a corpus, by contract (same bound as the
+    broadcast query side of every ANN operator here).
+
+    Within the surviving partitions the probe is the ivf_topk cell
+    equi-join + exact cosine re-score; results are IDENTICAL to the
+    in-memory ivf_topk under the same centroids (pinned by
+    q_ann_ivf_partitioned_recall_check and pytest)."""
+    q = _query_probe_side(queries, centroids, nprobe, id_col, vec_col)
+    probe_cells = ivf_probe_cells(
+        queries, centroids, nprobe, id_col, vec_col
+    )
+    lake = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    cand = lake.join(q, "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("vec"), F.col("_qv")) / (F.col("norm") * F.col("_qn")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

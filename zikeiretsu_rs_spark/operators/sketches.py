@@ -234,20 +234,29 @@ def cms_estimate(
     report set) and is broadcast into the depth-way expansion; the
     sketch side is at most depth*width rows.
 
-    Output: items' columns + cms_est.
+    Internal columns are `_cms_`-prefixed and a synthetic row id is
+    attached BEFORE the depth-way explode, so caller columns named
+    item/j/bucket/cnt are never clobbered or made ambiguous, and
+    duplicate probe rows each get their own estimate instead of
+    silently collapsing in the final group-back.
+
+    Output: items' columns + cms_est (row order not preserved;
+    duplicates preserved).
     """
-    probes = items.withColumn(
-        "item", F.col(item_col).cast("string")
-    ).withColumn("j", F.explode(F.expr(f"sequence(0, {depth - 1})")))
+    probes = (
+        items.withColumn("_cms_rid", F.monotonically_increasing_id())
+        .withColumn("_cms_item", F.col(item_col).cast("string"))
+        .withColumn("_cms_j", F.explode(F.expr(f"sequence(0, {depth - 1})")))
+    )
     bucket = (
         F.conv(
             F.substring(
                 F.md5(
                     F.concat(
                         F.lit("cms"),
-                        F.col("j").cast("string"),
+                        F.col("_cms_j").cast("string"),
                         F.lit(":"),
-                        F.col("item"),
+                        F.col("_cms_item"),
                     )
                 ),
                 1,
@@ -258,12 +267,20 @@ def cms_estimate(
         ).cast("long")
         % width
     )
-    probes = probes.withColumn("bucket", bucket)
-    joined = probes.join(F.broadcast(cms), ["j", "bucket"], "left").withColumn(
-        "cell", F.coalesce(F.col("cnt"), F.lit(0))
+    probes = probes.withColumn("_cms_bucket", bucket)
+    sketch = F.broadcast(
+        cms.select(
+            F.col("j").alias("_cms_j"),
+            F.col("bucket").alias("_cms_bucket"),
+            F.col("cnt").alias("_cms_cnt"),
+        )
+    )
+    joined = probes.join(sketch, ["_cms_j", "_cms_bucket"], "left").withColumn(
+        "_cms_cell", F.coalesce(F.col("_cms_cnt"), F.lit(0))
     )
     out_cols = [c for c in items.columns]
     return (
-        joined.groupBy(*out_cols)
-        .agg(F.min("cell").cast("long").alias("cms_est"))
+        joined.groupBy("_cms_rid", *out_cols)
+        .agg(F.min("_cms_cell").cast("long").alias("cms_est"))
+        .drop("_cms_rid")
     )

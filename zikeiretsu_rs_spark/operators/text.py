@@ -169,10 +169,12 @@ def vocab_top_df(
 ) -> DataFrame:
     """Corpus vocabulary analysis: the k terms with the highest
     document frequency. One distinct-terms explode, one
-    map-side-combined groupBy on the term, then a global rank over the
-    REDUCED vocabulary rows (|vocab|, not |tokens| — the same
-    sanctioned already-reduced global ordering as grouped top-k; at
-    scale Catalyst executes orderBy+limit as TakeOrderedAndProject).
+    map-side-combined groupBy on the term, then orderBy+limit — which
+    Catalyst executes as TakeOrderedAndProject (per-partition partial
+    top-k + driver merge; no task ever holds the full |vocab|). The
+    rank is attached afterwards by a literal-keyed window over the
+    ALREADY-BOUNDED ≤k survivors, so the single-task window stage is
+    O(k) regardless of vocabulary size.
 
     Output: term, doc_freq, rank (ties by term, total order).
     """
@@ -183,11 +185,14 @@ def vocab_top_df(
         F.explode(F.array_distinct(words_col(F.col(text_col)))).alias("term"),
     )
     dfreq = terms.groupBy("term").agg(F.count("*").alias("doc_freq"))
-    w = Window.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
-    return (
-        dfreq.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("term", "doc_freq", "rank")
+    top = dfreq.orderBy(F.col("doc_freq").desc(), F.col("term").asc()).limit(
+        k
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("doc_freq").desc(), F.col("term").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "term", "doc_freq", "rank"
     )
 
 
@@ -509,4 +514,44 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 6,
             ).alias("avg_logprob"),
         )
+    )
+
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """PII redaction — the pre-training privacy scrub every corpus
+    pipeline runs before tokenization (emails / phone numbers / IPv4
+    addresses → typed placeholder tokens). Pure column expressions:
+    three regexp_replace passes in one projection, no UDF, no shuffle —
+    the plan is a map-only scan at any scale.
+
+    Patterns deliberately use explicit ASCII classes (no \\w, \\b, or
+    lookaround) so the SAME pattern string is valid and identical in
+    semantics across Java regex (Spark), RE2 (DuckDB), and PCRE — the
+    oracle runs the literal same patterns. Replacement order matters
+    and is part of the contract: emails first (their host part would
+    otherwise feed the IP pattern), then phones, then IPv4; each
+    count is taken on the text state at the point of its replacement.
+
+    Output: id, text (scrubbed), n_emails, n_phones, n_ips.
+    """
+    t0 = F.col(text_col)
+    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(t1, F.lit(PII_PHONE_RE))
+    t2 = F.regexp_replace(t1, PII_PHONE_RE, "<PHONE>")
+    n_ips = F.regexp_count(t2, F.lit(PII_IPV4_RE))
+    t3 = F.regexp_replace(t2, PII_IPV4_RE, "<IP>")
+    return df.select(
+        F.col(id_col),
+        t3.alias(text_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ips.cast("long").alias("n_ips"),
     )
