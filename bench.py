@@ -96,9 +96,11 @@ HEADLINE = [
     "bigram_logprob",
     # round-5
     "tpch_q4",
+    "tpch_q7",
     "tpch_q12",
+    "tpch_q13",
     "tpch_q19",
-    "pii_scrub",
+    "pmi_collocations",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

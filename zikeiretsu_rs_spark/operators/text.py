@@ -517,41 +517,79 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-PII_IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
-
-def pii_scrub(
-    df: DataFrame, id_col: str, text_col: str
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 25,
+    min_count: int = 5,
 ) -> DataFrame:
-    """PII redaction — the pre-training privacy scrub every corpus
-    pipeline runs before tokenization (emails / phone numbers / IPv4
-    addresses → typed placeholder tokens). Pure column expressions:
-    three regexp_replace passes in one projection, no UDF, no shuffle —
-    the plan is a map-only scan at any scale.
+    """Collocation / phrase mining by pointwise mutual information —
+    the corpus-statistics step that seeds multi-word tokenizer entries
+    and phrase tables (Mikolov et al. 2013 §4 uses exactly this score
+    to promote "new york" -> "new_york" before embedding training).
 
-    Patterns deliberately use explicit ASCII classes (no \\w, \\b, or
-    lookaround) so the SAME pattern string is valid and identical in
-    semantics across Java regex (Spark), RE2 (DuckDB), and PCRE — the
-    oracle runs the literal same patterns. Replacement order matters
-    and is part of the contract: emails first (their host part would
-    otherwise feed the IP pattern), then phones, then IPv4; each
-    count is taken on the text state at the point of its replacement.
+    PMI(a,b) = ln( P(a,b) / (P(a)P(b)) ) over ADJACENT token pairs,
+    computed from exact integer counts: c_ab (bigram), c_a/c_b
+    (unigram positions), N (total bigram positions). The float
+    expression is the single shared form
+    ln( (c_ab * N) / (c_a * c_b) ) evaluated on doubles in that exact
+    operand order on both engines, rounded to 6 — integer-derived, so
+    cross-engine identical.
 
-    Output: id, text (scrubbed), n_emails, n_phones, n_ips.
+    Scale shape: one explode to (doc, pos, term); bigrams come from a
+    row-local zip of the token array with its own tail (NO self-join
+    on position); unigram and bigram tables are map-side-combined
+    groupBys; the two marginal attachments are equi-joins on the term
+    (AQE handles stopword skew); N is a 1-row broadcast. Top-k by
+    (PMI, pair) runs orderBy+limit — TakeOrderedAndProject — with the
+    rank attached over the bounded survivors (the vocab_topk
+    pattern). min_count keeps hapax noise out (PMI is maximal for
+    pairs seen once, which is exactly what you don't want).
+
+    Output: w1, w2, c_ab, pmi_6 (round 6), rank.
     """
-    t0 = F.col(text_col)
-    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL_RE))
-    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
-    n_phones = F.regexp_count(t1, F.lit(PII_PHONE_RE))
-    t2 = F.regexp_replace(t1, PII_PHONE_RE, "<PHONE>")
-    n_ips = F.regexp_count(t2, F.lit(PII_IPV4_RE))
-    t3 = F.regexp_replace(t2, PII_IPV4_RE, "<IP>")
-    return df.select(
-        F.col(id_col),
-        t3.alias(text_col),
-        n_emails.cast("long").alias("n_emails"),
-        n_phones.cast("long").alias("n_phones"),
-        n_ips.cast("long").alias("n_ips"),
+    from pyspark.sql import Window
+
+    toks = df.select(words_col(F.col(text_col)).alias("_w"))
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_w"), 1, F.greatest(F.size("_w") - 1, F.lit(0))),
+                F.slice(F.col("_w"), 2, F.greatest(F.size("_w") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    uni1 = bigrams.groupBy("w1").agg(F.count("*").alias("c_a"))
+    uni2 = bigrams.groupBy("w2").agg(F.count("*").alias("c_b"))
+    n_total = bigrams.agg(F.count("*").alias("n_bigrams"))
+    scored = (
+        big.where(F.col("c_ab") >= min_count)
+        .join(uni1, "w1")
+        .join(uni2, "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("n_bigrams"))
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi_6"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi_6").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("pmi_6").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "w1", "w2", "c_ab", "pmi_6", "rank"
     )

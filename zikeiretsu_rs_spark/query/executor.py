@@ -80,7 +80,7 @@ class QueryExecutor:
             rows = []
             for name in names:
                 m = Manifest(db_dir, name)
-                entries = m.load()
+                entries = m.load(use_cache=iq.setting.use_cache)
                 updated = m.updated_at_nanos()
                 for seq, e in enumerate(entries, start=1):
                     rows.append(
@@ -107,7 +107,7 @@ class QueryExecutor:
         rows = []
         for name in names:
             m = Manifest(db_dir, name)
-            entries = m.load()
+            entries = m.load(use_cache=iq.setting.use_cache)
             rng = m.range()
             rows.append(
                 (

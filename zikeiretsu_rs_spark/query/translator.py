@@ -78,14 +78,21 @@ def rfc3339_col(ts: Column, offset_seconds: int) -> Column:
 
 
 def _manifest_limit_bound(
-    db_dir: str, metrics: str, cond: SearchCondition, n: int, tail: bool
+    db_dir: str,
+    metrics: str,
+    cond: SearchCondition,
+    n: int,
+    tail: bool,
+    use_cache: bool = False,
 ) -> int | None:
     """L4: use the manifest's per-block distinct_ts to compute a ts
     bound that restricts the scan BEFORE the distinct-ts threshold job
     (reference accumulates `timestamp_num` to skip whole blocks,
     storage/api/read.rs:115-170). Returns None when the manifest is
-    absent or pruning would not drop anything."""
-    entries = Manifest(db_dir, metrics).load()
+    absent or pruning would not drop anything. `use_cache` serves a
+    repeated query's manifest from the process-local memo (the
+    dialect's `use_cache` setting — block_cache.rs parity)."""
+    entries = Manifest(db_dir, metrics).load(use_cache=use_cache)
     if not entries:
         return None
     # block-range search mirrors BlockList::search (block_list/mod.rs:254)
@@ -115,7 +122,10 @@ def _apply_limit(
     scan skips row groups on a constant comparison."""
     if n <= 0:
         return df.limit(0)
-    bound = _manifest_limit_bound(db_dir, q.metrics, q.condition, n, tail)
+    bound = _manifest_limit_bound(
+        db_dir, q.metrics, q.condition, n, tail,
+        use_cache=q.setting.use_cache,
+    )
     if bound is not None:
         pruned = df.filter(
             F.col(TS_COLUMN) >= F.lit(bound) if tail else F.col(TS_COLUMN) <= F.lit(bound)

@@ -2406,51 +2406,93 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
-def q_pii_scrub(spark, sf_dir):
-    """PII redaction gate. The synthetic corpus carries no PII, so the
-    fixture injects deterministic email/phone/IPv4 spans derived from
-    doc_id — the IDENTICAL concat expression runs on the DuckDB side,
-    so the operator under test is exactly the scrub (pattern
-    semantics, replacement order, counts). Output hashes the scrubbed
-    text (md5 — lowercase hex in both engines)."""
-    docs = load(spark, sf_dir, "documents")
-    d = F.col("doc_id")
-    email = F.concat(
-        F.lit(" contact user"),
-        d.cast("string"),
-        F.lit("@mail"),
-        (d % 7).cast("string"),
-        F.lit(".example.com"),
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping between two nations: the
+    double-role-dimension pattern (nation joined twice under
+    different aliases), a disjunctive nation-pair residual, and a
+    year-bucketed DECIMAL rollup. Dims broadcast; the only shuffles
+    are the lineitem-orders fact join and the final 3-key aggregate."""
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_sk"),
+        F.col("n_name").alias("supp_nation"),
     )
-    phone = F.concat(
-        F.lit(" call 555-"),
-        F.lpad((d % 1000).cast("string"), 3, "0"),
-        F.lit("-"),
-        F.lpad((d % 10000).cast("string"), 4, "0"),
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_ck"),
+        F.col("n_name").alias("cust_nation"),
     )
-    ip = F.concat(
-        F.lit(" from 10."),
-        (d % 256).cast("string"),
-        F.lit(".0."),
-        ((d * 7) % 256).cast("string"),
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    fix = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(d % 3 != 0, email).otherwise(F.lit("")),
-            F.when(d % 2 == 0, phone).otherwise(F.lit("")),
-            ip,
-        ).alias("text"),
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
     )
-    out = text.pii_scrub(fix, "doc_id", "text")
-    return out.select(
-        "doc_id",
-        F.md5(F.col("text")).alias("scrub_md5"),
-        F.length("text").cast("long").alias("n_chars"),
-        "n_emails",
-        "n_phones",
-        "n_ips",
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("_sk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("_ck"))
+        .where(pair)
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).alias("_rev"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.col("_rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join so
+    zero-order customers survive into the c_count=0 bucket, then a
+    second (tiny) aggregate over the counts — the two-level rollup
+    histogram shape. The excluded-order predicate (reference: comment
+    NOT LIKE) maps to the priority class the driver schema carries."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Collocation mining by PMI over adjacent token pairs — the
+    phrase-promotion statistic (word2vec §4) that seeds multi-word
+    tokenizer entries. Exact integer counts; the one float is the
+    shared-form ln((c_ab*N)/(c_a*c_b)) rounded to 6; top-25 by
+    (PMI, pair) via TakeOrderedAndProject + bounded re-rank. Oracle
+    re-derives bigram positions, both marginals, and the identical
+    log expression in SQL."""
+    return text.pmi_collocations(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        k=25, min_count=5,
     )
 
 
@@ -2582,9 +2624,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # discipline: nothing ships without a driver-gate slot)
     "ann_ivf_partitioned_recall_check": q_ann_ivf_partitioned_recall_check,
     "tpch_q4": q_tpch_q4,
+    "tpch_q7": q_tpch_q7,
     "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
     "tpch_q19": q_tpch_q19,
-    "pii_scrub": q_pii_scrub,
+    "pmi_collocations": q_pmi_collocations,
     "top_users_by_value": q_top_users_by_value,  # TakeOrdered rewrite
     "vocab_topk": q_vocab_topk,  # TakeOrdered rewrite
     # oldest-coverage (r03) fills
@@ -2594,10 +2638,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_gopher_rules": q_text_gopher_rules,
     "doc_dup_spans": q_doc_dup_spans,
     "url_dedup": q_url_dedup,
-    "semantic_dedup": q_semantic_dedup,
-    "text_bm25": q_text_bm25,
     # -- tail: last driver row r03/r04; re-verified each round by the
     # local two-SF gate ---------------------------------------------------
+    "semantic_dedup": q_semantic_dedup,
+    "text_bm25": q_text_bm25,
     "chunk_containment": q_chunk_containment,
     "semantic_dedup_kmeans_check": q_semantic_dedup_kmeans,
     "quality_weighted_sample": q_quality_weighted_sample,
@@ -4242,6 +4286,35 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority
 """
+    sqls["tpch_q7"] = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice::DECIMAL(12,2)
+           * (1::DECIMAL(3,2) - l_discount::DECIMAL(4,2)) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+GROUP BY supp_nation, cust_nation, l_year
+"""
+    sqls["tpch_q13"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
     sqls["tpch_q12"] = """
 SELECT l_linestatus,
        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -4266,48 +4339,26 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
        AND l_quantity BETWEEN 20 AND 30)
 """
-    sqls["pii_scrub"] = r"""
-WITH fix AS (
-  SELECT doc_id,
-         text
-         || CASE WHEN doc_id % 3 <> 0
-                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
-                      || '@mail' || CAST(doc_id % 7 AS VARCHAR)
-                      || '.example.com'
-                 ELSE '' END
-         || CASE WHEN doc_id % 2 = 0
-                 THEN ' call 555-'
-                      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-                      || '-'
-                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                 ELSE '' END
-         || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
-         || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t0
-  FROM documents),
-s1 AS (SELECT doc_id,
-              len(regexp_extract_all(
-                  t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-                AS n_emails,
-              regexp_replace(
-                  t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                  '<EMAIL>', 'g') AS t1
-       FROM fix),
-s2 AS (SELECT doc_id, n_emails,
-              len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
-                AS n_phones,
-              regexp_replace(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}',
-                             '<PHONE>', 'g') AS t2
-       FROM s1),
-s3 AS (SELECT doc_id, n_emails, n_phones,
-              len(regexp_extract_all(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
-                AS n_ips,
-              regexp_replace(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}',
-                             '<IP>', 'g') AS t3
-       FROM s2)
-SELECT doc_id, md5(t3) AS scrub_md5, length(t3)::BIGINT AS n_chars,
-       n_emails::BIGINT AS n_emails, n_phones::BIGINT AS n_phones,
-       n_ips::BIGINT AS n_ips
-FROM s3
+    sqls["pmi_collocations"] = r"""
+WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+       WHERE len(ws) >= 2),
+big AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+u1 AS (SELECT w1, count(*) AS c_a FROM bg GROUP BY 1),
+u2 AS (SELECT w2, count(*) AS c_b FROM bg GROUP BY 1),
+tot AS (SELECT count(*) AS n_bigrams FROM bg),
+scored AS (
+  SELECT big.w1, big.w2, c_ab,
+         round(ln((c_ab::DOUBLE * n_bigrams) / (c_a::DOUBLE * c_b)), 6)
+           AS pmi_6
+  FROM big JOIN u1 USING (w1) JOIN u2 USING (w2), tot
+  WHERE c_ab >= 5),
+top AS (SELECT * FROM scored ORDER BY pmi_6 DESC, w1, w2 LIMIT 25)
+SELECT w1, w2, c_ab::BIGINT AS c_ab, pmi_6,
+       row_number() OVER (ORDER BY pmi_6 DESC, w1, w2)::INT AS rank
+FROM top
 """
     sqls["ann_ivf_partitioned_recall_check"] = """
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
