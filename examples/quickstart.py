@@ -59,7 +59,25 @@ def main() -> None:
     print(engine.execute("select * from .metrics"))
     print(engine.execute("select * from .describe"))
 
-    # -- remote boundary (the Arrow Flight analog)
+    # -- remote boundary #1: REAL Arrow Flight (gRPC via pyarrow.flight)
+    from zikeiretsu_rs_spark.flight_server import (
+        ZikeiretsuFlightServer,
+        execute_flight,
+    )
+
+    fserver = ZikeiretsuFlightServer(engine)
+    ftable, meta = execute_flight(
+        fserver.location,
+        "with cols = [is_buy, price, size], format_datetime = false "
+        "select price from trades where ts in ('2021-09-27', '2021-09-28')",
+    )
+    print(
+        f"== Flight do_get over {fserver.location}: {ftable.num_rows} rows; "
+        f"output_condition={meta}"
+    )
+    fserver.shutdown()
+
+    # -- remote boundary #2: Arrow-IPC-over-HTTP (zero-dependency client)
     server = QueryHttpServer(engine).start()
     table = execute_remote(
         server.url,

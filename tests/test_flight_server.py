@@ -121,3 +121,25 @@ class TestFlightBoundary:
                 )
         finally:
             client.close()
+
+    def test_concurrent_clients(self, flight_engine):
+        """Concurrent do_get calls serialize on the engine's Spark
+        session (the reference's single DB handle behind its service)
+        and every client gets a complete stream."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        _, server, base = flight_engine
+        q = (
+            "with format_datetime = false "
+            "select * from trades where ts >= '2024-01-01'"
+        )
+        with ThreadPoolExecutor(4) as ex:
+            results = list(
+                ex.map(
+                    lambda _: execute_flight(
+                        server.location, q, now_nanos=base
+                    ),
+                    range(4),
+                )
+            )
+        assert all(t.num_rows == 48 for t, _ in results)
