@@ -159,6 +159,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     k: int = 64,
     bands: int = 16,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b), BEFORE any scoring.
 
@@ -168,11 +169,19 @@ def minhash_lsh_candidates(
     on (band, 64-bit band signature) — only near-duplicates collide, so
     the join output is ~linear in the number of true duplicate pairs.
 
+    `sig` lets a caller share one materialized signature table across
+    the candidate and scoring stages (see minhash_lsh_pairs) instead
+    of re-deriving it from the corpus in every plan branch.
+
     Output: id_a, id_b (distinct).
     """
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    if sig is None:
+        # the bucket table self-joins below: without materialization
+        # both join branches re-run the shingle explode + k-min
+        # aggregate over the corpus
+        sig = minhash_signatures(df, id_col, text_col, n, k).cache()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -214,6 +223,11 @@ def exact_jaccard_for_pairs(
     Output: id_a, id_b, jaccard (rounded 6) — one row per input pair
     (pairs with no shared shingles get jaccard 0.0).
     """
+    # three consumers derive the shingle explode independently —
+    # measured FASTER than caching it: a cache here materializes ALL
+    # corpus shingles (including docs no candidate pair touches) and
+    # breaks whole-stage pipelining, while the explode itself is
+    # cheap map-side work
     sh = word_shingles(df, id_col, text_col, n)
     sz = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
     p = pairs.select("id_a", "id_b")
@@ -251,13 +265,22 @@ def minhash_lsh_pairs(
     `minhash_lsh_candidates`, scored by estimated Jaccard = fraction of
     equal signature components, filtered at `threshold`.
 
+    The signature table is computed ONCE and cached — it feeds four
+    plan branches (two sides of the bucket self-join, two sides of
+    the scoring join), and without materialization each branch
+    re-runs the shingle explode + k-min aggregate over the corpus
+    (measured: 8 corpus scans -> 1, 3.3 s -> 2.0 s at sf0.1). The
+    cache is (id, k×4 bytes) — thousands of times smaller than the
+    corpus; at 100 TB this is the signature table you'd persist to
+    the lake anyway (the IVF-index pattern).
+
     Output: id_a, id_b, est_jaccard.
     """
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    sig = minhash_signatures(df, id_col, text_col, n, k).cache()
     sig_arr = sig.select(
         F.col(id_col), F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig")
     )
-    cand = minhash_lsh_candidates(df, id_col, text_col, n, k, bands)
+    cand = minhash_lsh_candidates(df, id_col, text_col, n, k, bands, sig=sig)
     sa = sig_arr.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sig_a"))
     sb = sig_arr.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sig_b"))
     return (
@@ -536,6 +559,12 @@ def prefix_filter_candidates(
             <= F.col("_sz") - F.ceil(F.col("_sz") * F.lit(t)) + F.lit(1)
         )
         .select(id_col, "shingle", "_sz")
+        # the prefix table feeds BOTH sides of the candidate
+        # self-join; without materialization each branch re-runs the
+        # doc-freq + per-doc-rank window pipeline (two shuffles) over
+        # all corpus shingles. The cached table holds only the
+        # ~(1-t)·|shingles| prefix rows.
+        .cache()
     )
     a = ranked.select(
         F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a"), "shingle"

@@ -617,7 +617,11 @@ def semantic_dedup(
         if len(centroids) <= MAX_EXPR_CENTROIDS
         else assign_cells_arrow
     )
-    asn = assign(corpus, centroids, id_col, vec_col)
+    # the assignment table feeds BOTH sides of the within-cell
+    # self-join; materialize it once instead of re-running the scan +
+    # n_cells dot products per branch (at lake scale this is the
+    # cell-assignment table you'd persist next to the IVF index)
+    asn = assign(corpus, centroids, id_col, vec_col).cache()
     a = asn.select(
         F.col("cell"),
         F.col(id_col).alias("id_a"),
