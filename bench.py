@@ -101,6 +101,11 @@ HEADLINE = [
     "tpch_q13",
     "tpch_q19",
     "pmi_collocations",
+    "tpch_q8",
+    "tpch_q15",
+    "tpch_q17",
+    "html_strip",
+    "multimodal_sniff",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

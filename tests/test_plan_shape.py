@@ -133,6 +133,9 @@ class TestNoCartesian:
                             # the bigram-position total N is a 1-row
                             # aggregate broadcast, like the LM totals
                             "pmi_collocations",
+                            # 1-row max-revenue broadcast compared
+                            # against exact DECIMAL revenues
+                            "tpch_q15",
                             "source_mix_weights", "source_temperature_mix",
                             # broadcast-eval-set scan: the corpus maps
                             # over a broadcast of the (small) eval
@@ -311,6 +314,40 @@ class TestRound5PlanShapes:
         df = suite.QUERIES["tpch_q13"](spark, SF_DIR)
         plan = plan_of(spark, df)
         assert "LeftOuter" in plan, plan
+
+    def test_q8_broadcasts_all_dims(self, spark):
+        """Q8's six-table join broadcasts part, the region-restricted
+        customer set, and the supplier-nation map; only
+        lineitem-orders shuffles."""
+        df = suite.QUERIES["tpch_q8"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert plan.count("BroadcastHashJoin") >= 4, plan
+
+    def test_q17_correlated_avg_is_integer_exact_join(self, spark):
+        """The 0.2*avg correlated subquery becomes a per-part
+        aggregate joined back; no double division exists in the
+        comparison (qty*5*cnt < sum form)."""
+        df = suite.QUERIES["tpch_q17"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "CartesianProduct" not in plan, plan
+        assert "Join" in plan, plan
+
+    def test_html_strip_is_map_only(self, spark):
+        """HTML extraction is a pure projection: no exchange, no
+        join — scan -> project at any scale."""
+        df = suite.QUERIES["html_strip"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan, plan
+
+    def test_multimodal_sniff_no_join_no_python_in_sniff(self, spark):
+        """Triage never decodes: after the fixture synthesis stage,
+        format routing + header dims are Catalyst expressions (the
+        plan has no join; conv/hex/substring run in codegen)."""
+        df = suite.QUERIES["multimodal_sniff"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "Join" not in plan, plan
+        assert "conv(hex(substring" in plan.lower().replace(" ", "") or "conv" in plan, plan
 
     def test_pmi_top_k_is_take_ordered_no_cartesian(self, spark):
         """PMI collocations: bigrams are a row-local zip (no position

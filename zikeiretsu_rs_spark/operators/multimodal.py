@@ -1294,3 +1294,86 @@ def decode_gif(df: DataFrame) -> DataFrame:
         .drop("_szb")
         .mapInPandas(batches, DECODED_GIF_SCHEMA)
     )
+
+
+def sniff_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Container-format detection + header-only dimension extraction —
+    the routing step of a mixed media lake (decide the decoder WITHOUT
+    decoding; a 100 TB bucket of mixed crawl media is triaged by magic
+    bytes before any pixel work). PURE Catalyst expressions over the
+    binary column: hex-compare the magic prefix, then assemble
+    width/height from the fixed header offsets of the matched format —
+    byte-level arithmetic (conv(hex(substring))) stays inside
+    whole-stage codegen; the payload body is never touched, so column
+    pruning plus Parquet byte-range reads keep IO at header scale.
+
+    Formats: BMP ('BM'; LE int32 dims at offsets 19/23),
+    PNG (8-byte signature; BE int32 IHDR dims at 17/21),
+    RIFF/WAVE ('RIFF'+'WAVE'; no dims), GIF89a (LE uint16 at 7/9),
+    RV01 raw video (LE uint16 at 5/7). Unknown formats pass through
+    with NULL dims — never an error (triage must not die on junk
+    bytes; reference decode-unsupported boundary:
+    query/executor semantics for unknown payloads).
+
+    Output: media_id, format, width, height (NULL where the format
+    has none or is unknown).
+    """
+    p = F.col(payload_col)
+
+    def byte_at(pos: int):
+        return F.conv(F.hex(F.substring(p, pos, 1)), 16, 10).cast("long")
+
+    def le16(pos: int):
+        return byte_at(pos) + byte_at(pos + 1) * 256
+
+    def le32(pos: int):
+        return (
+            byte_at(pos)
+            + byte_at(pos + 1) * 256
+            + byte_at(pos + 2) * 65536
+            + byte_at(pos + 3) * 16777216
+        )
+
+    def be32(pos: int):
+        return (
+            byte_at(pos) * 16777216
+            + byte_at(pos + 1) * 65536
+            + byte_at(pos + 2) * 256
+            + byte_at(pos + 3)
+        )
+
+    is_bmp = F.hex(F.substring(p, 1, 2)) == "424D"
+    is_png = F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A"
+    is_wav = (F.hex(F.substring(p, 1, 4)) == "52494646") & (
+        F.hex(F.substring(p, 9, 4)) == "57415645"
+    )
+    is_gif = F.hex(F.substring(p, 1, 6)) == "474946383961"
+    is_rv = F.hex(F.substring(p, 1, 4)) == "52563031"
+    fmt = (
+        F.when(is_bmp, F.lit("bmp"))
+        .when(is_png, F.lit("png"))
+        .when(is_wav, F.lit("wav"))
+        .when(is_gif, F.lit("gif"))
+        .when(is_rv, F.lit("rv01"))
+        .otherwise(F.lit("unknown"))
+    )
+    width = (
+        F.when(is_bmp, le32(19))
+        .when(is_png, be32(17))
+        .when(is_gif, le16(7))
+        .when(is_rv, le16(5))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    height = (
+        F.when(is_bmp, le32(23))
+        .when(is_png, be32(21))
+        .when(is_gif, le16(9))
+        .when(is_rv, le16(7))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return df.select(
+        "media_id",
+        fmt.alias("format"),
+        width.alias("width"),
+        height.alias("height"),
+    )

@@ -593,3 +593,53 @@ def pmi_collocations(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "w1", "w2", "c_ab", "pmi_6", "rank"
     )
+
+
+HTML_TAG_RE = "<[^>]*>"
+HTML_SCRIPT_RE = "(?s)<script[^>]*>.*?</script>"
+HTML_STYLE_RE = "(?s)<style[^>]*>.*?</style>"
+
+
+def html_strip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """HTML -> text extraction, the first step of every web-crawl
+    curation pipeline (C4/CCNet strip markup before any quality
+    scoring; trafilatura/jusText are the production extractors — this
+    is the distributed regex skeleton whose PLAN is the part that has
+    to scale, and it is a pure map-side projection).
+
+    Order matters and is part of the contract: script and style
+    blocks go FIRST (their text content must not leak into the clean
+    text), then remaining tags, then the five standard entities, then
+    whitespace collapse. Patterns stay in the Java-regex/RE2 shared
+    subset ((?s) dotall inline flag, no lookaround, no backrefs) so
+    the DuckDB oracle runs the literal same strings.
+
+    Output: id, text (clean), n_tags (tags removed incl. script/style
+    openers), n_scripts, had_html.
+    """
+    t0 = F.col(text_col)
+    n_scripts = F.regexp_count(t0, F.lit(HTML_SCRIPT_RE)) + F.regexp_count(
+        t0, F.lit(HTML_STYLE_RE)
+    )
+    n_tags = F.regexp_count(t0, F.lit(HTML_TAG_RE))
+    t1 = F.regexp_replace(t0, HTML_SCRIPT_RE, " ")
+    t2 = F.regexp_replace(t1, HTML_STYLE_RE, " ")
+    t3 = F.regexp_replace(t2, HTML_TAG_RE, " ")
+    ents = [
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+    ]
+    t4 = t3
+    for src, dst in ents:
+        t4 = F.replace(t4, F.lit(src), F.lit(dst))
+    clean = F.trim(F.regexp_replace(t4, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        clean.alias(text_col),
+        n_tags.cast("long").alias("n_tags"),
+        n_scripts.cast("long").alias("n_scripts"),
+        (n_tags > 0).alias("had_html"),
+    )

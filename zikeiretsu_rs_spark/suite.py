@@ -2482,6 +2482,204 @@ def q_tpch_q13(spark, sf_dir):
     )
 
 
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 national market share: one nation's share of a
+    region's revenue in one product segment, per year — conditional
+    share-of-total over a 6-table join. All dims broadcast; the
+    shuffles are lineitem-orders and the 1-key year rollup. The share
+    division is the single double op (DECIMAL sums underneath)."""
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    # customer-side nation chain restricts to the region
+    cn = cust.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region),
+                nation.n_regionkey == region.r_regionkey,
+            ).select("n_nationkey")
+        ),
+        cust.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    sn = supp.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("_snk"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        supp.s_nationkey == F.col("_snk"),
+    ).select("s_suppkey", "supp_nation")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev.alias("_vol"),
+            F.col("supp_nation"),
+        )
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("_vol"))
+              .otherwise(F.lit(0).cast("decimal(12,2)"))).alias("_n"),
+        F.sum("_vol").alias("_d"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("_n").cast("double") / F.col("_d").cast("double"), 6
+        ).alias("mkt_share"),
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 top supplier(s): per-supplier revenue over a quarter,
+    then the suppliers achieving the maximum. The max is a 1-row
+    broadcast compared against EXACT DECIMAL revenues (no double
+    round-trip, so the equality is engine-stable)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_rev"))
+    mx = per_supp.agg(F.max("_rev").alias("_mx"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .where(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue: lineitems below 20% of
+    their part's average quantity. The correlated AVG becomes a
+    per-part aggregate joined back; the 0.2*avg comparison is
+    REWRITTEN integer-exact (qty * 5 * cnt < sum_qty — no double
+    division on either engine, so the boundary rows can't diverge)."""
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") < 15)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+        F.count("*").alias("_cnt"),
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("_pk"))
+        .where(
+            F.col("l_quantity").cast("decimal(18,2)")
+            * F.lit(5)
+            * F.col("_cnt")
+            < F.col("_sq")
+        )
+    )
+    agg = j.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("_s"),
+        F.count("*").alias("n_lines"),
+    )
+    return agg.select(
+        F.round(F.col("_s").cast("double") / F.lit(7.0), 6).alias(
+            "avg_yearly"
+        ),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
+def q_html_strip(spark, sf_dir):
+    """HTML -> text extraction gate. The corpus carries no markup, so
+    the fixture wraps each document in deterministic HTML derived from
+    doc_id (title, optional script/style blocks whose contents must
+    NOT leak, entities, a trailing <br/>) — the IDENTICAL concat runs
+    on the DuckDB side, so the operator under test is exactly the
+    strip (block-before-tag order, entity decode, whitespace
+    collapse). Output hashes the clean text."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    script = F.concat(
+        F.lit('<script type="text/javascript">var x = '),
+        d.cast("string"),
+        F.lit(";</script>"),
+    )
+    style = F.concat(
+        F.lit("<style>.c"), d.cast("string"), F.lit(" {color: red}</style>")
+    )
+    fix = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>doc"),
+            d.cast("string"),
+            F.lit("</title>"),
+            F.when(d % 3 == 0, script).otherwise(F.lit("")),
+            F.when(d % 4 == 0, style).otherwise(F.lit("")),
+            F.lit('</head><body><p class="main">'),
+            F.col("text"),
+            F.lit("</p><br/>&amp; &lt;tail&gt;&nbsp;</body></html>"),
+        ).alias("text"),
+    )
+    out = text.html_strip(fix, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("clean_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+        "n_tags",
+        "n_scripts",
+        "had_html",
+    )
+
+
+def q_multimodal_sniff(spark, sf_dir):
+    """Mixed-media triage: five container formats interleaved by
+    doc_id%5 (real BMP/PNG/WAV/GIF/RV01 payloads from the fixture
+    encoders), routed by magic bytes and measured from HEADER offsets
+    only — pure Catalyst byte arithmetic, no decode, no UDF. The
+    oracle re-derives format and dimensions from doc_id arithmetic
+    (the same formulas the encoders use)."""
+    base = load(spark, sf_dir, "documents").select("doc_id")
+    parts = [
+        multimodal.synthesize_bmp_media(
+            base.where(F.col("doc_id") % 5 == 0), "doc_id"
+        ),
+        multimodal.synthesize_png_media(
+            base.where(F.col("doc_id") % 5 == 1), "doc_id"
+        ),
+        multimodal.synthesize_wav_media(
+            base.where(F.col("doc_id") % 5 == 2), "doc_id"
+        ),
+        multimodal.synthesize_gif_media(
+            base.where(F.col("doc_id") % 5 == 3), "doc_id"
+        ),
+        multimodal.synthesize_video_media(
+            base.where(F.col("doc_id") % 5 == 4), "doc_id"
+        ),
+    ]
+    mixed = parts[0]
+    for p in parts[1:]:
+        mixed = mixed.unionByName(p)
+    return multimodal.sniff_media(mixed)
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Collocation mining by PMI over adjacent token pairs — the
     phrase-promotion statistic (word2vec §4) that seeds multi-word
@@ -2629,17 +2827,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q13": q_tpch_q13,
     "tpch_q19": q_tpch_q19,
     "pmi_collocations": q_pmi_collocations,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
+    "html_strip": q_html_strip,
+    "multimodal_sniff": q_multimodal_sniff,
     "top_users_by_value": q_top_users_by_value,  # TakeOrdered rewrite
     "vocab_topk": q_vocab_topk,  # TakeOrdered rewrite
-    # oldest-coverage (r03) fills
+    # oldest-coverage (r03) fill
+    "url_dedup": q_url_dedup,
+    # -- tail: last driver row r03/r04; re-verified each round by the
+    # local two-SF gate ---------------------------------------------------
     "sketch_quantiles_check": q_sketch_quantiles_check,
     "dedup_clusters_scaled": q_dedup_clusters_scaled,
     "skew_salted_join": q_skew_salted_join,
     "text_gopher_rules": q_text_gopher_rules,
     "doc_dup_spans": q_doc_dup_spans,
-    "url_dedup": q_url_dedup,
-    # -- tail: last driver row r03/r04; re-verified each round by the
-    # local two-SF gate ---------------------------------------------------
     "semantic_dedup": q_semantic_dedup,
     "text_bm25": q_text_bm25,
     "chunk_containment": q_chunk_containment,
@@ -4314,6 +4517,107 @@ WITH per_cust AS (
   GROUP BY c_custkey)
 SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
 FROM per_cust GROUP BY c_count
+"""
+    sqls["tpch_q8"] = """
+WITH j AS (
+  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice::DECIMAL(12,2)
+           * (1::DECIMAL(3,2) - l_discount::DECIMAL(4,2)) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01')
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                           ELSE 0::DECIMAL(12,2) END) AS DOUBLE)
+             / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+FROM j GROUP BY o_year
+"""
+    sqls["tpch_q15"] = """
+WITH ps AS (
+  SELECT l_suppkey,
+         sum(l_extendedprice::DECIMAL(12,2)
+             * (1::DECIMAL(3,2) - l_discount::DECIMAL(4,2))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey),
+mx AS (SELECT max(rev) AS mxr FROM ps)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM ps JOIN supplier ON l_suppkey = s_suppkey, mx
+WHERE rev = mxr
+"""
+    sqls["tpch_q17"] = """
+WITH pp AS (SELECT l_partkey AS pk, sum(l_quantity::DECIMAL(18,2)) AS sq,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY 1)
+SELECT round(CAST(sum(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) / 7.0, 6)
+         AS avg_yearly,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+         AND p_brand = 'Brand#13' AND p_size < 15
+JOIN pp ON l_partkey = pk
+WHERE l_quantity::DECIMAL(18,2) * 5 * cnt < sq
+"""
+    sqls["html_strip"] = r"""
+WITH fix AS (
+  SELECT doc_id,
+         '<html><head><title>doc' || CAST(doc_id AS VARCHAR) || '</title>'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '<script type="text/javascript">var x = '
+                      || CAST(doc_id AS VARCHAR) || ';</script>'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN '<style>.c' || CAST(doc_id AS VARCHAR)
+                      || ' {color: red}</style>'
+                 ELSE '' END
+         || '</head><body><p class="main">' || text
+         || '</p><br/>&amp; &lt;tail&gt;&nbsp;</body></html>' AS t0
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t0, '<[^>]*>')) AS n_tags,
+         len(regexp_extract_all(t0, '(?s)<script[^>]*>.*?</script>'))
+           + len(regexp_extract_all(t0, '(?s)<style[^>]*>.*?</style>'))
+           AS n_scripts,
+         regexp_replace(regexp_replace(regexp_replace(t0,
+             '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+             '<[^>]*>', ' ', 'g') AS t3
+  FROM fix),
+e AS (SELECT doc_id, n_tags, n_scripts,
+        replace(replace(replace(replace(replace(t3,
+          '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"') AS t4
+      FROM c)
+SELECT doc_id,
+       md5(trim(regexp_replace(t4, '\s+', ' ', 'g'))) AS clean_md5,
+       length(trim(regexp_replace(t4, '\s+', ' ', 'g')))::BIGINT AS n_chars,
+       n_tags::BIGINT AS n_tags, n_scripts::BIGINT AS n_scripts,
+       (n_tags > 0) AS had_html
+FROM e
+"""
+    sqls["multimodal_sniff"] = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+            WHEN 2 THEN 'wav' WHEN 3 THEN 'gif' ELSE 'rv01' END AS format,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 4 + doc_id % 13
+            WHEN 1 THEN 5 + doc_id % 11
+            WHEN 3 THEN 16 + doc_id % 17
+            WHEN 4 THEN 8 END AS BIGINT) AS width,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 3 + doc_id % 7
+            WHEN 1 THEN 4 + doc_id % 5
+            WHEN 3 THEN 12 + doc_id % 11
+            WHEN 4 THEN 6 END AS BIGINT) AS height
+FROM documents
 """
     sqls["tpch_q12"] = """
 SELECT l_linestatus,
