@@ -106,6 +106,8 @@ HEADLINE = [
     "tpch_q17",
     "html_strip",
     "multimodal_sniff",
+    "dedup_incremental",
+    "corpus_diff",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

@@ -1142,3 +1142,71 @@ class TestBpeBatched:
         # whole point); disjointness may keep rounds under batch_size
         assert len(rounds) < total
         assert max(len(r) for r in rounds) > 1
+
+
+class TestIncrementalDedup:
+    """Snapshot-incremental dedup semantics: old docs immutable, new
+    docs dropped by the pairwise-to-earlier rule — including the
+    larger-id-corpus-doc quadrant and the bridge case."""
+
+    def test_all_quadrants_and_bridge(self, spark):
+        from zikeiretsu_rs_spark.operators import dedup
+
+        base = "alpha beta gamma delta epsilon zeta"
+        other = "one two three four five six"
+        rows = [
+            # old corpus
+            (1, base, False),
+            (10, other, False),
+            # new: dup of SMALLER-id old doc -> dropped by 1
+            (12, base, True),
+            # new: dup of LARGER-id old doc -> dropped by 10
+            (5, other, True),
+            # new pair: only each other -> 3 kept, 7 dropped by 3
+            (3, "seven eight nine ten eleven twelve", True),
+            (7, "seven eight nine ten eleven twelve", True),
+            # new bridge: dup of BOTH old docs -> dropped; olds never
+            # emitted (old docs are not in the output at all)
+            (15, base + " " + other, False),  # actually old bridge case below
+            (16, base, True),
+            # unique new -> kept
+            (20, "unique words only here nothing shared", True),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "is_new"])
+        out = {
+            r["doc_id"]: (r["is_kept"], r["dup_of"])
+            for r in dedup.incremental_dedup(
+                df, "doc_id", "text", "is_new", n=3, threshold=0.5
+            ).collect()
+        }
+        # only NEW docs appear
+        assert set(out) == {12, 5, 3, 7, 16, 20}
+        assert out[12] == (False, 1)
+        assert out[5] == (False, 10)  # larger-id old dropped it? no:
+        # (5 new, 10 old): pair (5,10) has id_a=5 new, id_b=10 old ->
+        # victim 5, cause 10
+        assert out[3] == (True, None)
+        assert out[7] == (False, 3)
+        assert out[20] == (True, None)
+        # 16 duplicates old doc 1 AND new doc 12; smallest cause wins
+        assert out[16] == (False, 1)
+
+    def test_old_docs_never_dropped_on_bridge(self, spark):
+        from zikeiretsu_rs_spark.operators import dedup
+
+        a = "red orange yellow green blue indigo"
+        b = "violet black white brown pink grey"
+        rows = [
+            (1, a, False),
+            (2, b, False),
+            # new doc half-overlapping BOTH old docs (bridge): with
+            # 3-gram shingles and threshold 0.30 it pairs with both
+            (9, a + " " + b, True),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "is_new"])
+        out = dedup.incremental_dedup(
+            df, "doc_id", "text", "is_new", n=3, threshold=0.30
+        ).collect()
+        assert len(out) == 1  # only the new doc is ever a candidate
+        assert out[0]["doc_id"] == 9
+        assert not out[0]["is_kept"] and out[0]["dup_of"] == 1

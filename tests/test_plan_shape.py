@@ -136,6 +136,9 @@ class TestNoCartesian:
                             # 1-row max-revenue broadcast compared
                             # against exact DECIMAL revenues
                             "tpch_q15",
+                            # fixture-side 1-row max-id broadcast
+                            # (generates the 'added' snapshot rows)
+                            "corpus_diff",
                             "source_mix_weights", "source_temperature_mix",
                             # broadcast-eval-set scan: the corpus maps
                             # over a broadcast of the (small) eval

@@ -682,3 +682,128 @@ def line_dedup(
             "kept_hash_sum"
         ),
     )
+
+
+def incremental_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_new_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Snapshot-incremental near-dup dedup — the shape every recurring
+    crawl pipeline runs: a NEW batch arrives, the accumulated corpus
+    is IMMUTABLE (already deduped and possibly already trained on),
+    and only new documents may be dropped. Drop rule (the
+    pairwise-to-earlier rule, the non-iterative form of keep-first
+    dedup): a new document is dropped iff it has a near-duplicate
+    (exact n-gram Jaccard >= threshold) among (a) ANY corpus document
+    — regardless of id order — or (b) any NEW document with a smaller
+    id. Old documents are never dropped, even when a new document
+    bridges two of them.
+
+    Scale shape: banded-MinHash candidates over the UNION (one
+    signature table, cached — the minhash_lsh_pairs shared-sub-plan
+    rule), then candidate pairs are FILTERED to those touching a new
+    document BEFORE the exact re-score — the corpus x corpus
+    quadrant, which dominates pair volume on a mature corpus, is
+    discarded at the bucket join's output without being scored. Exact
+    Jaccard verification only on the surviving pairs
+    (`exact_jaccard_for_pairs`). Candidate completeness at these
+    banding params is the invariant `dedup_minhash_verified` proves;
+    the incremental gate re-proves it against a brute oracle.
+
+    Output: one row per NEW document — id, is_kept, dup_of (the
+    smallest dropping-cause id, NULL if kept).
+    """
+    flagged = df.select(
+        F.col(id_col), F.col(text_col), F.col(is_new_col).alias("_new")
+    )
+    cand = minhash_lsh_candidates(
+        flagged, id_col, text_col, n=n, k=k, bands=bands
+    )
+    newness = flagged.select(F.col(id_col), "_new")
+    cand = (
+        cand.join(
+            newness.select(
+                F.col(id_col).alias("id_a"), F.col("_new").alias("_new_a")
+            ),
+            "id_a",
+        )
+        .join(
+            newness.select(
+                F.col(id_col).alias("id_b"), F.col("_new").alias("_new_b")
+            ),
+            "id_b",
+        )
+        # drop only the old-old quadrant (immutable x immutable);
+        # every pair touching a new document is consulted by the rule
+        .where(F.col("_new_a") | F.col("_new_b"))
+    )
+    scored = exact_jaccard_for_pairs(
+        flagged, cand.select("id_a", "id_b"), id_col, text_col, n=n
+    ).join(
+        cand.select("id_a", "id_b", "_new_a", "_new_b"), ["id_a", "id_b"]
+    )
+    near = scored.where(F.col("jaccard") >= F.lit(float(threshold)))
+    # victim/cause mapping (candidates emit id_a < id_b):
+    #   (old a, new b) -> b dropped by a   (smaller-id corpus doc)
+    #   (new a, old b) -> a dropped by b   (LARGER-id corpus doc)
+    #   (new a, new b) -> b dropped by a   (earlier new doc)
+    victims = near.select(
+        F.when(F.col("_new_a") & ~F.col("_new_b"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("_victim"),
+        F.when(F.col("_new_a") & ~F.col("_new_b"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("_cause"),
+    )
+    dup = victims.groupBy("_victim").agg(F.min("_cause").alias("dup_of"))
+    new_docs = flagged.where(F.col("_new")).select(F.col(id_col))
+    return (
+        new_docs.join(dup, new_docs[id_col] == dup["_victim"], "left")
+        .select(
+            F.col(id_col),
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+        )
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Snapshot diff by content digest — the CDC report between two
+    corpus versions (what changed between crawl N and N+1, the input
+    to incremental training-data refreshes): per id, `added` (only in
+    new), `removed` (only in old), `changed` (both, digest differs),
+    `unchanged`. One full-outer equi-join on the id, md5 digests
+    compared in-join; map-side except the single id-keyed exchange
+    per side.
+
+    Output: id, status, old_digest, new_digest (NULL where absent).
+    """
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("old_digest")
+    )
+    nw = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("new_digest")
+    )
+    j = o.join(nw, id_col, "full")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_digest") != F.col("new_digest"), F.lit("changed")
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.col(id_col), status.alias("status"), "old_digest", "new_digest"
+    )

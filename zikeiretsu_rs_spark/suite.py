@@ -2680,6 +2680,60 @@ def q_multimodal_sniff(spark, sf_dir):
     return multimodal.sniff_media(mixed)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Snapshot-incremental dedup gate: docs with doc_id % 4 == 0 play
+    the NEW crawl batch, the rest the immutable corpus (the modular
+    split interleaves ids so the larger-id-corpus-doc quadrant is
+    exercised). Output = keep/drop verdict + dropping cause per new
+    doc. The oracle re-derives brute-force shingle Jaccard pairs and
+    applies the identical pairwise-to-earlier rule — which also
+    re-proves banding completeness on this path (a missed candidate
+    would flip a verdict)."""
+    from .operators import dedup
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_is_new", F.col("doc_id") % 4 == 0
+    )
+    return dedup.incremental_dedup(
+        docs, "doc_id", "text", "_is_new", n=3, threshold=0.5
+    )
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot CDC report: old = the corpus as-is, new = the corpus
+    with doc_id % 7 == 0 dropped (removed), doc_id % 5 == 0 texts
+    edited (changed), plus 20 fresh ids appended (added) — all
+    id-derived so the oracle rebuilds both sides. One full-outer
+    digest join."""
+    from .operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    edited = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" edited")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    mx = docs.agg(F.max("doc_id").alias("_mx"))
+    fresh = (
+        docs.where(F.col("doc_id") < 20)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("_mx") + 1 + F.col("doc_id")).alias("doc_id"),
+            F.concat(
+                F.lit("fresh doc "),
+                (F.col("_mx") + 1 + F.col("doc_id")).cast("string"),
+            ).alias("text"),
+        )
+    )
+    new = edited.unionByName(fresh)
+    return dedup.corpus_diff(old, new, "doc_id", "text")
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Collocation mining by PMI over adjacent token pairs — the
     phrase-promotion statistic (word2vec §4) that seeds multi-word
@@ -2836,8 +2890,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,  # TakeOrdered rewrite
     # oldest-coverage (r03) fill
     "url_dedup": q_url_dedup,
-    # -- tail: last driver row r03/r04; re-verified each round by the
-    # local two-SF gate ---------------------------------------------------
+    # -- tail -------------------------------------------------------------
+    # Added after the round-5 head froze (every slot spoken for):
+    # locally-verified at sf0.01 AND sf0.1 (CORRECTNESS_LOCAL_r05*),
+    # DRIVER-PENDING — rotate into the r06 head first.
+    "dedup_incremental": q_dedup_incremental,
+    "corpus_diff": q_corpus_diff,
+    # last driver row r03/r04; re-verified each round by the local
+    # two-SF gate
     "sketch_quantiles_check": q_sketch_quantiles_check,
     "dedup_clusters_scaled": q_dedup_clusters_scaled,
     "skew_salted_join": q_skew_salted_join,
@@ -4517,6 +4577,52 @@ WITH per_cust AS (
   GROUP BY c_custkey)
 SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
 FROM per_cust GROUP BY c_count
+"""
+    sqls["dedup_incremental"] = r"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t
+       WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b,
+                 (id_a % 4 = 0) AS new_a, (id_b % 4 = 0) AS new_b
+          FROM inter
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b
+          WHERE c / (sa.n + sb.n - c) >= 0.5),
+victims AS (
+  SELECT CASE WHEN new_a AND NOT new_b THEN id_a ELSE id_b END AS victim,
+         CASE WHEN new_a AND NOT new_b THEN id_b ELSE id_a END AS cause
+  FROM pairs WHERE new_a OR new_b),
+dup AS (SELECT victim, min(cause) AS dup_of FROM victims GROUP BY 1)
+SELECT d.doc_id, (dup_of IS NULL) AS is_kept, dup_of
+FROM documents d LEFT JOIN dup ON d.doc_id = victim
+WHERE d.doc_id % 4 = 0
+"""
+    sqls["corpus_diff"] = """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+old AS (SELECT doc_id, md5(text) AS old_digest FROM documents),
+edited AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' edited'
+                  ELSE text END) AS new_digest
+  FROM documents WHERE doc_id % 7 <> 0),
+fresh AS (SELECT m + 1 + doc_id AS doc_id,
+                 md5('fresh doc ' || CAST(m + 1 + doc_id AS VARCHAR))
+                   AS new_digest
+          FROM documents, mx WHERE doc_id < 20),
+nw AS (SELECT * FROM edited UNION ALL SELECT * FROM fresh)
+SELECT COALESCE(old.doc_id, nw.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN nw.doc_id IS NULL THEN 'removed'
+            WHEN old_digest <> new_digest THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old_digest, new_digest
+FROM old FULL JOIN nw ON old.doc_id = nw.doc_id
 """
     sqls["tpch_q8"] = """
 WITH j AS (
