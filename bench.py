@@ -571,20 +571,30 @@ def main() -> None:
     ann = run_ann(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "skew": skew,
-                "layout": layout,
-                "ann": ann,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "skew": skew,
+        "layout": layout,
+        "ann": ann,
+        "sf": sf,
+    }
+    # The driver captures only the stdout TAIL (BENCH_r5.json held a
+    # truncated record with "parsed": null, so the headline total was
+    # not in any committed artifact). Persist the FULL payload to a
+    # file as well; the round's copy is committed as BENCH_r{N}_full.json
+    # so round-over-round comparison works from the repo alone.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_full_latest.json"),
     )
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

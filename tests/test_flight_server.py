@@ -105,6 +105,31 @@ class TestFlightBoundary:
         with pytest.raises(RuntimeError, match="no data found"):
             execute_flight(server.location, q, now_nanos=base)
 
+    def test_error_statuses_are_typed_on_the_wire(self, flight_engine):
+        """A status-code-checking Flight client (raw pyarrow, no
+        wrapper) distinguishes the two reference statuses by TYPE:
+        query error -> INVALID_ARGUMENT (pyarrow surfaces ArrowInvalid)
+        and empty result -> key-not-found (ArrowKeyError), matching
+        Status::invalid_argument / Status::not_found in
+        do_get_handler.rs:24,49 — not a generic FlightServerError."""
+        import pyarrow as pa
+
+        _, server, base = flight_engine
+        client = fl.FlightClient(server.location)
+        try:
+            with pytest.raises(pa.ArrowInvalid, match="invalid argument"):
+                client.do_get(
+                    fl.Ticket(b"select from nothing where")
+                ).read_all()
+            empty_q = (
+                "with format_datetime = false "
+                "select * from trades where ts in ('1999-01-01', '1999-01-02')"
+            )
+            with pytest.raises(pa.ArrowKeyError, match="no data found"):
+                client.do_get(fl.Ticket(empty_q.encode())).read_all()
+        finally:
+            client.close()
+
     def test_other_rpcs_unimplemented(self, flight_engine):
         """mod.rs:34-106: every RPC except do_get answers
         UNIMPLEMENTED."""

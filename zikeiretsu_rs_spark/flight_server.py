@@ -96,12 +96,17 @@ if FLIGHT_AVAILABLE:
                         df.toPandas(), preserve_index=False
                     )
             except Exception as e:  # parse/plan/exec -> INVALID_ARGUMENT
-                raise flight.FlightServerError(
+                # pyarrow maps ArrowInvalid raised in a handler to the
+                # gRPC INVALID_ARGUMENT status (Status::invalid_argument
+                # parity, do_get_handler.rs:24) — a status-checking
+                # client sees the typed code, not a generic server error
+                raise pa.ArrowInvalid(
                     f"invalid argument :{type(e).__name__}: {e}"
                 )
             if table.num_rows == 0:
-                # reference: Status::not_found("no data found")
-                raise flight.FlightServerError("no data found")
+                # reference: Status::not_found("no data found");
+                # ArrowKeyError carries the key-not-found status code
+                raise pa.ArrowKeyError("no data found")
             meta = _output_condition_json(iq.output_condition)
             batches = table.combine_chunks().to_batches()
 
@@ -156,7 +161,9 @@ def execute_flight(
             else reader.schema.empty_table()
         )
         return table, meta
-    except flight.FlightError as e:
+    except (flight.FlightError, pa.ArrowException) as e:
+        # server-raised ArrowInvalid/ArrowKeyError arrive as typed
+        # pyarrow exceptions (status-mapped), not FlightError subclasses
         raise RuntimeError(f"remote query failed: {e}") from e
     finally:
         client.close()

@@ -625,12 +625,15 @@ def html_strip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     t1 = F.regexp_replace(t0, HTML_SCRIPT_RE, " ")
     t2 = F.regexp_replace(t1, HTML_STYLE_RE, " ")
     t3 = F.regexp_replace(t2, HTML_TAG_RE, " ")
+    # &amp; must decode LAST: source text "&amp;lt;" means a literal
+    # "&lt;" — decoding &amp; first would turn it into "&lt;" and then
+    # a second pass into "<" (double-decoding escaped entities)
     ents = [
         ("&nbsp;", " "),
-        ("&amp;", "&"),
         ("&lt;", "<"),
         ("&gt;", ">"),
         ("&quot;", '"'),
+        ("&amp;", "&"),
     ]
     t4 = t3
     for src, dst in ents:

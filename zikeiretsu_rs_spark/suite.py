@@ -50,6 +50,35 @@ from .query.parser import parse_query
 
 EMB_DIM = 64
 
+# Scratch dirs written by queries that persist a lake-resident index
+# (IVF lake, incremental-dedup prefix index). Paths are unique per
+# invocation (pid + uuid — no cross-process races); each new
+# invocation reaps this process's previous dirs, and atexit reaps the
+# last. The lazy consumer of invocation N is superseded by N+1, so
+# reap-on-next-call is safe within a process.
+_SCRATCH_DIRS: set[str] = set()
+
+
+def _reap_scratch_dirs(keep: str | None = None) -> None:
+    import shutil
+
+    if keep is not None:
+        _SCRATCH_DIRS.add(keep)
+    for p in list(_SCRATCH_DIRS):
+        if p == keep:
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+        _SCRATCH_DIRS.discard(p)
+
+
+def _reap_all_scratch_dirs() -> None:
+    _reap_scratch_dirs(keep=None)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_reap_all_scratch_dirs)
+
 # ---------------------------------------------------------------------------
 # table loaders
 # ---------------------------------------------------------------------------
@@ -2635,7 +2664,13 @@ def q_html_strip(spark, sf_dir):
             F.when(d % 4 == 0, style).otherwise(F.lit("")),
             F.lit('</head><body><p class="main">'),
             F.col("text"),
-            F.lit("</p><br/>&amp; &lt;tail&gt;&nbsp;</body></html>"),
+            # &amp;lt;esc&amp;gt; is an ESCAPED entity: it must decode
+            # to the literal text "&lt;esc&gt;", not to "<esc>" — the
+            # probe that pins &amp;-last decode order in the gate
+            F.lit(
+                "</p><br/>&amp; &lt;tail&gt;&nbsp;"
+                "&amp;lt;esc&amp;gt;</body></html>"
+            ),
         ).alias("text"),
     )
     out = text.html_strip(fix, "doc_id", "text")
@@ -2696,6 +2731,40 @@ def q_dedup_incremental(spark, sf_dir):
     )
     return dedup.incremental_dedup(
         docs, "doc_id", "text", "_is_new", n=3, threshold=0.5
+    )
+
+
+def q_dedup_incremental_lake(spark, sf_dir):
+    """Incremental dedup against a STORED corpus prefix index — the
+    recurring-crawl deployment shape: `write_prefix_index` persists the
+    corpus prefix table + shingle doc-frequencies ONCE (here to a
+    per-invocation scratch dir; in production, next to the corpus),
+    then each arriving batch is deduped by `incremental_dedup_lake`,
+    whose candidate join scans the stored index for the corpus side —
+    no shingle explode / doc-freq window / rank window over old
+    documents per run (plan-pinned in test_plan_shape). Same fixture
+    split and the SAME oracle as `dedup_incremental`: candidate sets
+    may differ (corpus-frozen vs union order — both complete by the
+    prefix theorem), but exact re-scoring makes the verdicts
+    identical."""
+    import os
+    import uuid
+
+    from .operators import dedup
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_is_new", F.col("doc_id") % 4 == 0
+    )
+    path = (
+        f"/tmp/zikeiretsu_dedup_index_{os.getpid()}_{uuid.uuid4().hex[:12]}"
+    )
+    _reap_scratch_dirs(keep=path)
+    corpus = docs.where(~F.col("_is_new")).select("doc_id", "text")
+    dedup.write_prefix_index(
+        corpus, path, "doc_id", "text", n=3, threshold=0.5
+    )
+    return dedup.incremental_dedup_lake(
+        spark, path, docs, "doc_id", "text", "_is_new", n=3, threshold=0.5
     )
 
 
@@ -2760,15 +2829,21 @@ def q_ann_ivf_partitioned_recall_check(spark, sf_dir):
     Centroids are head-seeded (vec_id < n_cells) so the fixture is
     deterministic; recall@5 vs brute cosine rides along with the same
     conservative floor as the other ANN checks."""
-    import hashlib
+    import os
+    import uuid
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     cents = similarity.head_centroids(emb, 16, "vec_id", "embedding")
-    path = (
-        "/tmp/zikeiretsu_ivf_lake_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    )
+    # unique per-invocation path: a path derived only from sf_dir races
+    # when two runs share the fixture (parallel pytest workers, or the
+    # bench and the oracle gate overlapping) — one run overwrites cell
+    # directories while the other's probe scan is listing them. The
+    # probe scan is lazy, so the dir must outlive this call: the
+    # previous invocation's dir is removed now (its DataFrame is
+    # superseded) and the last one at interpreter exit.
+    path = f"/tmp/zikeiretsu_ivf_lake_{os.getpid()}_{uuid.uuid4().hex[:12]}"
+    _reap_scratch_dirs(keep=path)
     similarity.ivf_write_index(emb, path, cents)
     lake = similarity.ivf_probe_lake(
         spark, path, queries, k=5, centroids=cents, nprobe=6
@@ -4603,6 +4678,10 @@ SELECT d.doc_id, (dup_of IS NULL) AS is_kept, dup_of
 FROM documents d LEFT JOIN dup ON d.doc_id = victim
 WHERE d.doc_id % 4 = 0
 """
+    # the lake-resident index path must produce IDENTICAL verdicts to
+    # the in-memory path (both candidate generators are complete; the
+    # exact re-score decides) — same oracle, verbatim
+    sqls["dedup_incremental_lake"] = sqls["dedup_incremental"]
     sqls["corpus_diff"] = """
 WITH mx AS (SELECT max(doc_id) AS m FROM documents),
 old AS (SELECT doc_id, md5(text) AS old_digest FROM documents),
@@ -4686,7 +4765,7 @@ WITH fix AS (
                       || ' {color: red}</style>'
                  ELSE '' END
          || '</head><body><p class="main">' || text
-         || '</p><br/>&amp; &lt;tail&gt;&nbsp;</body></html>' AS t0
+         || '</p><br/>&amp; &lt;tail&gt;&nbsp;&amp;lt;esc&amp;gt;</body></html>' AS t0
   FROM documents),
 c AS (
   SELECT doc_id,
@@ -4700,9 +4779,10 @@ c AS (
              '<[^>]*>', ' ', 'g') AS t3
   FROM fix),
 e AS (SELECT doc_id, n_tags, n_scripts,
+        -- &amp; decoded LAST (escaped entities must not double-decode)
         replace(replace(replace(replace(replace(t3,
-          '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-          '&quot;', '"') AS t4
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&amp;', '&') AS t4
       FROM c)
 SELECT doc_id,
        md5(trim(regexp_replace(t4, '\s+', ' ', 'g'))) AS clean_md5,
