@@ -108,6 +108,15 @@ HEADLINE = [
     "multimodal_sniff",
     "dedup_incremental",
     "corpus_diff",
+    # round-6
+    "dedup_incremental_lake",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

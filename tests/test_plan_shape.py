@@ -136,6 +136,11 @@ class TestNoCartesian:
                             # 1-row max-revenue broadcast compared
                             # against exact DECIMAL revenues
                             "tpch_q15",
+                            # q11: 1-row global stock-value total;
+                            # q22: 1-row positive-balance (sum, count)
+                            # — the scalar-subquery broadcasts of the
+                            # original queries
+                            "tpch_q11", "tpch_q22",
                             # fixture-side 1-row max-id broadcast
                             # (generates the 'added' snapshot rows)
                             "corpus_diff",
@@ -390,5 +395,114 @@ class TestRound5PlanShapes:
             emb, queries, k=3, dim=64, n_cells=8, nprobe=2, centroids=cents
         )
         assert sorted(map(tuple, probe.collect())) == sorted(
+            map(tuple, mem.collect())
+        )
+
+
+class TestRound6PlanShapes:
+    def test_q2_correlated_min_broadcasts_dims(self, spark):
+        """Q2's correlated scalar-min is a per-part aggregate joined
+        back on (partkey, cost); supplier+nation+region and part
+        broadcast, so the only exchanges are the ps groupBys."""
+        df = suite.QUERIES["tpch_q2"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_q9_multifact_joins_are_keyed(self, spark):
+        """Q9's lineitem-ps join must be a keyed join on
+        (partkey, suppkey) — never a nested loop — with part and the
+        supplier-nation map broadcast."""
+        df = suite.QUERIES["tpch_q9"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_q11_scalar_total_is_single_row_broadcast(self, spark):
+        """Q11's group filter compares against the global total via
+        exactly one 1-row broadcast (the sanctioned scalar shape);
+        everything else stays keyed."""
+        df = suite.QUERIES["tpch_q11"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        # formatted mode prints each node twice (tree + detail):
+        # exactly ONE nested-loop node means exactly two occurrences
+        assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+        assert "CartesianProduct" not in plan, plan
+        # the pv sub-plan is materialized once (cache), not recomputed
+        # for the total side
+        assert "InMemoryTableScan" in plan, plan
+
+    def test_q16_not_in_is_broadcast_anti_join(self, spark):
+        """Q16's NOT IN complaint-supplier exclusion compiles to a
+        broadcast LEFT ANTI on the ps relation — no extra fact
+        shuffle for the exclusion."""
+        df = suite.QUERIES["tpch_q16"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "LeftAnti" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_q20_nested_chain_ends_left_semi(self, spark):
+        """Q20's supplier qualification is a LEFT SEMI (suppliers are
+        never duplicated by their qualifying links)."""
+        df = suite.QUERIES["tpch_q20"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "LeftSemi" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_q21_exists_and_not_exists_stay_keyed(self, spark):
+        """Q21's EXISTS/NOT EXISTS pair compiles to an orderkey-keyed
+        LEFT SEMI and LEFT ANTI with the suppkey inequality as a
+        residual — the non-equi part must NOT force a nested loop."""
+        df = suite.QUERIES["tpch_q21"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "LeftSemi" in plan, plan
+        assert "LeftAnti" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_q22_lapsed_customers_left_anti(self, spark):
+        """Q22: the lapsed-customer test is a LEFT ANTI on custkey;
+        the date filter pushes to the orders scan; the positive-
+        balance stats ride one 1-row broadcast."""
+        df = suite.QUERIES["tpch_q22"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "LeftAnti" in plan, plan
+        assert "GreaterThanOrEqual(o_orderdate," in plan, plan
+        # one nested-loop node = two occurrences in formatted mode
+        assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+
+    def test_incremental_lake_scans_stored_index(self, spark, tmp_path):
+        """The lake incremental-dedup path must read the corpus side
+        of the candidate join from the STORED prefix index (both
+        index tables appear as parquet scans) and must do strictly
+        less window work than the in-memory path (no doc-frequency /
+        rank windows over the old documents — only the new batch is
+        ranked)."""
+        from zikeiretsu_rs_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+            "_is_new", suite.F.col("doc_id") % 4 == 0
+        )
+        corpus = docs.where(~suite.F.col("_is_new")).select("doc_id", "text")
+        path = str(tmp_path / "dedup_index")
+        dedup.write_prefix_index(corpus, path, "doc_id", "text", 3, 0.5)
+        lake = dedup.incremental_dedup_lake(
+            spark, path, docs, "doc_id", "text", "_is_new", 3, 0.5
+        )
+        mem = dedup.incremental_dedup(
+            docs, "doc_id", "text", "_is_new", 3, 0.5
+        )
+        lake_plan = plan_of(spark, lake)
+        mem_plan = plan_of(spark, mem)
+        assert f"{path}/prefix" in lake_plan, lake_plan[:4000]
+        assert f"{path}/shingle_df" in lake_plan, lake_plan[:4000]
+        assert lake_plan.count("Window") < mem_plan.count("Window"), (
+            lake_plan.count("Window"),
+            mem_plan.count("Window"),
+        )
+        # and the verdicts are identical (both candidate sets complete)
+        assert sorted(map(tuple, lake.collect())) == sorted(
             map(tuple, mem.collect())
         )

@@ -592,6 +592,7 @@ def prefix_filter_candidates(
 
     Output: id_a, id_b (distinct candidate pairs, id_a < id_b).
     """
+    t = float(threshold)
     ranked = ranked_prefixes(
         df, id_col, text_col, n, threshold, hash_shingles
     ).cache()
