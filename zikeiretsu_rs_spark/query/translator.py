@@ -159,18 +159,77 @@ def _apply_limit(
     return limit_distinct_ts(df, n, tail=tail)
 
 
+# Decoded-data cache (the reference's block LRU analog,
+# storage/cache/block_cache.rs:13-52, wired to the dialect's
+# `use_cache` setting exactly like the manifest memo in
+# catalog/manifest.py): the scanned+trimmed metrics DataFrame for a
+# query's block range is .cache()d and memoized per
+# (block_dir, manifest updated_at, range, limit). A repeated query
+# over the same range serves its second execution from storage memory
+# (InMemoryTableScan) instead of re-reading and re-decoding Parquet —
+# the reference caches decoded blocks per block_timestamp with the
+# same effect. Granularity is the RDD partition (≈ one file split,
+# the reference's block), lazily materialized: only partitions an
+# action touches get cached. Eviction: Spark's storage manager evicts
+# LRU under memory pressure (MEMORY_AND_DISK — the bounded-cache
+# property the reference gets from its LRU capacity), and entries for
+# a stale manifest updated_at are unpersisted on the next read
+# (write-through invalidation, mirroring Manifest.save). The cache
+# boundary sits ABOVE the range filter + limit, so the cached child
+# plan keeps full Parquet pushdown for its first execution and
+# different projections of the same range share one entry.
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _scan_cache_lookup(
+    spark: SparkSession, key: tuple, build
+) -> DataFrame:
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None and cached.sparkSession is spark:
+        return cached
+    # invalidate entries for the same block_dir with a different
+    # manifest updated_at (superseded by a write) or a dead session
+    for k in list(_SCAN_CACHE):
+        if k[0] == key[0] and (
+            k[1] != key[1] or _SCAN_CACHE[k].sparkSession is not spark
+        ):
+            try:
+                _SCAN_CACHE[k].unpersist()
+            except Exception:
+                pass
+            del _SCAN_CACHE[k]
+    df = build().cache()
+    _SCAN_CACHE[key] = df
+    return df
+
+
 def translate_search(
     spark: SparkSession, db_dir: str, q: SearchMetricsQuery, n_fields: int
 ) -> DataFrame:
     block_dir = f"{db_dir}/block/{q.metrics}"
-    df = spark.read.parquet(block_dir)
-    df = apply_range_filter(df, q.condition)
 
-    if q.condition.limit is not None:
-        df = _apply_limit(
-            df, q, db_dir, q.condition.limit.n,
-            q.condition.limit.kind is LimitKind.TAIL,
+    def build() -> DataFrame:
+        df = spark.read.parquet(block_dir)
+        df = apply_range_filter(df, q.condition)
+        if q.condition.limit is not None:
+            df = _apply_limit(
+                df, q, db_dir, q.condition.limit.n,
+                q.condition.limit.kind is LimitKind.TAIL,
+            )
+        return df
+
+    if q.setting.use_cache:
+        lim = q.condition.limit
+        key = (
+            block_dir,
+            Manifest(db_dir, q.metrics).updated_at_nanos(),
+            q.condition.since_nanos,
+            q.condition.until_nanos,
+            None if lim is None else (lim.kind, lim.n),
         )
+        df = _scan_cache_lookup(spark, key, build)
+    else:
+        df = build()
 
     physical = field_column_names(n_fields)
     if q.field_selectors is None:
