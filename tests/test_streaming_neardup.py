@@ -97,3 +97,131 @@ class TestStreamingNearDup:
             assert (10, 1) in got and (12, 2) in got
         finally:
             q.stop()
+
+
+CORPUS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2, "one two three four five six seven eight nine"),
+    (3, "completely unrelated corpus text about storage engines"),
+]
+INC_B1 = [
+    (10, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+    (11, "fresh first-batch content with no earlier relatives"),
+    (12, "fresh first-batch content with no earlier relatives"),  # dup of 11
+]
+INC_B2 = [
+    (20, "one two three four five six seven eight nine"),  # dup of 2
+    (21, "fresh first-batch content with no earlier relatives"),  # dup of 11 (earlier epoch, itself dropped 12 too)
+    (22, "second batch only content nothing matches this ever"),
+]
+
+
+class TestIncrementalDedupBridge:
+    """The streaming bridge to the exact batch rule: per-epoch
+    verdicts from IncrementalDedupIndex must be byte-identical to ONE
+    incremental_dedup run over everything streamed so far (corpus
+    immutable, all streamed docs _new) — the cross-batch ≡ batch
+    invariant. NearDupIndex emits estimated-Jaccard triage; this
+    emits the exact keep/drop contract, so no new estimator rows."""
+
+    def _ground_truth(self, spark, streamed):
+        union = [(i, t, False) for i, t in CORPUS] + [
+            (i, t, True) for i, t in streamed
+        ]
+        df = spark.createDataFrame(union, ["doc_id", "text", "is_new"])
+        return {
+            (r["doc_id"], r["is_kept"], r["dup_of"])
+            for r in dedup.incremental_dedup(
+                df, "doc_id", "text", "is_new", n=3, threshold=0.5
+            ).collect()
+        }
+
+    def test_cross_batch_equals_batch_ground_truth(self, spark, tmp_path):
+        from zikeiretsu_rs_spark.streaming.neardup import IncrementalDedupIndex
+
+        idx = IncrementalDedupIndex(spark, str(tmp_path / "inc"), threshold=0.5)
+        idx.build(spark.createDataFrame(CORPUS, ["doc_id", "text"]))
+
+        v1 = {
+            (r["doc_id"], r["is_kept"], r["dup_of"])
+            for r in idx.add_batch(
+                spark.createDataFrame(INC_B1, ["doc_id", "text"])
+            ).collect()
+        }
+        assert v1 == self._ground_truth(spark, INC_B1)
+        assert v1 == {(10, False, 1), (11, True, None), (12, False, 11)}
+
+        v2 = {
+            (r["doc_id"], r["is_kept"], r["dup_of"])
+            for r in idx.add_batch(
+                spark.createDataFrame(INC_B2, ["doc_id", "text"])
+            ).collect()
+        }
+        truth_all = self._ground_truth(spark, INC_B1 + INC_B2)
+        assert v2 == {t for t in truth_all if t[0] >= 20}
+        # 21 duplicates the DROPPED 12 and the kept 11: the rule
+        # consults both, min cause wins — exactly like one batch
+        assert (21, False, 11) in v2 and (20, False, 2) in v2
+        assert (22, True, None) in v2
+        # cumulative verdicts = the one-shot run, row for row
+        assert {
+            (r["doc_id"], r["is_kept"], r["dup_of"])
+            for r in idx.verdicts().collect()
+        } == truth_all
+
+    def test_replayed_epoch_is_idempotent(self, spark, tmp_path):
+        from zikeiretsu_rs_spark.streaming.neardup import IncrementalDedupIndex
+
+        idx = IncrementalDedupIndex(spark, str(tmp_path / "inc2"), threshold=0.5)
+        idx.build(spark.createDataFrame(CORPUS, ["doc_id", "text"]))
+        df1 = spark.createDataFrame(INC_B1, ["doc_id", "text"])
+        before = {
+            tuple(r) for r in idx.add_batch(df1, epoch=1).collect()
+        }
+        after = {tuple(r) for r in idx.add_batch(df1, epoch=1).collect()}
+        assert before == after
+        assert len(idx._epochs(idx.prefix_dir)) == 2  # seed + one epoch
+
+    def test_streaming_micro_batches(self, spark, tmp_path):
+        import shutil as sh
+
+        from zikeiretsu_rs_spark.streaming.neardup import (
+            IncrementalDedupIndex,
+            start_streaming_incremental_dedup,
+        )
+
+        idx = IncrementalDedupIndex(
+            spark, str(tmp_path / "incs"), threshold=0.5
+        )
+        idx.build(spark.createDataFrame(CORPUS, ["doc_id", "text"]))
+        src = tmp_path / "src"
+        src.mkdir()
+        df1 = spark.createDataFrame(INC_B1, ["doc_id", "text"])
+        df1.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s1"))
+        for f in (tmp_path / "s1").glob("part-*.parquet"):
+            sh.copy(f, src / "b1.parquet")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_streaming_incremental_dedup(
+            stream, idx, str(tmp_path / "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+            assert {
+                (r["doc_id"], r["is_kept"], r["dup_of"])
+                for r in idx.verdicts().collect()
+            } == self._ground_truth(spark, INC_B1)
+            df2 = spark.createDataFrame(INC_B2, ["doc_id", "text"])
+            df2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s2"))
+            for f in (tmp_path / "s2").glob("part-*.parquet"):
+                sh.copy(f, src / "b2.parquet")
+            q.processAllAvailable()
+            assert {
+                (r["doc_id"], r["is_kept"], r["dup_of"])
+                for r in idx.verdicts().collect()
+            } == self._ground_truth(spark, INC_B1 + INC_B2)
+        finally:
+            q.stop()

@@ -924,21 +924,52 @@ def incremental_dedup_lake(
 
     Output: identical contract to `incremental_dedup`.
     """
-    from pyspark.sql import Window
-
     flagged = df.select(
         F.col(id_col), F.col(text_col), F.col(is_new_col).alias("_new")
     )
     corpus_pref = spark.read.parquet(f"{index_path}/prefix")
     shingle_df = spark.read.parquet(f"{index_path}/shingle_df")
+    new_pref = rank_prefixes_under_stored_order(
+        shingle_df, flagged.where(F.col("_new")), id_col, text_col,
+        n, threshold,
+    ).cache()
+    build = corpus_pref.select(id_col, "shingle", "_sz").unionByName(new_pref)
+    return _incremental_verdicts(
+        flagged, build, new_pref, id_col, text_col, n, threshold
+    )
+
+
+def rank_prefixes_under_stored_order(
+    shingle_df: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Rank a batch's prefixes under a STORED corpus-frozen shingle
+    order (the `shingle_df` table `write_prefix_index` persists):
+    shingle the batch, left-join the stored doc-frequencies (unseen
+    shingles -> df 0, i.e. rarest-first), take each document's
+    (|A| - ceil(t·|A|) + 1) lowest-(df, shingle) shingles. Because
+    every consumer of the index ranks under this SAME frozen order,
+    the prefix-filter completeness theorem applies across arbitrarily
+    many later batches — the property that makes the index reusable
+    by both the batch lake path (`incremental_dedup_lake`) and the
+    streaming bridge (`streaming/neardup.py:IncrementalDedupIndex`).
+
+    Output: id, shingle (xxhash64), _sz.
+    """
+    from pyspark.sql import Window
+
     t = float(threshold)
-    new_sh = word_shingles(
-        flagged.where(F.col("_new")), id_col, text_col, n
-    ).select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-    sized = new_sh.withColumn(
+    sh = word_shingles(docs, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
+    sized = sh.withColumn(
         "_sz", F.count("*").over(Window.partitionBy(id_col))
     )
-    new_pref = (
+    return (
         sized.join(shingle_df, "shingle", "left")
         .withColumn("_df", F.coalesce(F.col("_df"), F.lit(0)))
         .withColumn(
@@ -952,11 +983,6 @@ def incremental_dedup_lake(
             <= F.col("_sz") - F.ceil(F.col("_sz") * F.lit(t)) + F.lit(1)
         )
         .select(id_col, "shingle", "_sz")
-        .cache()
-    )
-    build = corpus_pref.select(id_col, "shingle", "_sz").unionByName(new_pref)
-    return _incremental_verdicts(
-        flagged, build, new_pref, id_col, text_col, n, threshold
     )
 
 

@@ -225,3 +225,198 @@ def start_streaming_neardup(
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+class IncrementalDedupIndex:
+    """The streaming bridge to the BATCH incremental-dedup rule
+    (`operators/dedup.py:incremental_dedup`): each micro-batch gets
+    the exact pairwise-to-earlier keep/drop verdicts against a
+    lake-resident PREFIX index instead of the estimated-Jaccard LSH
+    matches `NearDupIndex` emits.
+
+    Where `NearDupIndex` answers "what does this batch look like a
+    near-dup of?" (probabilistic candidates, signature-estimated
+    scores — a triage stream), this index applies the exact batch
+    rule per micro-batch: a document is dropped iff it has an exact
+    n-gram Jaccard >= threshold near-duplicate among the seed corpus,
+    any earlier epoch's document, or an earlier id in its own batch —
+    byte-identical to running `incremental_dedup` once over
+    everything streamed so far (the cross-batch ≡ batch invariant,
+    pinned in tests/test_streaming_neardup.py).
+
+    State layout under `store_dir` (all Parquet, epoch-partitioned
+    like `NearDupIndex` buckets, idempotent per-epoch overwrite):
+
+    - `shingle_df/`  — shingle doc-frequencies of the SEED corpus,
+      written once by `build` and NEVER updated: every later batch is
+      ranked under this frozen order, which is what keeps the prefix
+      completeness theorem valid across arbitrarily many epochs (the
+      theorem needs one total order common to all join sides).
+    - `prefix/epoch=N`  — each epoch's ranked prefixes (epoch 0 = the
+      seed corpus), the candidate-join build side; old epochs are
+      never re-shingled.
+    - `docs/epoch=N` — (id, text) per epoch, consulted only by the
+      exact re-score on candidate pairs. (A production deployment
+      can substitute content-addressed pointers; the operator only
+      needs the candidate docs' texts.)
+
+    Ids must be globally increasing across epochs (crawl ids are),
+    so "earlier epoch" and "smaller id" orientations agree.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        n: int = 3,
+        threshold: float = 0.5,
+    ):
+        self.spark = spark
+        self.store_dir = store_dir
+        self.prefix_dir = os.path.join(store_dir, "prefix")
+        self.docs_dir = os.path.join(store_dir, "docs")
+        self.verdicts_dir = os.path.join(store_dir, "verdicts")
+        self.n, self.threshold = n, threshold
+
+    def _epochs(self, base: str) -> list[int]:
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith("epoch=")
+        )
+
+    def _read_before(self, base: str, schema: str, epoch: int) -> DataFrame:
+        dirs = [
+            f"{base}/epoch={e}" for e in self._epochs(base) if e < epoch
+        ]
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*dirs)
+
+    def build(
+        self, corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> None:
+        """Index the immutable seed corpus as epoch 0 and freeze the
+        shingle order. The corpus itself is never deduped (the batch
+        rule never drops old documents)."""
+        from ..operators import dedup
+
+        base = corpus.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        sh = dedup.word_shingles(base, "doc_id", "text", self.n).select(
+            F.col("doc_id"), F.xxhash64("shingle").alias("shingle")
+        )
+        sh.groupBy("shingle").agg(F.count("*").alias("_df")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.store_dir, "shingle_df"))
+        dedup.ranked_prefixes(
+            base, "doc_id", "text", self.n, self.threshold,
+            hash_shingles=True,
+        ).write.mode("overwrite").parquet(f"{self.prefix_dir}/epoch=0")
+        base.write.mode("overwrite").parquet(f"{self.docs_dir}/epoch=0")
+
+    def add_batch(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        epoch: int | None = None,
+    ) -> DataFrame:
+        """Apply the exact batch rule to one micro-batch: returns
+        (doc_id, is_kept, dup_of) for the batch's documents — the
+        same contract as `incremental_dedup` — then indexes the
+        batch's prefixes for later epochs. Epoch 0 is the seed
+        corpus; batch epochs start at 1. Idempotent per epoch
+        (overwrite + strictly-earlier history), like NearDupIndex."""
+        from ..operators import dedup
+        from ..operators.dedup import (
+            _incremental_verdicts,
+            rank_prefixes_under_stored_order,
+        )
+
+        if epoch is None:
+            eps = self._epochs(self.prefix_dir)
+            epoch = (eps[-1] + 1) if eps else 1
+        epoch = max(int(epoch), 1)  # 0 is reserved for the seed corpus
+        batch = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        shingle_df = self.spark.read.schema("shingle long, _df long").parquet(
+            os.path.join(self.store_dir, "shingle_df")
+        )
+        batch_pref = rank_prefixes_under_stored_order(
+            shingle_df, batch, "doc_id", "text", self.n, self.threshold
+        ).cache()
+        hist_pref = self._read_before(
+            self.prefix_dir, "doc_id long, shingle long, _sz long", epoch
+        )
+        hist_docs = self._read_before(
+            self.docs_dir, "doc_id long, text string", epoch
+        )
+        # only the BATCH is _new: earlier epochs' documents (kept or
+        # dropped — the rule consults both, exactly like smaller ids
+        # inside one batch run) act as the immutable side, which
+        # orients every verdict onto the batch and emits batch rows
+        # only. With globally increasing ids this is equivalent to
+        # the one-shot run where everything streamed is _new.
+        flagged = hist_docs.withColumn("_new", F.lit(False)).unionByName(
+            batch.withColumn("_new", F.lit(True))
+        )
+        verdicts = _incremental_verdicts(
+            flagged,
+            hist_pref.unionByName(batch_pref),
+            batch_pref,
+            "doc_id",
+            "text",
+            self.n,
+            self.threshold,
+        )
+        verdicts.write.mode("overwrite").parquet(
+            f"{self.verdicts_dir}/epoch={epoch}"
+        )
+        batch_pref.write.mode("overwrite").parquet(
+            f"{self.prefix_dir}/epoch={epoch}"
+        )
+        batch.write.mode("overwrite").parquet(f"{self.docs_dir}/epoch={epoch}")
+        batch_pref.unpersist()
+        return self.spark.read.parquet(f"{self.verdicts_dir}/epoch={epoch}")
+
+    def verdicts(self) -> DataFrame:
+        eps = self._epochs(self.verdicts_dir)
+        if not eps:
+            return self.spark.createDataFrame(
+                [], "doc_id long, is_kept boolean, dup_of long"
+            )
+        return self.spark.read.parquet(
+            *[f"{self.verdicts_dir}/epoch={e}" for e in eps]
+        )
+
+
+def start_streaming_incremental_dedup(
+    stream_docs: DataFrame,
+    index: IncrementalDedupIndex,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Streaming form of the exact incremental-dedup rule: each
+    micro-batch is verdict'd against the lake prefix index (seed
+    corpus + all earlier epochs) and then indexed. foreachBatch
+    epoch_ids replay idempotently (per-epoch overwrite +
+    strictly-earlier history), mirroring start_streaming_neardup.
+    foreachBatch epoch_ids start at 0, which is reserved for the seed
+    corpus — add_batch shifts them up by one."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        index.add_batch(batch_df, id_col, text_col, epoch=epoch_id + 1)
+
+    writer = stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
