@@ -18,6 +18,18 @@ Four families, all shuffle-conscious:
 
 All hashing uses Spark's built-in murmur3 (`F.hash`) / `F.xxhash64` —
 JVM-side, deterministic across runs and cluster sizes. No Python UDFs.
+
+Cache lifecycle (ADVICE r05): several operators `.cache()` a shared
+sub-plan (the minhash signature table, the ranked prefix table) that
+feeds multiple branches of the RETURNED lazy DataFrame — they cannot
+unpersist before the caller's action runs, so the lifecycle is
+caller-owned by contract: entries persist at MEMORY_AND_DISK and are
+LRU-evicted under pressure (bounded, never a correctness issue); a
+long-lived session that interleaves many corpora can release them
+explicitly with `spark.catalog.clearCache()` between pipelines, and
+the iterative operators that DO consume their caches internally
+(connected_components' localCheckpoints, the streaming index's
+per-epoch batch prefixes) release them before returning.
 """
 
 from __future__ import annotations
