@@ -2753,7 +2753,10 @@ def q_tpch_q9(spark, sf_dir):
         .select(
             "n_name",
             "o_year",
-            F.round(F.col("_p").cast("double"), 2).alias("sum_profit"),
+            # round in the DECIMAL domain (scale-4 -> 2, HALF_UP on
+            # both engines), THEN cast: rounding after a double cast
+            # can flip .xx25/.xx75 boundaries between engines
+            F.round(F.col("_p"), 2).cast("double").alias("sum_profit"),
         )
     )
 
@@ -5120,11 +5123,11 @@ FROM eps JOIN minc ON ps_partkey = mpk AND ps_supplycost = mc
     sqls["tpch_q9"] = f"""
 WITH {_PS_SQL}
 SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       round(CAST(sum(
+       CAST(round(sum(
          l_extendedprice::DECIMAL(12,2)
            * (1::DECIMAL(3,2) - l_discount::DECIMAL(4,2))
          - ps_supplycost::DECIMAL(12,2) * l_quantity::DECIMAL(18,2)
-       ) AS DOUBLE), 2) AS sum_profit
+       ), 2) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
 JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
