@@ -542,11 +542,14 @@ def ranked_prefixes(
     if hash_shingles:
         sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
     t = float(threshold)
-    sized = sh.withColumn("_sz", F.count("*").over(Window.partitionBy(id_col)))
+    # window order is exchange-count-load-bearing: doc-frequency FIRST
+    # (one shingle-keyed exchange), then BOTH per-doc windows (_sz and
+    # the rank) on the same id partitioning — Spark runs them over one
+    # id-keyed exchange. The naive _sz -> _df -> _rk order shuffles
+    # the full shingle table a third time (id, shingle, id).
     ranked = (
-        sized.withColumn(
-            "_df", F.count("*").over(Window.partitionBy("shingle"))
-        )
+        sh.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+        .withColumn("_sz", F.count("*").over(Window.partitionBy(id_col)))
         .withColumn(
             "_rk",
             F.row_number().over(
@@ -978,12 +981,13 @@ def rank_prefixes_under_stored_order(
     sh = word_shingles(docs, id_col, text_col, n).select(
         F.col(id_col), F.xxhash64("shingle").alias("shingle")
     )
-    sized = sh.withColumn(
-        "_sz", F.count("*").over(Window.partitionBy(id_col))
-    )
+    # stored-df join FIRST (shingle-keyed exchange), then both per-doc
+    # windows on one id-keyed exchange — same two-exchange shape as
+    # ranked_prefixes
     return (
-        sized.join(shingle_df, "shingle", "left")
+        sh.join(shingle_df, "shingle", "left")
         .withColumn("_df", F.coalesce(F.col("_df"), F.lit(0)))
+        .withColumn("_sz", F.count("*").over(Window.partitionBy(id_col)))
         .withColumn(
             "_rk",
             F.row_number().over(
