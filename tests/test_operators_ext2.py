@@ -1210,3 +1210,61 @@ class TestIncrementalDedup:
         assert len(out) == 1  # only the new doc is ever a candidate
         assert out[0]["doc_id"] == 9
         assert not out[0]["is_kept"] and out[0]["dup_of"] == 1
+
+
+class TestRankedPrefixesSkewSafe:
+    def test_skew_safe_formulation_identical(self, spark):
+        """ranked_prefixes(skew_safe=True) swaps the shingle-keyed
+        window for a map-side-combined groupBy + AQE-splittable
+        join-back; the ranked prefix set (and hence every downstream
+        candidate/verdict) must be IDENTICAL — only the physical
+        skew ceiling differs."""
+        from pyspark.sql import functions as F
+
+        from zikeiretsu_rs_spark.operators import dedup
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        # add a boilerplate stop-phrase to most docs (the hot-shingle
+        # case the flag exists for)
+        phrase = " ".join(f"zz{i}" for i in range(10))
+        skewed = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 != 0,
+                F.concat_ws(" ", F.col("text"), F.lit(phrase)),
+            ).otherwise(F.col("text")),
+        )
+        a = sorted(
+            map(
+                tuple,
+                dedup.ranked_prefixes(
+                    skewed, "doc_id", "text", 3, 0.5, hash_shingles=True
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                dedup.ranked_prefixes(
+                    skewed, "doc_id", "text", 3, 0.5,
+                    hash_shingles=True, skew_safe=True,
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+        # and the skew-safe plan really has no shingle-keyed window
+        df_safe = dedup.ranked_prefixes(
+            skewed, "doc_id", "text", 3, 0.5,
+            hash_shingles=True, skew_safe=True,
+        )
+        plan = df_safe._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        import re
+
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "shingle" not in m.group(1).split(",")[0], plan
