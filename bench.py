@@ -117,6 +117,7 @@ HEADLINE = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
+    "domain_cap",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

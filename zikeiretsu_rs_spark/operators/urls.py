@@ -116,3 +116,86 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         F.count("*").alias("dup_count"),
         F.count_distinct(F.col(url_col)).alias("n_raw_variants"),
     )
+
+
+def registrable_domain(url: Column) -> Column:
+    """Simplified registrable domain (eTLD+1 stand-in) of a URL: the
+    last two dot-labels of the lowercased host, default ports
+    stripped. A production deployment swaps in the Public Suffix List
+    (the two-label rule misgroups ccTLD registries like .co.uk — a
+    documented simplification, not an oversight); everything
+    downstream (`domain_cap`) only needs SOME deterministic grouping
+    key, so the PSL upgrade is a drop-in column swap. NULL for
+    malformed URLs, like `canonical_url`."""
+    host = F.regexp_extract(url, URL_SPLIT_PATTERN, 2)
+    host = F.regexp_replace(F.lower(host), DEFAULT_PORT_PATTERN, "")
+    # last two labels: a.b.c.d -> c.d (regex stays in the RE2/Java
+    # shared subset: anchored, no lookaround)
+    dom = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(dom != "", dom)
+
+
+def domain_cap(
+    df: DataFrame, id_col: str, url_col: str, cap: int
+) -> DataFrame:
+    """FineWeb-style per-domain document budget: across the corpus,
+    keep at most `cap` documents per registrable domain, chosen in
+    deterministic ascending-id order (the crawl-order-stable rule —
+    swap the order columns for a quality score to keep the best-k
+    instead). The anti-dominance primitive at the DOMAIN level: one
+    syndication farm must not flood its slice of the training mix.
+
+    Scale shape: one domain-keyed window (row_number) — the same
+    `cap_per_key` shape as the per-user event cap; no global order,
+    hot domains cost O(their rows) with output bounded at cap.
+
+    Output: id, domain, domain_rank (1-based within domain),
+    is_kept (rank <= cap). Malformed URLs (NULL domain) are emitted
+    with rank 0 / is_kept false so the caller can quarantine them.
+    """
+    from pyspark.sql import Window
+
+    with_dom = df.select(
+        F.col(id_col), registrable_domain(F.col(url_col)).alias("domain")
+    )
+    ok = with_dom.where(F.col("domain").isNotNull())
+    w = Window.partitionBy("domain").orderBy(F.col(id_col).asc())
+    ranked = ok.withColumn("domain_rank", F.row_number().over(w)).select(
+        F.col(id_col),
+        "domain",
+        F.col("domain_rank").cast("long").alias("domain_rank"),
+        (F.col("domain_rank") <= cap).alias("is_kept"),
+    )
+    bad = with_dom.where(F.col("domain").isNull()).select(
+        F.col(id_col),
+        "domain",
+        F.lit(0).cast("long").alias("domain_rank"),
+        F.lit(False).alias("is_kept"),
+    )
+    return ranked.unionByName(bad)
+
+
+def synthesize_multihost_urls(df: DataFrame, id_col: str) -> DataFrame:
+    """Multi-domain fixture twin of `synthesize_urls`: hosts cycle
+    through 13 registrable domains with subdomain/case/port variants
+    (id-derived, oracle-rederivable) so domain-level operators have
+    real grouping work; id % 97 == 0 rows get a malformed URL (no
+    scheme) to exercise the quarantine path.
+
+    Output: id, url.
+    """
+    i = F.col(id_col)
+    dom = F.concat(F.lit("site"), (i % 13).cast("string"), F.lit(".com"))
+    sub = (
+        F.when(i % 3 == 0, F.lit("www."))
+        .when(i % 3 == 1, F.lit("blog."))
+        .otherwise(F.lit(""))
+    )
+    host = F.when(i % 2 == 0, F.upper(F.concat(sub, dom))).otherwise(
+        F.concat(sub, dom)
+    )
+    port = F.when(i % 7 == 0, F.lit(":80")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/p/"), (i % 31).cast("string"))
+    url = F.concat(F.lit("http://"), host, port, path)
+    url = F.when(i % 97 == 0, F.lit("not a url")).otherwise(url)
+    return df.select(F.col(id_col), url.alias("url"))

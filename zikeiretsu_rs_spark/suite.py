@@ -2038,6 +2038,21 @@ def q_url_dedup(spark, sf_dir):
     return urls.url_dedup(urls.synthesize_urls(docs, "doc_id"), "doc_id", "url")
 
 
+def q_domain_cap(spark, sf_dir):
+    """FineWeb-style per-domain document budget: at most 25 docs per
+    registrable domain in ascending-id order, over a 13-domain
+    synthetic URL fixture with subdomain/case/port variants and a
+    malformed-URL quarantine lane (id-derived, oracle-rederivable).
+    One domain-keyed window — the cap_per_key shape at domain level."""
+    docs = load(spark, sf_dir, "documents")
+    return urls.domain_cap(
+        urls.synthesize_multihost_urls(docs, "doc_id"),
+        "doc_id",
+        "url",
+        cap=25,
+    )
+
+
 def q_chunk_containment(spark, sf_dir):
     """Cross-document partial-overlap detection: sliding-window chunks
     + chunk-level near-dup pairs aggregated to per-doc-pair
@@ -3289,11 +3304,12 @@ def q_ann_ivf_partitioned_recall_check(spark, sf_dir):
 # prefix filter this round — and corpus_diff), (b) the queries new
 # this round (dedup_incremental_lake + the seven remaining TPC-H), (c)
 # html_strip, whose entity-decode order changed this round (the r05
-# row gates the OLD semantics), and (d) 39 oldest-coverage fills from
-# the 46 queries whose newest driver row is r03. Seven r03 queries
+# row gates the OLD semantics), and (d) 38 oldest-coverage fills from
+# the 46 queries whose newest driver row is r03. Eight r03 queries
 # with close siblings in this head (the *_excl limit twins,
 # ts_eq_minute, ts_clock_delta_range, event_type_share,
-# part_brand_stats, revenue_by_segment) roll to the r07 head; every
+# part_brand_stats, revenue_by_segment, weekly_retention) roll to the
+# r07 head; every
 # query is still re-proven each round by the committed two-SF local
 # gate (CORRECTNESS_LOCAL_r06*).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3310,6 +3326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
     "tpch_q22": q_tpch_q22,
+    "domain_cap": q_domain_cap,
     # (c) semantics changed this round (entity decode order)
     "html_strip": q_html_strip,
     # (d) oldest-coverage fills (newest driver row r03)
@@ -3351,9 +3368,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q18": q_tpch_q18,
     "value_histogram": q_value_histogram,
     "value_quantiles_by_type": q_value_quantiles_by_type,
-    "weekly_retention": q_weekly_retention,
     # -- tail -------------------------------------------------------------
-    # r03 rows rolling to the r07 head (close siblings gated above)
+    # r03 rows rolling to the r07 head (close siblings gated above;
+    # weekly_retention displaced by domain_cap — new queries always
+    # get a head slot, per the round-3 discipline)
+    "weekly_retention": q_weekly_retention,
     "ts_eq_minute": q_ts_eq_minute,
     "ts_head_limit_excl": q_ts_head_limit_excl,
     "ts_tail_limit_excl": q_ts_tail_limit_excl,
@@ -4242,6 +4261,45 @@ SELECT tot.doc_id, n_spans,
        coalesce(n_dup_spans, 0) AS n_dup_spans,
        round(coalesce(n_dup_spans, 0)::DOUBLE / n_spans, 6) AS dup_frac
 FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
+"""
+    sqls["domain_cap"] = r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 0 THEN 'not a url' ELSE
+      'http://' ||
+      (CASE WHEN doc_id % 2 = 0
+            THEN upper((CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                             WHEN doc_id % 3 = 1 THEN 'blog.'
+                             ELSE '' END)
+                       || 'site' || (doc_id % 13)::VARCHAR || '.com')
+            ELSE (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                       WHEN doc_id % 3 = 1 THEN 'blog.'
+                       ELSE '' END)
+                 || 'site' || (doc_id % 13)::VARCHAR || '.com' END) ||
+      (CASE WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END) ||
+      '/p/' || (doc_id % 31)::VARCHAR
+    END AS url
+  FROM documents),
+d AS (
+  SELECT doc_id,
+    NULLIF(regexp_extract(
+      regexp_replace(
+        lower(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)', 2)),
+        ':(80|443)$', ''),
+      '([^.]+\.[^.]+)$', 1), '') AS domain
+  FROM u),
+ranked AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+           AS domain_rank
+  FROM d WHERE domain IS NOT NULL)
+SELECT doc_id, domain, domain_rank::BIGINT AS domain_rank,
+       (domain_rank <= 25) AS is_kept
+FROM ranked
+UNION ALL
+SELECT doc_id, domain, 0::BIGINT AS domain_rank, false AS is_kept
+FROM d WHERE domain IS NULL
 """
     sqls["url_dedup"] = r"""
 WITH u AS (
