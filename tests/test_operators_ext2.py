@@ -1268,3 +1268,59 @@ class TestRankedPrefixesSkewSafe:
 
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
             assert "shingle" not in m.group(1).split(",")[0], plan
+
+
+class TestIncrementalDedupRandomized:
+    def test_random_corpora_match_brute_rule(self, spark):
+        """Three seeds x near-dup-heavy random corpora: the
+        incremental verdicts (prefix-filter candidates) must equal a
+        brute-force application of the pairwise-to-earlier rule over
+        the EXACT pair graph — the randomized twin of the driver's
+        DuckDB oracle, aimed at threshold-boundary pairs the fixture
+        corpus lacks (the ADVICE r05 failure mode of the old banded
+        path)."""
+        import random
+
+        for seed in (7, 23, 59):
+            rng = random.Random(seed)
+            vocab = [f"w{v}" for v in range(8)]
+            rows = []
+            did = 0
+            for _ in range(12):
+                text = " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(4, 10))
+                )
+                rows.append((did, text, rng.random() < 0.5)); did += 1
+                if rng.random() < 0.5:
+                    toks = text.split()
+                    toks[rng.randrange(len(toks))] = rng.choice(vocab)
+                    rows.append(
+                        (did, " ".join(toks), rng.random() < 0.5)
+                    ); did += 1
+            df = spark.createDataFrame(rows, ["doc_id", "text", "is_new"])
+            got = {
+                (r["doc_id"], r["is_kept"], r["dup_of"])
+                for r in dedup.incremental_dedup(
+                    df, "doc_id", "text", "is_new", n=2, threshold=0.4
+                ).collect()
+            }
+            # brute rule over the exact pair graph
+            pairs = dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", n=2, threshold=0.4
+            ).collect()
+            newness = {r[0]: r[2] for r in rows}
+            cause: dict[int, int] = {}
+            for p in pairs:
+                a, b = p["id_a"], p["id_b"]
+                na, nb = newness[a], newness[b]
+                if not (na or nb):
+                    continue
+                victim, c = (a, b) if (na and not nb) else (b, a)
+                cause[victim] = min(cause.get(victim, c), c)
+            want = {
+                (i, i not in cause, cause.get(i))
+                for i, _, is_new in rows
+                if is_new
+            }
+            assert got == want, f"seed {seed}"
+            assert any(not k for _, k, _ in want), f"seed {seed}: no drops"
