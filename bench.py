@@ -118,6 +118,7 @@ HEADLINE = [
     "tpch_q21",
     "tpch_q22",
     "domain_cap",
+    "cluster_balanced_sample",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

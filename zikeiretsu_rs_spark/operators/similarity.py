@@ -653,6 +653,58 @@ def semantic_dedup(
     )
 
 
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    quota_per_cell: int,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Cluster-balanced sampling (the topic-balance primitive of
+    DoReMi/D4-style curation): assign every embedding to its nearest
+    coarse centroid, then keep at most `quota_per_cell` vectors per
+    cluster in deterministic content-hash order — an equal per-cluster
+    budget that caps dominant topics instead of sampling them
+    proportionally (uniform sampling reproduces the corpus imbalance;
+    the equal-budget allocation is the flattening limit of temperature
+    sampling, and swapping the constant for a per-cell quota column is
+    the 100 TB knob for any target distribution).
+
+    Scale shape: map-side centroid assignment (literal broadcast,
+    same as semantic_dedup) + ONE cell-keyed window in content-hash
+    (md5, engine-portable) order — cap_per_key at cluster granularity;
+    no global sort, hot clusters cost O(their rows) with output
+    bounded at quota.
+
+    Output: id, cell, cell_rank (1-based, content-hash order),
+    is_sampled.
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        if n_cells is None:
+            n_cells = n_cells_for(corpus.count())
+        centroids = head_centroids(corpus, n_cells, id_col, vec_col)
+    assign = (
+        assign_cells
+        if len(centroids) <= MAX_EXPR_CENTROIDS
+        else assign_cells_arrow
+    )
+    asn = assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col), "cell"
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return asn.withColumn("cell_rank", F.row_number().over(w)).select(
+        F.col(id_col),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("cell_rank").cast("long").alias("cell_rank"),
+        (F.col("cell_rank") <= quota_per_cell).alias("is_sampled"),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -2195,6 +2195,16 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced sampling gate: first-8-ids centroids
+    (oracle-rederivable, the semantic_dedup seeding), cosine
+    assignment, at most 40 vectors per cluster in md5 content-hash
+    order — the equal-per-topic budget that caps dominant clusters."""
+    return similarity.cluster_balanced_sample(
+        load(spark, sf_dir, "embeddings"), quota_per_cell=40, n_cells=8
+    )
+
+
 def q_semantic_dedup_kmeans(spark, sf_dir):
     """The SCALE-SIZED semantic-dedup path: kmeans_centroids
     (pyspark.ml Lloyd, fixed seed) with n_cells = n_cells_for(N)
@@ -3304,12 +3314,12 @@ def q_ann_ivf_partitioned_recall_check(spark, sf_dir):
 # prefix filter this round — and corpus_diff), (b) the queries new
 # this round (dedup_incremental_lake + the seven remaining TPC-H), (c)
 # html_strip, whose entity-decode order changed this round (the r05
-# row gates the OLD semantics), and (d) 38 oldest-coverage fills from
-# the 46 queries whose newest driver row is r03. Eight r03 queries
+# row gates the OLD semantics), and (d) 37 oldest-coverage fills from
+# the 46 queries whose newest driver row is r03. Nine r03 queries
 # with close siblings in this head (the *_excl limit twins,
 # ts_eq_minute, ts_clock_delta_range, event_type_share,
-# part_brand_stats, revenue_by_segment, weekly_retention) roll to the
-# r07 head; every
+# part_brand_stats, revenue_by_segment, weekly_retention,
+# value_quantiles_by_type) roll to the r07 head; every
 # query is still re-proven each round by the committed two-SF local
 # gate (CORRECTNESS_LOCAL_r06*).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3327,6 +3337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q21": q_tpch_q21,
     "tpch_q22": q_tpch_q22,
     "domain_cap": q_domain_cap,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
     # (c) semantics changed this round (entity decode order)
     "html_strip": q_html_strip,
     # (d) oldest-coverage fills (newest driver row r03)
@@ -3367,12 +3378,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
     "value_histogram": q_value_histogram,
-    "value_quantiles_by_type": q_value_quantiles_by_type,
     # -- tail -------------------------------------------------------------
     # r03 rows rolling to the r07 head (close siblings gated above;
-    # weekly_retention displaced by domain_cap — new queries always
-    # get a head slot, per the round-3 discipline)
+    # weekly_retention / value_quantiles_by_type displaced by
+    # domain_cap / cluster_balanced_sample — new queries always get a
+    # head slot, per the round-3 discipline)
     "weekly_retention": q_weekly_retention,
+    "value_quantiles_by_type": q_value_quantiles_by_type,
     "ts_eq_minute": q_ts_eq_minute,
     "ts_head_limit_excl": q_ts_head_limit_excl,
     "ts_tail_limit_excl": q_ts_tail_limit_excl,
@@ -4217,6 +4229,27 @@ pairs AS (
 dup AS (SELECT id_b, min(id_a) AS dup_of FROM pairs GROUP BY 1)
 SELECT v.vec_id, dup.dup_of, (dup.dup_of IS NULL) AS is_kept
 FROM v LEFT JOIN dup ON dup.id_b = v.vec_id
+"""
+    sqls["cluster_balanced_sample"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < 8),
+asn AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, cent.cell,
+           list_dot_product(v.e, cent.ce) /
+             (sqrt(list_dot_product(v.e, v.e)) *
+              sqrt(list_dot_product(cent.ce, cent.ce))) AS cos
+    FROM v, cent)
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cos DESC, cell DESC) = 1)
+SELECT vec_id, cell::BIGINT AS cell,
+       row_number() OVER (PARTITION BY cell
+                          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                          )::BIGINT AS cell_rank,
+       (row_number() OVER (PARTITION BY cell
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        <= 40) AS is_sampled
+FROM asn
 """
     sqls["text_gopher_rules"] = r"""
 WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
