@@ -225,3 +225,40 @@ class TestIncrementalDedupBridge:
             } == self._ground_truth(spark, INC_B1 + INC_B2)
         finally:
             q.stop()
+
+
+class TestIndexGuards:
+    def test_mismatched_index_params_refused(self, spark, tmp_path):
+        """A probe with different (n, threshold) against a stored
+        prefix index silently finds nothing (disjoint hash keys /
+        too-short prefixes) — it must REFUSE instead."""
+        import pytest as _pytest
+
+        path = str(tmp_path / "idx")
+        corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+        docs = corpus.withColumn("is_new", F.lit(False))
+        dedup.write_prefix_index(corpus, path, "doc_id", "text", 3, 0.5)
+        with _pytest.raises(ValueError, match="built with n=3"):
+            dedup.incremental_dedup_lake(
+                spark, path, docs, "doc_id", "text", "is_new", n=2,
+                threshold=0.5,
+            )
+        with _pytest.raises(ValueError, match="threshold"):
+            dedup.incremental_dedup_lake(
+                spark, path, docs, "doc_id", "text", "is_new", n=3,
+                threshold=0.3,
+            )
+
+    def test_explicit_epoch_zero_rejected(self, spark, tmp_path):
+        """Epoch 0 is the seed corpus; a clamped overwrite of epoch 1
+        would silently destroy a real batch's state."""
+        import pytest as _pytest
+
+        from zikeiretsu_rs_spark.streaming.neardup import IncrementalDedupIndex
+
+        idx = IncrementalDedupIndex(spark, str(tmp_path / "g"), threshold=0.5)
+        idx.build(spark.createDataFrame(CORPUS, ["doc_id", "text"]))
+        with _pytest.raises(ValueError, match="start at 1"):
+            idx.add_batch(
+                spark.createDataFrame(INC_B1, ["doc_id", "text"]), epoch=0
+            )

@@ -31,8 +31,11 @@ def main() -> int:
     ta = sum(qa[q] for q in common)
     tb = sum(qb[q] for q in common)
     print(f"common queries: {len(common)}")
-    print(f"  {sys.argv[1]}: {ta:.1f}s   {sys.argv[2]}: {tb:.1f}s   "
-          f"ratio {tb / ta:.3f}x")
+    if ta > 0:
+        print(f"  {sys.argv[1]}: {ta:.1f}s   {sys.argv[2]}: {tb:.1f}s   "
+              f"ratio {tb / ta:.3f}x")
+    else:
+        print("  no common timed queries — only dropped/new sections apply")
     movers = []
     for q in common:
         va, vb = qa[q], qb[q]

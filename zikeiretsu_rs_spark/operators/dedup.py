@@ -922,16 +922,73 @@ def write_prefix_index(
     rarest-first intent).
 
     Shingles are stored xxhash64-hashed (8-byte keys on the lake,
-    exactly what ships through the candidate join)."""
+    exactly what ships through the candidate join). The build is
+    single-pass over the corpus shingles: the doc-frequency table is
+    computed once, written as shingle_df, AND reused (join-back, the
+    skew_safe formulation) to rank the corpus prefixes — not
+    recomputed by a second shingle explode. `index_meta.json` records
+    (n, threshold, hashed) so probes can refuse a mismatched index
+    instead of silently generating incomplete candidates."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    t = float(threshold)
     sh = word_shingles(corpus, id_col, text_col, n).select(
         F.col(id_col), F.xxhash64("shingle").alias("shingle")
     )
-    sh.groupBy("shingle").agg(
-        F.count("*").alias("_df")
-    ).write.mode("overwrite").parquet(f"{path}/shingle_df")
-    ranked_prefixes(
-        corpus, id_col, text_col, n, threshold, hash_shingles=True
-    ).write.mode("overwrite").parquet(f"{path}/prefix")
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    dfreq.write.mode("overwrite").parquet(f"{path}/shingle_df")
+    # rank from the JUST-WRITTEN df table (one corpus shingle pass):
+    # reading it back costs a tiny parquet scan instead of a second
+    # explode + aggregation over the corpus text
+    spark = corpus.sparkSession
+    stored_df = spark.read.parquet(f"{path}/shingle_df")
+    (
+        sh.join(stored_df, "shingle")
+        .withColumn("_sz", F.count("*").over(Window.partitionBy(id_col)))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_df", "shingle")
+            ),
+        )
+        .where(
+            F.col("_rk")
+            <= F.col("_sz") - F.ceil(F.col("_sz") * F.lit(t)) + F.lit(1)
+        )
+        .select(id_col, "shingle", "_sz")
+        .write.mode("overwrite")
+        .parquet(f"{path}/prefix")
+    )
+    with open(os.path.join(path, "index_meta.json"), "w") as fh:
+        json.dump({"n": int(n), "threshold": t, "hashed": True}, fh)
+
+
+def check_prefix_index_meta(path: str, n: int, threshold: float) -> None:
+    """Refuse a prefix index built with different (n, threshold): a
+    2-gram probe against a 3-gram index joins disjoint hash keys and
+    silently finds NOTHING; a lower probe threshold needs longer
+    prefixes than the index stored (completeness breaks). Indexes
+    written before meta existed pass (best-effort back-compat)."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "index_meta.json")
+    if not os.path.exists(meta_path):
+        return
+    meta = json.load(open(meta_path))
+    if meta.get("n") != int(n) or float(meta.get("threshold", -1)) != float(
+        threshold
+    ):
+        raise ValueError(
+            f"prefix index at {path} was built with n={meta.get('n')}, "
+            f"threshold={meta.get('threshold')}; probe requested "
+            f"n={n}, threshold={threshold} — rebuild the index or match "
+            "the parameters (a mismatch silently breaks candidate "
+            "completeness)"
+        )
 
 
 def incremental_dedup_lake(
@@ -961,6 +1018,7 @@ def incremental_dedup_lake(
 
     Output: identical contract to `incremental_dedup`.
     """
+    check_prefix_index_meta(index_path, n, threshold)
     flagged = df.select(
         F.col(id_col), F.col(text_col), F.col(is_new_col).alias("_new")
     )

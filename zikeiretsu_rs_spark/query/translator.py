@@ -178,29 +178,48 @@ def _apply_limit(
 # boundary sits ABOVE the range filter + limit, so the cached child
 # plan keeps full Parquet pushdown for its first execution and
 # different projections of the same range share one entry.
+# LRU, capacity-bounded like the reference block cache (block_cache.rs
+# caps entries; unbounded growth would otherwise accumulate one
+# MEMORY_AND_DISK plan per distinct query range — disk blocks are only
+# freed by explicit unpersist, not by the storage manager's memory
+# eviction). dict preserves insertion order; hits re-insert (LRU).
 _SCAN_CACHE: dict[tuple, DataFrame] = {}
+_SCAN_CACHE_MAX = 32
+_SCAN_CACHE_LOCK = __import__("threading").Lock()
+
+
+def _evict_locked(k: tuple) -> None:
+    df = _SCAN_CACHE.pop(k, None)
+    if df is not None:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def _scan_cache_lookup(
     spark: SparkSession, key: tuple, build
 ) -> DataFrame:
-    cached = _SCAN_CACHE.get(key)
-    if cached is not None and cached.sparkSession is spark:
-        return cached
-    # invalidate entries for the same block_dir with a different
-    # manifest updated_at (superseded by a write) or a dead session
-    for k in list(_SCAN_CACHE):
-        if k[0] == key[0] and (
-            k[1] != key[1] or _SCAN_CACHE[k].sparkSession is not spark
-        ):
-            try:
-                _SCAN_CACHE[k].unpersist()
-            except Exception:
-                pass
-            del _SCAN_CACHE[k]
-    df = build().cache()
-    _SCAN_CACHE[key] = df
-    return df
+    # the lock serializes only dict bookkeeping + the lazy .cache()
+    # registration; Spark actions run outside it. A concurrent Flight/
+    # HTTP server hits this from multiple gRPC threads.
+    with _SCAN_CACHE_LOCK:
+        cached = _SCAN_CACHE.get(key)
+        if cached is not None and cached.sparkSession is spark:
+            _SCAN_CACHE[key] = _SCAN_CACHE.pop(key)  # refresh LRU slot
+            return cached
+        # invalidate entries for the same block_dir with a different
+        # manifest updated_at (superseded by a write) or a dead session
+        for k in list(_SCAN_CACHE):
+            if k[0] == key[0] and (
+                k[1] != key[1] or _SCAN_CACHE[k].sparkSession is not spark
+            ):
+                _evict_locked(k)
+        df = build().cache()
+        _SCAN_CACHE[key] = df
+        while len(_SCAN_CACHE) > _SCAN_CACHE_MAX:
+            _evict_locked(next(iter(_SCAN_CACHE)))  # LRU head
+        return df
 
 
 def translate_search(

@@ -317,6 +317,14 @@ class IncrementalDedupIndex:
             hash_shingles=True,
         ).write.mode("overwrite").parquet(f"{self.prefix_dir}/epoch=0")
         base.write.mode("overwrite").parquet(f"{self.docs_dir}/epoch=0")
+        import json
+
+        with open(os.path.join(self.store_dir, "index_meta.json"), "w") as fh:
+            json.dump(
+                {"n": int(self.n), "threshold": float(self.threshold),
+                 "hashed": True},
+                fh,
+            )
 
     def add_batch(
         self,
@@ -337,10 +345,21 @@ class IncrementalDedupIndex:
             rank_prefixes_under_stored_order,
         )
 
+        from ..operators.dedup import check_prefix_index_meta
+
+        check_prefix_index_meta(self.store_dir, self.n, self.threshold)
         if epoch is None:
             eps = self._epochs(self.prefix_dir)
             epoch = (eps[-1] + 1) if eps else 1
-        epoch = max(int(epoch), 1)  # 0 is reserved for the seed corpus
+        epoch = int(epoch)
+        if epoch < 1:
+            # 0 is the seed corpus; silently clamping an explicit 0
+            # could overwrite a real epoch-1 batch's state
+            raise ValueError(
+                "add_batch epochs start at 1 (epoch 0 is the seed "
+                f"corpus); got {epoch}. The foreachBatch wrapper "
+                "passes epoch_id + 1."
+            )
         batch = docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
