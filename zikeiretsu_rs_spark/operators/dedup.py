@@ -239,7 +239,13 @@ def exact_jaccard_for_pairs(
     # measured FASTER than caching it: a cache here materializes ALL
     # corpus shingles (including docs no candidate pair touches) and
     # breaks whole-stage pipelining, while the explode itself is
-    # cheap map-side work
+    # cheap map-side work. Also measured and rejected (r06): semi-
+    # joining df down to the ids in `pairs` before shingling (4.9 ->
+    # 7.2 s on the sf0.1 prefix pipeline — caching the candidate
+    # table for the id derivation costs more than the explode saves
+    # when candidates touch most docs; on a corpus with SPARSE
+    # duplicates the restriction wins, so pipelines with <<1% dup
+    # rates should pre-filter df themselves before calling this)
     sh = word_shingles(df, id_col, text_col, n)
     sz = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
     p = pairs.select("id_a", "id_b")
