@@ -404,3 +404,89 @@ class TestDecodedDataCache:
         ]
         assert live and all(k not in stale_keys for k in live)
         assert cached_rdds() <= base_rdds + 1
+
+
+class TestScanCacheBounds:
+    """The decoded-data cache's bounded-LRU + thread-safety contract
+    (post-review r06 hardening): capacity stays at _SCAN_CACHE_MAX
+    with evicted plans unpersisted, and concurrent lookups with
+    interleaved invalidation never raise."""
+
+    def test_capacity_bound_evicts_and_unpersists(self, engine):
+        from zikeiretsu_rs_spark.query import translator
+
+        store = engine.writable_store("m", [FieldType.FLOAT64])
+        base = nanos(2021, 9, 1)
+        store.push_multi(
+            [
+                DataPoint.new(base + i * NANOS_PER_SEC, float(i))
+                for i in range(120)
+            ]
+        )
+        store.persist()
+        spark = engine.spark
+        before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        # > _SCAN_CACHE_MAX distinct ranges, each its own cache key
+        n = translator._SCAN_CACHE_MAX + 8
+        for i in range(n):
+            engine.execute_to_df(
+                "with format_datetime = false select * from m "
+                f"where ts in ('2021-09-01 00:00:{i:02d}', '2021-09-02')",
+                now_nanos=NOW,
+            ).collect()
+        my = [
+            k for k in translator._SCAN_CACHE
+            if k[0].startswith(engine.ctx.data_dir)
+        ]
+        assert len(my) <= translator._SCAN_CACHE_MAX
+        assert len(translator._SCAN_CACHE) <= translator._SCAN_CACHE_MAX
+        # evicted plans were unpersisted: cached-RDD growth is bounded
+        # by the capacity, not by the number of distinct ranges
+        after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        assert after - before <= translator._SCAN_CACHE_MAX
+
+    def test_concurrent_queries_with_invalidation(self, engine):
+        import threading
+
+        store = engine.writable_store("c", [FieldType.FLOAT64])
+        base = nanos(2021, 9, 1)
+        store.push_multi(
+            [DataPoint.new(base + i * NANOS_PER_SEC, float(i)) for i in range(10)]
+        )
+        store.persist()
+        q = (
+            "with format_datetime = false select * from c "
+            "where ts in ('2021-09-01', '2021-09-02')"
+        )
+        errors: list[Exception] = []
+
+        def reader():
+            try:
+                for _ in range(6):
+                    rows = engine.execute_to_df(q, now_nanos=NOW).collect()
+                    assert len(rows) >= 10
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        def writer():
+            try:
+                for j in range(3):
+                    store.push(
+                        DataPoint.new(
+                            base + (100 + j) * NANOS_PER_SEC, 1.0
+                        )
+                    )
+                    store.persist()
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=reader) for _ in range(4)] + [
+            threading.Thread(target=writer)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        # final read sees all three appended rows
+        assert len(engine.execute_to_df(q, now_nanos=NOW).collect()) == 13
