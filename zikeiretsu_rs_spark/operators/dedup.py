@@ -928,48 +928,46 @@ def write_prefix_index(
     rarest-first intent).
 
     Shingles are stored xxhash64-hashed (8-byte keys on the lake,
-    exactly what ships through the candidate join). The build is
-    single-pass over the corpus shingles: the doc-frequency table is
-    computed once, written as shingle_df, AND reused (join-back, the
-    skew_safe formulation) to rank the corpus prefixes — not
-    recomputed by a second shingle explode. `index_meta.json` records
-    (n, threshold, hashed) so probes can refuse a mismatched index
-    instead of silently generating incomplete candidates."""
-    import json
-    import os
-
-    from pyspark.sql import Window
-
+    exactly what ships through the candidate join). The doc-frequency
+    AGGREGATION is computed once — written as shingle_df and read back
+    to rank the corpus prefixes (the same
+    `rank_prefixes_under_stored_order` every probe uses, so the
+    completeness-critical ranking has exactly one implementation);
+    the cheap map-side shingle explode runs once per consumer.
+    `index_meta.json` records (n, threshold, hashed) so probes can
+    refuse a mismatched index instead of silently generating
+    incomplete candidates; metadata IO goes through `catalog.fsio`, so
+    object-store index paths (s3a://, gs://) work like local ones."""
     t = float(threshold)
     sh = word_shingles(corpus, id_col, text_col, n).select(
         F.col(id_col), F.xxhash64("shingle").alias("shingle")
     )
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     dfreq.write.mode("overwrite").parquet(f"{path}/shingle_df")
-    # rank from the JUST-WRITTEN df table (one corpus shingle pass):
-    # reading it back costs a tiny parquet scan instead of a second
-    # explode + aggregation over the corpus text
     spark = corpus.sparkSession
     stored_df = spark.read.parquet(f"{path}/shingle_df")
-    (
-        sh.join(stored_df, "shingle")
-        .withColumn("_sz", F.count("*").over(Window.partitionBy(id_col)))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy("_df", "shingle")
-            ),
-        )
-        .where(
-            F.col("_rk")
-            <= F.col("_sz") - F.ceil(F.col("_sz") * F.lit(t)) + F.lit(1)
-        )
-        .select(id_col, "shingle", "_sz")
-        .write.mode("overwrite")
-        .parquet(f"{path}/prefix")
+    rank_prefixes_under_stored_order(
+        stored_df,
+        corpus.select(F.col(id_col), F.col(text_col)),
+        id_col,
+        text_col,
+        n,
+        t,
+    ).write.mode("overwrite").parquet(f"{path}/prefix")
+    write_prefix_index_meta(path, n, t)
+
+
+def write_prefix_index_meta(path: str, n: int, threshold: float) -> None:
+    """Single serialization point for `index_meta.json` (the file
+    `check_prefix_index_meta` parses) — shared by `write_prefix_index`
+    and the streaming `IncrementalDedupIndex.build` so the schema
+    cannot drift between writers. URI-safe via catalog.fsio."""
+    from ..catalog import fsio
+
+    fsio.write_json_atomic(
+        fsio.join(path, "index_meta.json"),
+        {"n": int(n), "threshold": float(threshold), "hashed": True},
     )
-    with open(os.path.join(path, "index_meta.json"), "w") as fh:
-        json.dump({"n": int(n), "threshold": t, "hashed": True}, fh)
 
 
 def check_prefix_index_meta(path: str, n: int, threshold: float) -> None:
@@ -977,14 +975,15 @@ def check_prefix_index_meta(path: str, n: int, threshold: float) -> None:
     2-gram probe against a 3-gram index joins disjoint hash keys and
     silently finds NOTHING; a lower probe threshold needs longer
     prefixes than the index stored (completeness breaks). Indexes
-    written before meta existed pass (best-effort back-compat)."""
-    import json
-    import os
+    written before meta existed pass (best-effort back-compat).
+    URI-safe via catalog.fsio (a local-only exists() would silently
+    disable the guard exactly where indexes are shared across jobs)."""
+    from ..catalog import fsio
 
-    meta_path = os.path.join(path, "index_meta.json")
-    if not os.path.exists(meta_path):
+    meta_path = fsio.join(path, "index_meta.json")
+    if not fsio.exists(meta_path):
         return
-    meta = json.load(open(meta_path))
+    meta = fsio.read_json(meta_path)
     if meta.get("n") != int(n) or float(meta.get("threshold", -1)) != float(
         threshold
     ):

@@ -200,13 +200,22 @@ def _evict_locked(k: tuple) -> None:
 def _scan_cache_lookup(
     spark: SparkSession, key: tuple, build
 ) -> DataFrame:
-    # the lock serializes only dict bookkeeping + the lazy .cache()
-    # registration; Spark actions run outside it. A concurrent Flight/
-    # HTTP server hits this from multiple gRPC threads.
+    # Double-checked: the lock covers ONLY dict bookkeeping; build()
+    # can run Spark jobs (the limit path executes a threshold .first())
+    # and must NOT serialize unrelated concurrent queries behind a
+    # cache miss. Two threads racing the same missing key both build;
+    # the second check makes one the winner — the loser's plan was
+    # never .cache()d, so nothing leaks.
     with _SCAN_CACHE_LOCK:
         cached = _SCAN_CACHE.get(key)
         if cached is not None and cached.sparkSession is spark:
             _SCAN_CACHE[key] = _SCAN_CACHE.pop(key)  # refresh LRU slot
+            return cached
+    df = build()
+    with _SCAN_CACHE_LOCK:
+        cached = _SCAN_CACHE.get(key)
+        if cached is not None and cached.sparkSession is spark:
+            _SCAN_CACHE[key] = _SCAN_CACHE.pop(key)
             return cached
         # invalidate entries for the same block_dir with a different
         # manifest updated_at (superseded by a write) or a dead session
@@ -215,7 +224,7 @@ def _scan_cache_lookup(
                 k[1] != key[1] or _SCAN_CACHE[k].sparkSession is not spark
             ):
                 _evict_locked(k)
-        df = build().cache()
+        df = df.cache()
         _SCAN_CACHE[key] = df
         while len(_SCAN_CACHE) > _SCAN_CACHE_MAX:
             _evict_locked(next(iter(_SCAN_CACHE)))  # LRU head

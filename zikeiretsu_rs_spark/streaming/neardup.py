@@ -317,14 +317,7 @@ class IncrementalDedupIndex:
             hash_shingles=True,
         ).write.mode("overwrite").parquet(f"{self.prefix_dir}/epoch=0")
         base.write.mode("overwrite").parquet(f"{self.docs_dir}/epoch=0")
-        import json
-
-        with open(os.path.join(self.store_dir, "index_meta.json"), "w") as fh:
-            json.dump(
-                {"n": int(self.n), "threshold": float(self.threshold),
-                 "hashed": True},
-                fh,
-            )
+        dedup.write_prefix_index_meta(self.store_dir, self.n, self.threshold)
 
     def add_batch(
         self,
