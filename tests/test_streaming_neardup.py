@@ -262,3 +262,27 @@ class TestIndexGuards:
             idx.add_batch(
                 spark.createDataFrame(INC_B1, ["doc_id", "text"]), epoch=0
             )
+
+
+class TestIdTypeGuards:
+    def test_string_ids_rejected_fast(self, spark, tmp_path):
+        """String ids would silently NULL out in the long-cast bucket
+        store (NearDupIndex) or fail one batch later with a parquet
+        schema error (IncrementalDedupIndex) — both must fail fast at
+        the API boundary instead."""
+        import pytest as _pytest
+
+        from zikeiretsu_rs_spark.streaming.neardup import (
+            IncrementalDedupIndex,
+            NearDupIndex,
+        )
+
+        sdocs = spark.createDataFrame(
+            [("doc-1", "alpha beta gamma delta")], ["doc_id", "text"]
+        )
+        nd = NearDupIndex(spark, str(tmp_path / "nd"))
+        with _pytest.raises(TypeError, match="integral id"):
+            nd.add_batch(sdocs)
+        inc = IncrementalDedupIndex(spark, str(tmp_path / "inc"))
+        with _pytest.raises(TypeError, match="integral id"):
+            inc.build(sdocs)

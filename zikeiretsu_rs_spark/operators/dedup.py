@@ -225,6 +225,7 @@ def exact_jaccard_for_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
+    threshold: float | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard, restricted to the given candidate pairs —
     the verification stage after any LSH candidate generator. Cost is
@@ -232,8 +233,17 @@ def exact_jaccard_for_pairs(
     the corpus: the shingle join fans out only over ids that appear in
     `pairs`.
 
+    `threshold` filters on the RAW jaccard value BEFORE the display
+    rounding — a caller that filters the returned rounded column
+    instead can diverge from a raw-value oracle on .4999997-style
+    boundary pairs (round-to-6 crosses the threshold). All in-repo
+    consumers that threshold pass it here.
+
     Output: id_a, id_b, jaccard (rounded 6) — one row per input pair
-    (pairs with no shared shingles get jaccard 0.0).
+    (pairs with no shared shingles get jaccard 0.0, INCLUDING pairs
+    whose doc has no shingles at all, e.g. text shorter than n words:
+    the size lookups are left joins with size-0 fill, so no pair is
+    silently dropped).
     """
     # three consumers derive the shingle explode independently —
     # measured FASTER than caching it: a cache here materializes ALL
@@ -257,16 +267,35 @@ def exact_jaccard_for_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_inter"))
     )
-    return (
+    scored = (
         p.join(inter, ["id_a", "id_b"], "left")
         .na.fill(0, ["_inter"])
-        .join(sz.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a")), "id_a")
-        .join(sz.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b")), "id_b")
+        .join(
+            sz.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a")),
+            "id_a",
+            "left",
+        )
+        .join(
+            sz.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b")),
+            "id_b",
+            "left",
+        )
+        .na.fill(0, ["_sz_a", "_sz_b"])
+        .withColumn(
+            "_denom",
+            F.col("_sz_a") + F.col("_sz_b") - F.col("_inter"),
+        )
         .withColumn(
             "jaccard",
-            F.col("_inter") / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")),
+            F.when(
+                F.col("_denom") > 0, F.col("_inter") / F.col("_denom")
+            ).otherwise(F.lit(0.0)),
         )
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    if threshold is not None:
+        scored = scored.where(F.col("jaccard") >= F.lit(float(threshold)))
+    return scored.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -372,6 +401,14 @@ def simhash_pairs(
 
     Output: id_a, id_b, hamming.
     """
+    # the pigeonhole guarantee only covers hamming < bands: a pair
+    # differing in exactly `bands` bits can place one flip per chunk
+    # and agree on NO chunk — silently incomplete results, while the
+    # brute oracle would return the pair
+    assert max_hamming < bands, (
+        f"pigeonhole banding is complete only for max_hamming < bands "
+        f"(got max_hamming={max_hamming}, bands={bands}); raise bands"
+    )
     fp = simhash64(df, id_col, text_col)
     width = 64 // bands
     mask = (1 << width) - 1
@@ -503,6 +540,17 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        # silent wrong labels are worse than an error: a graph whose
+        # diameter exceeds max_iter (e.g. a 30-doc template-drift
+        # chain) would report one component as several clusters and
+        # dedup_by_clusters would keep spurious representatives with
+        # no way for the caller to notice
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "min-propagation rounds (graph diameter exceeds max_iter); "
+            "raise max_iter or pre-contract long chains"
+        )
     return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster_id"))
 
 
@@ -689,8 +737,10 @@ def prefix_filter_jaccard_pairs(
     cand = prefix_filter_candidates(
         df, id_col, text_col, n, threshold, hash_shingles
     )
-    return exact_jaccard_for_pairs(df, cand, id_col, text_col, n).where(
-        F.col("jaccard") >= F.lit(threshold)
+    # threshold applied on the RAW value inside (pre-rounding), so the
+    # output matches ngram_jaccard_pairs on boundary pairs exactly
+    return exact_jaccard_for_pairs(
+        df, cand, id_col, text_col, n, threshold=threshold
     )
 
 
@@ -877,12 +927,14 @@ def _incremental_verdicts(
         ),
         "id_b",
     )
-    scored = exact_jaccard_for_pairs(
-        flagged, cand.select("id_a", "id_b"), id_col, text_col, n=n
+    # raw-value threshold inside the scorer (pre-rounding): the
+    # keep/drop boundary must agree with the raw-value DuckDB oracle
+    near = exact_jaccard_for_pairs(
+        flagged, cand.select("id_a", "id_b"), id_col, text_col, n=n,
+        threshold=t,
     ).join(
         cand.select("id_a", "id_b", "_new_a", "_new_b"), ["id_a", "id_b"]
     )
-    near = scored.where(F.col("jaccard") >= F.lit(t))
     # victim/cause mapping (candidates emit id_a < id_b):
     #   (old a, new b) -> b dropped by a   (smaller-id corpus doc)
     #   (new a, old b) -> a dropped by b   (LARGER-id corpus doc)
@@ -1103,18 +1155,29 @@ def corpus_diff(
 
     Output: id, status, old_digest, new_digest (NULL where absent).
     """
+    # presence is detected with explicit per-side markers, NOT digest
+    # nullity: md5(NULL text) is NULL, so digest-based presence would
+    # misclassify a present-but-NULL-text row as absent (an old row
+    # with NULL text would report 'added')
     o = old.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("old_digest")
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("old_digest"),
+        F.lit(True).alias("_in_old"),
     )
     nw = new.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("new_digest")
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("new_digest"),
+        F.lit(True).alias("_in_new"),
     )
     j = o.join(nw, id_col, "full")
     status = (
-        F.when(F.col("old_digest").isNull(), F.lit("added"))
-        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
         .when(
-            F.col("old_digest") != F.col("new_digest"), F.lit("changed")
+            # NULL-safe digest compare: a text flipping to/from NULL
+            # IS a change
+            ~F.col("old_digest").eqNullSafe(F.col("new_digest")),
+            F.lit("changed"),
         )
         .otherwise(F.lit("unchanged"))
     )

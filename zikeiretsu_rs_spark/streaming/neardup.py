@@ -37,6 +37,24 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import minhash_signatures
 
+def _require_integral_id(df: DataFrame, id_col: str, who: str) -> None:
+    """Both index classes persist ids as LONG (epoch-partitioned
+    parquet read back with fixed schemas) and NearDupIndex's
+    _bucketize casts to long: a string id would silently NULL out and
+    the index would never find a duplicate (or fail one batch later
+    with a confusing parquet schema error). Fail fast at the API
+    boundary instead; hash non-numeric ids to xxhash64 upstream."""
+    dt = df.schema[id_col].dataType
+    if not isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"{who} requires an integral id column (ids are persisted "
+            f"as LONG); got {id_col}: {dt.simpleString()} — hash "
+            "non-numeric ids (e.g. xxhash64) before indexing"
+        )
+
+
 BUCKET_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -113,17 +131,23 @@ class NearDupIndex:
         text_col: str = "text",
         epoch: int | None = None,
     ) -> DataFrame:
-        """Returns (doc_id, dup_of, est_jaccard): batch documents whose
-        estimated Jaccard against an EARLIER document (previous epochs
-        or a smaller id within this batch) clears the threshold. The
-        earlier side is `dup_of`, so downstream keeps representatives
-        exactly like the batch pipeline.
+        """Dedups the batch and returns the CUMULATIVE matches table
+        (`self.matches()`, every epoch so far — the behavior the tests
+        pin; read it as "the duplicate ledger after this batch"). The
+        batch's own matches are rows (doc_id, dup_of, est_jaccard)
+        where a batch document's estimated Jaccard against an EARLIER
+        document (previous epochs or a smaller id within this batch)
+        clears the threshold; the earlier side is `dup_of`, so
+        downstream keeps representatives exactly like the batch
+        pipeline. Per-batch-only consumers should read
+        `<matches_dir>/epoch=N` directly.
 
         Idempotent per epoch: buckets and matches land in `epoch=N`
         directories written with overwrite, and history is strictly
         `epoch < N` — a replayed micro-batch (same foreachBatch
         epoch_id) rewrites identical state instead of matching against
         its own previous write."""
+        _require_integral_id(docs, id_col, "NearDupIndex.add_batch")
         if epoch is None:
             eps = self._epochs()
             epoch = (eps[-1] + 1) if eps else 0
@@ -303,6 +327,7 @@ class IncrementalDedupIndex:
         rule never drops old documents)."""
         from ..operators import dedup
 
+        _require_integral_id(corpus, id_col, "IncrementalDedupIndex.build")
         base = corpus.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
@@ -312,9 +337,14 @@ class IncrementalDedupIndex:
         sh.groupBy("shingle").agg(F.count("*").alias("_df")).write.mode(
             "overwrite"
         ).parquet(os.path.join(self.store_dir, "shingle_df"))
-        dedup.ranked_prefixes(
-            base, "doc_id", "text", self.n, self.threshold,
-            hash_shingles=True,
+        # rank the seed via the SAME stored-order implementation every
+        # later epoch uses (one implementation of the completeness-
+        # critical ranking — the write_prefix_index discipline)
+        stored_df = self.spark.read.parquet(
+            os.path.join(self.store_dir, "shingle_df")
+        )
+        dedup.rank_prefixes_under_stored_order(
+            stored_df, base, "doc_id", "text", self.n, self.threshold
         ).write.mode("overwrite").parquet(f"{self.prefix_dir}/epoch=0")
         base.write.mode("overwrite").parquet(f"{self.docs_dir}/epoch=0")
         dedup.write_prefix_index_meta(self.store_dir, self.n, self.threshold)
@@ -340,6 +370,7 @@ class IncrementalDedupIndex:
 
         from ..operators.dedup import check_prefix_index_meta
 
+        _require_integral_id(docs, id_col, "IncrementalDedupIndex.add_batch")
         check_prefix_index_meta(self.store_dir, self.n, self.threshold)
         if epoch is None:
             eps = self._epochs(self.prefix_dir)
@@ -389,10 +420,16 @@ class IncrementalDedupIndex:
         verdicts.write.mode("overwrite").parquet(
             f"{self.verdicts_dir}/epoch={epoch}"
         )
+        # docs BEFORE prefixes: _epochs(prefix_dir) is the epoch
+        # commit marker, so it must be written LAST — a crash after
+        # prefixes-but-before-docs would leave an epoch whose prefix
+        # rows generate candidates with no re-scorable text (silent
+        # false-keeps forever). Docs-without-prefixes merely re-runs
+        # the epoch on replay.
+        batch.write.mode("overwrite").parquet(f"{self.docs_dir}/epoch={epoch}")
         batch_pref.write.mode("overwrite").parquet(
             f"{self.prefix_dir}/epoch={epoch}"
         )
-        batch.write.mode("overwrite").parquet(f"{self.docs_dir}/epoch={epoch}")
         batch_pref.unpersist()
         return self.spark.read.parquet(f"{self.verdicts_dir}/epoch={epoch}")
 

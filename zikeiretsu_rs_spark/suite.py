@@ -1143,8 +1143,8 @@ def q_dedup_minhash_verified(spark, sf_dir):
     cand = dedup.minhash_lsh_candidates(
         docs, "doc_id", "text", n=3, k=64, bands=32
     )
-    return dedup.exact_jaccard_for_pairs(docs, cand, "doc_id", "text", n=3).where(
-        F.col("jaccard") >= 0.5
+    return dedup.exact_jaccard_for_pairs(
+        docs, cand, "doc_id", "text", n=3, threshold=0.5
     )
 
 
@@ -1164,8 +1164,8 @@ def q_dedup_clusters_scaled(spark, sf_dir):
         docs, "doc_id", "text", n=3, k=64, bands=32
     )
     pairs = dedup.exact_jaccard_for_pairs(
-        docs, cand, "doc_id", "text", n=3
-    ).where(F.col("jaccard") >= 0.5)
+        docs, cand, "doc_id", "text", n=3, threshold=0.5
+    )
     return dedup.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
@@ -2122,8 +2122,8 @@ def q_leakage_safe_split(spark, sf_dir):
         docs, "doc_id", "text", n=3, k=64, bands=32
     )
     pairs = dedup.exact_jaccard_for_pairs(
-        docs, cand, "doc_id", "text", n=3
-    ).where(F.col("jaccard") >= 0.5)
+        docs, cand, "doc_id", "text", n=3, threshold=0.5
+    )
     return sampling.leakage_safe_split(
         docs.select("doc_id"), "doc_id", pairs
     ).select("doc_id", "cluster_id", "split")
@@ -2317,8 +2317,8 @@ def q_source_overlap_matrix(spark, sf_dir):
         docs, "doc_id", "text", n=3, k=64, bands=32
     )
     pairs = dedup.exact_jaccard_for_pairs(
-        docs, cand, "doc_id", "text", n=3
-    ).where(F.col("jaccard") >= 0.5)
+        docs, cand, "doc_id", "text", n=3, threshold=0.5
+    )
     return curation.source_overlap_matrix(docs, pairs, "doc_id", "source")
 
 
