@@ -45,6 +45,21 @@ class TestFsioPrimitives:
         with open(tmp_path / "sub2" / "m.json") as f:
             assert json.load(f) == doc
 
+    def test_list_dir_names(self, tmp_path):
+        """Epoch discovery for the streaming indexes must be URI-safe
+        (ADVICE r06: os.listdir on an object-store store_dir silently
+        returned no history)."""
+        assert fsio.list_dir_names(str(tmp_path / "none"), "epoch=") == []
+        assert fsio.list_dir_names(f"file://{tmp_path}/none", "epoch=") == []
+        for e in (2, 0, 1):
+            (tmp_path / "d" / f"epoch={e}").mkdir(parents=True)
+        # noise: a FILE with the prefix and a dir without it
+        (tmp_path / "d" / "epoch=9").write_text("")  # file, not dir
+        (tmp_path / "d" / "other").mkdir()
+        want = ["epoch=0", "epoch=1", "epoch=2"]
+        assert fsio.list_dir_names(str(tmp_path / "d"), "epoch=") == want
+        assert fsio.list_dir_names(f"file://{tmp_path}/d", "epoch=") == want
+
     def test_list_json_names(self, tmp_path):
         assert fsio.list_json_names(str(tmp_path / "none")) == []
         assert fsio.list_json_names(f"file://{tmp_path}/none") == []

@@ -63,6 +63,15 @@ class TestDedup:
         sh = dedup.word_shingles(df, "doc_id", "text", n=3).collect()
         assert sorted(r["shingle"] for r in sh) == ["a b c", "b c d"]
 
+    def test_simhash_incomplete_banding_raises_valueerror(self, docs):
+        """max_hamming >= bands breaks the pigeonhole completeness
+        guarantee; must be a ValueError (asserts vanish under
+        `python -O` — ADVICE r06)."""
+        with pytest.raises(ValueError, match="pigeonhole"):
+            dedup.simhash_pairs(
+                docs, "doc_id", "text", max_hamming=4, bands=4
+            )
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")

@@ -548,6 +548,40 @@ class TestPrefixFilterJaccard:
         # C(20,2)=190 candidate pairs for the all-shingle join.
         assert cand == 0
 
+    def test_fp_integral_threshold_boundary_not_pruned(self, spark):
+        """ADVICE r06 medium: at thresholds where t·|size| is integral
+        but the double product rounds UP (0.07 × 100 =
+        7.000000000000001), the old ceil-based size prune and prefix
+        cut both dropped a boundary pair whose raw Jaccard passes the
+        scorer's `>= t` — a silent false-keep. The division
+        formulation shares the scorer's rounding, so the J = 7/100
+        pair must survive at t = 0.07."""
+        small = " ".join(f"w{j}" for j in range(7))
+        big = small + " " + " ".join(f"u{j}" for j in range(93))
+        df = self._corpus(spark, [(1, big), (2, small)])
+        # n=1 shingles = distinct words: |A|=100, |B|=7, B ⊆ A,
+        # J = 7/100 = exactly the threshold
+        exact = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=1, threshold=0.07
+        ).collect()))
+        pf = sorted(map(tuple, dedup.prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", n=1, threshold=0.07
+        ).collect()))
+        assert exact == pf
+        assert [(a, b) for a, b, _ in pf] == [(1, 2)]
+        # the incremental path shares the pruned join — the new doc
+        # must be DROPPED as a dup of the corpus doc at the boundary
+        inc = dedup.incremental_dedup(
+            spark.createDataFrame(
+                [(1, big, False), (2, small, True)],
+                ["doc_id", "text", "is_new"],
+            ),
+            "doc_id", "text", "is_new", n=1, threshold=0.07,
+        ).collect()
+        assert [(r.doc_id, r.is_kept, r.dup_of) for r in inc] == [
+            (2, False, 1)
+        ]
+
     def test_string_and_hashed_prefixes_agree(self, spark):
         rows = [
             (1, "shared text body one two three four five six"),

@@ -169,6 +169,31 @@ class TestIncrementalDedupBridge:
             for r in idx.verdicts().collect()
         } == truth_all
 
+    def test_uncommitted_epoch_verdicts_invisible(self, spark, tmp_path):
+        """ADVICE r06: a crash between the verdicts write and the
+        prefix commit marker must not leave the uncommitted epoch's
+        verdicts visible. Write order is now docs -> prefixes ->
+        verdicts AND verdicts() intersects with committed prefix
+        epochs — simulate the legacy crash artifact (verdicts dir
+        without its prefix dir) and assert it is filtered out."""
+        from zikeiretsu_rs_spark.streaming.neardup import IncrementalDedupIndex
+
+        idx = IncrementalDedupIndex(spark, str(tmp_path / "incv"), threshold=0.5)
+        idx.build(spark.createDataFrame(CORPUS, ["doc_id", "text"]))
+        committed = {
+            tuple(r)
+            for r in idx.add_batch(
+                spark.createDataFrame(INC_B1, ["doc_id", "text"]), epoch=1
+            ).collect()
+        }
+        # orphan verdicts for an epoch whose prefix marker never landed
+        spark.createDataFrame(
+            [(999, False, 1)], "doc_id long, is_kept boolean, dup_of long"
+        ).write.parquet(f"{idx.verdicts_dir}/epoch=7")
+        visible = {tuple(r) for r in idx.verdicts().collect()}
+        assert visible == committed
+        assert not any(r[0] == 999 for r in visible)
+
     def test_replayed_epoch_is_idempotent(self, spark, tmp_path):
         from zikeiretsu_rs_spark.streaming.neardup import IncrementalDedupIndex
 

