@@ -599,6 +599,29 @@ class TestPrefixFilterJaccard:
 
 
 class TestProductQuantization:
+    def test_ivfpq_join_row_identical_to_collect_path(self, spark):
+        """`ivfpq_topk_join` (queries stay a DataFrame; probe rows
+        meet PQ codes via one cell equi-join; per-query ADC LUTs are
+        built inside the Arrow scoring pass) must be ROW-IDENTICAL to
+        `ivfpq_topk` under the same codebook/centroids — same float64
+        gather-sums, same probe/tie orders, different distribution
+        strategy (VERDICT r06 item 2)."""
+        import random
+
+        rng = random.Random(11)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(300)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(6)
+        queries = emb.where("vec_id < 20")
+        book = similarity.pq_codebook(emb, m=8, ksub=16)
+        cents = similarity.sample_centroids(emb, 16, "vec_id", "embedding")
+        a = sorted(map(tuple, similarity.ivfpq_topk(
+            emb, queries, book, k=10, n_cells=16, nprobe=4, centroids=cents
+        ).collect()))
+        b = sorted(map(tuple, similarity.ivfpq_topk_join(
+            emb, queries, book, k=10, n_cells=16, nprobe=4, centroids=cents
+        ).collect()))
+        assert a == b and len(a) > 0
+
     def test_exact_when_codebook_covers_corpus(self, spark):
         """With ksub >= corpus size the hash-sampled codebook contains
         every corpus subvector, so reconstruction is exact and the ADC

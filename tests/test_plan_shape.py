@@ -506,3 +506,49 @@ class TestRound6PlanShapes:
         assert sorted(map(tuple, lake.collect())) == sorted(
             map(tuple, mem.collect())
         )
+
+
+class TestRound7PlanShapes:
+    def test_ivfpq_join_never_materializes_queries(self, spark):
+        """VERDICT r06 item 2: the corpus-scale-queries IVFPQ variant
+        must keep the query set distributed — NO DataFrame
+        materialization of any kind while the plan is constructed.
+        Pinned by making every driver-side materialization primitive
+        raise during construction; the plan must still build, carry
+        the probe-side join on `cell`, and keep the scoring in an
+        Arrow pass (no row-at-a-time Python)."""
+        from pyspark.sql import DataFrame
+
+        from zikeiretsu_rs_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = emb.where(suite.F.col("vec_id") < 10)
+        book = similarity.pq_codebook(emb, m=16, ksub=16)
+        cents = similarity.sample_centroids(emb, 8, "vec_id", "embedding")
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "driver-side materialization during ivfpq_topk_join"
+            )
+
+        saved = {
+            n: getattr(DataFrame, n)
+            for n in ("collect", "toPandas", "first", "take", "head")
+        }
+        try:
+            for n in saved:
+                setattr(DataFrame, n, boom)
+            df = similarity.ivfpq_topk_join(
+                emb, queries, book, k=5, n_cells=8, nprobe=3,
+                centroids=cents,
+            )
+            plan = plan_of(spark, df)
+        finally:
+            for n, f in saved.items():
+                setattr(DataFrame, n, f)
+        # probe rows meet codes via a cell equi-join, scored in Arrow
+        assert "cell" in plan, plan[:4000]
+        assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 1, (
+            plan[:4000]
+        )
+        assert "CartesianProduct" not in plan, plan[:4000]

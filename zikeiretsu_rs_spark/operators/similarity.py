@@ -1185,6 +1185,191 @@ def ivfpq_topk(
     )
 
 
+def assign_probe_cells_arrow(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse probe assignment for a DISTRIBUTED query set: one row
+    per (query, probed cell), nprobe rows per query, carrying the
+    query vector for downstream ADC scoring. The Arrow twin of
+    `ivfpq_topk`'s driver-side probe selection — same raw-dot scores,
+    same stable-argsort tie order (ties to the LOWEST cell index) —
+    so the join-based search scores exactly the cells the collect
+    path scores.
+
+    Output: query_id, _qvec (array<double>), cell.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cmat = np.array(centroids, dtype=np.float64)  # (n_cells, dim)
+    np_ = min(int(nprobe), cmat.shape[0])
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType, True),
+            T.StructField("_qvec", T.ArrayType(T.DoubleType()), True),
+            T.StructField("cell", T.IntegerType(), True),
+        ]
+    )
+    src = with_double_vec(queries, vec_col).select(F.col(id_col), "_vec")
+
+    def batches(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.array(list(pdf["_vec"]), dtype=np.float64)
+            scores = vecs @ cmat.T  # (n, n_cells) raw dot
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :np_]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[id_col].to_numpy().repeat(np_),
+                    "_qvec": [v for v in pdf["_vec"] for _ in range(np_)],
+                    "cell": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return src.mapInPandas(batches, schema)
+
+
+def ivfpq_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    n_cells: int = 32,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """`ivfpq_topk` for CORPUS-SCALE query sets (VERDICT r06 item 2):
+    queries stay a DataFrame end to end — embedding-level
+    decontamination of one corpus against another, cross-corpus
+    near-neighbor audits, any shape where the "query batch" is itself
+    millions of rows and a driver-side collect would OOM the driver.
+
+    Plan shape: both sides are assigned cells by Arrow matmul (the
+    query side via `assign_probe_cells_arrow`, nprobe rows per
+    query), then a single `cell` equi-join lands each query's probe
+    rows next to the PQ codes in its probed cells — the
+    (nprobe / n_cells) scan fraction falls out of the join instead of
+    a driver-side probe filter. ADC scoring runs in one Arrow pass
+    over the join output: per record batch, one (m, ksub) LUT per
+    DISTINCT query in the batch (einsum), gather-sum over the m-byte
+    codes, and a batch-local top-k per query, so the global window
+    sees (batches x queries_in_batch x k) rows, never the joined
+    candidate volume. Skewed cells split under AQE because the join
+    is a plain shuffle equi-join — no unsplittable per-query state.
+
+    Scores are the same float64 gather-sums as the collect path, so
+    outputs are row-identical under the same codebook/centroids
+    (pinned by `ann_ivfpq_join_parity_check` and pytest). Only the
+    model artifacts (codebook, centroids) enter the plan as
+    literals; NOTHING query-side is collected (plan-pinned:
+    tests/test_plan_shape.py monkeypatches DataFrame.collect to raise
+    while this plan is constructed).
+
+    Output: query_id, neighbor_id, adc_cosine (round 6), rank.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = sample_centroids(corpus, n_cells, id_col, vec_col)
+    pmat = np.array(codebook, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = pmat.shape
+    p_sq = (pmat * pmat).sum(axis=2)
+
+    cells = assign_cells_arrow(
+        corpus, centroids, id_col, vec_col, metric="dot"
+    ).select(F.col(id_col), "cell")
+    codes = pq_encode(corpus, codebook, id_col, vec_col)
+    coded = codes.join(cells, id_col)
+
+    probes = assign_probe_cells_arrow(
+        queries, centroids, nprobe, id_col, vec_col
+    )
+    joined = probes.join(coded, "cell").where(
+        F.col("query_id") != F.col(id_col)
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType, True),
+            T.StructField(
+                "neighbor_id", corpus.schema[id_col].dataType, True
+            ),
+            T.StructField("adc_cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def batches(it):
+        import heapq
+
+        ar = np.arange(m)
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            cd = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            rnorm = np.sqrt(p_sq[ar[None, :], cd].sum(axis=1))
+            nids = pdf[id_col].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            # one LUT per DISTINCT query in the batch — the join key
+            # is `cell`, so batches arrive cell-clustered and each
+            # query contributes a contiguous candidate run
+            for qid, idx in pdf.groupby("query_id", sort=False).indices.items():
+                qvec = np.array(pdf["_qvec"].iloc[idx[0]], dtype=np.float64)
+                qn = np.sqrt((qvec * qvec).sum())
+                lut = np.einsum(
+                    "qmd,mkd->qmk", qvec.reshape(1, m, dsub), pmat
+                )[0]
+                num = lut[ar[None, :], cd[idx]].sum(axis=1)
+                denom = qn * rnorm[idx]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, num / denom, 0.0)
+                top = heapq.nsmallest(
+                    min(k, len(idx)),
+                    range(len(idx)),
+                    key=lambda i: (-cos[i], nids[idx[i]]),
+                )
+                for i in top:
+                    out_q.append(qid)
+                    out_n.append(nids[idx[i]])
+                    out_s.append(cos[i])
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "adc_cosine": out_s,
+                }
+            )
+
+    scored = joined.mapInPandas(batches, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_cosine", 6).alias("adc_cosine"),
+            "rank",
+        )
+    )
+
+
 def pq_topk_refined(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1354,6 +1354,40 @@ def q_ann_ivfpq_recall_check(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_join_parity_check(spark, sf_dir):
+    """The corpus-scale-queries IVFPQ path (`ivfpq_topk_join` —
+    queries stay a DataFrame, probes land via one `cell` equi-join,
+    ADC LUTs are built per distinct query inside the Arrow scoring
+    pass) must be ROW-IDENTICAL to the bounded collect path under the
+    same codebook/centroids: same float64 gather-sums, same tie
+    orders, different distribution strategy. Checked both directions
+    with anti-joins over all four output columns."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    book = similarity.pq_codebook(emb, m=16, ksub=64)
+    cents = similarity.sample_centroids(emb, 32, "vec_id", "embedding")
+    a = similarity.ivfpq_topk(
+        emb, queries, book, k=10, n_cells=32, nprobe=16, centroids=cents
+    )
+    b = similarity.ivfpq_topk_join(
+        emb, queries, book, k=10, n_cells=32, nprobe=16, centroids=cents
+    )
+    cols = ["query_id", "neighbor_id", "adc_cosine", "rank"]
+    miss_ab = a.join(b, cols, "left_anti").agg(
+        F.count("*").alias("_only_collect")
+    )
+    miss_ba = b.join(a, cols, "left_anti").agg(
+        F.count("*").alias("_only_join")
+    )
+    stats = a.agg(F.countDistinct("query_id").alias("n_queries"))
+    return stats.crossJoin(miss_ab).crossJoin(miss_ba).select(
+        "n_queries",
+        (
+            (F.col("_only_collect") == 0) & (F.col("_only_join") == 0)
+        ).alias("join_parity_ok"),
+    )
+
+
 def q_ann_pq_refined_recall_check(spark, sf_dir):
     """The production two-stage shape: ADC proposes k*4 candidates
     from the m-byte codes, exact re-scoring reads floats for ONLY
@@ -3493,6 +3527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,
     "chunk_containment": q_chunk_containment,
     "semantic_dedup_kmeans_check": q_semantic_dedup_kmeans,
+    "ann_ivfpq_join_parity_check": q_ann_ivfpq_join_parity_check,
 }
 
 # ---------------------------------------------------------------------------
@@ -3518,6 +3553,7 @@ VERIFICATION_QUERIES = {
     "ann_ivf_recall_check",
     "ann_pq_recall_check",
     "ann_ivfpq_recall_check",
+    "ann_ivfpq_join_parity_check",
     "ann_pq_refined_recall_check",
     "ann_ivf_partitioned_recall_check",
     "embedding_neardup_lsh_check",
@@ -5557,6 +5593,11 @@ FROM embeddings WHERE vec_id < 10
     sqls["ann_pq_recall_check"] = sqls["ann_lsh_recall_check"]
     sqls["ann_ivfpq_recall_check"] = sqls["ann_lsh_recall_check"]
     sqls["ann_pq_refined_recall_check"] = sqls["ann_lsh_recall_check"]
+    sqls["ann_ivfpq_join_parity_check"] = """
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       TRUE AS join_parity_ok
+FROM embeddings WHERE vec_id < 10
+"""
     sqls["embedding_neardup_lsh_check"] = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 scored AS (
