@@ -220,6 +220,71 @@ class TestUrls:
         ("not a url", None),
     ]
 
+    PSL_CASES = [
+        # (url, expected PSL registrable domain)
+        ("http://shop.example.co.uk/x", "example.co.uk"),
+        ("http://other.example.co.uk/y", "example.co.uk"),  # same group
+        ("https://www.EXAMPLE.COM:443/a", "example.com"),
+        ("http://news.media.com.au/", "media.com.au"),
+        ("http://proj.github.io/p", "proj.github.io"),  # private suffix
+        # depth beyond suffix+1 still registers at suffix+1
+        ("http://deep.sub.proj.github.io/p", "proj.github.io"),
+        ("http://a.b.ck/", "a.b.ck"),   # *.ck wildcard: b.ck is a suffix
+        ("http://b.ck/", None),          # host IS a public suffix
+        ("http://www.ck/", "www.ck"),    # !www.ck exception
+        ("http://co.uk/", None),         # suffix-only -> quarantine
+        ("http://localhost/x", None),    # single label, no extra
+        ("not a url", None),
+        ("http://x.org/a", "x.org"),     # implicit default rule
+        ("http://sub.x.org/a", "x.org"),
+    ]
+
+    def test_registrable_domain_psl(self, spark):
+        """PSL extraction (VERDICT r06 item 3): multi-label registry
+        rules, private-section suffixes, wildcard and exception
+        semantics, suffix-only quarantine — the classes the two-label
+        simplification mis-caps."""
+        from pyspark.sql import functions as F
+
+        from zikeiretsu_rs_spark.operators import urls
+
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _) in enumerate(self.PSL_CASES)],
+            "doc_id bigint, url string",
+        )
+        got = {
+            r["doc_id"]: r["d"]
+            for r in df.select(
+                "doc_id",
+                urls.registrable_domain_psl(F.col("url")).alias("d"),
+            ).collect()
+        }
+        for i, (raw, want) in enumerate(self.PSL_CASES):
+            assert got[i] == want, (raw, got[i], want)
+
+    def test_domain_cap_psl_separates_couk_registrables(self, spark):
+        """The mis-cap the PSL fixes: two .co.uk registrables must be
+        budgeted SEPARATELY (psl=True), while the two-label rule
+        merges them into one co.uk pseudo-domain and under-caps."""
+        from zikeiretsu_rs_spark.operators import urls
+
+        rows = [(i, f"http://site{i % 2}.co.uk/p") for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id bigint, url string")
+        kept_psl = [
+            r["doc_id"]
+            for r in urls.domain_cap(df, "doc_id", "url", cap=3).collect()
+            if r["is_kept"]
+        ]
+        kept_2lab = [
+            r["doc_id"]
+            for r in urls.domain_cap(
+                df, "doc_id", "url", cap=3, psl=False
+            ).collect()
+            if r["is_kept"]
+        ]
+        assert len(kept_psl) == 6  # 3 per registrable, two registrables
+        assert len(kept_2lab) == 3  # one merged 'co.uk' pseudo-domain
+
     def test_canonical_forms(self, spark):
         from zikeiretsu_rs_spark.operators import urls
 

@@ -121,12 +121,11 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
 def registrable_domain(url: Column) -> Column:
     """Simplified registrable domain (eTLD+1 stand-in) of a URL: the
     last two dot-labels of the lowercased host, default ports
-    stripped. A production deployment swaps in the Public Suffix List
-    (the two-label rule misgroups ccTLD registries like .co.uk — a
-    documented simplification, not an oversight); everything
-    downstream (`domain_cap`) only needs SOME deterministic grouping
-    key, so the PSL upgrade is a drop-in column swap. NULL for
-    malformed URLs, like `canonical_url`."""
+    stripped. Kept as the oracle-friendly regex form (pure RE2/Java
+    shared subset); `registrable_domain_psl` is the production
+    extractor — the two-label rule misgroups ccTLD registries like
+    .co.uk into one giant pseudo-domain. NULL for malformed URLs,
+    like `canonical_url`."""
     host = F.regexp_extract(url, URL_SPLIT_PATTERN, 2)
     host = F.regexp_replace(F.lower(host), DEFAULT_PORT_PATTERN, "")
     # last two labels: a.b.c.d -> c.d (regex stays in the RE2/Java
@@ -135,8 +134,27 @@ def registrable_domain(url: Column) -> Column:
     return F.when(dom != "", dom)
 
 
+def registrable_domain_psl(url: Column) -> Column:
+    """Public-Suffix-List registrable domain (eTLD+1) of a URL — the
+    production extractor (VERDICT r06 item 3): `shop.example.co.uk`
+    groups under `example.co.uk`, not `co.uk`; `proj.github.io`
+    stays its own domain (private-section suffix); wildcard and
+    exception rules (`*.ck` / `!www.ck`) follow the spec. The bundled
+    snapshot + matching algorithm live in `operators/psl.py`; the
+    lookup is a map LITERAL against candidate label tails, so the
+    whole extraction stays inside whole-stage codegen — no join, no
+    shuffle, no Python. NULL for malformed URLs and for hosts that
+    ARE a public suffix (quarantine lane, same contract as
+    `canonical_url`)."""
+    from . import psl
+
+    host = F.regexp_extract(url, URL_SPLIT_PATTERN, 2)
+    host = F.regexp_replace(F.lower(host), DEFAULT_PORT_PATTERN, "")
+    return psl.registrable_domain_from_host(host)
+
+
 def domain_cap(
-    df: DataFrame, id_col: str, url_col: str, cap: int
+    df: DataFrame, id_col: str, url_col: str, cap: int, psl: bool = True
 ) -> DataFrame:
     """FineWeb-style per-domain document budget: across the corpus,
     keep at most `cap` documents per registrable domain, chosen in
@@ -152,11 +170,17 @@ def domain_cap(
     Output: id, domain, domain_rank (1-based within domain),
     is_kept (rank <= cap). Malformed URLs (NULL domain) are emitted
     with rank 0 / is_kept false so the caller can quarantine them.
+
+    `psl=True` (default) groups by the Public-Suffix-List registrable
+    domain (`registrable_domain_psl`) — the correct budget key:
+    without it every `.co.uk` site shares ONE cap. `psl=False` keeps
+    the two-label simplification (r06 behavior).
     """
     from pyspark.sql import Window
 
+    extract = registrable_domain_psl if psl else registrable_domain
     with_dom = df.select(
-        F.col(id_col), registrable_domain(F.col(url_col)).alias("domain")
+        F.col(id_col), extract(F.col(url_col)).alias("domain")
     )
     ok = with_dom.where(F.col("domain").isNotNull())
     w = Window.partitionBy("domain").orderBy(F.col(id_col).asc())
@@ -177,15 +201,34 @@ def domain_cap(
 
 def synthesize_multihost_urls(df: DataFrame, id_col: str) -> DataFrame:
     """Multi-domain fixture twin of `synthesize_urls`: hosts cycle
-    through 13 registrable domains with subdomain/case/port variants
+    through 13 base domains with subdomain/case/port variants
     (id-derived, oracle-rederivable) so domain-level operators have
     real grouping work; id % 97 == 0 rows get a malformed URL (no
     scheme) to exercise the quarantine path.
 
+    Since r07 the cycle exercises the Public-Suffix-List classes the
+    two-label simplification mis-caps (VERDICT r06 item 3): two
+    DISTINCT `.co.uk` registrables (the two-label rule merges them
+    into one `co.uk` pseudo-domain and under-caps both), a `.com.au`
+    registrable, a private-section suffix (`proj.github.io`), a
+    wildcard registry (`*.ck`, where `b.ck` alone IS a public suffix
+    -> quarantine, but `www.b.ck` registers), and the list's
+    exception pair (`!www.ck` registers while `blog.ck`/`ck` are
+    suffix-only -> quarantine).
+
     Output: id, url.
     """
     i = F.col(id_col)
-    dom = F.concat(F.lit("site"), (i % 13).cast("string"), F.lit(".com"))
+    d = i % 13
+    dom = (
+        F.when(d == 7, F.lit("media.com.au"))
+        .when(d == 8, F.lit("proj.github.io"))
+        .when(d == 9, F.lit("corp.co.uk"))
+        .when(d == 10, F.lit("press.co.uk"))
+        .when(d == 11, F.lit("b.ck"))
+        .when(d == 12, F.lit("ck"))
+        .otherwise(F.concat(F.lit("site"), d.cast("string"), F.lit(".com")))
+    )
     sub = (
         F.when(i % 3 == 0, F.lit("www."))
         .when(i % 3 == 1, F.lit("blog."))

@@ -2074,10 +2074,18 @@ def q_url_dedup(spark, sf_dir):
 
 def q_domain_cap(spark, sf_dir):
     """FineWeb-style per-domain document budget: at most 25 docs per
-    registrable domain in ascending-id order, over a 13-domain
+    PSL registrable domain in ascending-id order, over a 13-domain
     synthetic URL fixture with subdomain/case/port variants and a
     malformed-URL quarantine lane (id-derived, oracle-rederivable).
-    One domain-keyed window — the cap_per_key shape at domain level."""
+    Since r07 the extraction is Public-Suffix-List correct
+    (`registrable_domain_psl`: bundled snapshot, map-literal lookup,
+    wildcard/exception semantics) and the fixture carries the classes
+    the two-label rule mis-caps: two distinct `.co.uk` registrables,
+    `.com.au`, a private-section suffix, `*.ck` wildcard hosts and
+    the `!www.ck` exception. The ORACLE derives every expected domain
+    independently from the id arithmetic — a stronger check than
+    re-running the same extraction in SQL. One domain-keyed window —
+    the cap_per_key shape at domain level."""
     docs = load(spark, sf_dir, "documents")
     return urls.domain_cap(
         urls.synthesize_multihost_urls(docs, "doc_id"),
@@ -4332,32 +4340,29 @@ SELECT tot.doc_id, n_spans,
 FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
 """
     sqls["domain_cap"] = r"""
-WITH u AS (
+WITH d AS (
+  -- the expected PSL registrable domain, derived INDEPENDENTLY from
+  -- the fixture's id arithmetic (Spark derives it from the URL text
+  -- via the bundled Public Suffix List): two distinct .co.uk
+  -- registrables, .com.au, a private-section suffix, *.ck wildcard
+  -- hosts (suffix-only -> NULL quarantine) and the !www.ck exception
   SELECT doc_id,
-    CASE WHEN doc_id % 97 = 0 THEN 'not a url' ELSE
-      'http://' ||
-      (CASE WHEN doc_id % 2 = 0
-            THEN upper((CASE WHEN doc_id % 3 = 0 THEN 'www.'
-                             WHEN doc_id % 3 = 1 THEN 'blog.'
-                             ELSE '' END)
-                       || 'site' || (doc_id % 13)::VARCHAR || '.com')
-            ELSE (CASE WHEN doc_id % 3 = 0 THEN 'www.'
-                       WHEN doc_id % 3 = 1 THEN 'blog.'
-                       ELSE '' END)
-                 || 'site' || (doc_id % 13)::VARCHAR || '.com' END) ||
-      (CASE WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END) ||
-      '/p/' || (doc_id % 31)::VARCHAR
-    END AS url
+    CASE
+      WHEN doc_id % 97 = 0 THEN NULL                     -- malformed URL
+      WHEN doc_id % 13 = 7 THEN 'media.com.au'
+      WHEN doc_id % 13 = 8 THEN 'proj.github.io'
+      WHEN doc_id % 13 = 9 THEN 'corp.co.uk'
+      WHEN doc_id % 13 = 10 THEN 'press.co.uk'
+      WHEN doc_id % 13 = 11 THEN
+        CASE WHEN doc_id % 3 = 0 THEN 'www.b.ck'
+             WHEN doc_id % 3 = 1 THEN 'blog.b.ck'
+             ELSE NULL END                               -- b.ck IS a suffix
+      WHEN doc_id % 13 = 12 THEN
+        CASE WHEN doc_id % 3 = 0 THEN 'www.ck'           -- !www.ck
+             ELSE NULL END                               -- blog.ck / ck
+      ELSE 'site' || (doc_id % 13)::VARCHAR || '.com'
+    END AS domain
   FROM documents),
-d AS (
-  SELECT doc_id,
-    NULLIF(regexp_extract(
-      regexp_replace(
-        lower(regexp_extract(url,
-          '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)', 2)),
-        ':(80|443)$', ''),
-      '([^.]+\.[^.]+)$', 1), '') AS domain
-  FROM u),
 ranked AS (
   SELECT doc_id, domain,
          row_number() OVER (PARTITION BY domain ORDER BY doc_id)
