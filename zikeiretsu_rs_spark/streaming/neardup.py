@@ -433,9 +433,20 @@ class IncrementalDedupIndex:
     def verdicts(self) -> DataFrame:
         # only epochs whose prefix commit marker exists: a crash mid-
         # epoch can leave a partial verdicts dir, which must not be
-        # visible as history (ADVICE r06)
-        committed = set(self._epochs(self.prefix_dir))
-        eps = [e for e in self._epochs(self.verdicts_dir) if e in committed]
+        # visible as history (ADVICE r06). Epochs BELOW the highest
+        # committed one are also visible — compaction absorbs old
+        # epochs into the highest, and a crash between its prefix and
+        # verdicts swaps must not hide already-committed verdicts.
+        committed = self._epochs(self.prefix_dir)
+        if not committed:
+            return self.spark.createDataFrame(
+                [], "doc_id long, is_kept boolean, dup_of long"
+            )
+        cs, mx = set(committed), committed[-1]
+        eps = [
+            e for e in self._epochs(self.verdicts_dir)
+            if e in cs or e < mx
+        ]
         if not eps:
             return self.spark.createDataFrame(
                 [], "doc_id long, is_kept boolean, dup_of long"
@@ -443,6 +454,122 @@ class IncrementalDedupIndex:
         return self.spark.read.parquet(
             *[f"{self.verdicts_dir}/epoch={e}" for e in eps]
         )
+
+    # -- epoch compaction (VERDICT r06 item 4) ---------------------------
+
+    _TABLE_SCHEMAS = {
+        "docs": "doc_id long, text string",
+        "prefix": "doc_id long, shingle long, _sz long",
+        "verdicts": "doc_id long, is_kept boolean, dup_of long",
+    }
+
+    def compact(self, target_file_bytes: int = 128 << 20) -> dict:
+        """Merge every committed epoch's prefix/docs/verdicts into the
+        HIGHEST committed epoch, bounding the store's directory and
+        file count across arbitrarily many crawls (without this, N
+        batches = N epoch dirs per table forever — the gap VERDICT
+        r06 flagged). Verdict-preserving by construction: the merge
+        only moves rows between epoch directories, deduplicating
+        exact row repeats, so the candidate join and the exact
+        re-score see the same sets before and after (pytest-pinned).
+
+        Crash-safe with the catalog.compact discipline: merged output
+        lands in an `_compact_` sibling, swaps in with two renames
+        (never a window with the table missing), and `_recover`
+        rolls leftovers forward/back. Tables swap docs -> prefix ->
+        verdicts, the same order add_batch writes them, so every
+        crash point leaves prefixes covered by docs and committed
+        verdicts visible (the `e < max(committed)` clause in
+        `verdicts()`). Re-running after any crash converges: the
+        merge reads whatever epoch dirs remain and `distinct()`
+        collapses rows a half-finished deletion left duplicated.
+
+        Maintenance operation: must not run concurrently with
+        add_batch (run it between micro-batches or in the stream's
+        maintenance window). Requires a local/file:// store_dir —
+        directory swaps are not atomic on object stores (same refusal
+        as catalog compaction). Returns {files_before, files_after,
+        epochs_before, epochs_after}."""
+        import os
+        import shutil
+
+        store = fsio.as_local(self.store_dir, "dedup-index compaction")
+
+        def files_in(base: str) -> int:
+            total = 0
+            for root, _dirs, names in os.walk(base):
+                total += sum(
+                    1 for f in names
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                )
+            return total
+
+        self._recover(store)
+        stats = {
+            "files_before": files_in(store),
+            "epochs_before": len(self._epochs(self.prefix_dir)),
+        }
+        eps = self._epochs(os.path.join(store, "prefix"))
+        if len(eps) >= 2:
+            target = eps[-1]
+            for sub, schema in self._TABLE_SCHEMAS.items():
+                base = os.path.join(store, sub)
+                sub_eps = [e for e in _epoch_dirs(base) if e <= target]
+                if not sub_eps:
+                    continue
+                dirs = [f"{base}/epoch={e}" for e in sub_eps]
+                total = 0
+                for d in dirs:
+                    for root, _ds, names in os.walk(d):
+                        total += sum(
+                            os.path.getsize(os.path.join(root, f))
+                            for f in names
+                        )
+                n_out = max(1, -(-total // target_file_bytes))
+                merged = (
+                    self.spark.read.schema(schema)
+                    .parquet(*dirs)
+                    .distinct()
+                    .coalesce(n_out)
+                )
+                tmp = os.path.join(base, f"_compact_epoch={target}")
+                merged.write.mode("overwrite").parquet(tmp)
+                live = os.path.join(base, f"epoch={target}")
+                old = os.path.join(base, f"_old_epoch={target}")
+                if os.path.isdir(live):
+                    os.replace(live, old)
+                os.replace(tmp, live)
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+                for e in sub_eps:
+                    if e != target:
+                        shutil.rmtree(f"{base}/epoch={e}")
+        stats["files_after"] = files_in(store)
+        stats["epochs_after"] = len(self._epochs(self.prefix_dir))
+        return stats
+
+    def _recover(self, store: str) -> None:
+        """Roll forward/back a crash mid-compaction (catalog.compact
+        discipline): an `_old_` dir with no live sibling is renamed
+        back; stale `_old_`/`_compact_` beside a live dir are
+        dropped."""
+        import os
+        import shutil
+
+        for sub in self._TABLE_SCHEMAS:
+            base = os.path.join(store, sub)
+            if not os.path.isdir(base):
+                continue
+            for name in sorted(os.listdir(base)):
+                path = os.path.join(base, name)
+                if name.startswith("_old_"):
+                    live = os.path.join(base, name[len("_old_"):])
+                    if os.path.isdir(live):
+                        shutil.rmtree(path)
+                    else:
+                        os.replace(path, live)
+                elif name.startswith("_compact_"):
+                    shutil.rmtree(path)
 
 
 def start_streaming_incremental_dedup(
