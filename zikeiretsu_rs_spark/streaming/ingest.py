@@ -68,6 +68,77 @@ def start_streaming_ingest(
     return writer.start()
 
 
+def start_streaming_crawl_pipeline(
+    stream_df: DataFrame,
+    store: WritableStore,
+    index,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_seconds: int | None = None,
+    rollups: list | None = None,
+) -> StreamingQuery:
+    """The composed crawl pipeline (VERDICT r06 item 7): each
+    micro-batch of documents-with-a-metrics-spine is (a) persisted as
+    one warehouse block, (b) rolled up, and (c) verdict'd + indexed by
+    the exact incremental-dedup rule — ONE stream, one checkpoint, so
+    a mid-stream failure replays both halves together.
+
+    Consistency under failure/replay:
+    - the dedup index (`streaming.neardup.IncrementalDedupIndex`) is
+      idempotent per epoch by construction (per-epoch overwrite +
+      strictly-earlier history), so replaying is always safe;
+    - the block persist is NOT naturally idempotent (persist appends a
+      block per call), so this pipeline keeps a per-epoch ledger
+      (`<db_dir>/ingest_epochs/<metrics>.json`, atomic JSON) and skips
+      the persist when the epoch is already recorded. The one
+      remaining at-least-once window is a crash BETWEEN the manifest
+      commit and the ledger write — bounded to one duplicate block,
+      operator-visible via the manifest (the reference's journaled-
+      drift philosophy: durability first, bounded anomalies visible);
+    - write order per epoch: persist -> ledger -> rollups (failures
+      journaled, never stall ingest) -> dedup verdicts, so the
+      idempotent stage runs last and replays converge.
+    """
+    from ..catalog import fsio
+
+    ledger = fsio.join(store.db_dir, "ingest_epochs", f"{store.metrics}.json")
+
+    def last_persisted() -> int:
+        if not fsio.exists(ledger):
+            return -1
+        return int(fsio.read_json(ledger).get("last_epoch", -1))
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id > last_persisted():
+            store.persist_dataframe(batch_df.select("ts", "f0"))
+            fsio.write_json_atomic(ledger, {"last_epoch": int(epoch_id)})
+        for r in rollups or []:
+            try:
+                r.refresh(batch_df.sparkSession)
+            except Exception as e:  # noqa: BLE001 — same contract as
+                # start_streaming_ingest: durable data, journaled drift
+                errorjournal.journal(
+                    store.db_dir,
+                    store.metrics,
+                    errorjournal.FAILED_TO_REFRESH_ROLLUP,
+                    detail=f"rollup {getattr(r, 'name', '?')}: {e!r}",
+                )
+        # idempotent stage last; foreachBatch epoch_ids start at 0,
+        # which the index reserves for the seed corpus
+        index.add_batch(
+            batch_df.select(id_col, text_col), id_col, text_col,
+            epoch=epoch_id + 1,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def streaming_time_bucket(
     stream_df: DataFrame,
     bucket: str = "5 minutes",
