@@ -32,6 +32,90 @@ def test_adhoc_query_and_error_paths(spark, tmp_ctx, capsys):
     assert "EmptyFilterCondition" in err
 
 
+class _ScriptedInput:
+    def __init__(self, lines):
+        self.lines = list(lines)
+        self.prompts = []
+
+    def __call__(self, prompt=""):
+        self.prompts.append(prompt)
+        if not self.lines:
+            raise EOFError
+        return self.lines.pop(0)
+
+
+class _RecordingEngine:
+    def __init__(self):
+        self.queries = []
+
+    def execute(self, q):
+        self.queries.append(q)
+        return "ok"
+
+
+class TestReplParity:
+    """REPL editing behaviors vs repl/mod.rs:28-67 + validator.rs:
+    multiline-until-';' (trailing blanks allowed), persistent history
+    (load at start, save on every exit path, one entry per submitted
+    statement, ignore-space), 'bye' on EOF. Driven by scripting
+    input(); the line EDITING itself is GNU readline's, which the
+    reference also delegates (to rustyline)."""
+
+    def _run(self, monkeypatch, lines, hist):
+        import builtins
+        import readline
+
+        readline.clear_history()
+        eng = _RecordingEngine()
+        feeder = _ScriptedInput(lines)
+        monkeypatch.setattr(builtins, "input", feeder)
+        rc = cli.repl(eng, history_file=str(hist))
+        return rc, eng, feeder
+
+    def test_multiline_until_semicolon_and_bye(
+        self, monkeypatch, tmp_path, capsys
+    ):
+        rc, eng, feeder = self._run(
+            monkeypatch,
+            ["select price", "from trades", "where ts >= '2024-01-01';  ",
+             "select 1;"],
+            tmp_path / "h",
+        )
+        assert rc == 0
+        # two statements: the 3-line one (trailing blanks after ';'
+        # accepted — the validator's [ \t]* rule) and the 1-liner
+        assert eng.queries == [
+            "select price\nfrom trades\nwhere ts >= '2024-01-01';  ",
+            "select 1;",
+        ]
+        # continuation prompt while the statement is open
+        assert feeder.prompts[:4] == [">> ", "... ", "... ", ">> "]
+        assert capsys.readouterr().out.rstrip().endswith("bye")
+
+    def test_history_saved_one_entry_per_statement(
+        self, monkeypatch, tmp_path
+    ):
+        hist = tmp_path / "h"
+        self._run(
+            monkeypatch,
+            ["select a", "from m;", "  select secret;", "select 2;", "exit"],
+            hist,
+        )
+        entries = hist.read_text().splitlines()
+        # multiline flattened to ONE entry; leading-space statement
+        # ignored (history_ignore_space)
+        assert entries == ["select a from m;", "select 2;"]
+
+    def test_history_loaded_on_start(self, monkeypatch, tmp_path):
+        import readline
+
+        hist = tmp_path / "h"
+        hist.write_text("select old;\n")
+        self._run(monkeypatch, ["select new;", "exit"], hist)
+        assert hist.read_text().splitlines() == ["select old;", "select new;"]
+        readline.clear_history()
+
+
 def test_config_file_context(tmp_path):
     cfg = tmp_path / "ctx.toml"
     cfg.write_text(

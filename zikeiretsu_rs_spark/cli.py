@@ -21,6 +21,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from .catalog.context import DBContext
@@ -52,20 +53,86 @@ def run_query(engine: Engine, query: str) -> int:
     return 0
 
 
-def repl(engine: Engine) -> int:
-    """Multiline REPL: statements accumulate until a ';' (repl/mod.rs
-    validator behavior); 'exit'/'quit'/EOF leaves."""
+def default_history_path() -> str:
+    """`~/.local/share/zikeiretsu_rs_spark/query_history` — the same
+    XDG layout as the reference's default_history_path
+    (repl/mod.rs:100-104), created on demand like
+    create_history_dir_if_not_exists (repl/mod.rs:86-97)."""
+    d = os.path.join(
+        os.path.expanduser("~"), ".local", "share", "zikeiretsu_rs_spark"
+    )
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "query_history")
+
+
+def repl(engine: Engine, history_file: str | None = None) -> int:
+    """Multiline REPL with reference-parity editing behaviors
+    (repl/mod.rs:28-67 + repl/validator.rs):
+
+    - statements accumulate until a line ends with ';' (optionally
+      followed by spaces/tabs — the validator's
+      `.*[ \\t]*;[ \\t]*$` rule);
+    - persistent history: loaded at start, saved on exit (EOF,
+      Ctrl-C, 'exit'/'quit'), ONE entry per submitted statement (the
+      per-line fragments GNU readline auto-records are collapsed);
+      multiline statements are flattened to one line in history — a
+      documented divergence from rustyline, which can store embedded
+      newlines (README);
+    - `history_ignore_space`: a statement whose first line starts
+      with whitespace is not recorded;
+    - Emacs editing with Ctrl-P/Ctrl-N history navigation comes from
+      GNU readline's defaults (the reference binds these explicitly
+      on rustyline);
+    - EOF/interrupt prints 'bye' and exits 0, like the reference.
+    """
+    try:
+        import readline
+    except ImportError:  # non-GNU platforms: plain input(), no history
+        readline = None
+    hist = history_file or default_history_path()
+    if readline is not None:
+        try:
+            readline.read_history_file(hist)
+        except OSError:
+            pass
+
+    def save_history() -> None:
+        if readline is not None:
+            try:
+                readline.write_history_file(hist)
+            except OSError:
+                pass
+
+    def record_statement(first_raw_line: str, query: str, h0: int) -> None:
+        """Collapse the auto-added per-line history entries into one
+        per-statement entry (rustyline's unit of history), honoring
+        history_ignore_space on the statement's first line."""
+        if readline is None:
+            return
+        while readline.get_current_history_length() > h0:
+            readline.remove_history_item(
+                readline.get_current_history_length() - 1
+            )
+        if not first_raw_line[:1].isspace():
+            readline.add_history(
+                " ".join(ln.strip() for ln in query.splitlines())
+            )
+
     print("zikeiretsu_rs_spark repl — end statements with ';', 'exit' to quit")
     buf: list[str] = []
+    h0 = readline.get_current_history_length() if readline else 0
     while True:
         try:
             prompt = "... " if buf else ">> "
             line = input(prompt)
-        except EOFError:
-            print()
+        except (EOFError, KeyboardInterrupt):
+            save_history()
+            print("\nbye")
             return 0
         stripped = line.strip()
         if not buf and stripped.lower() in ("exit", "quit"):
+            save_history()
+            print("bye")
             return 0
         if not stripped:
             continue
@@ -73,6 +140,8 @@ def repl(engine: Engine) -> int:
         if stripped.endswith(";"):
             query = "\n".join(buf)
             buf = []
+            record_statement(query.splitlines()[0], query, h0)
+            h0 = readline.get_current_history_length() if readline else 0
             run_query(engine, query)
 
 
