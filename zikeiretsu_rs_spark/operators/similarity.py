@@ -1466,6 +1466,72 @@ def pq_codebook_residual(
     ]
 
 
+def pq_codebook_residual_kmeans(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """LEARNED residual PQ codebook — the quality path for the IVFADC
+    formulation (VERDICT r06 item 5): residuals
+    (x - coarse_centroid[cell(x)]) are computed DISTRIBUTED in one
+    Arrow pass, then each subspace trains a pyspark.ml KMeans over
+    the full residual corpus (the `pq_codebook_kmeans` discipline,
+    but on displacements instead of absolute positions). Compared to
+    the hash-sample seeding of `pq_codebook_residual`, Lloyd
+    iterations place the ksub centroids where the residual mass
+    actually is — the measured recall lift the bench `ann` section
+    records. Deterministic for a fixed seed; only the (m, ksub, dsub)
+    float artifact is collected."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import types as T
+
+    cmat = np.array(centroids, dtype=np.float64)
+    schema = T.StructType(
+        [T.StructField("_res", T.ArrayType(T.DoubleType()), True)]
+    )
+    src = with_double_vec(corpus, vec_col).select("_vec")
+
+    def residuals(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(list(pdf["_vec"]), dtype=np.float64)
+            cells = np.argmax(vecs @ cmat.T, axis=1)  # raw-dot parity
+            yield pd.DataFrame({"_res": list(vecs - cmat[cells])})
+
+    res = src.mapInPandas(residuals, schema)
+    dim = cmat.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    dsub = dim // m
+    # m Lloyd fits over one cached residual table (each fit slices a
+    # different subspace of the same rows)
+    res = res.cache()
+    try:
+        book = []
+        for j in range(m):
+            feats = res.select(
+                array_to_vector(
+                    F.slice(F.col("_res"), j * dsub + 1, dsub)
+                ).alias("features")
+            )
+            model = KMeans(k=ksub, maxIter=max_iter, seed=seed).fit(feats)
+            book.append(
+                [[float(x) for x in c] for c in model.clusterCenters()]
+            )
+    finally:
+        res.unpersist()
+    return book
+
+
 def ivfpq_residual_topk(
     corpus: DataFrame,
     queries: DataFrame,
