@@ -163,9 +163,14 @@ def domain_cap(
     instead). The anti-dominance primitive at the DOMAIN level: one
     syndication farm must not flood its slice of the training mix.
 
-    Scale shape: one domain-keyed window (row_number) — the same
-    `cap_per_key` shape as the per-user event cap; no global order,
-    hot domains cost O(their rows) with output bounded at cap.
+    Scale shape: ONE domain-keyed window (row_number) over a single
+    evaluation of the source — the same `cap_per_key` shape as the
+    per-user event cap; no global order, hot domains cost O(their
+    rows) with output bounded at cap. Malformed rows ride the same
+    window pass under a SALTED null-replacement key (so the
+    quarantine lane can't pile every malformed URL onto one reducer)
+    and get their rank overwritten with the constant 0 — r07's
+    separate union branch re-evaluated the scan + PSL joins twice.
 
     Output: id, domain, domain_rank (1-based within domain),
     is_kept (rank <= cap). Malformed URLs (NULL domain) are emitted
@@ -178,25 +183,36 @@ def domain_cap(
     """
     from pyspark.sql import Window
 
-    extract = registrable_domain_psl if psl else registrable_domain
-    with_dom = df.select(
-        F.col(id_col), extract(F.col(url_col)).alias("domain")
+    if psl:
+        from . import psl as psl_mod
+
+        host = F.regexp_extract(F.col(url_col), URL_SPLIT_PATTERN, 2)
+        host = F.regexp_replace(F.lower(host), DEFAULT_PORT_PATTERN, "")
+        with_dom = psl_mod.attach_registrable_domain(
+            df.select(F.col(id_col), F.col(url_col)), host, "domain"
+        ).select(F.col(id_col), "domain")
+    else:
+        with_dom = df.select(
+            F.col(id_col),
+            registrable_domain(F.col(url_col)).alias("domain"),
+        )
+    # Hostnames can't contain NUL, so the salted quarantine keys can't
+    # collide with a real domain; their ranks are discarded below.
+    null_salt = F.concat(
+        F.lit("\x00"), F.pmod(F.xxhash64(F.col(id_col)), F.lit(1024)).cast("string")
     )
-    ok = with_dom.where(F.col("domain").isNotNull())
-    w = Window.partitionBy("domain").orderBy(F.col(id_col).asc())
-    ranked = ok.withColumn("domain_rank", F.row_number().over(w)).select(
+    pkey = F.coalesce(F.col("domain"), null_salt)
+    w = Window.partitionBy(pkey).orderBy(F.col(id_col).asc())
+    rn = F.row_number().over(w)
+    return with_dom.select(
         F.col(id_col),
         "domain",
-        F.col("domain_rank").cast("long").alias("domain_rank"),
-        (F.col("domain_rank") <= cap).alias("is_kept"),
+        F.when(F.col("domain").isNull(), F.lit(0))
+        .otherwise(rn)
+        .cast("long")
+        .alias("domain_rank"),
+        (F.col("domain").isNotNull() & (rn <= cap)).alias("is_kept"),
     )
-    bad = with_dom.where(F.col("domain").isNull()).select(
-        F.col(id_col),
-        "domain",
-        F.lit(0).cast("long").alias("domain_rank"),
-        F.lit(False).alias("is_kept"),
-    )
-    return ranked.unionByName(bad)
 
 
 def synthesize_multihost_urls(df: DataFrame, id_col: str) -> DataFrame:
