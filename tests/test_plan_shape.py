@@ -581,3 +581,52 @@ class TestRound8PlanShapes:
         # single-pass: the documents scan appears once (r07's union
         # branch evaluated the scan + extraction twice)
         assert n_scans == 1, n_scans
+
+    def test_pq_and_ivfadc_joins_never_materialize_queries(self, spark):
+        """VERDICT r07 item 5: the corpus-scale-queries twins for the
+        flat ADC scan (`pq_topk_join`, hash-block replication) and
+        IVFADC (`ivfadc_topk_join`, residual cell equi-join) carry
+        the same no-driver-materialization contract as
+        `ivfpq_topk_join`: every driver-side materialization
+        primitive raises while the plans are constructed, and the
+        built plans join + score in Arrow with no cartesian."""
+        from pyspark.sql import DataFrame
+
+        from zikeiretsu_rs_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = emb.where(suite.F.col("vec_id") < 10)
+        book = similarity.pq_codebook(emb, m=16, ksub=16)
+        cents = similarity.sample_centroids(emb, 8, "vec_id", "embedding")
+        rbook = similarity.pq_codebook_residual(emb, cents, m=16, ksub=16)
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "driver-side materialization during join-twin build"
+            )
+
+        saved = {
+            n: getattr(DataFrame, n)
+            for n in ("collect", "toPandas", "first", "take", "head")
+        }
+        try:
+            for n in saved:
+                setattr(DataFrame, n, boom)
+            pq_df = similarity.pq_topk_join(emb, queries, book, k=5)
+            pq_plan = plan_of(spark, pq_df)
+            adc_df = similarity.ivfadc_topk_join(
+                emb, queries, rbook, k=5, n_cells=8, nprobe=3,
+                centroids=cents,
+            )
+            adc_plan = plan_of(spark, adc_df)
+        finally:
+            for n, f in saved.items():
+                setattr(DataFrame, n, f)
+        assert "_blk" in pq_plan, pq_plan[:4000]
+        assert "cell" in adc_plan, adc_plan[:4000]
+        for plan in (pq_plan, adc_plan):
+            assert (
+                plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+                >= 1
+            ), plan[:4000]
+            assert "CartesianProduct" not in plan, plan[:4000]

@@ -1532,6 +1532,60 @@ def pq_codebook_residual_kmeans(
     return book
 
 
+def residual_encode(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC corpus encoding in one Arrow pass: coarse cell by raw
+    dot, then PQ codes of the residual (x - centroid[cell]) per
+    subspace via the -2·dot + |c|² argmin (the |r|² term is constant
+    per row). Shared by the collect-path and join-path searches so
+    their candidate codes are bit-identical.
+
+    Output: id_col, cell (int), codes (array<int>, length m).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cmat = np.array(centroids, dtype=np.float64)
+    pmat = np.array(codebook, dtype=np.float64)
+    m, ksub, dsub = pmat.shape
+    p_sq = (pmat * pmat).sum(axis=2)
+    src = with_double_vec(corpus, vec_col).select(F.col(id_col), "_vec")
+    schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType, True),
+            T.StructField("cell", T.IntegerType(), True),
+            T.StructField("codes", T.ArrayType(T.IntegerType()), True),
+        ]
+    )
+
+    def encode(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.array(list(pdf["_vec"]), dtype=np.float64)
+            cells = np.argmax(vecs @ cmat.T, axis=1)
+            res = (vecs - cmat[cells]).reshape(n, m, dsub)
+            dots = np.einsum("nmd,mkd->nmk", res, pmat)
+            codes = np.argmin(p_sq[None, :, :] - 2.0 * dots, axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cells.astype(np.int32),
+                    "codes": list(codes.astype(np.int32)),
+                }
+            )
+
+    return src.mapInPandas(encode, schema)
+
+
 def ivfpq_residual_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1578,35 +1632,9 @@ def ivfpq_residual_topk(
     cent_sub = cmat.reshape(n_cells, m, dsub)
     cross = np.einsum("cmd,mkd->cmk", cent_sub, pmat)
 
-    # corpus side: cell + residual codes (one Arrow pass)
-    src = with_double_vec(corpus, vec_col).select(F.col(id_col), "_vec")
-    schema = T.StructType(
-        [
-            T.StructField(id_col, corpus.schema[id_col].dataType, True),
-            T.StructField("cell", T.IntegerType(), True),
-            T.StructField("codes", T.ArrayType(T.IntegerType()), True),
-        ]
-    )
-
-    def encode(it):
-        for pdf in it:
-            n = len(pdf)
-            if n == 0:
-                continue
-            vecs = np.array(list(pdf["_vec"]), dtype=np.float64)
-            cells = np.argmax(vecs @ cmat.T, axis=1)
-            res = (vecs - cmat[cells]).reshape(n, m, dsub)
-            dots = np.einsum("nmd,mkd->nmk", res, pmat)
-            codes = np.argmin(p_sq[None, :, :] - 2.0 * dots, axis=2)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "cell": cells.astype(np.int32),
-                    "codes": list(codes.astype(np.int32)),
-                }
-            )
-
-    coded = src.mapInPandas(encode, schema)
+    # corpus side: cell + residual codes (one Arrow pass, shared with
+    # the join twin)
+    coded = residual_encode(corpus, centroids, codebook, id_col, vec_col)
 
     qrows = (
         with_double_vec(queries, vec_col)
@@ -1683,6 +1711,263 @@ def ivfpq_residual_topk(
             )
 
     scored = coded.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_cosine", 6).alias("adc_cosine"),
+            "rank",
+        )
+    )
+
+
+def pq_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 32,
+) -> DataFrame:
+    """`pq_topk` for CORPUS-SCALE query sets (VERDICT r07 item 5):
+    queries stay a DataFrame end to end. A flat ADC scan has no
+    coarse quantizer to join on — every query must score every code —
+    so the distributed shape is BLOCK REPLICATION: the coded corpus
+    is salted into `n_blocks` hash blocks, each query row is
+    replicated once per block (an `explode(sequence(...))`, shuffle
+    volume n_queries x n_blocks — bounded and tiny next to the
+    corpus), and one `_blk` equi-join lands each query against each
+    block's codes exactly once. ADC scoring then runs in the same
+    Arrow pass as `ivfpq_topk_join`: per record batch, one (m, ksub)
+    LUT per DISTINCT query, gather-sum over the m-byte codes, batch-
+    local top-k, global window merge. Candidate volume is inherently
+    n_queries x n_corpus (that is what a flat PQ scan IS); blocking
+    only distributes it — each join task scores n_corpus/n_blocks
+    codes, AQE-splittable.
+
+    Scores are the same float64 gather-sums as `pq_topk`, so outputs
+    are row-identical under the same codebook (pinned by
+    `ann_pq_join_parity_check` and the no-materialization plan pin).
+
+    Output: query_id, neighbor_id, adc_cosine (round 6), rank.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    pmat = np.array(codebook, dtype=np.float64)
+    m, ksub, dsub = pmat.shape
+    p_sq = (pmat * pmat).sum(axis=2)
+
+    codes = pq_encode(corpus, codebook, id_col, vec_col).withColumn(
+        "_blk",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int"),
+    )
+    probes = (
+        with_double_vec(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), F.col("_vec").alias("_qvec"))
+        .withColumn(
+            "_blk",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1))
+            ),
+        )
+        .withColumn("_blk", F.col("_blk").cast("int"))
+    )
+    joined = probes.join(codes, "_blk").where(
+        F.col("query_id") != F.col(id_col)
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType, True),
+            T.StructField(
+                "neighbor_id", corpus.schema[id_col].dataType, True
+            ),
+            T.StructField("adc_cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def batches(it):
+        import heapq
+
+        ar = np.arange(m)
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            cd = np.array(list(pdf["codes"]), dtype=np.int64)
+            rnorm = np.sqrt(p_sq[ar[None, :], cd].sum(axis=1))
+            nids = pdf[id_col].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qid, idx in pdf.groupby(
+                "query_id", sort=False
+            ).indices.items():
+                qvec = np.array(pdf["_qvec"].iloc[idx[0]], dtype=np.float64)
+                qn = np.sqrt((qvec * qvec).sum())
+                lut = np.einsum(
+                    "qmd,mkd->qmk", qvec.reshape(1, m, dsub), pmat
+                )[0]
+                num = lut[ar[None, :], cd[idx]].sum(axis=1)
+                denom = qn * rnorm[idx]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, num / denom, 0.0)
+                top = heapq.nsmallest(
+                    min(k, len(idx)),
+                    range(len(idx)),
+                    key=lambda i: (-cos[i], nids[idx[i]]),
+                )
+                for i in top:
+                    out_q.append(qid)
+                    out_n.append(nids[idx[i]])
+                    out_s.append(cos[i])
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "adc_cosine": out_s,
+                }
+            )
+
+    scored = joined.mapInPandas(batches, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_cosine", 6).alias("adc_cosine"),
+            "rank",
+        )
+    )
+
+
+def ivfadc_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    n_cells: int = 32,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """`ivfpq_residual_topk` (IVFADC) for CORPUS-SCALE query sets
+    (VERDICT r07 item 5) — the residual-encoding sibling of
+    `ivfpq_topk_join`: queries stay a DataFrame, probe cells are
+    assigned in an Arrow pass (`assign_probe_cells_arrow`, same raw-
+    dot scores and stable tie order as the collect path), and ONE
+    `cell` equi-join lands each query's probe rows next to the
+    residual codes in its probed cells. Scoring inside the Arrow pass
+    reconstructs q·x̂ and |x̂|² from the same per-cell tables the
+    collect path uses — q·centroid[cell] + Σ LUT_q[code] over
+    |centroid|² + 2·Σ cross_cell[code] + Σ|c_code|² — with cross/
+    cent_sq/p_sq entering as broadcast model artifacts and LUT_q
+    built per DISTINCT query per batch. Corpus codes come from the
+    shared `residual_encode`, so both paths score bit-identical
+    candidates (pinned by `ann_ivfadc_join_parity_check` and the
+    no-materialization plan pin).
+
+    Output: query_id, neighbor_id, adc_cosine (round 6), rank.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = sample_centroids(corpus, n_cells, id_col, vec_col)
+    cmat = np.array(centroids, dtype=np.float64)
+    pmat = np.array(codebook, dtype=np.float64)
+    m, ksub, dsub = pmat.shape
+    p_sq = (pmat * pmat).sum(axis=2)
+    cent_sq = (cmat * cmat).sum(axis=1)
+    cross = np.einsum(
+        "cmd,mkd->cmk", cmat.reshape(cmat.shape[0], m, dsub), pmat
+    )
+
+    coded = residual_encode(corpus, centroids, codebook, id_col, vec_col)
+    probes = assign_probe_cells_arrow(
+        queries, centroids, nprobe, id_col, vec_col
+    )
+    joined = probes.join(coded, "cell").where(
+        F.col("query_id") != F.col(id_col)
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType, True),
+            T.StructField(
+                "neighbor_id", corpus.schema[id_col].dataType, True
+            ),
+            T.StructField("adc_cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def batches(it):
+        import heapq
+
+        ar = np.arange(m)
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            cd = np.array(list(pdf["codes"]), dtype=np.int64)
+            cells_b = pdf["cell"].to_numpy()
+            nids = pdf[id_col].to_numpy()
+            res_sq = p_sq[ar[None, :], cd].sum(axis=1)
+            cross_term = cross[cells_b[:, None], ar[None, :], cd].sum(axis=1)
+            recon_sq = cent_sq[cells_b] + 2.0 * cross_term + res_sq
+            rnorm = np.sqrt(np.maximum(recon_sq, 0.0))
+            out_q, out_n, out_s = [], [], []
+            for qid, idx in pdf.groupby(
+                "query_id", sort=False
+            ).indices.items():
+                qvec = np.array(pdf["_qvec"].iloc[idx[0]], dtype=np.float64)
+                qn = np.sqrt((qvec * qvec).sum())
+                # same (1, n_cells) matmul shape as the collect path's
+                # q_dot_cent row, so the floats agree
+                qdc = (qvec.reshape(1, -1) @ cmat.T)[0]
+                lut = np.einsum(
+                    "qmd,mkd->qmk", qvec.reshape(1, m, dsub), pmat
+                )[0]
+                num = qdc[cells_b[idx]] + lut[ar[None, :], cd[idx]].sum(
+                    axis=1
+                )
+                denom = qn * rnorm[idx]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, num / denom, 0.0)
+                top = heapq.nsmallest(
+                    min(k, len(idx)),
+                    range(len(idx)),
+                    key=lambda i: (-cos[i], nids[idx[i]]),
+                )
+                for i in top:
+                    out_q.append(qid)
+                    out_n.append(nids[idx[i]])
+                    out_s.append(cos[i])
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "adc_cosine": out_s,
+                }
+            )
+
+    scored = joined.mapInPandas(batches, schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_cosine"), F.asc("neighbor_id")
     )

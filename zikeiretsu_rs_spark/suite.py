@@ -1388,6 +1388,60 @@ def q_ann_ivfpq_join_parity_check(spark, sf_dir):
     )
 
 
+def _join_parity(a, b):
+    """Both-direction anti-join over all four output columns — the
+    shared body of the three collect-vs-join parity gates."""
+    cols = ["query_id", "neighbor_id", "adc_cosine", "rank"]
+    miss_ab = a.join(b, cols, "left_anti").agg(
+        F.count("*").alias("_only_collect")
+    )
+    miss_ba = b.join(a, cols, "left_anti").agg(
+        F.count("*").alias("_only_join")
+    )
+    stats = a.agg(F.countDistinct("query_id").alias("n_queries"))
+    return stats.crossJoin(miss_ab).crossJoin(miss_ba).select(
+        "n_queries",
+        (
+            (F.col("_only_collect") == 0) & (F.col("_only_join") == 0)
+        ).alias("join_parity_ok"),
+    )
+
+
+def q_ann_pq_join_parity_check(spark, sf_dir):
+    """The corpus-scale-queries FLAT ADC path (`pq_topk_join` —
+    queries stay a DataFrame, the coded corpus is hash-blocked and
+    each query replicated once per block, one `_blk` equi-join) must
+    be ROW-IDENTICAL to the bounded collect path (`pq_topk`) under
+    the same codebook: same float64 gather-sums, same tie orders,
+    different distribution strategy (VERDICT r07 item 5)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    book = similarity.pq_codebook(emb, m=16, ksub=64)
+    a = similarity.pq_topk(emb, queries, book, k=10)
+    b = similarity.pq_topk_join(emb, queries, book, k=10)
+    return _join_parity(a, b)
+
+
+def q_ann_ivfadc_join_parity_check(spark, sf_dir):
+    """The corpus-scale-queries IVFADC path (`ivfadc_topk_join` —
+    residual codes from the shared encoder, probe cells assigned in
+    Arrow, one `cell` equi-join, per-distinct-query LUT + per-cell
+    reconstruction tables) must be ROW-IDENTICAL to the bounded
+    collect path (`ivfpq_residual_topk`) under the same codebook and
+    centroids (VERDICT r07 item 5)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    cents = similarity.sample_centroids(emb, 32, "vec_id", "embedding")
+    book = similarity.pq_codebook_residual(emb, cents, m=16, ksub=64)
+    a = similarity.ivfpq_residual_topk(
+        emb, queries, book, k=10, n_cells=32, nprobe=16, centroids=cents
+    )
+    b = similarity.ivfadc_topk_join(
+        emb, queries, book, k=10, n_cells=32, nprobe=16, centroids=cents
+    )
+    return _join_parity(a, b)
+
+
 def q_ann_pq_refined_recall_check(spark, sf_dir):
     """The production two-stage shape: ADC proposes k*4 candidates
     from the m-byte codes, exact re-scoring reads floats for ONLY
@@ -3412,9 +3466,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rate_per_user": q_rate_per_user,
     "semantic_dedup_kmeans_check": q_semantic_dedup_kmeans,
     "seq_pack_256": q_seq_pack_256,
+    # -- (d) new this round (new queries always get a head slot, per
+    # the round-3 discipline; the two displaced r04 fills
+    # (sessionize_30m, sketch_distinct_check) lead the r09 head)
+    "ann_pq_join_parity_check": q_ann_pq_join_parity_check,
+    "ann_ivfadc_join_parity_check": q_ann_ivfadc_join_parity_check,
+    # -- tail: freshest rows last ----------------------------------------
     "sessionize_30m": q_sessionize_30m,
     "sketch_distinct_check": q_sketch_distinct_check,
-    # -- tail: freshest rows last ----------------------------------------
     "source_mix_weights": q_source_mix_weights,
     "source_quality_rollup": q_source_quality_rollup,
     "stratified_sample": q_stratified_sample,
@@ -3550,6 +3609,8 @@ VERIFICATION_QUERIES = {
     "ann_pq_recall_check",
     "ann_ivfpq_recall_check",
     "ann_ivfpq_join_parity_check",
+    "ann_pq_join_parity_check",
+    "ann_ivfadc_join_parity_check",
     "ann_pq_refined_recall_check",
     "ann_ivf_partitioned_recall_check",
     "embedding_neardup_lsh_check",
@@ -5591,6 +5652,10 @@ SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
        TRUE AS join_parity_ok
 FROM embeddings WHERE vec_id < 10
 """
+    sqls["ann_pq_join_parity_check"] = sqls["ann_ivfpq_join_parity_check"]
+    sqls["ann_ivfadc_join_parity_check"] = sqls[
+        "ann_ivfpq_join_parity_check"
+    ]
     sqls["embedding_neardup_lsh_check"] = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 scored AS (
