@@ -611,14 +611,26 @@ def main() -> None:
     # not in any committed artifact). Persist the FULL payload to a
     # file as well; the round's copy is committed as BENCH_r{N}_full.json
     # so round-over-round comparison works from the repo alone.
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_FULL",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_full_latest.json"),
-    )
-    with open(out_path, "w") as fh:
-        json.dump(payload, fh, indent=1)
-        fh.write("\n")
+    #
+    # SF-stamping guard (VERDICT r07 item 7): a mid-round sf0.01 run
+    # once overwrote BENCH_full_latest.json and masqueraded as the
+    # sf0.1 record. The default file name now carries the SF it was
+    # measured at, and "latest" is refreshed ONLY when the caller set
+    # SPARK_GRAFT_SF_DIR explicitly (tools/record_round.py does) —
+    # an env-less smoke run can no longer restamp the round record.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    explicit = os.environ.get("SPARK_GRAFT_BENCH_FULL")
+    out_paths = [
+        explicit
+        if explicit
+        else os.path.join(repo, f"BENCH_full_sf{sf}.json")
+    ]
+    if not explicit and "SPARK_GRAFT_SF_DIR" in os.environ:
+        out_paths.append(os.path.join(repo, "BENCH_full_latest.json"))
+    for out_path in out_paths:
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
     print(json.dumps(payload))
 
 

@@ -106,6 +106,44 @@ class TestReplParity:
         # ignored (history_ignore_space)
         assert entries == ["select a from m;", "select 2;"]
 
+    def test_fragments_and_exit_line_not_persisted(
+        self, monkeypatch, tmp_path
+    ):
+        """ADVICE r07: on exit with an unfinished multiline buffer,
+        the per-line fragments GNU readline auto-recorded since the
+        last submitted statement — and the 'exit' line itself — must
+        be trimmed before save_history, leaving only collapsed
+        per-statement entries. Simulated with a tty-like input that
+        add_history()s every non-blank line, as GNU readline does."""
+        import builtins
+        import readline
+
+        def run_tty(lines, hist):
+            readline.clear_history()
+            eng = _RecordingEngine()
+            feeder = _ScriptedInput(lines)
+
+            def tty_input(prompt=""):
+                line = feeder(prompt)
+                if line.strip():
+                    readline.add_history(line)
+                return line
+
+            monkeypatch.setattr(builtins, "input", tty_input)
+            rc = cli.repl(eng, history_file=str(hist))
+            assert rc == 0
+            return hist.read_text().splitlines()
+
+        # EOF with a half-typed statement: fragments dropped
+        h1 = tmp_path / "h_eof"
+        assert run_tty(
+            ["select a;", "select partial", "still open"], h1
+        ) == ["select a;"]
+        # 'exit' typed: the exit line itself is not history
+        h2 = tmp_path / "h_exit"
+        assert run_tty(["select b;", "exit"], h2) == ["select b;"]
+        readline.clear_history()
+
     def test_history_loaded_on_start(self, monkeypatch, tmp_path):
         import readline
 

@@ -189,3 +189,58 @@ class TestCrawlPipelineE2E:
             F.sum(F.col("sum_value").cast("decimal(18,2)")).alias("s"),
         ).collect()[0]
         assert (rolled["n"], rolled["s"]) == (raw["n"], raw["s"])
+
+
+class TestMultiFieldSpine:
+    def test_pipeline_persists_every_declared_field(
+        self, spark, tmp_ctx, tmp_path
+    ):
+        """ADVICE r07: the block persist used to hardcode
+        select('ts', 'f0'), silently dropping f1..fn for stores
+        declared with more field types. The spine projection must
+        follow store.field_types."""
+        engine = Engine(spark, tmp_ctx)
+        store = engine.writable_store(
+            "crawl2", [FieldType.FLOAT64, FieldType.BOOL]
+        )
+        idx = IncrementalDedupIndex(
+            spark, str(tmp_path / "dedup_index2"), threshold=0.5
+        )
+        idx.build(spark.createDataFrame(CORPUS, ["doc_id", "text"]))
+
+        base = nanos(2024, 3, 2)
+        schema = "doc_id long, text string, ts long, f0 double, f1 boolean"
+        rows = [
+            (i, t, base + i * NANOS_PER_SEC, float(len(t)), i % 2 == 0)
+            for i, t in BATCH1
+        ]
+        src = tmp_path / "src2"
+        src.mkdir()
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        stage = tmp_path / "_stage_mf"
+        df.write.mode("overwrite").parquet(str(stage))
+        for f in stage.glob("part-*.parquet"):
+            sh.copy(f, src / "b1.parquet")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_streaming_crawl_pipeline(
+            stream, store, idx, str(tmp_path / "ckpt2")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out = engine.execute_to_df(
+            "with format_datetime = false select * from crawl2 "
+            "where ts >= '2024-03-02'",
+            now_nanos=base,
+        )
+        got = {
+            (r["f0"], r["f1"]) for r in out.collect()
+        }
+        assert got == {(float(len(t)), i % 2 == 0) for i, t in BATCH1}

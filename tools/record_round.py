@@ -70,8 +70,11 @@ def main() -> int:
                stdout=subprocess.DEVNULL).returncode:
             print("FAIL: bench")
             return 1
+        # copy from the SF-stamped record (bench.py writes it always;
+        # "latest" only on explicit SPARK_GRAFT_SF_DIR) so the round
+        # artifact provably came from an sf0.1 run
         shutil.copy(
-            os.path.join(REPO, "BENCH_full_latest.json"),
+            os.path.join(REPO, "BENCH_full_sf0.1.json"),
             os.path.join(REPO, f"BENCH_r{n:02d}_full.json"),
         )
         print(f"PASS: BENCH_r{n:02d}_full.json")

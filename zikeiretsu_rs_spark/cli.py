@@ -97,11 +97,22 @@ def repl(engine: Engine, history_file: str | None = None) -> int:
             pass
 
     def save_history() -> None:
-        if readline is not None:
-            try:
-                readline.write_history_file(hist)
-            except OSError:
-                pass
+        """Persist ONLY collapsed per-statement entries: anything
+        readline auto-recorded above the h0 watermark — unfinished
+        multiline fragments at EOF/Ctrl-C, or the 'exit'/'quit' line
+        itself — is trimmed first (ADVICE r07: those fragments
+        contradicted the one-entry-per-submitted-statement
+        contract)."""
+        if readline is None:
+            return
+        while readline.get_current_history_length() > h0:
+            readline.remove_history_item(
+                readline.get_current_history_length() - 1
+            )
+        try:
+            readline.write_history_file(hist)
+        except OSError:
+            pass
 
     def record_statement(first_raw_line: str, query: str, h0: int) -> None:
         """Collapse the auto-added per-line history entries into one

@@ -109,9 +109,15 @@ def start_streaming_crawl_pipeline(
             return -1
         return int(fsio.read_json(ledger).get("last_epoch", -1))
 
+    # spine projection derived from the store's registered field
+    # types, not hardcoded to (ts, f0): a store declared with more
+    # fields would otherwise silently drop f1..fn from the persisted
+    # blocks (ADVICE r07)
+    spine_cols = ["ts"] + [f"f{i}" for i in range(len(store.field_types))]
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id > last_persisted():
-            store.persist_dataframe(batch_df.select("ts", "f0"))
+            store.persist_dataframe(batch_df.select(*spine_cols))
             fsio.write_json_atomic(ledger, {"last_epoch": int(epoch_id)})
         for r in rollups or []:
             try:
