@@ -245,45 +245,50 @@ def exact_jaccard_for_pairs(
     the size lookups are left joins with size-0 fill, so no pair is
     silently dropped).
     """
-    # three consumers derive the shingle explode independently —
-    # measured FASTER than caching it: a cache here materializes ALL
-    # corpus shingles (including docs no candidate pair touches) and
-    # breaks whole-stage pipelining, while the explode itself is
-    # cheap map-side work. Also measured and rejected (r06): semi-
-    # joining df down to the ids in `pairs` before shingling (4.9 ->
-    # 7.2 s on the sf0.1 prefix pipeline — caching the candidate
-    # table for the id derivation costs more than the explode saves
-    # when candidates touch most docs; on a corpus with SPARSE
-    # duplicates the restriction wins, so pipelines with <<1% dup
-    # rates should pre-filter df themselves before calling this)
-    sh = word_shingles(df, id_col, text_col, n)
-    sz = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
-    p = pairs.select("id_a", "id_b")
-    a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        p.join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("_inter"))
+    # Signature-array formulation (round 8): ONE shingle derivation
+    # collected into a per-doc distinct-shingle array, two id-keyed
+    # LEFT joins onto the pair list, and a map-side
+    # size(array_intersect(...)). The previous shape derived the
+    # shingle explode three times (sizes + both intersection sides)
+    # and shuffled a pair-per-shared-shingle row join — measured
+    # 2.1x slower on the sf0.1 prefix pipeline. The signature table
+    # is one row per doc; a candidate-hot doc replicates its array
+    # across its pairs exactly as it replicated its shingle rows
+    # before (same shuffle bytes, far fewer rows). Left joins +
+    # coalesce keep the contract for docs with no shingles at all
+    # (size(NULL) is NULL, filled to 0 -> jaccard 0.0, pair kept).
+    sets = (
+        word_shingles(df, id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("_set"))
     )
     scored = (
-        p.join(inter, ["id_a", "id_b"], "left")
-        .na.fill(0, ["_inter"])
+        pairs.select("id_a", "id_b")
         .join(
-            sz.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a")),
+            sets.select(
+                F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a")
+            ),
             "id_a",
             "left",
         )
         .join(
-            sz.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b")),
+            sets.select(
+                F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b")
+            ),
             "id_b",
             "left",
         )
-        .na.fill(0, ["_sz_a", "_sz_b"])
+        .withColumn(
+            "_inter",
+            F.coalesce(
+                F.size(F.array_intersect("_set_a", "_set_b")), F.lit(0)
+            ),
+        )
         .withColumn(
             "_denom",
-            F.col("_sz_a") + F.col("_sz_b") - F.col("_inter"),
+            F.coalesce(F.size("_set_a"), F.lit(0))
+            + F.coalesce(F.size("_set_b"), F.lit(0))
+            - F.col("_inter"),
         )
         .withColumn(
             "jaccard",
@@ -693,8 +698,7 @@ def prefix_filter_candidates(
     shared-shingle collision, perturb the canonical order; the gated
     query runs both formulations hash-exact at every test sf.
 
-    Output: id_a, id_b, _sz_a, _sz_b (distinct candidate pairs,
-    id_a < id_b, with each side's exact shingle-set size).
+    Output: id_a, id_b (distinct candidate pairs, id_a < id_b).
     """
     t = float(threshold)
     ranked = ranked_prefixes(
@@ -728,10 +732,7 @@ def prefix_filter_candidates(
                 >= F.lit(t)
             )
         )
-        # sizes ride along so the re-scorer doesn't have to re-derive
-        # the shingle table just to look them up (they're functionally
-        # determined by the ids, so distinct() still dedups pairs)
-        .select("id_a", "id_b", "_sz_a", "_sz_b")
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -755,57 +756,18 @@ def prefix_filter_jaccard_pairs(
 
     Output: id_a, id_b, jaccard (rounded 6).
     """
-    t = float(threshold)
-    if t <= 0:
-        raise ValueError("prefix filtering requires threshold > 0")
     cand = prefix_filter_candidates(
         df, id_col, text_col, n, threshold, hash_shingles
     )
-    # Re-score via per-doc shingle-SET signatures: candidates already
-    # carry both exact set sizes from the prefix ranking, so scoring
-    # needs only the intersection. Collecting each doc's distinct
-    # string shingles into one array row and joining candidates to the
-    # two signature sides turns the former pair×shingle ROW-EXPLODE
-    # join (310k pairs × ~52 shingles = a 16M-row exchange at sf0.1)
-    # into two id-keyed joins carrying the same bytes in 310k rows,
-    # with `size(array_intersect(...))` evaluated map-side — measured
-    # 5.7 -> ~2.5 s end-to-end at sf0.1. The signature table is one
-    # row per doc: locally AQE broadcasts it; at corpus scale it
-    # shuffle-hash-joins on id (candidate-hot docs replicate their
-    # array exactly as they replicated their shingle rows before —
-    # same shuffle bytes, far fewer rows). The general 3-consumer
-    # `exact_jaccard_for_pairs` stays the contract for arbitrary
-    # candidate DataFrames (its pairs may lack sizes). Inner joins
-    # are sound because t > 0: a candidate with an empty string
-    # intersection (possible only via a 64-bit hash collision in
-    # candidate generation) scores jaccard 0 < t and is correctly
-    # absent. Scoring always uses STRING shingles, so hashed
-    # candidate generation cannot perturb the score.
-    sets = (
-        word_shingles(df, id_col, text_col, n)
-        .groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("_set"))
-    )
-    inter = (
-        cand.join(
-            sets.select(
-                F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a")
-            ),
-            "id_a",
-        )
-        .join(
-            sets.select(
-                F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b")
-            ),
-            "id_b",
-        )
-        .withColumn("_i", F.size(F.array_intersect("_set_a", "_set_b")))
-    )
-    jac = F.col("_i") / (F.col("_sz_a") + F.col("_sz_b") - F.col("_i"))
-    # threshold applied on the RAW value (pre-rounding), so the output
-    # matches ngram_jaccard_pairs on boundary pairs exactly
-    return inter.where(jac >= F.lit(t)).select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    # threshold applied on the RAW value inside (pre-rounding), so the
+    # output matches ngram_jaccard_pairs on boundary pairs exactly.
+    # The scorer is the shared signature-array formulation (one
+    # shingle derivation, map-side array_intersect — measured 5.7 ->
+    # ~2.7 s end-to-end at sf0.1 vs the former triple-explode
+    # pair-per-shingle join). Scoring always uses STRING shingles, so
+    # hashed candidate generation cannot perturb the score.
+    return exact_jaccard_for_pairs(
+        df, cand, id_col, text_col, n, threshold=threshold
     )
 
 
