@@ -1467,3 +1467,33 @@ class TestResidualKmeansCodebook:
             exact, ["query_id", "neighbor_id"], "left_semi"
         ).count() / exact.count()
         assert recall >= 0.4, recall
+
+
+class TestScorerFormulationsAgree:
+    def test_dense_and_sparse_jaccard_scorers_identical(self, spark):
+        """The two exact_jaccard_for_pairs formulations (signature
+        arrays vs pair-per-shared-shingle row join) are a performance
+        choice keyed on candidate density — their outputs must be
+        row-identical, including no-shingle docs and unmatched
+        pairs."""
+        rows = [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "totally different words here now"),
+            (4, "xy"),  # shorter than n words: no shingles at all
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (3, 4)], ["id_a", "id_b"]
+        )
+        for thr in (None, 0.3):
+            a = sorted(map(tuple, dedup.exact_jaccard_for_pairs(
+                df, pairs, "doc_id", "text", n=3, threshold=thr,
+                dense=True,
+            ).collect()))
+            b = sorted(map(tuple, dedup.exact_jaccard_for_pairs(
+                df, pairs, "doc_id", "text", n=3, threshold=thr,
+                dense=False,
+            ).collect()))
+            assert a == b, (thr, a, b)
+            assert len(a) == (4 if thr is None else 1)
