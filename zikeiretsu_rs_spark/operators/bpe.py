@@ -49,8 +49,19 @@ def word_freqs(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def _initial_symbols(words: DataFrame) -> DataFrame:
-    """(word, freq, syms): characters plus the end-of-word marker."""
-    return words.select(
+    """(word, freq, syms): characters plus the end-of-word marker.
+
+    Coalesced to a bounded partition count: the vocab relation is the
+    DISTINCT-WORD table — bounded by natural-language vocabulary, not
+    corpus size — but it falls out of word_freqs' groupBy at the full
+    shuffle-partition width, and every merge round then pays that
+    width in task launches for the pair count, the merge pass, AND
+    the eager checkpoint (measured 11.1 -> 4.3 s for the 12-round
+    sf0.1 sequential learn, identical merges). defaultParallelism/8
+    keeps hundreds of partitions on a large cluster for
+    multi-million-word vocabs while collapsing local toy widths."""
+    target = max(2, words.sparkSession.sparkContext.defaultParallelism // 8)
+    return words.coalesce(target).select(
         "word",
         "freq",
         F.concat(
