@@ -251,3 +251,96 @@ class TestCdcChunks:
         rows = cdc_chunks(df, "doc_id", "text").collect()
         assert len(rows) == 3
         assert all(r["chunk_idx"] == 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# PSL registrable-domain: Spark expression vs an independent pure-
+# Python implementation of the publicsuffix.org algorithm, over
+# randomly composed hosts (round 8: the lookup was rewritten to a
+# folded str_to_map probe — this pins the SEMANTICS independent of
+# the expression form).
+# ---------------------------------------------------------------------------
+
+
+def _psl_reference(host, rules):
+    """Straight transcription of the spec's algorithm over the parsed
+    (suffix -> kind bitmask) map: longest matching rule prevails,
+    exceptions prevail at their own length, `*` consumes exactly one
+    label, default rule = rightmost label."""
+    if not host:
+        return None
+    labels = host.split(".")
+    n = len(labels)
+    best = None  # (ps_label_count, is_exception)
+    for j in range(1, n + 1):
+        tail = ".".join(labels[n - j:])
+        kind = rules.get(tail, 0)
+        if kind & 4:  # exception: prevails outright, ps = rule - 1
+            best = (j - 1, True)
+        elif best is not None and best[1]:
+            continue
+        elif kind & 1 and (best is None or j > best[0]):  # normal
+            best = (j, False)
+        if kind & 2 and j + 1 <= n:  # wildcard parent: matches j+1
+            if not (best is not None and best[1]) and (
+                best is None or j + 1 > best[0]
+            ):
+                best = (j + 1, False)
+    ps = best[0] if best is not None else 1
+    if n >= ps + 1:
+        return ".".join(labels[n - ps - 1:])
+    return None
+
+
+_PSL_LABELS = ["www", "a", "b", "example", "co", "uk", "ck", "github",
+               "io", "com", "gov", "amazonaws", "s3", "blogspot"]
+
+host_strategy = st.lists(
+    st.sampled_from(_PSL_LABELS), min_size=1, max_size=5
+).map(".".join)
+
+
+class TestPslProperties:
+    @settings(max_examples=20, deadline=None)
+    @given(hosts=st.lists(host_strategy, min_size=1, max_size=24))
+    def test_spark_matches_reference_algorithm(self, spark, hosts):
+        from pyspark.sql import functions as F
+
+        from zikeiretsu_rs_spark.operators import psl
+
+        rows = [(i, h) for i, h in enumerate(hosts)]
+        df = spark.createDataFrame(rows, "i bigint, host string")
+        got = {
+            r["i"]: r["d"]
+            for r in psl.attach_registrable_domain(
+                df, F.col("host"), "d"
+            ).collect()
+        }
+        for i, h in rows:
+            want = _psl_reference(h, psl._RULES)
+            assert got[i] == want, (h, got[i], want)
+
+    @settings(max_examples=20, deadline=None)
+    @given(hosts=st.lists(host_strategy, min_size=1, max_size=12))
+    def test_column_form_agrees_with_dataframe_form(self, spark, hosts):
+        from pyspark.sql import functions as F
+
+        from zikeiretsu_rs_spark.operators import psl
+
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(hosts)], "i bigint, host string"
+        )
+        a = {
+            r["i"]: r["d"]
+            for r in psl.attach_registrable_domain(
+                df, F.col("host"), "d"
+            ).collect()
+        }
+        b = {
+            r["i"]: r["d"]
+            for r in df.select(
+                "i",
+                psl.registrable_domain_from_host(F.col("host")).alias("d"),
+            ).collect()
+        }
+        assert a == b
