@@ -635,3 +635,42 @@ class TestRound8PlanShapes:
                 >= 1
             ), plan[:4000]
             assert "CartesianProduct" not in plan, plan[:4000]
+
+    def test_ivfpq_lake_probe_prunes_partitions(self, spark, tmp_path):
+        """Round 8: the lake-resident IVFPQ probe composes PQ
+        compression with the cell-partitioned layout — the code-table
+        scan must carry the probe-cell set as a PARTITION filter, the
+        on-disk rows must be (neighbor_id, codes) only (no float
+        vectors), the probe must read its model from the index's own
+        metadata, and the result must be row-identical to the
+        in-memory join path."""
+        from zikeiretsu_rs_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = emb.where(suite.F.col("vec_id") < 4)
+        cents = similarity.head_centroids(emb, 8, "vec_id", "embedding")
+        book = similarity.pq_codebook(emb, m=16, ksub=16)
+        path = str(tmp_path / "ivfpq")
+        similarity.ivfpq_write_index(emb, path, cents, book)
+
+        # compressed at rest: codes, not floats
+        stored = spark.read.parquet(path)
+        assert set(stored.columns) == {"neighbor_id", "codes", "cell"}
+
+        probe = similarity.ivfpq_probe_lake(
+            spark, path, queries, k=3, nprobe=2
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        pf = [
+            ln
+            for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "codes" in ln
+        ]
+        assert pf and "cell#" in pf[0], plan[:4000]
+
+        mem = similarity.ivfpq_topk_join(
+            emb, queries, book, k=3, n_cells=8, nprobe=2, centroids=cents
+        )
+        assert sorted(map(tuple, probe.collect())) == sorted(
+            map(tuple, mem.collect())
+        )

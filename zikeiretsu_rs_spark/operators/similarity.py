@@ -1277,17 +1277,8 @@ def ivfpq_topk_join(
 
     Output: query_id, neighbor_id, adc_cosine (round 6), rank.
     """
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import Window
-    from pyspark.sql import types as T
-
     if centroids is None:
         centroids = sample_centroids(corpus, n_cells, id_col, vec_col)
-    pmat = np.array(codebook, dtype=np.float64)  # (m, ksub, dsub)
-    m, ksub, dsub = pmat.shape
-    p_sq = (pmat * pmat).sum(axis=2)
 
     cells = assign_cells_arrow(
         corpus, centroids, id_col, vec_col, metric="dot"
@@ -1301,13 +1292,44 @@ def ivfpq_topk_join(
     joined = probes.join(coded, "cell").where(
         F.col("query_id") != F.col(id_col)
     )
+    return _adc_score_joined(
+        joined,
+        codebook,
+        k,
+        qid_type=queries.schema[id_col].dataType,
+        nid_type=corpus.schema[id_col].dataType,
+        nid_name=id_col,
+    )
 
+
+def _adc_score_joined(
+    joined: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int,
+    qid_type,
+    nid_type,
+    nid_name: str,
+) -> DataFrame:
+    """Shared ADC scoring tail of the join-based PQ searches: one
+    Arrow pass over (query_id, _qvec, codes, <nid_name>) joined rows —
+    one (m, ksub) LUT per DISTINCT query per record batch (the join
+    key clusters each query's candidates into contiguous runs),
+    gather-sum over the m-byte codes, batch-local top-k — then the
+    global per-query window merge. Same float64 gather-sums as the
+    collect paths (parity gates)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    pmat = np.array(codebook, dtype=np.float64)
+    m, ksub, dsub = pmat.shape
+    p_sq = (pmat * pmat).sum(axis=2)
     schema = T.StructType(
         [
-            T.StructField("query_id", queries.schema[id_col].dataType, True),
-            T.StructField(
-                "neighbor_id", corpus.schema[id_col].dataType, True
-            ),
+            T.StructField("query_id", qid_type, True),
+            T.StructField("neighbor_id", nid_type, True),
             T.StructField("adc_cosine", T.DoubleType(), True),
         ]
     )
@@ -1322,12 +1344,11 @@ def ivfpq_topk_join(
                 continue
             cd = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
             rnorm = np.sqrt(p_sq[ar[None, :], cd].sum(axis=1))
-            nids = pdf[id_col].to_numpy()
+            nids = pdf[nid_name].to_numpy()
             out_q, out_n, out_s = [], [], []
-            # one LUT per DISTINCT query in the batch — the join key
-            # is `cell`, so batches arrive cell-clustered and each
-            # query contributes a contiguous candidate run
-            for qid, idx in pdf.groupby("query_id", sort=False).indices.items():
+            for qid, idx in pdf.groupby(
+                "query_id", sort=False
+            ).indices.items():
                 qvec = np.array(pdf["_qvec"].iloc[idx[0]], dtype=np.float64)
                 qn = np.sqrt((qvec * qvec).sum())
                 lut = np.einsum(
@@ -2167,4 +2188,107 @@ def ivf_probe_lake(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivfpq_write_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVFPQ index on the lake: one Parquet partition
+    directory per coarse cell (`cell=<i>/`), rows carrying only
+    (neighbor_id, codes) — m bytes of PQ codes per vector instead of
+    the float column, the compression `pq_topk`'s ADC scan exists
+    for, COMPOSED with the partition pruning `ivf_write_index`
+    demonstrates. At 100 TB this is the deployment shape: the float
+    corpus stays where it is; the index is a ~dim*8/m-fold smaller
+    table whose probe scans touch nprobe/n_cells of the files.
+
+    The model artifacts (centroids + codebook) are persisted next to
+    the data (`index_meta.json`, atomic, URI-safe via catalog.fsio)
+    so probes are self-contained and a mismatched model cannot be
+    silently probed — `ivfpq_probe_lake` reads THIS file rather than
+    trusting the caller to re-supply identical floats.
+
+    Cell assignment and encoding reuse the exact Arrow passes of the
+    in-memory path (`assign_cells_arrow` raw-dot + `pq_encode`), so a
+    lake probe scores bit-identical candidates to `ivfpq_topk_join`
+    over the same corpus (pinned by `ann_ivfpq_lake_parity_check`).
+    """
+    from ..catalog import fsio
+
+    cells = assign_cells_arrow(
+        corpus, centroids, id_col, vec_col, metric="dot"
+    ).select(F.col(id_col).alias("neighbor_id"), "cell")
+    codes = pq_encode(corpus, codebook, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    (
+        codes.join(cells, "neighbor_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    fsio.write_json_atomic(
+        fsio.join(path, "index_meta.json"),
+        {"centroids": centroids, "codebook": codebook},
+    )
+
+
+def ivfpq_probe_lake(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a lake-resident IVFPQ index written by
+    `ivfpq_write_index`.
+
+    The probe-cell UNION across the query batch is applied as a
+    static `cell IN (...)` predicate on the partition column, so
+    Catalyst prunes the non-probed partition directories at
+    file-listing time (`PartitionFilters` in the physical plan;
+    asserted in tests/test_plan_shape.py). The driver-side collect is
+    bounded by |queries| * nprobe cell ids — the same sanction as
+    `ivf_probe_lake`; the query ROWS never materialize (the scoring
+    side is `assign_probe_cells_arrow` + the shared cell equi-join).
+
+    Model artifacts come from the index's own `index_meta.json`, so
+    the probe scores with exactly the centroids/codebook the index
+    was encoded under. Results are row-identical to
+    `ivfpq_topk_join` (and therefore `ivfpq_topk`) over the same
+    corpus and model (pinned by `ann_ivfpq_lake_parity_check`).
+
+    Output: query_id, neighbor_id, adc_cosine (round 6), rank.
+    """
+    from ..catalog import fsio
+
+    meta = fsio.read_json(fsio.join(path, "index_meta.json"))
+    centroids, codebook = meta["centroids"], meta["codebook"]
+
+    probes = assign_probe_cells_arrow(
+        queries, centroids, nprobe, id_col, vec_col
+    )
+    probe_cells = sorted(
+        int(r["cell"])
+        for r in probes.select("cell").distinct().collect()
+    )
+    lake = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    joined = probes.join(lake, "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    return _adc_score_joined(
+        joined,
+        codebook,
+        k,
+        qid_type=queries.schema[id_col].dataType,
+        nid_type=queries.schema[id_col].dataType,
+        nid_name="neighbor_id",
     )

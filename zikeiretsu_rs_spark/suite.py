@@ -3396,6 +3396,50 @@ def q_ann_ivf_partitioned_recall_check(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_lake_parity_check(spark, sf_dir):
+    """Lake-resident IVFPQ index invariant (round 8 — the PQ
+    compression composed with the partition-pruning layout): the
+    m-byte code table is WRITTEN partitioned by coarse cell with its
+    model artifacts persisted alongside (`ivfpq_write_index`), the
+    probe reads the model from the index's own metadata and applies a
+    static `cell IN` partition filter (plan-pinned in
+    tests/test_plan_shape.py), and the probe result must be
+    IDENTICAL, row for row and rank for rank, to the in-memory
+    `ivfpq_topk_join` under the same model — which the existing gate
+    already holds row-identical to the collect path, closing the
+    chain lake ≡ join ≡ collect."""
+    import os
+    import uuid
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    book = similarity.pq_codebook(emb, m=16, ksub=64)
+    cents = similarity.head_centroids(emb, 16, "vec_id", "embedding")
+    path = (
+        f"/tmp/zikeiretsu_ivfpq_lake_{os.getpid()}_{uuid.uuid4().hex[:12]}"
+    )
+    _reap_scratch_dirs(keep=path)
+    similarity.ivfpq_write_index(emb, path, cents, book)
+    lake = similarity.ivfpq_probe_lake(spark, path, queries, k=10, nprobe=6)
+    mem = similarity.ivfpq_topk_join(
+        emb, queries, book, k=10, n_cells=16, nprobe=6, centroids=cents
+    )
+    cols = ["query_id", "neighbor_id", "adc_cosine", "rank"]
+    miss_lm = lake.join(mem, cols, "left_anti").agg(
+        F.count("*").alias("_only_lake")
+    )
+    miss_ml = mem.join(lake, cols, "left_anti").agg(
+        F.count("*").alias("_only_mem")
+    )
+    stats = mem.agg(F.countDistinct("query_id").alias("n_queries"))
+    return stats.crossJoin(miss_lm).crossJoin(miss_ml).select(
+        "n_queries",
+        (
+            (F.col("_only_lake") == 0) & (F.col("_only_mem") == 0)
+        ).alias("lake_parity_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the catalog
 # ---------------------------------------------------------------------------
@@ -3465,13 +3509,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_weighted_sample": q_quality_weighted_sample,
     "rate_per_user": q_rate_per_user,
     "semantic_dedup_kmeans_check": q_semantic_dedup_kmeans,
-    "seq_pack_256": q_seq_pack_256,
     # -- (d) new this round (new queries always get a head slot, per
-    # the round-3 discipline; the two displaced r04 fills
-    # (sessionize_30m, sketch_distinct_check) lead the r09 head)
+    # the round-3 discipline; the three displaced r04 fills
+    # (seq_pack_256, sessionize_30m, sketch_distinct_check) lead the
+    # r09 head)
     "ann_pq_join_parity_check": q_ann_pq_join_parity_check,
     "ann_ivfadc_join_parity_check": q_ann_ivfadc_join_parity_check,
+    "ann_ivfpq_lake_parity_check": q_ann_ivfpq_lake_parity_check,
     # -- tail: freshest rows last ----------------------------------------
+    "seq_pack_256": q_seq_pack_256,
     "sessionize_30m": q_sessionize_30m,
     "sketch_distinct_check": q_sketch_distinct_check,
     "source_mix_weights": q_source_mix_weights,
@@ -3611,6 +3657,7 @@ VERIFICATION_QUERIES = {
     "ann_ivfpq_join_parity_check",
     "ann_pq_join_parity_check",
     "ann_ivfadc_join_parity_check",
+    "ann_ivfpq_lake_parity_check",
     "ann_pq_refined_recall_check",
     "ann_ivf_partitioned_recall_check",
     "embedding_neardup_lsh_check",
@@ -5653,6 +5700,11 @@ SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
 FROM embeddings WHERE vec_id < 10
 """
     sqls["ann_pq_join_parity_check"] = sqls["ann_ivfpq_join_parity_check"]
+    sqls["ann_ivfpq_lake_parity_check"] = """
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       TRUE AS lake_parity_ok
+FROM embeddings WHERE vec_id < 10
+"""
     sqls["ann_ivfadc_join_parity_check"] = sqls[
         "ann_ivfpq_join_parity_check"
     ]
