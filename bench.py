@@ -485,6 +485,27 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
             for c in probed_cells
         )
     )
+
+    # IVFPQ index at rest (round 8): the same cell-partitioned layout
+    # storing m-byte PQ codes instead of float vectors — reported as
+    # the on-disk byte ratio vs the float IVF index (the compression
+    # the ADC scan buys at rest) plus the probe time through the
+    # self-contained metadata path.
+    book16 = sim.pq_codebook(emb, m=16, ksub=64)
+    ivfpq_p = f"{base}/ivfpq_cells"
+    sim.ivfpq_write_index(emb, ivfpq_p, cents16, book16)
+
+    def _tree_bytes(root, pat):
+        return sum(os.path.getsize(p) for p in glob.glob(f"{root}/{pat}"))
+
+    ivf_bytes = _tree_bytes(ivf_p, "cell=*/*.parquet")
+    ivfpq_bytes = _tree_bytes(ivfpq_p, "cell=*/*.parquet")
+    out["layout_ivfpq_bytes_ratio"] = round(
+        ivfpq_bytes / ivf_bytes, 4
+    ) if ivf_bytes else 0.0
+    out["layout_ivfpq_probe_lake"] = _timed(
+        sim.ivfpq_probe_lake(spark, ivfpq_p, qbatch, k=5, nprobe=2)
+    )
     shutil.rmtree(base, ignore_errors=True)
     return out
 
