@@ -1383,6 +1383,118 @@ class TestIncrementalDedupRandomized:
             assert any(not k for _, k, _ in want), f"seed {seed}: no drops"
 
 
+class TestSignatureScoredLake:
+    """Round 8: the lake prefix index stores per-doc hashed-shingle
+    signature arrays, and the probe scores from THEM — no corpus text
+    is re-shingled. Verdicts must stay row-identical to the in-memory
+    string-scored path, and a pre-sigs index (meta without `sigs`)
+    must fall back to text scoring with the same result."""
+
+    def _random_docs(self, spark, seed):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{v}" for v in range(8)]
+        rows = []
+        did = 0
+        for _ in range(14):
+            text = " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(4, 10))
+            )
+            rows.append((did, text, rng.random() < 0.5)); did += 1
+            if rng.random() < 0.5:
+                toks = text.split()
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+                rows.append((did, " ".join(toks), rng.random() < 0.5))
+                did += 1
+        return spark.createDataFrame(rows, ["doc_id", "text", "is_new"])
+
+    def test_sigs_and_legacy_match_memory(self, spark, tmp_path):
+        from zikeiretsu_rs_spark.catalog import fsio
+
+        for seed in (11, 47):
+            df = self._random_docs(spark, seed)
+            corpus = df.where(~F.col("is_new")).select("doc_id", "text")
+            path = str(tmp_path / f"idx_{seed}")
+            dedup.write_prefix_index(
+                corpus, path, "doc_id", "text", n=2, threshold=0.4
+            )
+            mem = sorted(map(tuple, dedup.incremental_dedup(
+                df, "doc_id", "text", "is_new", n=2, threshold=0.4
+            ).collect()))
+            lake = sorted(map(tuple, dedup.incremental_dedup_lake(
+                spark, path, df, "doc_id", "text", "is_new", 2, 0.4
+            ).collect()))
+            assert lake == mem, f"seed {seed} (sigs)"
+            # strip the sigs marker -> legacy text-scored fallback
+            meta_p = fsio.join(path, "index_meta.json")
+            meta = fsio.read_json(meta_p)
+            meta.pop("sigs")
+            fsio.write_json_atomic(meta_p, meta)
+            legacy = sorted(map(tuple, dedup.incremental_dedup_lake(
+                spark, path, df, "doc_id", "text", "is_new", 2, 0.4
+            ).collect()))
+            assert legacy == mem, f"seed {seed} (legacy)"
+
+    def test_scorer_keep_cols_passthrough(self, spark):
+        """keep_cols must ride through BOTH scorer formulations
+        unchanged, including unmatched/no-shingle pairs (left-join +
+        fill contract)."""
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e"),
+                (2, "a b c d f"),
+                (3, "zz"),  # no 2-shingles
+                (4, "q r s t u"),
+            ],
+            ["doc_id", "text"],
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2, "x"), (1, 3, "y"), (1, 4, "z")],
+            ["id_a", "id_b", "tag"],
+        )
+        for dense in (True, False):
+            got = {
+                (r["id_a"], r["id_b"], r["tag"], r["jaccard"])
+                for r in dedup.exact_jaccard_for_pairs(
+                    docs, pairs, "doc_id", "text", n=2,
+                    dense=dense, keep_cols=("tag",),
+                ).collect()
+            }
+            assert {(a, b, t) for a, b, t, _ in got} == {
+                (1, 2, "x"), (1, 3, "y"), (1, 4, "z")
+            }, (dense, got)
+            j = {(a, b): v for a, b, _, v in got}
+            assert j[(1, 3)] == 0.0 and j[(1, 4)] == 0.0, (dense, got)
+            assert j[(1, 2)] == round(3 / 5, 6), (dense, got)
+
+    def test_doc_signatures_match_word_shingles(self, spark):
+        """doc_signatures is the collect_list of the hashed distinct
+        shingles — sizes and membership must agree with word_shingles
+        exactly (the property the stored-scoring equivalence rides
+        on)."""
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b a b a b"), (3, "x")],
+            ["doc_id", "text"],
+        )
+        sigs = {
+            r["doc_id"]: sorted(r["_set"])
+            for r in dedup.doc_signatures(
+                docs, "doc_id", "text", n=2
+            ).collect()
+        }
+        sh = (
+            dedup.word_shingles(docs, "doc_id", "text", 2)
+            .select("doc_id", F.xxhash64("shingle").alias("h"))
+            .collect()
+        )
+        want: dict[int, list[int]] = {}
+        for r in sh:
+            want.setdefault(r["doc_id"], []).append(r["h"])
+        assert sigs == {k: sorted(v) for k, v in want.items()}
+        assert 3 not in sigs  # no shingles -> no signature row
+
+
 class TestResidualKmeansCodebook:
     """pq_codebook_residual_kmeans — the LEARNED residual codebook
     (VERDICT r06 item 5): distributed Lloyd over the residual corpus

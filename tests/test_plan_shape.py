@@ -503,6 +503,15 @@ class TestRound6PlanShapes:
         mem_plan = plan_of(spark, mem)
         assert f"{path}/prefix" in lake_plan, lake_plan[:4000]
         assert f"{path}/shingle_df" in lake_plan, lake_plan[:4000]
+        # round 8: the re-score reads the STORED signature table —
+        # corpus text is never re-shingled, so the lake plan carries
+        # strictly fewer shingle explodes than the in-memory one
+        # (only the new batch's ranking + signature derivation)
+        assert f"{path}/signature" in lake_plan, lake_plan[:4000]
+        assert lake_plan.count("Generate") < mem_plan.count("Generate"), (
+            lake_plan.count("Generate"),
+            mem_plan.count("Generate"),
+        )
         assert lake_plan.count("Window") < mem_plan.count("Window"), (
             lake_plan.count("Window"),
             mem_plan.count("Window"),

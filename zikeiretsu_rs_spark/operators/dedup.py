@@ -227,6 +227,7 @@ def exact_jaccard_for_pairs(
     n: int = 3,
     threshold: float | None = None,
     dense: bool = True,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """EXACT n-gram Jaccard, restricted to the given candidate pairs —
     the verification stage after any LSH candidate generator. Cost is
@@ -255,22 +256,24 @@ def exact_jaccard_for_pairs(
       faster on the sf0.1 incremental path, whose candidates touch a
       small slice of the corpus.
 
-    Output: id_a, id_b, jaccard (rounded 6) — one row per input pair
-    (pairs with no shared shingles get jaccard 0.0, INCLUDING pairs
-    whose doc has no shingles at all, e.g. text shorter than n words:
-    the size lookups are left joins with size-0 fill, so no pair is
-    silently dropped).
+    Output: id_a, id_b, *keep_cols, jaccard (rounded 6) — one row per
+    input pair (pairs with no shared shingles get jaccard 0.0,
+    INCLUDING pairs whose doc has no shingles at all, e.g. text
+    shorter than n words: the size lookups are left joins with size-0
+    fill, so no pair is silently dropped). `keep_cols` carries extra
+    `pairs` columns through (see jaccard_from_signatures).
     """
     if not dense:
         # sparse path: pair-per-shared-shingle row join; inner joins
         # fan out only candidate ids, sizes partial-aggregate
         sh = word_shingles(df, id_col, text_col, n)
         sz = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
-        p = pairs.select("id_a", "id_b")
+        p = pairs.select("id_a", "id_b", *keep_cols)
+        slim = p.select("id_a", "id_b")
         a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
         b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
         inter = (
-            p.join(a_sh, "id_a")
+            slim.join(a_sh, "id_a")
             .join(b_sh, ["id_b", "shingle"])
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("_inter"))
@@ -311,30 +314,71 @@ def exact_jaccard_for_pairs(
                 F.col("jaccard") >= F.lit(float(threshold))
             )
         return scored.select(
-            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+            "id_a", "id_b", *keep_cols,
+            F.round("jaccard", 6).alias("jaccard"),
         )
     # dense path: per-doc signature arrays, map-side array_intersect.
     # A candidate-hot doc replicates its array across its pairs
     # exactly as it replicated its shingle rows in the sparse shape
-    # (same shuffle bytes, far fewer rows). Left joins + coalesce
-    # keep the contract for docs with no shingles at all (size(NULL)
-    # is NULL, filled to 0 -> jaccard 0.0, pair kept).
+    # (same shuffle bytes, far fewer rows).
     sets = (
         word_shingles(df, id_col, text_col, n)
         .groupBy(id_col)
         .agg(F.collect_list("shingle").alias("_set"))
     )
+    return jaccard_from_signatures(
+        sets, pairs, id_col=id_col, threshold=threshold,
+        keep_cols=keep_cols,
+    )
+
+
+def doc_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document shingle-set signature: (id, _set) where _set is
+    the array of the doc's distinct word-n-gram shingles, xxhash64-
+    hashed (8 bytes per shingle — the scale representation the
+    candidate join already ships). The materialized input of
+    `jaccard_from_signatures`; `write_prefix_index` persists it so
+    recurring crawls never re-shingle corpus text (see the collision
+    note there)."""
+    return (
+        word_shingles(df, id_col, text_col, n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("_set"))
+    )
+
+
+def jaccard_from_signatures(
+    sigs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float | None = None,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from precomputed per-doc
+    signature arrays (`sigs` = (id, _set)) — the scoring tail shared
+    by the dense in-memory formulation (string arrays) and the
+    stored-signature lake/streaming paths (hashed arrays). Left joins
+    + coalesce keep the contract for docs with no signature row at
+    all (size(NULL) is NULL, filled to 0 -> jaccard 0.0, pair kept).
+
+    Same raw-value-then-round threshold convention as
+    `exact_jaccard_for_pairs`. `keep_cols` names extra `pairs`
+    columns to carry through to the output (cheaper than the caller
+    re-joining the pair table onto the scored rows)."""
     scored = (
-        pairs.select("id_a", "id_b")
+        pairs.select("id_a", "id_b", *keep_cols)
         .join(
-            sets.select(
+            sigs.select(
                 F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a")
             ),
             "id_a",
             "left",
         )
         .join(
-            sets.select(
+            sigs.select(
                 F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b")
             ),
             "id_b",
@@ -362,7 +406,7 @@ def exact_jaccard_for_pairs(
     if threshold is not None:
         scored = scored.where(F.col("jaccard") >= F.lit(float(threshold)))
     return scored.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        "id_a", "id_b", *keep_cols, F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -955,7 +999,7 @@ def incremental_dedup(
         flagged, id_col, text_col, n, threshold,
         hash_shingles=True, extra_cols=("_new",),
     ).cache()
-    build = pref.select(id_col, "shingle", "_sz")
+    build = pref.select(id_col, "shingle", "_sz", "_new")
     probe = pref.where(F.col("_new")).select(id_col, "shingle", "_sz")
     return _incremental_verdicts(
         flagged, build, probe, id_col, text_col, n, threshold
@@ -970,17 +1014,41 @@ def _incremental_verdicts(
     text_col: str,
     n: int,
     threshold: float,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared tail of the incremental-dedup paths: prefix-join
     candidates (build x probe on shingle, size-compat pruned in-join),
     exact Jaccard re-score, pairwise-to-earlier verdicts. `flagged`
-    must carry (id, text, _new); `build`/`probe` must be
-    ranked-prefix tables (id, shingle, _sz) under a COMMON total
-    order."""
+    must carry (id, text, _new); `build` must be a ranked-prefix
+    table (id, shingle, _sz, _new) and `probe` one of (id, shingle,
+    _sz) whose documents are ALL new (every call site probes the new
+    batch) — carrying newness through the candidate join itself is
+    what lets the verdict plan touch `flagged` only for the final
+    new-doc id list instead of joining it back onto every candidate
+    pair. Both prefix tables must be ranked under a COMMON total
+    order.
+
+    `sigs`: optional precomputed (id, _set) signature table covering
+    every id that can appear in a candidate pair (stored corpus
+    signatures + the new batch's). When given, the re-score runs
+    against the signatures (`jaccard_from_signatures`) and NO corpus
+    text is shingled — the lake/streaming scale path. Verdicts are
+    exact up to 64-bit shingle-hash collisions (probability
+    ~|A||B|/2^64 per pair — the `hash_shingles` trade the candidate
+    join already makes); the string-shingled default stays the
+    oracle-anchor formulation."""
     t = float(threshold)
+    # the probe side is always-new by contract, so a pair's two
+    # newness flags fall out of the join direction: whichever doc
+    # came from the probe row is new, the build row carries its own
+    # flag. (A both-new pair can arise from either direction; the
+    # flags agree, so the distinct collapses them.)
     cand = (
         build.select(
-            F.col(id_col).alias("_ba"), F.col("_sz").alias("_sza"), "shingle"
+            F.col(id_col).alias("_ba"),
+            F.col("_sz").alias("_sza"),
+            "shingle",
+            F.col("_new").alias("_new_ba"),
         )
         .join(
             probe.select(
@@ -1004,33 +1072,36 @@ def _incremental_verdicts(
         .select(
             F.least("_ba", "_bb").alias("id_a"),
             F.greatest("_ba", "_bb").alias("id_b"),
+            F.when(F.col("_ba") < F.col("_bb"), F.col("_new_ba"))
+            .otherwise(F.lit(True))
+            .alias("_new_a"),
+            F.when(F.col("_ba") < F.col("_bb"), F.lit(True))
+            .otherwise(F.col("_new_ba"))
+            .alias("_new_b"),
         )
         .distinct()
     )
-    newness = flagged.select(F.col(id_col), "_new")
-    cand = cand.join(
-        newness.select(
-            F.col(id_col).alias("id_a"), F.col("_new").alias("_new_a")
-        ),
-        "id_a",
-    ).join(
-        newness.select(
-            F.col(id_col).alias("id_b"), F.col("_new").alias("_new_b")
-        ),
-        "id_b",
-    )
     # raw-value threshold inside the scorer (pre-rounding): the
     # keep/drop boundary must agree with the raw-value DuckDB oracle.
-    # dense=False: incremental candidates touch only the new batch
-    # and its corpus partners — a small slice of `flagged` — so the
-    # sparse row-join formulation wins (measured 4.4 vs 5.9 s at
-    # sf0.1 against the signature-array shape)
-    near = exact_jaccard_for_pairs(
-        flagged, cand.select("id_a", "id_b"), id_col, text_col, n=n,
-        threshold=t, dense=False,
-    ).join(
-        cand.select("id_a", "id_b", "_new_a", "_new_b"), ["id_a", "id_b"]
-    )
+    # The newness flags ride through the scorer (keep_cols) — no
+    # join-back onto the candidate table.
+    if sigs is not None:
+        # stored-signature re-score: zero text shingling; the sparse
+        # candidate set joins two array lookups (AQE broadcasts the
+        # small pair side at runtime)
+        near = jaccard_from_signatures(
+            sigs, cand, id_col=id_col, threshold=t,
+            keep_cols=("_new_a", "_new_b"),
+        )
+    else:
+        # dense=False: incremental candidates touch only the new batch
+        # and its corpus partners — a small slice of `flagged` — so the
+        # sparse row-join formulation wins (measured 4.4 vs 5.9 s at
+        # sf0.1 against the string-array signature shape)
+        near = exact_jaccard_for_pairs(
+            flagged, cand, id_col, text_col, n=n,
+            threshold=t, dense=False, keep_cols=("_new_a", "_new_b"),
+        )
     # victim/cause mapping (candidates emit id_a < id_b):
     #   (old a, new b) -> b dropped by a   (smaller-id corpus doc)
     #   (new a, old b) -> a dropped by b   (LARGER-id corpus doc)
@@ -1082,8 +1153,17 @@ def write_prefix_index(
     `rank_prefixes_under_stored_order` every probe uses, so the
     completeness-critical ranking has exactly one implementation);
     the cheap map-side shingle explode runs once per consumer.
-    `index_meta.json` records (n, threshold, hashed) so probes can
-    refuse a mismatched index instead of silently generating
+
+    A third table, `<path>/signature` (id, _set: the doc's full
+    hashed-shingle array), feeds the exact re-score, so a probe run
+    touches NO corpus text at all — neither for candidates nor for
+    scoring. Verdicts scored from hashed signatures are exact up to
+    64-bit collisions (~|A||B|/2^64 per pair), the same documented
+    trade `hash_shingles` makes on the candidate side; the in-memory
+    `incremental_dedup` keeps string-exact scoring as the oracle
+    anchor and the lake gate pins the two paths row-identical.
+    `index_meta.json` records (n, threshold, hashed, sigs) so probes
+    can refuse a mismatched index instead of silently generating
     incomplete candidates; metadata IO goes through `catalog.fsio`, so
     object-store index paths (s3a://, gs://) work like local ones."""
     t = float(threshold)
@@ -1092,6 +1172,9 @@ def write_prefix_index(
     )
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     dfreq.write.mode("overwrite").parquet(f"{path}/shingle_df")
+    sh.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("_set")
+    ).write.mode("overwrite").parquet(f"{path}/signature")
     spark = corpus.sparkSession
     stored_df = spark.read.parquet(f"{path}/shingle_df")
     rank_prefixes_under_stored_order(
@@ -1114,7 +1197,15 @@ def write_prefix_index_meta(path: str, n: int, threshold: float) -> None:
 
     fsio.write_json_atomic(
         fsio.join(path, "index_meta.json"),
-        {"n": int(n), "threshold": float(threshold), "hashed": True},
+        {
+            "n": int(n),
+            "threshold": float(threshold),
+            "hashed": True,
+            # index carries per-doc signature arrays: probes score
+            # from the store, never from corpus text. Absent in
+            # pre-round-8 indexes -> probes fall back to text scoring.
+            "sigs": True,
+        },
     )
 
 
@@ -1160,30 +1251,53 @@ def incremental_dedup_lake(
     window, no per-doc rank window over the old documents, run after
     run. Only the NEW batch is shingled: its prefixes are ranked under
     the stored corpus-frozen order by left-joining the stored
-    shingle_df (unseen shingles -> df 0). Old texts are consulted only
-    by the exact re-score, restricted to candidate pairs.
+    shingle_df (unseen shingles -> df 0).
+
+    With a round-8+ index (meta `sigs: true`) the exact re-score also
+    reads the STORED `signature` table, so old documents' TEXT is
+    never touched at all — the per-crawl cost is O(new batch +
+    stored-index scan), the property that makes the operator viable
+    when the corpus is 100 TB and the crawl is 100 GB. Pre-sigs
+    indexes fall back to text re-scoring (restricted to candidate
+    pairs), preserving back-compat.
 
     Candidate SETS can differ from the in-memory path (union-order vs
     corpus-order prefixes — both orders are valid common total orders,
     so both candidate sets are complete); the exact re-score makes the
     OUTPUT identical, which is what the `dedup_incremental_lake` gate
-    asserts against the same oracle as `dedup_incremental`.
+    asserts against the same oracle as `dedup_incremental` (signature
+    scoring is exact up to 64-bit shingle-hash collisions — see
+    `write_prefix_index`).
 
     Output: identical contract to `incremental_dedup`.
     """
+    from ..catalog import fsio
+
     check_prefix_index_meta(index_path, n, threshold)
     flagged = df.select(
         F.col(id_col), F.col(text_col), F.col(is_new_col).alias("_new")
     )
     corpus_pref = spark.read.parquet(f"{index_path}/prefix")
     shingle_df = spark.read.parquet(f"{index_path}/shingle_df")
+    new_batch = flagged.where(F.col("_new"))
     new_pref = rank_prefixes_under_stored_order(
-        shingle_df, flagged.where(F.col("_new")), id_col, text_col,
+        shingle_df, new_batch, id_col, text_col,
         n, threshold,
     ).cache()
-    build = corpus_pref.select(id_col, "shingle", "_sz").unionByName(new_pref)
+    build = (
+        corpus_pref.select(id_col, "shingle", "_sz")
+        .withColumn("_new", F.lit(False))
+        .unionByName(new_pref.withColumn("_new", F.lit(True)))
+    )
+    sigs = None
+    meta_path = fsio.join(index_path, "index_meta.json")
+    if fsio.exists(meta_path) and fsio.read_json(meta_path).get("sigs"):
+        sigs = spark.read.parquet(f"{index_path}/signature").unionByName(
+            doc_signatures(new_batch, id_col, text_col, n)
+        )
     return _incremental_verdicts(
-        flagged, build, new_pref, id_col, text_col, n, threshold
+        flagged, build, new_pref, id_col, text_col, n, threshold,
+        sigs=sigs,
     )
 
 

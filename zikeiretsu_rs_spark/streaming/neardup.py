@@ -278,10 +278,15 @@ class IncrementalDedupIndex:
     - `prefix/epoch=N`  — each epoch's ranked prefixes (epoch 0 = the
       seed corpus), the candidate-join build side; old epochs are
       never re-shingled.
-    - `docs/epoch=N` — (id, text) per epoch, consulted only by the
-      exact re-score on candidate pairs. (A production deployment
-      can substitute content-addressed pointers; the operator only
-      needs the candidate docs' texts.)
+    - `sigs/epoch=N` — (id, _set: full hashed-shingle array) per
+      epoch; the exact re-score reads THESE, so earlier epochs' text
+      is never re-shingled either (exact up to 64-bit hash
+      collisions — the documented `hash_shingles` trade). Stores
+      written before round 8 have no sigs table (meta lacks
+      `sigs`): scoring falls back to the docs text.
+    - `docs/epoch=N` — (id, text) per epoch; with a sigs-bearing
+      store this is provenance only (kept because the crash contract
+      orders writes against it and replays need the raw batch).
 
     Ids must be globally increasing across epochs (crawl ids are),
     so "earlier epoch" and "smaller id" orientations agree.
@@ -297,9 +302,16 @@ class IncrementalDedupIndex:
         self.spark = spark
         self.store_dir = store_dir
         self.prefix_dir = fsio.join(store_dir, "prefix")
+        self.sigs_dir = fsio.join(store_dir, "sigs")
         self.docs_dir = fsio.join(store_dir, "docs")
         self.verdicts_dir = fsio.join(store_dir, "verdicts")
         self.n, self.threshold = n, threshold
+
+    def _has_sigs(self) -> bool:
+        meta = fsio.join(self.store_dir, "index_meta.json")
+        return bool(
+            fsio.exists(meta) and fsio.read_json(meta).get("sigs")
+        )
 
     def _epochs(self, base: str) -> list[int]:
         return _epoch_dirs(base)
@@ -336,10 +348,13 @@ class IncrementalDedupIndex:
         stored_df = self.spark.read.parquet(
             fsio.join(self.store_dir, "shingle_df")
         )
+        base.write.mode("overwrite").parquet(f"{self.docs_dir}/epoch=0")
+        sh.groupBy("doc_id").agg(
+            F.collect_list("shingle").alias("_set")
+        ).write.mode("overwrite").parquet(f"{self.sigs_dir}/epoch=0")
         dedup.rank_prefixes_under_stored_order(
             stored_df, base, "doc_id", "text", self.n, self.threshold
         ).write.mode("overwrite").parquet(f"{self.prefix_dir}/epoch=0")
-        base.write.mode("overwrite").parquet(f"{self.docs_dir}/epoch=0")
         dedup.write_prefix_index_meta(self.store_dir, self.n, self.threshold)
 
     def add_batch(
@@ -401,26 +416,42 @@ class IncrementalDedupIndex:
         flagged = hist_docs.withColumn("_new", F.lit(False)).unionByName(
             batch.withColumn("_new", F.lit(True))
         )
+        sigs = None
+        if self._has_sigs():
+            # stored-signature scoring: history text never re-shingled
+            # (column pruning reduces the hist docs scan to doc_id)
+            sigs = self._read_before(
+                self.sigs_dir, "doc_id long, _set array<bigint>", epoch
+            ).unionByName(
+                dedup.doc_signatures(batch, "doc_id", "text", self.n)
+            )
         verdicts = _incremental_verdicts(
             flagged,
-            hist_pref.unionByName(batch_pref),
+            hist_pref.withColumn("_new", F.lit(False)).unionByName(
+                batch_pref.withColumn("_new", F.lit(True))
+            ),
             batch_pref,
             "doc_id",
             "text",
             self.n,
             self.threshold,
+            sigs=sigs,
         )
         # Write order is the crash contract (judged ADVICE r05 + r06):
-        # docs -> prefixes -> verdicts. _epochs(prefix_dir) is the
-        # epoch commit marker, so prefixes land after docs (a
-        # committed epoch whose prefix rows had no re-scorable text
-        # would silently false-keep forever; docs-without-prefixes
-        # merely re-runs on replay) and verdicts land after the
-        # marker (verdicts-before-marker made an uncommitted epoch's
-        # verdicts visible until the micro-batch replayed). verdicts()
-        # additionally intersects with committed prefix epochs as
-        # defense in depth.
+        # docs -> sigs -> prefixes -> verdicts. _epochs(prefix_dir) is
+        # the epoch commit marker, so prefixes land after docs AND
+        # sigs (a committed epoch whose prefix rows had no re-scorable
+        # signature/text would silently false-keep forever;
+        # docs/sigs-without-prefixes merely re-runs on replay) and
+        # verdicts land after the marker (verdicts-before-marker made
+        # an uncommitted epoch's verdicts visible until the
+        # micro-batch replayed). verdicts() additionally intersects
+        # with committed prefix epochs as defense in depth.
         batch.write.mode("overwrite").parquet(f"{self.docs_dir}/epoch={epoch}")
+        if sigs is not None:
+            dedup.doc_signatures(batch, "doc_id", "text", self.n).write.mode(
+                "overwrite"
+            ).parquet(f"{self.sigs_dir}/epoch={epoch}")
         batch_pref.write.mode("overwrite").parquet(
             f"{self.prefix_dir}/epoch={epoch}"
         )
@@ -458,7 +489,12 @@ class IncrementalDedupIndex:
     # -- epoch compaction (VERDICT r06 item 4) ---------------------------
 
     _TABLE_SCHEMAS = {
+        # iteration order == compaction swap order == add_batch write
+        # order (docs -> sigs -> prefix -> verdicts), so every crash
+        # point leaves prefixes covered by docs+sigs. A legacy store
+        # with no sigs/ dir skips that entry (empty epoch list).
         "docs": "doc_id long, text string",
+        "sigs": "doc_id long, _set array<bigint>",
         "prefix": "doc_id long, shingle long, _sz long",
         "verdicts": "doc_id long, is_kept boolean, dup_of long",
     }
