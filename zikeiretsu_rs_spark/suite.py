@@ -1464,6 +1464,34 @@ def q_ann_pq_refined_recall_check(spark, sf_dir):
     )
 
 
+def q_ann_ivfadc_refined_recall_check(spark, sf_dir):
+    """IVFADC+R (Jegou et al. §V-A): the residual-ADC inverted-list
+    scan proposes k*4 candidates, exact re-scoring reads floats for
+    ONLY those rows — the two-stage production shape composed over
+    the cell-pruned scan (`ivfadc_topk_refined`). Recall climbs from
+    the raw residual-ADC 0.39-0.55 toward the cell-probe ceiling;
+    floor 0.55 (the bench `ann` section records the clustered-corpus
+    lift: 0.60 ADC-only -> 0.97 refined)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    cents = similarity.sample_centroids(emb, 32, "vec_id", "embedding")
+    book = similarity.pq_codebook_residual(emb, cents, m=16, ksub=64)
+    approx = similarity.ivfadc_topk_refined(
+        emb, queries, book, k=10, expand=4, n_cells=32, nprobe=16,
+        centroids=cents,
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    stats = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("_n_exact"),
+    )
+    return stats.crossJoin(hits.agg(F.count("*").alias("_n_hit"))).select(
+        "n_queries",
+        (F.col("_n_hit") / F.col("_n_exact") >= 0.55).alias("recall_ok"),
+    )
+
+
 def q_semantic_decontaminate(spark, sf_dir):
     """Embedding-level eval decontamination (the semantic complement
     of the 8-gram `decontaminate_eval`: paraphrases leak with zero
@@ -3508,15 +3536,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
     "quality_weighted_sample": q_quality_weighted_sample,
     "rate_per_user": q_rate_per_user,
-    "semantic_dedup_kmeans_check": q_semantic_dedup_kmeans,
     # -- (d) new this round (new queries always get a head slot, per
-    # the round-3 discipline; the three displaced r04 fills
-    # (seq_pack_256, sessionize_30m, sketch_distinct_check) lead the
-    # r09 head)
+    # the round-3 discipline; the four displaced r04 fills
+    # (semantic_dedup_kmeans_check, seq_pack_256, sessionize_30m,
+    # sketch_distinct_check) lead the r09 head)
     "ann_pq_join_parity_check": q_ann_pq_join_parity_check,
     "ann_ivfadc_join_parity_check": q_ann_ivfadc_join_parity_check,
     "ann_ivfpq_lake_parity_check": q_ann_ivfpq_lake_parity_check,
+    "ann_ivfadc_refined_recall_check": q_ann_ivfadc_refined_recall_check,
     # -- tail: freshest rows last ----------------------------------------
+    "semantic_dedup_kmeans_check": q_semantic_dedup_kmeans,
     "seq_pack_256": q_seq_pack_256,
     "sessionize_30m": q_sessionize_30m,
     "sketch_distinct_check": q_sketch_distinct_check,
@@ -3659,6 +3688,7 @@ VERIFICATION_QUERIES = {
     "ann_ivfadc_join_parity_check",
     "ann_ivfpq_lake_parity_check",
     "ann_pq_refined_recall_check",
+    "ann_ivfadc_refined_recall_check",
     "ann_ivf_partitioned_recall_check",
     "embedding_neardup_lsh_check",
     "sketch_distinct_check",
@@ -5694,6 +5724,7 @@ FROM embeddings WHERE vec_id < 10
     sqls["ann_pq_recall_check"] = sqls["ann_lsh_recall_check"]
     sqls["ann_ivfpq_recall_check"] = sqls["ann_lsh_recall_check"]
     sqls["ann_pq_refined_recall_check"] = sqls["ann_lsh_recall_check"]
+    sqls["ann_ivfadc_refined_recall_check"] = sqls["ann_lsh_recall_check"]
     sqls["ann_ivfpq_join_parity_check"] = """
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
        TRUE AS join_parity_ok
