@@ -2361,3 +2361,295 @@ def ivfpq_probe_lake(
         nid_type=queries.schema[id_col].dataType,
         nid_name="neighbor_id",
     )
+
+
+class IvfpqLakeIndex:
+    """Incrementally maintained lake-resident IVFPQ index — the
+    recurring-crawl form of `ivfpq_write_index`: new embedding batches
+    are appended WITHOUT re-encoding (or even reading) the existing
+    index, mirroring how `streaming/neardup.py:IncrementalDedupIndex`
+    appends prefix epochs without re-shingling the corpus. At 100 TB
+    an index rebuild per crawl is a full-corpus Arrow encode + write;
+    an append touches only the new batch.
+
+    Layout under `store_dir`:
+
+    - `index_meta.json` — centroids + codebook, written ONCE by
+      `build` and frozen: every later batch is assigned and encoded
+      under the same model, which is what keeps a probe's ADC scores
+      comparable across epochs (standard IVF practice — the model is
+      retrained offline and the index rebuilt, never mutated in
+      place). Probes read THIS file, so a mismatched model cannot be
+      silently probed (same contract as `ivfpq_probe_lake`).
+    - `codes/epoch=N/cell=<i>/` — each batch's (neighbor_id, codes)
+      rows, partitioned by coarse cell WITHIN the epoch. `cell` is a
+      partition column at every depth, so a probe's static
+      `cell IN (...)` filter prunes file listing across ALL epochs at
+      once (PartitionFilters; plan-pinned in tests/test_plan_shape.py).
+
+    Epoch discipline is the dedup index's: per-epoch overwrite +
+    default next-epoch numbering makes a replayed batch (foreachBatch
+    redelivery) rewrite identical state instead of duplicating rows;
+    ids must be unique across batches (crawl ids are). `compact`
+    bounds directory/file counts across arbitrarily many crawls.
+
+    Parity contract (pinned by `q_ann_ivfpq_incremental_parity_check`
+    and pytest): a probe over build(seed) + add_batch(b1) + ... is
+    row-identical to a probe over `ivfpq_write_index` of the unioned
+    corpus under the same model — epochs are invisible to results.
+    """
+
+    def __init__(self, spark: SparkSession, store_dir: str):
+        from ..catalog import fsio
+
+        self.spark = spark
+        self.store_dir = store_dir
+        self.codes_dir = fsio.join(store_dir, "codes")
+        self.meta_path = fsio.join(store_dir, "index_meta.json")
+
+    # -- state ----------------------------------------------------------
+    def _epochs(self) -> list[int]:
+        from ..catalog import fsio
+
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in fsio.list_dir_names(self.codes_dir, "epoch=")
+        )
+
+    def _model(self) -> tuple[list[list[float]], list[list[list[float]]]]:
+        from ..catalog import fsio
+
+        if not fsio.exists(self.meta_path):
+            raise FileNotFoundError(
+                f"no index_meta.json under {self.store_dir} — call "
+                "build() before add_batch()/probe()"
+            )
+        meta = fsio.read_json(self.meta_path)
+        return meta["centroids"], meta["codebook"]
+
+    def _encode(
+        self,
+        vectors: DataFrame,
+        id_col: str,
+        vec_col: str,
+        centroids: list[list[float]],
+        codebook: list[list[list[float]]],
+    ) -> DataFrame:
+        """(neighbor_id, codes, cell) — the exact Arrow passes of the
+        one-shot writer (`assign_cells_arrow` raw-dot + `pq_encode`),
+        so appended epochs score bit-identical to a rebuilt index."""
+        cells = assign_cells_arrow(
+            vectors, centroids, id_col, vec_col, metric="dot"
+        ).select(F.col(id_col).alias("neighbor_id"), "cell")
+        codes = pq_encode(vectors, codebook, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), "codes"
+        )
+        return codes.join(cells, "neighbor_id")
+
+    # -- write ----------------------------------------------------------
+    def build(
+        self,
+        corpus: DataFrame,
+        centroids: list[list[float]],
+        codebook: list[list[list[float]]],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Freeze the model and index the seed corpus as epoch 0. The
+        meta lands first (atomic PUT via catalog.fsio): a crash
+        between the two writes leaves a model with zero epochs, which
+        probes as empty and re-runs idempotently — the reverse order
+        would leave codes no probe can score."""
+        from ..catalog import fsio
+
+        fsio.write_json_atomic(
+            self.meta_path, {"centroids": centroids, "codebook": codebook}
+        )
+        self._encode(
+            corpus, id_col, vec_col, centroids, codebook
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{self.codes_dir}/epoch=0"
+        )
+
+    def add_batch(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        epoch: int | None = None,
+    ) -> None:
+        """Append one batch under the frozen model. Batch epochs start
+        at 1 (0 is the seed); explicit epochs replay idempotently
+        (per-epoch overwrite), so a foreachBatch wrapper passes
+        epoch_id + 1 exactly like the dedup index's."""
+        centroids, codebook = self._model()
+        if epoch is None:
+            eps = self._epochs()
+            epoch = (eps[-1] + 1) if eps else 1
+        epoch = int(epoch)
+        if epoch < 1:
+            raise ValueError(
+                "add_batch epochs start at 1 (epoch 0 is the seed "
+                f"corpus); got {epoch}"
+            )
+        self._encode(
+            vectors, id_col, vec_col, centroids, codebook
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{self.codes_dir}/epoch={epoch}"
+        )
+
+    # -- read -----------------------------------------------------------
+    def probe(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 8,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Probe every epoch at once: the probe-cell UNION is a static
+        `cell IN (...)` predicate on the partition column (file-listing
+        pruning across all epoch directories), scoring is the shared
+        join-path ADC Arrow pass. Same bounded driver collect as
+        `ivfpq_probe_lake` (|queries| * nprobe cell ids, never rows)."""
+        from pyspark.sql import types as T
+
+        centroids, codebook = self._model()
+        eps = self._epochs()
+        if not eps:
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(
+                            "query_id", queries.schema[id_col].dataType
+                        ),
+                        T.StructField("neighbor_id", T.LongType()),
+                        T.StructField("adc_cosine", T.DoubleType()),
+                        T.StructField("rank", T.IntegerType()),
+                    ]
+                ),
+            )
+        probes = assign_probe_cells_arrow(
+            queries, centroids, nprobe, id_col, vec_col
+        )
+        probe_cells = sorted(
+            int(r["cell"])
+            for r in probes.select("cell").distinct().collect()
+        )
+        lake = self.spark.read.parquet(self.codes_dir).where(
+            F.col("cell").isin(probe_cells)
+        )
+        joined = probes.join(
+            lake.select("neighbor_id", "codes", "cell"), "cell"
+        ).where(F.col("query_id") != F.col("neighbor_id"))
+        return _adc_score_joined(
+            joined,
+            codebook,
+            k,
+            qid_type=queries.schema[id_col].dataType,
+            nid_type=queries.schema[id_col].dataType,
+            nid_name="neighbor_id",
+        )
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, target_file_bytes: int = 128 << 20) -> dict:
+        """Merge every epoch into the highest one, bounding directory
+        and file counts across arbitrarily many appends (N crawls = N
+        epoch dirs forever without this — the dedup index's VERDICT
+        r06 gap, closed here from day one). Result-preserving: rows
+        only move between epoch directories (`distinct()` collapses
+        exact repeats a crashed run left behind), and probes read the
+        epoch union, so candidate sets are identical before and after
+        (pytest-pinned).
+
+        Crash-safe with the catalog.compact discipline: merged output
+        lands in a `_compact_` sibling, swaps in with two renames, and
+        `_recover` rolls leftovers forward/back; re-running after any
+        crash converges. A crash in the window between the swap and
+        the old-epoch deletion can leave duplicate rows visible to
+        probes until compact re-runs — the same documented window as
+        the dedup index. Must not run concurrently with add_batch;
+        requires a local store_dir (directory swaps are not atomic on
+        object stores)."""
+        import os
+        import shutil
+
+        from ..catalog import fsio
+
+        store = fsio.as_local(self.store_dir, "ivfpq-index compaction")
+        base = os.path.join(store, "codes")
+
+        def files_in(root_dir: str) -> int:
+            total = 0
+            for _root, _dirs, names in os.walk(root_dir):
+                total += sum(
+                    1 for f in names
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                )
+            return total
+
+        self._recover(base)
+        stats = {
+            "files_before": files_in(base),
+            "epochs_before": len(self._epochs()),
+        }
+        eps = self._epochs()
+        if len(eps) >= 2:
+            target = eps[-1]
+            dirs = [f"{base}/epoch={e}" for e in eps]
+            total = 0
+            for d in dirs:
+                for root, _ds, names in os.walk(d):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, f))
+                        for f in names
+                    )
+            n_out = max(1, -(-total // target_file_bytes))
+            # hash-cluster by cell so each cell's rows land whole in
+            # one task: the partitionBy write then emits ONE file per
+            # cell (n_out only caps task parallelism) instead of
+            # n_out files per cell
+            merged = (
+                self.spark.read.option("basePath", base)
+                .parquet(*dirs)
+                .select("neighbor_id", "codes", "cell")
+                .distinct()
+                .repartition(n_out, "cell")
+            )
+            tmp = os.path.join(base, f"_compact_epoch={target}")
+            merged.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+            live = os.path.join(base, f"epoch={target}")
+            old = os.path.join(base, f"_old_epoch={target}")
+            if os.path.isdir(live):
+                os.replace(live, old)
+            os.replace(tmp, live)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            for e in eps:
+                if e != target:
+                    shutil.rmtree(f"{base}/epoch={e}")
+        stats["files_after"] = files_in(base)
+        stats["epochs_after"] = len(self._epochs())
+        return stats
+
+    @staticmethod
+    def _recover(base: str) -> None:
+        """Roll forward/back a crash mid-compaction: an `_old_` dir
+        with no live sibling is renamed back; stale `_old_`/
+        `_compact_` beside a live dir are dropped."""
+        import os
+        import shutil
+
+        if not os.path.isdir(base):
+            return
+        for name in sorted(os.listdir(base)):
+            path = os.path.join(base, name)
+            if name.startswith("_old_"):
+                live = os.path.join(base, name[len("_old_"):])
+                if os.path.isdir(live):
+                    shutil.rmtree(path)
+                else:
+                    os.replace(path, live)
+            elif name.startswith("_compact_"):
+                shutil.rmtree(path)

@@ -633,3 +633,33 @@ def start_streaming_incremental_dedup(
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_streaming_ivfpq_index(
+    stream_vectors: DataFrame,
+    index,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Streaming maintenance of an `IvfpqLakeIndex`
+    (operators/similarity.py): each micro-batch of new embeddings is
+    encoded under the index's frozen model and appended as one epoch —
+    the ANN mirror of `start_streaming_incremental_dedup`, and the
+    missing half of the crawl pipeline (documents stream through
+    dedup; their embeddings stream into the search index). foreachBatch
+    epoch_ids replay idempotently (per-epoch overwrite); epoch 0 is
+    the seed corpus `build` wrote, so batches shift up by one. Run
+    `index.compact()` in the stream's maintenance window to bound
+    file counts, exactly like the dedup index."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        index.add_batch(batch_df, id_col, vec_col, epoch=epoch_id + 1)
+
+    writer = stream_vectors.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -3468,6 +3468,57 @@ def q_ann_ivfpq_lake_parity_check(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_incremental_parity_check(spark, sf_dir):
+    """Incrementally MAINTAINED IVFPQ lake index invariant (round 8 —
+    the recurring-crawl form of the lake index): the corpus is split
+    into a seed third and two append batches (`vec_id % 3`, no
+    driver-side count), indexed via `IvfpqLakeIndex.build` + two
+    `add_batch` epochs under the frozen model, then `compact()`ed down
+    to one epoch — and the probe over the compacted store must be
+    IDENTICAL, row for row and rank for rank, to the in-memory
+    `ivfpq_topk_join` over the full corpus under the same model.
+    Appends, epoch boundaries, and compaction are invisible to search
+    results; only then is "append without re-encoding the corpus" a
+    free lunch rather than a drift source. Crash-safety and epoch
+    replay are pytest-pinned (tests/test_ivfpq_incremental.py)."""
+    import os
+    import uuid
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    book = similarity.pq_codebook(emb, m=16, ksub=64)
+    cents = similarity.head_centroids(emb, 16, "vec_id", "embedding")
+    path = (
+        f"/tmp/zikeiretsu_ivfpq_inc_{os.getpid()}_{uuid.uuid4().hex[:12]}"
+    )
+    _reap_scratch_dirs(keep=path)
+    idx = similarity.IvfpqLakeIndex(spark, path)
+    idx.build(emb.where(F.col("vec_id") % 3 == 0), cents, book)
+    idx.add_batch(emb.where(F.col("vec_id") % 3 == 1))
+    idx.add_batch(emb.where(F.col("vec_id") % 3 == 2))
+    stats = idx.compact()
+    inc = idx.probe(queries, k=10, nprobe=6)
+    mem = similarity.ivfpq_topk_join(
+        emb, queries, book, k=10, n_cells=16, nprobe=6, centroids=cents
+    )
+    cols = ["query_id", "neighbor_id", "adc_cosine", "rank"]
+    miss_im = inc.join(mem, cols, "left_anti").agg(
+        F.count("*").alias("_only_inc")
+    )
+    miss_mi = mem.join(inc, cols, "left_anti").agg(
+        F.count("*").alias("_only_mem")
+    )
+    n_stats = mem.agg(F.countDistinct("query_id").alias("n_queries"))
+    return n_stats.crossJoin(miss_im).crossJoin(miss_mi).select(
+        "n_queries",
+        (
+            (F.col("_only_inc") == 0)
+            & (F.col("_only_mem") == 0)
+            & F.lit(stats["epochs_after"] == 1)
+        ).alias("incremental_parity_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the catalog
 # ---------------------------------------------------------------------------
@@ -3535,16 +3586,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": q_multimodal_resize,
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
     "quality_weighted_sample": q_quality_weighted_sample,
-    "rate_per_user": q_rate_per_user,
     # -- (d) new this round (new queries always get a head slot, per
-    # the round-3 discipline; the four displaced r04 fills
-    # (semantic_dedup_kmeans_check, seq_pack_256, sessionize_30m,
-    # sketch_distinct_check) lead the r09 head)
+    # the round-3 discipline; the five displaced r04 fills
+    # (rate_per_user, semantic_dedup_kmeans_check, seq_pack_256,
+    # sessionize_30m, sketch_distinct_check) lead the r09 head)
     "ann_pq_join_parity_check": q_ann_pq_join_parity_check,
     "ann_ivfadc_join_parity_check": q_ann_ivfadc_join_parity_check,
     "ann_ivfpq_lake_parity_check": q_ann_ivfpq_lake_parity_check,
     "ann_ivfadc_refined_recall_check": q_ann_ivfadc_refined_recall_check,
+    "ann_ivfpq_incremental_parity_check": (
+        q_ann_ivfpq_incremental_parity_check
+    ),
     # -- tail: freshest rows last ----------------------------------------
+    "rate_per_user": q_rate_per_user,
     "semantic_dedup_kmeans_check": q_semantic_dedup_kmeans,
     "seq_pack_256": q_seq_pack_256,
     "sessionize_30m": q_sessionize_30m,
@@ -3687,6 +3741,7 @@ VERIFICATION_QUERIES = {
     "ann_pq_join_parity_check",
     "ann_ivfadc_join_parity_check",
     "ann_ivfpq_lake_parity_check",
+    "ann_ivfpq_incremental_parity_check",
     "ann_pq_refined_recall_check",
     "ann_ivfadc_refined_recall_check",
     "ann_ivf_partitioned_recall_check",
@@ -5734,6 +5789,11 @@ FROM embeddings WHERE vec_id < 10
     sqls["ann_ivfpq_lake_parity_check"] = """
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
        TRUE AS lake_parity_ok
+FROM embeddings WHERE vec_id < 10
+"""
+    sqls["ann_ivfpq_incremental_parity_check"] = """
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       TRUE AS incremental_parity_ok
 FROM embeddings WHERE vec_id < 10
 """
     sqls["ann_ivfadc_join_parity_check"] = sqls[
