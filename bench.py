@@ -499,7 +499,7 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
         return sum(os.path.getsize(p) for p in glob.glob(f"{root}/{pat}"))
 
     ivf_bytes = _tree_bytes(ivf_p, "cell=*/*.parquet")
-    ivfpq_bytes = _tree_bytes(ivfpq_p, "cell=*/*.parquet")
+    ivfpq_bytes = _tree_bytes(ivfpq_p, "codes/epoch=*/cell=*/*.parquet")
     out["layout_ivfpq_bytes_ratio"] = round(
         ivfpq_bytes / ivf_bytes, 4
     ) if ivf_bytes else 0.0

@@ -148,51 +148,83 @@ class TestCompaction:
         idx.add_batch(b2)
         before = _rows(idx.probe(queries, k=3, nprobe=2))
         stats = idx.compact()
-        assert stats["epochs_before"] == 3 and stats["epochs_after"] == 1
+        # steady state is TWO epochs: compacted history + the
+        # replayable head (the highest epoch is never absorbed)
+        assert stats["epochs_before"] == 3 and stats["epochs_after"] == 2
+        assert idx._epochs() == [1, 2]
         assert stats["files_after"] < stats["files_before"]
         assert _rows(idx.probe(queries, k=3, nprobe=2)) == before
         # idempotent when there is nothing to merge
         stats2 = idx.compact()
-        assert stats2["epochs_after"] == 1
+        assert stats2["epochs_after"] == 2
         assert _rows(idx.probe(queries, k=3, nprobe=2)) == before
+
+    def test_redelivery_after_compaction_loses_nothing(
+        self, spark, emb, model, tmp_path
+    ):
+        """The round-8 judged-review data-loss scenario: a micro-batch
+        is processed (epoch written) but the checkpoint commit is
+        lost; compact() runs in the maintenance window; the stream
+        restarts and REDELIVERS the batch, whose per-epoch overwrite
+        rewrites its epoch dir. Because compaction never absorbs the
+        highest epoch, the rewrite touches only rows that batch
+        already wrote — probe results must be identical, with no
+        silent shrink to one batch."""
+        from zikeiretsu_rs_spark.operators import similarity
+
+        cents, book = model
+        seed, b1, b2 = _thirds(emb)
+        queries = emb.where(F.col("vec_id") < 4)
+        idx = similarity.IvfpqLakeIndex(spark, str(tmp_path / "inc"))
+        idx.build(seed, cents, book)
+        idx.add_batch(b1, epoch=1)
+        idx.add_batch(b2, epoch=2)  # checkpoint commit for this one is lost
+        before = _rows(idx.probe(queries, k=3, nprobe=2))
+        idx.compact()
+        idx.add_batch(b2, epoch=2)  # redelivery
+        assert _rows(idx.probe(queries, k=3, nprobe=2)) == before
+        assert idx._epochs() == [1, 2]
 
     def test_crash_mid_swap_recovers(self, spark, emb, model, tmp_path):
         """Simulate the two crash points of the swap: (a) merged
-        `_compact_` dir written but swap not started; (b) live dir
-        renamed to `_old_` but the merged dir not yet swapped in.
+        `_compact_` dir written but swap not started; (b) live target
+        dir renamed to `_old_` but the merged dir not yet swapped in.
         The next compact() must roll state forward/back and converge
-        to the same probe results."""
+        to the same probe results. Three epochs [0,1,2] -> the merge
+        target is epoch 1 (the second-highest)."""
         import shutil
 
         from zikeiretsu_rs_spark.operators import similarity
 
         cents, book = model
-        seed, b1, _ = _thirds(emb)
+        seed, b1, b2 = _thirds(emb)
         queries = emb.where(F.col("vec_id") < 4)
         idx = similarity.IvfpqLakeIndex(spark, str(tmp_path / "inc"))
         idx.build(seed, cents, book)
         idx.add_batch(b1)
+        idx.add_batch(b2)
         before = _rows(idx.probe(queries, k=3, nprobe=2))
         base = os.path.join(str(tmp_path / "inc"), "codes")
 
         # (a) stale _compact_ leftover
         os.makedirs(os.path.join(base, "_compact_epoch=1", "cell=0"))
         stats = idx.compact()
-        assert stats["epochs_after"] == 1
+        assert stats["epochs_after"] == 2
         assert _rows(idx.probe(queries, k=3, nprobe=2)) == before
 
-        # (b) live epoch renamed away, no merged replacement: _recover
-        # must rename it back before the merge reads state
+        # (b) live target epoch renamed away, no merged replacement:
+        # recover must rename it back before the merge reads state
         idx2 = similarity.IvfpqLakeIndex(spark, str(tmp_path / "inc2"))
         idx2.build(seed, cents, book)
         idx2.add_batch(b1)
+        idx2.add_batch(b2)
         base2 = os.path.join(str(tmp_path / "inc2"), "codes")
         os.replace(
             os.path.join(base2, "epoch=1"),
             os.path.join(base2, "_old_epoch=1"),
         )
         stats2 = idx2.compact()
-        assert stats2["epochs_after"] == 1
+        assert stats2["epochs_after"] == 2
         assert _rows(idx2.probe(queries, k=3, nprobe=2)) == before
         shutil.rmtree(str(tmp_path / "inc2"))
 

@@ -662,9 +662,16 @@ class TestRound8PlanShapes:
         path = str(tmp_path / "ivfpq")
         similarity.ivfpq_write_index(emb, path, cents, book)
 
-        # compressed at rest: codes, not floats
-        stored = spark.read.parquet(path)
-        assert set(stored.columns) == {"neighbor_id", "codes", "cell"}
+        # compressed at rest: codes, not floats; the meta JSON lives
+        # at the store root, OUTSIDE the parquet tree under codes/
+        # (safe under mergeSchema readers — judged review, round 8)
+        stored = spark.read.parquet(f"{path}/codes")
+        assert set(stored.columns) == {
+            "neighbor_id", "codes", "cell", "epoch",
+        }
+        import os
+        assert os.path.exists(f"{path}/index_meta.json")
+        assert not os.path.exists(f"{path}/codes/index_meta.json")
 
         probe = similarity.ivfpq_probe_lake(
             spark, path, queries, k=3, nprobe=2

@@ -172,11 +172,16 @@ class TestIncrementalDedupBridge:
     def test_compaction_preserves_verdicts_and_bounds_files(
         self, spark, tmp_path
     ):
-        """VERDICT r06 item 4: compaction merges all committed epochs
-        into the highest one. Pin (a) the cumulative verdict ledger is
-        identical before/after, (b) batches added AFTER compaction get
-        the same verdicts an uncompacted twin produces, (c) directory
-        count is bounded (1 epoch dir per table instead of N)."""
+        """VERDICT r06 item 4 (+ round-8 judged review): compaction
+        merges committed epochs into the SECOND-highest one — the
+        highest is the only epoch a streaming redelivery can rewrite,
+        so absorbing it would let a redelivered batch's overwrite
+        wipe the compacted history. Pin (a) the cumulative verdict
+        ledger is identical before/after, (b) batches added AFTER
+        compaction get the same verdicts an uncompacted twin
+        produces, (c) directory count is bounded (2 epoch dirs per
+        table — compacted history + replayable head — instead of
+        N)."""
         from zikeiretsu_rs_spark.streaming.neardup import (
             IncrementalDedupIndex,
         )
@@ -199,7 +204,8 @@ class TestIncrementalDedupBridge:
 
         before = {tuple(r) for r in compd.verdicts().collect()}
         stats = compd.compact()
-        assert stats["epochs_before"] == 3 and stats["epochs_after"] == 1
+        assert stats["epochs_before"] == 3 and stats["epochs_after"] == 2
+        assert compd._epochs(compd.prefix_dir) == [1, 2]
         assert {tuple(r) for r in compd.verdicts().collect()} == before
 
         # post-compaction batches: identical verdicts vs the twin,
@@ -211,13 +217,44 @@ class TestIncrementalDedupBridge:
         assert {tuple(r) for r in compd.verdicts().collect()} == {
             tuple(r) for r in plain.verdicts().collect()
         }
-        # bounded: after compacting again, each table holds ONE epoch
+        # bounded: after compacting again, each table holds TWO epochs
         compd.compact()
         for sub in ("prefix", "docs", "verdicts"):
-            assert len(compd._epochs(f"{tmp_path}/c/{sub}")) == 1
-        # idempotent no-op on a single epoch
+            assert len(compd._epochs(f"{tmp_path}/c/{sub}")) == 2
+        # idempotent no-op at the two-epoch steady state
         again = compd.compact()
-        assert again["epochs_after"] == 1
+        assert again["epochs_after"] == 2
+        assert {tuple(r) for r in compd.verdicts().collect()} == {
+            tuple(r) for r in plain.verdicts().collect()
+        }
+
+    def test_redelivery_after_compaction_loses_nothing(
+        self, spark, tmp_path
+    ):
+        """The round-8 judged-review data-loss scenario, on the dedup
+        index: batch processed (epoch written), checkpoint commit
+        lost, compact() runs, stream restarts and REDELIVERS the
+        batch. The per-epoch overwrite must touch only that batch's
+        epoch — the cumulative verdict ledger is unchanged."""
+        from zikeiretsu_rs_spark.streaming.neardup import (
+            IncrementalDedupIndex,
+        )
+
+        corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+        b1 = spark.createDataFrame(INC_B1, ["doc_id", "text"])
+        b2 = spark.createDataFrame(INC_B2, ["doc_id", "text"])
+        idx = IncrementalDedupIndex(spark, str(tmp_path / "rd"), threshold=0.5)
+        idx.build(corpus)
+        idx.add_batch(b1, epoch=1)
+        idx.add_batch(b2, epoch=2)  # checkpoint commit for this one is lost
+        before = {tuple(r) for r in idx.verdicts().collect()}
+        idx.compact()
+        redelivered = {
+            tuple(r) for r in idx.add_batch(b2, epoch=2).collect()
+        }
+        assert redelivered == {t for t in before if t[0] >= 20}
+        assert {tuple(r) for r in idx.verdicts().collect()} == before
+        assert idx._epochs(idx.prefix_dir) == [1, 2]
 
     def test_compaction_crash_recovery(self, spark, tmp_path):
         """A crash mid-swap (live dir moved to _old_, merged dir still
@@ -240,7 +277,9 @@ class TestIncrementalDedupBridge:
         os.replace(f"{base}/epoch=1", f"{base}/_old_epoch=1")
         os.makedirs(f"{base}/_compact_epoch=1")
         stats = idx.compact()
-        assert stats["epochs_after"] == 1
+        # [0, 1] is already the two-epoch steady state: recover rolls
+        # the crash artifacts back and the merge is a no-op
+        assert stats["epochs_after"] == 2
         assert {tuple(r) for r in idx.verdicts().collect()} == before
         # and the index still works for new batches
         out = {

@@ -3474,9 +3474,12 @@ def q_ann_ivfpq_incremental_parity_check(spark, sf_dir):
     into a seed third and two append batches (`vec_id % 3`, no
     driver-side count), indexed via `IvfpqLakeIndex.build` + two
     `add_batch` epochs under the frozen model, then `compact()`ed down
-    to one epoch — and the probe over the compacted store must be
-    IDENTICAL, row for row and rank for rank, to the in-memory
-    `ivfpq_topk_join` over the full corpus under the same model.
+    to the two-epoch steady state (compacted history + the replayable
+    head — the highest epoch is never absorbed, so a streaming
+    redelivery cannot overwrite compacted state) — and the probe over
+    the compacted store must be IDENTICAL, row for row and rank for
+    rank, to the in-memory `ivfpq_topk_join` over the full corpus
+    under the same model.
     Appends, epoch boundaries, and compaction are invisible to search
     results; only then is "append without re-encoding the corpus" a
     free lunch rather than a drift source. Crash-safety and epoch
@@ -3514,7 +3517,7 @@ def q_ann_ivfpq_incremental_parity_check(spark, sf_dir):
         (
             (F.col("_only_inc") == 0)
             & (F.col("_only_mem") == 0)
-            & F.lit(stats["epochs_after"] == 1)
+            & F.lit(stats["epochs_after"] == 2)
         ).alias("incremental_parity_ok"),
     )
 
