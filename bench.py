@@ -477,11 +477,11 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
     # under those directories are the files the probe reads
     probed_cells = sim.ivf_probe_cells(qbatch, cents16, nprobe=2)
     out["layout_ivf_files_total"] = float(
-        len(glob.glob(f"{ivf_p}/cell=*/*.parquet"))
+        len(glob.glob(f"{ivf_p}/cells/cell=*/*.parquet"))
     )
     out["layout_ivf_files_probed"] = float(
         sum(
-            len(glob.glob(f"{ivf_p}/cell={c}/*.parquet"))
+            len(glob.glob(f"{ivf_p}/cells/cell={c}/*.parquet"))
             for c in probed_cells
         )
     )
@@ -498,7 +498,7 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
     def _tree_bytes(root, pat):
         return sum(os.path.getsize(p) for p in glob.glob(f"{root}/{pat}"))
 
-    ivf_bytes = _tree_bytes(ivf_p, "cell=*/*.parquet")
+    ivf_bytes = _tree_bytes(ivf_p, "cells/cell=*/*.parquet")
     ivfpq_bytes = _tree_bytes(ivfpq_p, "codes/epoch=*/cell=*/*.parquet")
     out["layout_ivfpq_bytes_ratio"] = round(
         ivfpq_bytes / ivf_bytes, 4

@@ -403,6 +403,29 @@ class TestRound5PlanShapes:
             map(tuple, mem.collect())
         )
 
+        # round 8: the index is self-contained — probing without
+        # centroids reads the frozen model from index_meta.json (which
+        # lives OUTSIDE the parquet tree under cells/), and probing
+        # under a DIFFERENT model raises instead of silently assigning
+        # wrong probe cells
+        import os
+
+        import pytest as _pytest
+
+        assert os.path.exists(f"{path}/index_meta.json")
+        assert not os.path.exists(f"{path}/cells/index_meta.json")
+        from_meta = similarity.ivf_probe_lake(
+            spark, path, queries, k=3, nprobe=2
+        )
+        assert sorted(map(tuple, from_meta.collect())) == sorted(
+            map(tuple, mem.collect())
+        )
+        other = similarity.head_centroids(emb, 4, "vec_id", "embedding")
+        with _pytest.raises(ValueError, match="differ from the model"):
+            similarity.ivf_probe_lake(
+                spark, path, queries, k=3, centroids=other, nprobe=2
+            )
+
 
 class TestRound6PlanShapes:
     def test_q2_correlated_min_broadcasts_dims(self, spark):

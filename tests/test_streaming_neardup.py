@@ -64,6 +64,49 @@ class TestNearDupIndex:
         after = {(r["doc_id"], r["dup_of"]) for r in idx.matches().collect()}
         assert before == after == {(3, 1)}
 
+    def test_compaction_preserves_ledger_and_survives_redelivery(
+        self, spark, tmp_path
+    ):
+        """NearDupIndex epoch compaction (round 8, shared
+        catalog/epochs.py machinery): the cumulative match ledger and
+        post-compaction batch verdicts are identical to an
+        uncompacted twin, the highest epoch is never absorbed, and a
+        redelivered highest epoch after compaction rewrites only its
+        own state (the judged-review data-loss scenario)."""
+        DOCS_B3 = [
+            (20, "fresh unseen content with no earlier relatives at all"),  # dup of 11
+            (21, "completely novel third batch text unrelated to anything"),
+        ]
+        b1 = spark.createDataFrame(DOCS_B1, ["doc_id", "text"])
+        b2 = spark.createDataFrame(DOCS_B2, ["doc_id", "text"])
+        b3 = spark.createDataFrame(DOCS_B3, ["doc_id", "text"])
+        plain = NearDupIndex(spark, str(tmp_path / "p"), threshold=0.5)
+        compd = NearDupIndex(spark, str(tmp_path / "c"), threshold=0.5)
+        for idx in (plain, compd):
+            idx.add_batch(b1, epoch=0)
+            idx.add_batch(b2, epoch=1)
+            idx.add_batch(b3, epoch=2)
+
+        before = {tuple(r) for r in compd.matches().collect()}
+        stats = compd.compact()
+        assert stats["epochs_before"] == 3 and stats["epochs_after"] == 2
+        assert compd._epochs() == [1, 2]
+        assert {tuple(r) for r in compd.matches().collect()} == before
+
+        # redelivery of the (never-absorbed) highest epoch: idempotent
+        compd.add_batch(b3, epoch=2)
+        assert {tuple(r) for r in compd.matches().collect()} == before
+
+        # post-compaction batches match the uncompacted twin
+        b4 = spark.createDataFrame(
+            [(30, "the quick brown fox jumps over the lazy dog tonight")],
+            ["doc_id", "text"],
+        )
+        m_c = {tuple(r) for r in compd.add_batch(b4).collect()}
+        m_p = {tuple(r) for r in plain.add_batch(b4).collect()}
+        assert m_c == m_p
+        assert any(d == 30 and o == 1 for d, o, _ in m_c)
+
 
 class TestStreamingNearDup:
     def test_two_micro_batches(self, spark, tmp_path):

@@ -2149,7 +2149,20 @@ def ivf_write_index(
     Cell assignment reuses ivf_topk's two paths: per-centroid literal
     expressions up to MAX_EXPR_CENTROIDS, Arrow matmul past the
     expression-tree cliff. One shuffle-free pass over the corpus; the
-    writer hash-distributes rows within each cell directory."""
+    writer hash-distributes rows within each cell directory.
+
+    The centroids are persisted in the index's own `index_meta.json`
+    at the store root (atomic, URI-safe, OUTSIDE the parquet tree
+    under `cells/`), so probes are self-contained and a mismatched
+    model cannot be silently probed — the same contract
+    `ivfpq_write_index` established (round 8). The meta lands first:
+    a crash between the writes leaves a model with no cells, which
+    re-runs idempotently."""
+    from ..catalog import fsio
+
+    fsio.write_json_atomic(
+        fsio.join(path, "index_meta.json"), {"centroids": centroids}
+    )
     if len(centroids) > MAX_EXPR_CENTROIDS:
         assigned = assign_cells_arrow(
             corpus, centroids, id_col, vec_col, metric="dot"
@@ -2168,7 +2181,9 @@ def ivf_write_index(
                 "cell"
             ),
         )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        fsio.join(path, "cells")
+    )
 
 
 def _query_probe_side(
@@ -2218,7 +2233,7 @@ def ivf_probe_lake(
     path: str,
     queries: DataFrame,
     k: int,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -2234,15 +2249,48 @@ def ivf_probe_lake(
     queries are a batch, not a corpus, by contract (same bound as the
     broadcast query side of every ANN operator here).
 
+    The centroids default to the index's own `index_meta.json` —
+    probing is self-contained, and explicitly passed centroids that
+    differ from the stored model raise instead of silently assigning
+    probe cells under a model the rows were not written with (round
+    8, the `ivfpq_probe_lake` contract). Pre-round-8 stores (parquet
+    at the root, no meta) still work with explicit centroids.
+
     Within the surviving partitions the probe is the ivf_topk cell
     equi-join + exact cosine re-score; results are IDENTICAL to the
     in-memory ivf_topk under the same centroids (pinned by
     q_ann_ivf_partitioned_recall_check and pytest)."""
+    import json
+
+    from ..catalog import fsio
+
+    meta_path = fsio.join(path, "index_meta.json")
+    if fsio.exists(meta_path):
+        stored = fsio.read_json(meta_path)["centroids"]
+        if centroids is not None and (
+            json.loads(json.dumps(centroids)) != stored
+        ):
+            raise ValueError(
+                f"centroids differ from the model stored in {meta_path}"
+                " — probing an IVF index under a different model would"
+                " silently assign wrong probe cells; pass"
+                " centroids=None to use the stored model"
+            )
+        centroids = stored
+    elif centroids is None:
+        raise ValueError(
+            f"no index_meta.json under {path} (pre-round-8 store?) — "
+            "explicit centroids are required for legacy layouts"
+        )
+    cells_dir = fsio.join(path, "cells")
+    data_path = cells_dir if fsio.exists(cells_dir) else path
     q = _query_probe_side(queries, centroids, nprobe, id_col, vec_col)
     probe_cells = ivf_probe_cells(
         queries, centroids, nprobe, id_col, vec_col
     )
-    lake = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    lake = spark.read.parquet(data_path).where(
+        F.col("cell").isin(probe_cells)
+    )
     cand = lake.join(q, "cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )

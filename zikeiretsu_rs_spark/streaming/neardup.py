@@ -219,6 +219,62 @@ class NearDupIndex:
             ),
         )
 
+    _TABLE_SCHEMAS = {
+        # iteration order == add_batch write order (matches ->
+        # buckets), so every crash point leaves buckets covered
+        "matches": "doc_id long, dup_of long, est_jaccard double",
+        "buckets": BUCKET_SCHEMA,
+    }
+
+    def compact(self, target_file_bytes: int = 128 << 20) -> dict:
+        """Merge old bucket/match epochs into the SECOND-highest one
+        (catalog/epochs.py discipline — the highest epoch is the only
+        one a streaming redelivery can rewrite, so it is never
+        absorbed), bounding directory and file counts across
+        arbitrarily many crawls. Match-preserving: `matches()` reads
+        the epoch union and `add_batch` history is `epoch < N`, so
+        candidate sets and the cumulative ledger are identical before
+        and after (pytest-pinned). Crash-safe via the shared staged
+        swap; must not run concurrently with add_batch; requires a
+        local store_dir."""
+        import os
+
+        store = fsio.as_local(self.store_dir, "neardup-index compaction")
+
+        for sub in self._TABLE_SCHEMAS:
+            epochlib.recover(os.path.join(store, sub))
+        stats = {
+            "files_before": epochlib.parquet_file_count(store),
+            "epochs_before": len(self._epochs()),
+        }
+        plan = epochlib.compact_plan(
+            epochlib.epoch_dirs(os.path.join(store, "buckets"))
+        )
+        if plan is not None:
+            target, _ = plan
+            for sub, schema in self._TABLE_SCHEMAS.items():
+                base = os.path.join(store, sub)
+                sub_eps = [e for e in _epoch_dirs(base) if e <= target]
+                if not sub_eps:
+                    continue
+                dirs = [f"{base}/epoch={e}" for e in sub_eps]
+                n_out = max(
+                    1, -(-epochlib.dir_bytes(dirs) // target_file_bytes)
+                )
+                merged = (
+                    self.spark.read.schema(schema)
+                    .parquet(*dirs)
+                    .distinct()
+                    .coalesce(n_out)
+                )
+                merged.write.mode("overwrite").parquet(
+                    epochlib.compact_staging_dir(base, target)
+                )
+                epochlib.swap_in(base, target, sub_eps)
+        stats["files_after"] = epochlib.parquet_file_count(store)
+        stats["epochs_after"] = len(self._epochs())
+        return stats
+
 
 def start_streaming_neardup(
     stream_docs: DataFrame,
