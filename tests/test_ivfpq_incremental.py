@@ -276,3 +276,50 @@ class TestStreamingIndexMaintenance:
         )
         # one epoch per micro-batch, on top of the seed
         assert len(idx._epochs()) == 3
+
+    def test_in_stream_compaction_bounds_epochs(
+        self, spark, emb, model, tmp_path
+    ):
+        """compact_every=N runs the replay-safe compaction INSIDE
+        foreachBatch — epoch count stays bounded while probe results
+        remain identical to the one-shot index."""
+        import shutil as sh
+
+        from zikeiretsu_rs_spark.operators import similarity
+        from zikeiretsu_rs_spark.streaming.neardup import (
+            start_streaming_ivfpq_index,
+        )
+
+        cents, book = model
+        seed, b1, b2 = _thirds(emb)
+        queries = emb.where(F.col("vec_id") < 4)
+        idx = similarity.IvfpqLakeIndex(spark, str(tmp_path / "inc"))
+        idx.build(seed, cents, book)
+
+        src = tmp_path / "src"
+        src.mkdir()
+        for i, batch in enumerate((b1, b2)):
+            staged = tmp_path / f"s{i}"
+            batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+            for f in staged.glob("part-*.parquet"):
+                sh.copy(f, src / f"b{i}.parquet")
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_streaming_ivfpq_index(
+            stream, idx, str(tmp_path / "ckpt"), compact_every=2
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # batch 1 triggered compact: [0,1,2] -> [1,2]
+        assert idx._epochs() == [1, 2]
+        one_shot = str(tmp_path / "oneshot")
+        similarity.ivfpq_write_index(emb, one_shot, cents, book)
+        assert _rows(idx.probe(queries, k=3, nprobe=2)) == _rows(
+            similarity.ivfpq_probe_lake(spark, one_shot, queries, k=3, nprobe=2)
+        )

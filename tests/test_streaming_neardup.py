@@ -418,6 +418,49 @@ class TestIncrementalDedupBridge:
         finally:
             q.stop()
 
+    def test_streaming_with_in_stream_compaction(self, spark, tmp_path):
+        """compact_every=N wires the replay-safe compaction into
+        foreachBatch: verdicts stay identical to the uncompacted
+        ground truth while the epoch count is bounded."""
+        import shutil as sh
+
+        from zikeiretsu_rs_spark.streaming.neardup import (
+            IncrementalDedupIndex,
+            start_streaming_incremental_dedup,
+        )
+
+        idx = IncrementalDedupIndex(
+            spark, str(tmp_path / "incc"), threshold=0.5
+        )
+        idx.build(spark.createDataFrame(CORPUS, ["doc_id", "text"]))
+        src = tmp_path / "src"
+        src.mkdir()
+        for i, rows in enumerate((INC_B1, INC_B2)):
+            df = spark.createDataFrame(rows, ["doc_id", "text"])
+            df.coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / f"s{i}")
+            )
+            for f in (tmp_path / f"s{i}").glob("part-*.parquet"):
+                sh.copy(f, src / f"b{i}.parquet")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_streaming_incremental_dedup(
+            stream, idx, str(tmp_path / "ckpt"), compact_every=2
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # batch 1 (epoch 2) triggered compact: [0,1,2] -> [1,2]
+        assert idx._epochs(idx.prefix_dir) == [1, 2]
+        assert {
+            (r["doc_id"], r["is_kept"], r["dup_of"])
+            for r in idx.verdicts().collect()
+        } == self._ground_truth(spark, INC_B1 + INC_B2)
+
 
 class TestIndexGuards:
     def test_mismatched_index_params_refused(self, spark, tmp_path):

@@ -24,6 +24,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..catalog import errorjournal
 from ..ingest.writable_store import WritableStore
+from . import neardup
 
 
 def start_streaming_ingest(
@@ -77,6 +78,7 @@ def start_streaming_crawl_pipeline(
     text_col: str = "text",
     trigger_seconds: int | None = None,
     rollups: list | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """The composed crawl pipeline (VERDICT r06 item 7): each
     micro-batch of documents-with-a-metrics-spine is (a) persisted as
@@ -136,6 +138,9 @@ def start_streaming_crawl_pipeline(
             batch_df.select(id_col, text_col), id_col, text_col,
             epoch=epoch_id + 1,
         )
+        # scheduled maintenance, serialized with add_batch and
+        # replay-safe (never absorbs the epoch this batch just wrote)
+        neardup._maybe_compact(index, epoch_id, compact_every)
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

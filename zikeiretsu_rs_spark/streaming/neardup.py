@@ -276,6 +276,19 @@ class NearDupIndex:
         return stats
 
 
+def _maybe_compact(index, epoch_id: int, compact_every: int | None) -> None:
+    """Scheduled in-stream maintenance shared by the streaming index
+    wrappers: run `index.compact()` after every Nth micro-batch,
+    inside foreachBatch so it is serialized with add_batch (compaction
+    must never run concurrently with writes). Replay-safe because
+    compact never absorbs the HIGHEST epoch — the one this batch just
+    wrote — so a redelivery after a crash between the compact and the
+    checkpoint commit rewrites only that epoch
+    (catalog/epochs.py:compact_plan)."""
+    if compact_every and (epoch_id + 1) % compact_every == 0:
+        index.compact()
+
+
 def start_streaming_neardup(
     stream_docs: DataFrame,
     index: NearDupIndex,
@@ -283,15 +296,25 @@ def start_streaming_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     trigger_seconds: int | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Streaming near-dup detection: each micro-batch is dedup'd
     against the lake-resident index (and itself), then indexed.
     Exactly-once at batch level: foreachBatch replays reuse the same
     epoch_id, and the index's per-epoch overwrite + strictly-earlier
-    history make the replay rewrite identical state."""
+    history make the replay rewrite identical state.
+
+    `compact_every=N` runs `index.compact()` after every Nth batch,
+    INSIDE foreachBatch — serialized with add_batch (the
+    no-concurrent-maintenance requirement holds by construction) and
+    replay-safe: compaction never absorbs the epoch the current batch
+    just wrote (it is the highest), so a redelivery after a crash
+    between the compact and the checkpoint commit rewrites only that
+    epoch. See _maybe_compact."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         index.add_batch(batch_df, id_col, text_col, epoch=epoch_id)
+        _maybe_compact(index, epoch_id, compact_every)
 
     writer = stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -639,6 +662,7 @@ def start_streaming_incremental_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     trigger_seconds: int | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Streaming form of the exact incremental-dedup rule: each
     micro-batch is verdict'd against the lake prefix index (seed
@@ -646,10 +670,13 @@ def start_streaming_incremental_dedup(
     epoch_ids replay idempotently (per-epoch overwrite +
     strictly-earlier history), mirroring start_streaming_neardup.
     foreachBatch epoch_ids start at 0, which is reserved for the seed
-    corpus — add_batch shifts them up by one."""
+    corpus — add_batch shifts them up by one. `compact_every=N` runs
+    the index's replay-safe compaction after every Nth batch (see
+    _maybe_compact)."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         index.add_batch(batch_df, id_col, text_col, epoch=epoch_id + 1)
+        _maybe_compact(index, epoch_id, compact_every)
 
     writer = stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -666,6 +693,7 @@ def start_streaming_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trigger_seconds: int | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Streaming maintenance of an `IvfpqLakeIndex`
     (operators/similarity.py): each micro-batch of new embeddings is
@@ -674,12 +702,14 @@ def start_streaming_ivfpq_index(
     missing half of the crawl pipeline (documents stream through
     dedup; their embeddings stream into the search index). foreachBatch
     epoch_ids replay idempotently (per-epoch overwrite); epoch 0 is
-    the seed corpus `build` wrote, so batches shift up by one. Run
-    `index.compact()` in the stream's maintenance window to bound
-    file counts, exactly like the dedup index."""
+    the seed corpus `build` wrote, so batches shift up by one.
+    `compact_every=N` bounds file counts automatically (see
+    _maybe_compact); without it, run `index.compact()` in the
+    stream's maintenance window."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         index.add_batch(batch_df, id_col, vec_col, epoch=epoch_id + 1)
+        _maybe_compact(index, epoch_id, compact_every)
 
     writer = stream_vectors.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
