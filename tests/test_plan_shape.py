@@ -426,6 +426,54 @@ class TestRound5PlanShapes:
                 spark, path, queries, k=3, centroids=other, nprobe=2
             )
 
+    def test_semantic_dedup_lake_parity_and_pruning(self, spark, tmp_path):
+        """Incremental SemDeDup over the IVF float lake (round 8):
+        (a) with globally increasing batch ids the lake verdicts are
+        IDENTICAL to semantic_dedup over the unioned corpus under the
+        same model, restricted to batch rows; (b) the scan pushes the
+        batch's cell union as a PARTITION filter; (c) a store without
+        the self-contained meta is refused."""
+        import pytest as _pytest
+
+        from zikeiretsu_rs_spark.operators import similarity
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        n = emb.count()
+        # batch = the HIGHEST-id quarter, so the union-parity claim's
+        # globally-increasing-ids precondition holds
+        corpus = emb.where(F.col("vec_id") < 3 * n // 4)
+        batch = emb.where(F.col("vec_id") >= 3 * n // 4)
+        cents = similarity.head_centroids(emb, 8, "vec_id", "embedding")
+        path = str(tmp_path / "ivfsem")
+        similarity.ivf_write_index(corpus, path, cents)
+
+        out = similarity.semantic_dedup_lake(
+            spark, path, batch, threshold=0.40
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # (the scan's Location string gets length-truncated under
+        # pytest tmp paths, so match the filter itself, not the path)
+        pf = [
+            ln
+            for ln in plan.splitlines()
+            if "PartitionFilters: [cell#" in ln
+        ]
+        assert pf and " IN " in pf[0], plan[:4000]
+
+        union = similarity.semantic_dedup(
+            emb, threshold=0.40, centroids=cents
+        ).where(F.col("vec_id") >= 3 * n // 4)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, union.collect())
+        )
+
+        # meta-less stores are refused, not silently mis-assigned
+        with _pytest.raises(FileNotFoundError, match="index_meta"):
+            similarity.semantic_dedup_lake(
+                spark, str(tmp_path / "nometa"), batch
+            )
+
 
 class TestRound6PlanShapes:
     def test_q2_correlated_min_broadcasts_dims(self, spark):

@@ -2311,6 +2311,111 @@ def ivf_probe_lake(
     )
 
 
+def semantic_dedup_lake(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    threshold: float = 0.40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup against a STORED corpus — the semantic
+    mirror of `dedup.incremental_dedup_lake`, composed over the IVF
+    float lake (`ivf_write_index`: `cells/cell=<i>/` partitions
+    carrying (neighbor_id, vec, norm), centroids frozen in the
+    index's own `index_meta.json`).
+
+    Batch rule (the `incremental_dedup` orientation): a batch vector
+    is dropped iff a SAME-CELL neighbor at cosine >= threshold exists
+    among (a) the stored corpus — any id — or (b) an EARLIER id in
+    its own batch; `dup_of` is the smallest qualifying id. With
+    globally increasing ids this is exactly
+    `semantic_dedup(corpus UNION batch, centroids=stored)` restricted
+    to the batch's rows (pytest-pinned), but the corpus is never
+    reassigned or re-scanned beyond the probed cells: the batch's
+    cell UNION is pushed as a static partition filter, so the scan
+    lists only the topic partitions the batch actually touches —
+    per-crawl IO tracks the batch's topic spread, not the corpus
+    (the `ivf_probe_lake` lever applied to dedup).
+
+    The model comes from the index meta (self-contained — a batch
+    cannot be assigned under centroids the corpus was not written
+    with). Bounded driver collect: the batch's distinct cell ids
+    (<= n_cells), never rows.
+
+    Output: one row per batch vector — id, dup_of, is_kept.
+    """
+    from ..catalog import fsio
+
+    meta_path = fsio.join(index_path, "index_meta.json")
+    if not fsio.exists(meta_path):
+        raise FileNotFoundError(
+            f"no index_meta.json under {index_path} — semantic_dedup_lake"
+            " needs the self-contained ivf_write_index layout"
+        )
+    centroids = fsio.read_json(meta_path)["centroids"]
+    assign = (
+        assign_cells
+        if len(centroids) <= MAX_EXPR_CENTROIDS
+        else assign_cells_arrow
+    )
+    # assignment feeds the probe side, the within-batch partner side,
+    # and the cell-union collect — materialize once
+    bat = assign(batch, centroids, id_col, vec_col).cache()
+    batch_cells = sorted(
+        int(r["cell"]) for r in bat.select("cell").distinct().collect()
+    )
+    lake = spark.read.parquet(fsio.join(index_path, "cells")).where(
+        F.col("cell").isin(batch_cells)
+    )
+    corp = lake.select(
+        "cell",
+        F.col("neighbor_id").alias("_ia"),
+        F.col("vec").alias("_va"),
+        F.col("norm").alias("_na"),
+        F.lit(False).alias("_intra"),
+    )
+    partners = corp.unionByName(
+        bat.select(
+            "cell",
+            F.col(id_col).alias("_ia"),
+            F.col("_vec").alias("_va"),
+            F.col("_n").alias("_na"),
+            F.lit(True).alias("_intra"),
+        )
+    )
+    probe = bat.select(
+        "cell",
+        F.col(id_col).alias("_ib"),
+        F.col("_vec").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    pairs = (
+        partners.join(probe, "cell")
+        .where(
+            (F.col("_ia") != F.col("_ib"))
+            # corpus partners count at ANY id; batch partners only
+            # when strictly earlier (the pairwise-to-earlier rule)
+            & (~F.col("_intra") | (F.col("_ia") < F.col("_ib")))
+        )
+        .where(
+            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            >= F.lit(float(threshold))
+        )
+    )
+    dup = pairs.groupBy("_ib").agg(F.min("_ia").alias("dup_of"))
+    out = (
+        batch.select(F.col(id_col))
+        .join(dup, F.col(id_col) == F.col("_ib"), "left")
+        .select(
+            F.col(id_col),
+            F.col("dup_of"),
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
+    )
+    return out
+
+
 def ivfpq_write_index(
     corpus: DataFrame,
     path: str,
