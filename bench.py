@@ -119,6 +119,8 @@ HEADLINE = [
     "tpch_q22",
     "domain_cap",
     "cluster_balanced_sample",
+    # round-8
+    "semantic_dedup_lake",
 ]
 # embedding_neardup_lsh is deliberately NOT a headline query: the
 # fixture corpus is near-uniform and the 0.40 mining threshold makes

@@ -118,6 +118,59 @@ class TestIncrementalParity:
         with pytest.raises(ValueError):
             idx.add_batch(emb, epoch=0)
 
+    def test_rebuild_in_place_clears_stale_epochs(
+        self, spark, emb, model, tmp_path
+    ):
+        """The retrain-offline workflow the class docstring names:
+        rebuilding an index that has appended epochs must CLEAR them —
+        a rebuild that only overwrote epoch 0 would leave later
+        epochs encoded under the old codebook, silently scored with
+        the new lookup tables (round-8 judged review)."""
+        from zikeiretsu_rs_spark.operators import similarity
+
+        cents, book = model
+        seed, b1, _ = _thirds(emb)
+        queries = emb.where(F.col("vec_id") < 4)
+        idx = similarity.IvfpqLakeIndex(spark, str(tmp_path / "inc"))
+        idx.build(seed, cents, book)
+        idx.add_batch(b1)
+        assert idx._epochs() == [0, 1]
+        # retrained model (different subspace count) + rebuild in place
+        book2 = similarity.pq_codebook(emb, m=8, ksub=16)
+        idx.build(seed.unionByName(b1), cents, book2)
+        assert idx._epochs() == [0]
+        rebuilt = similarity.IvfpqLakeIndex(spark, str(tmp_path / "ref"))
+        rebuilt.build(seed.unionByName(b1), cents, book2)
+        assert _rows(idx.probe(queries, k=3, nprobe=2)) == _rows(
+            rebuilt.probe(queries, k=3, nprobe=2)
+        )
+
+    def test_pre_epoch_layout_is_refused(self, spark, emb, model, tmp_path):
+        """A pre-round-8 one-shot store (cell=*/ parquet at the root,
+        meta beside it) must raise on probe, not silently return
+        empty results."""
+        import pytest as _pytest
+
+        from zikeiretsu_rs_spark.catalog import fsio
+        from zikeiretsu_rs_spark.operators import similarity
+
+        cents, book = model
+        legacy = str(tmp_path / "legacy")
+        # simulate the old layout: cell dirs at the root, meta at root
+        emb.limit(20).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(bytearray(16)).alias("codes"),
+            (F.col("vec_id") % 4).alias("cell"),
+        ).write.partitionBy("cell").parquet(legacy)
+        fsio.write_json_atomic(
+            f"{legacy}/index_meta.json",
+            {"centroids": cents, "codebook": book},
+        )
+        with _pytest.raises(ValueError, match="pre-epoch"):
+            similarity.ivfpq_probe_lake(
+                spark, legacy, emb.where(F.col("vec_id") < 2), k=3
+            )
+
     def test_empty_store_probes_empty(self, spark, emb, model, tmp_path):
         from zikeiretsu_rs_spark.catalog import fsio
         from zikeiretsu_rs_spark.operators import similarity

@@ -432,7 +432,9 @@ class TestRound5PlanShapes:
         IDENTICAL to semantic_dedup over the unioned corpus under the
         same model, restricted to batch rows; (b) the scan pushes the
         batch's cell union as a PARTITION filter; (c) a store without
-        the self-contained meta is refused."""
+        the self-contained meta is refused; (d) a DOT-metric store is
+        refused (its cell membership does not match the batch's
+        cosine assignment)."""
         import pytest as _pytest
 
         from zikeiretsu_rs_spark.operators import similarity
@@ -446,14 +448,23 @@ class TestRound5PlanShapes:
         batch = emb.where(F.col("vec_id") >= 3 * n // 4)
         cents = similarity.head_centroids(emb, 8, "vec_id", "embedding")
         path = str(tmp_path / "ivfsem")
-        similarity.ivf_write_index(corpus, path, cents)
+        similarity.ivf_write_index(corpus, path, cents, metric="cosine")
 
         out = similarity.semantic_dedup_lake(
             spark, path, batch, threshold=0.40
         )
-        plan = out._jdf.queryExecution().executedPlan().toString()
+        union = similarity.semantic_dedup(
+            emb, threshold=0.40, centroids=cents
+        ).where(F.col("vec_id") >= 3 * n // 4)
+        out_rows = sorted(map(tuple, out.collect()))
+        assert out_rows == sorted(map(tuple, union.collect()))
+
+        # plan inspected AFTER execution: stringifying the adaptive
+        # plan pre-execution races its dynamic-pruning subqueries
+        # ("dynamicpruning has not finished" on the later collect).
         # (the scan's Location string gets length-truncated under
         # pytest tmp paths, so match the filter itself, not the path)
+        plan = out._jdf.queryExecution().executedPlan().toString()
         pf = [
             ln
             for ln in plan.splitlines()
@@ -461,18 +472,59 @@ class TestRound5PlanShapes:
         ]
         assert pf and " IN " in pf[0], plan[:4000]
 
-        union = similarity.semantic_dedup(
-            emb, threshold=0.40, centroids=cents
-        ).where(F.col("vec_id") >= 3 * n // 4)
-        assert sorted(map(tuple, out.collect())) == sorted(
-            map(tuple, union.collect())
-        )
-
         # meta-less stores are refused, not silently mis-assigned
         with _pytest.raises(FileNotFoundError, match="index_meta"):
             similarity.semantic_dedup_lake(
                 spark, str(tmp_path / "nometa"), batch
             )
+        # dot-metric stores are refused too — and symmetrically, the
+        # dot-math probe refuses a cosine store
+        dot_path = str(tmp_path / "ivfdot")
+        similarity.ivf_write_index(corpus, dot_path, cents)
+        with _pytest.raises(ValueError, match="metric"):
+            similarity.semantic_dedup_lake(spark, dot_path, batch)
+        with _pytest.raises(ValueError, match="metric"):
+            similarity.ivf_probe_lake(spark, path, batch, k=3, nprobe=2)
+
+    def test_semantic_dedup_lake_non_unit_norm(self, spark, tmp_path):
+        """The round-8 judged-review repro: on NON-unit-norm vectors,
+        dot-argmax and cosine-argmax cell assignments diverge, so a
+        dedup over a dot-assigned store would silently miss same-cell
+        duplicates. With the metric frozen in the meta and both sides
+        assigning by cosine, the lake verdicts equal the in-memory
+        union run on exactly this adversarial geometry."""
+        from zikeiretsu_rs_spark.operators import similarity
+        from pyspark.sql import functions as F
+
+        # vec 2 is dot-assigned to centroid 0 (long vector) but
+        # cosine-belongs to centroid 1; vec 10 is its exact duplicate
+        # direction at a different scale
+        rows = [
+            (0, [10.0, 0.1]),
+            (1, [0.1, 1.0]),
+            (2, [0.3, 1.0]),
+            (3, [5.0, 0.2]),
+            (10, [0.6, 2.0]),   # cosine-dup of 2
+            (11, [20.0, 0.4]),  # cosine-dup of 3
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        corpus = emb.where(F.col("vec_id") < 10)
+        batch = emb.where(F.col("vec_id") >= 10)
+        cents = [[10.0, 0.1], [0.1, 1.0]]
+        path = str(tmp_path / "nn")
+        similarity.ivf_write_index(corpus, path, cents, metric="cosine")
+        out = sorted(map(tuple, similarity.semantic_dedup_lake(
+            spark, path, batch, threshold=0.95
+        ).collect()))
+        union = sorted(map(tuple, similarity.semantic_dedup(
+            emb, threshold=0.95, centroids=cents
+        ).where(F.col("vec_id") >= 10).collect()))
+        assert out == union
+        # and the duplicates ARE caught (dup_of = the smallest
+        # qualifying same-cell id: 1 for vec 10, 0 for vec 11)
+        assert (10, 1, False) in out and (11, 0, False) in out
 
 
 class TestRound6PlanShapes:

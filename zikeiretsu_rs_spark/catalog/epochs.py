@@ -111,6 +111,57 @@ def compact_staging_dir(base: str, target: int) -> str:
     return os.path.join(base, f"_compact_epoch={target}")
 
 
+def compact_tables(
+    spark,
+    store: str,
+    tables: dict,
+    marker: str,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """One compaction pass over a multi-table epoch store (the whole
+    orchestration both dedup indexes share): recover every table, plan
+    off the MARKER table's committed epochs (replay-safe — see
+    compact_plan), then per table merge the epochs at or below the
+    target (`distinct()` collapses rows a half-finished deletion left
+    duplicated), stage, and swap. `tables` maps subdir name -> Spark
+    read schema (DDL string or StructType), iterated in the indexes'
+    write order so every crash point leaves later tables covered by
+    earlier ones. Returns {files_before, files_after, epochs_before,
+    epochs_after} counted over the marker table."""
+    import os
+
+    for sub in tables:
+        recover(os.path.join(store, sub))
+    marker_base = os.path.join(store, marker)
+    stats = {
+        "files_before": parquet_file_count(store),
+        "epochs_before": len(epoch_dirs(marker_base)),
+    }
+    plan = compact_plan(epoch_dirs(marker_base))
+    if plan is not None:
+        target, _ = plan
+        for sub, schema in tables.items():
+            base = os.path.join(store, sub)
+            sub_eps = [e for e in epoch_dirs(base) if e <= target]
+            if not sub_eps:
+                continue
+            dirs = [f"{base}/epoch={e}" for e in sub_eps]
+            n_out = max(1, -(-dir_bytes(dirs) // target_file_bytes))
+            merged = (
+                spark.read.schema(schema)
+                .parquet(*dirs)
+                .distinct()
+                .coalesce(n_out)
+            )
+            merged.write.mode("overwrite").parquet(
+                compact_staging_dir(base, target)
+            )
+            swap_in(base, target, sub_eps)
+    stats["files_after"] = parquet_file_count(store)
+    stats["epochs_after"] = len(epoch_dirs(marker_base))
+    return stats
+
+
 def swap_in(base: str, target: int, merge_eps: list[int]) -> None:
     """Swap the staged `_compact_epoch=<target>` into place and
     delete the absorbed epochs: live -> `_old_`, staged -> live,

@@ -163,6 +163,22 @@ def delete(path: str) -> None:
     f.delete_file(p)
 
 
+def delete_dir(path: str) -> None:
+    """Remove a directory tree if it exists (URI-safe). Used by index
+    rebuilds to clear state a plain per-partition overwrite would
+    leave behind."""
+    if not is_uri(path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    from pyarrow import fs as pafs
+
+    f, p = _fs(path)
+    if f.get_file_info(p).type is not pafs.FileType.NotFound:
+        f.delete_dir(p)
+
+
 def as_local(path: str, operation: str) -> str:
     """Resolve a path for operations built on directory renames
     (compaction swaps, purge rebuilds): those are only atomic on a real

@@ -235,45 +235,15 @@ class NearDupIndex:
         the epoch union and `add_batch` history is `epoch < N`, so
         candidate sets and the cumulative ledger are identical before
         and after (pytest-pinned). Crash-safe via the shared staged
-        swap; must not run concurrently with add_batch; requires a
-        local store_dir."""
-        import os
-
-        store = fsio.as_local(self.store_dir, "neardup-index compaction")
-
-        for sub in self._TABLE_SCHEMAS:
-            epochlib.recover(os.path.join(store, sub))
-        stats = {
-            "files_before": epochlib.parquet_file_count(store),
-            "epochs_before": len(self._epochs()),
-        }
-        plan = epochlib.compact_plan(
-            epochlib.epoch_dirs(os.path.join(store, "buckets"))
+        swap (ONE orchestration: epochs.compact_tables); must not run
+        concurrently with add_batch; requires a local store_dir."""
+        return epochlib.compact_tables(
+            self.spark,
+            fsio.as_local(self.store_dir, "neardup-index compaction"),
+            self._TABLE_SCHEMAS,
+            marker="buckets",
+            target_file_bytes=target_file_bytes,
         )
-        if plan is not None:
-            target, _ = plan
-            for sub, schema in self._TABLE_SCHEMAS.items():
-                base = os.path.join(store, sub)
-                sub_eps = [e for e in _epoch_dirs(base) if e <= target]
-                if not sub_eps:
-                    continue
-                dirs = [f"{base}/epoch={e}" for e in sub_eps]
-                n_out = max(
-                    1, -(-epochlib.dir_bytes(dirs) // target_file_bytes)
-                )
-                merged = (
-                    self.spark.read.schema(schema)
-                    .parquet(*dirs)
-                    .distinct()
-                    .coalesce(n_out)
-                )
-                merged.write.mode("overwrite").parquet(
-                    epochlib.compact_staging_dir(base, target)
-                )
-                epochlib.swap_in(base, target, sub_eps)
-        stats["files_after"] = epochlib.parquet_file_count(store)
-        stats["epochs_after"] = len(self._epochs())
-        return stats
 
 
 def _maybe_compact(index, epoch_id: int, compact_every: int | None) -> None:
@@ -615,44 +585,15 @@ class IncrementalDedupIndex:
         maintenance window). Requires a local/file:// store_dir —
         directory swaps are not atomic on object stores (same refusal
         as catalog compaction). Returns {files_before, files_after,
-        epochs_before, epochs_after}."""
-        import os
-
-        store = fsio.as_local(self.store_dir, "dedup-index compaction")
-
-        for sub in self._TABLE_SCHEMAS:
-            epochlib.recover(os.path.join(store, sub))
-        stats = {
-            "files_before": epochlib.parquet_file_count(store),
-            "epochs_before": len(self._epochs(self.prefix_dir)),
-        }
-        plan = epochlib.compact_plan(
-            self._epochs(os.path.join(store, "prefix"))
+        epochs_before, epochs_after}. One orchestration shared with
+        NearDupIndex: epochs.compact_tables."""
+        return epochlib.compact_tables(
+            self.spark,
+            fsio.as_local(self.store_dir, "dedup-index compaction"),
+            self._TABLE_SCHEMAS,
+            marker="prefix",
+            target_file_bytes=target_file_bytes,
         )
-        if plan is not None:
-            target, merge_eps = plan
-            for sub, schema in self._TABLE_SCHEMAS.items():
-                base = os.path.join(store, sub)
-                sub_eps = [e for e in _epoch_dirs(base) if e <= target]
-                if not sub_eps:
-                    continue
-                dirs = [f"{base}/epoch={e}" for e in sub_eps]
-                n_out = max(
-                    1, -(-epochlib.dir_bytes(dirs) // target_file_bytes)
-                )
-                merged = (
-                    self.spark.read.schema(schema)
-                    .parquet(*dirs)
-                    .distinct()
-                    .coalesce(n_out)
-                )
-                merged.write.mode("overwrite").parquet(
-                    epochlib.compact_staging_dir(base, target)
-                )
-                epochlib.swap_in(base, target, sub_eps)
-        stats["files_after"] = epochlib.parquet_file_count(store)
-        stats["epochs_after"] = len(self._epochs(self.prefix_dir))
-        return stats
 
 
 def start_streaming_incremental_dedup(

@@ -3552,7 +3552,9 @@ def q_semantic_dedup_lake(spark, sf_dir):
         path = (
             f"/tmp/zikeiretsu_ivf_sem_{os.getpid()}_{uuid.uuid4().hex[:12]}"
         )
-        similarity.ivf_write_index(corpus, path, cents)
+        # metric="cosine": the store's cell membership must match the
+        # batch's cosine assignment (dot diverges off unit norm)
+        similarity.ivf_write_index(corpus, path, cents, metric="cosine")
         _DEDUP_INDEX_CACHE[key] = path
         _SCRATCH_DIRS.add(path)  # atexit-only cleanup (still live)
     return similarity.semantic_dedup_lake(spark, path, batch, threshold=0.40)
