@@ -117,19 +117,27 @@ def compact_tables(
     tables: dict,
     marker: str,
     target_file_bytes: int = 128 << 20,
+    partition_cols: dict | None = None,
 ) -> dict:
     """One compaction pass over a multi-table epoch store (the whole
-    orchestration both dedup indexes share): recover every table, plan
-    off the MARKER table's committed epochs (replay-safe — see
-    compact_plan), then per table merge the epochs at or below the
-    target (`distinct()` collapses rows a half-finished deletion left
-    duplicated), stage, and swap. `tables` maps subdir name -> Spark
-    read schema (DDL string or StructType), iterated in the indexes'
-    write order so every crash point leaves later tables covered by
-    earlier ones. Returns {files_before, files_after, epochs_before,
-    epochs_after} counted over the marker table."""
+    orchestration every incremental index shares): recover every
+    table, plan off the MARKER table's committed epochs (replay-safe —
+    see compact_plan), then per table merge the epochs at or below
+    the target (`distinct()` collapses rows a half-finished deletion
+    left duplicated), stage, and swap. `tables` maps subdir name ->
+    Spark read schema (DDL string or StructType; None infers from the
+    files, for tables whose id type varies with the corpus), iterated
+    in the indexes' write order so every crash point leaves later
+    tables covered by earlier ones. `partition_cols` maps subdir name -> the
+    Hive partition column its epochs carry BELOW the epoch level
+    (e.g. the ANN indexes' `cell`): the merged epoch is then
+    hash-clustered on that column and written partitionBy it, so each
+    value's rows land whole in one file and the probe-side partition
+    pruning survives compaction. Returns {files_before, files_after,
+    epochs_before, epochs_after} counted over the marker table."""
     import os
 
+    partition_cols = partition_cols or {}
     for sub in tables:
         recover(os.path.join(store, sub))
     marker_base = os.path.join(store, marker)
@@ -147,15 +155,36 @@ def compact_tables(
                 continue
             dirs = [f"{base}/epoch={e}" for e in sub_eps]
             n_out = max(1, -(-dir_bytes(dirs) // target_file_bytes))
-            merged = (
-                spark.read.schema(schema)
-                .parquet(*dirs)
-                .distinct()
-                .coalesce(n_out)
+            reader = spark.read if schema is None else spark.read.schema(
+                schema
             )
-            merged.write.mode("overwrite").parquet(
-                compact_staging_dir(base, target)
-            )
+            pcol = partition_cols.get(sub)
+            if pcol is not None:
+                # sub-partitioned epochs: multiple epoch roots with
+                # cell=* children trip CONFLICTING_DIRECTORY_STRUCTURES
+                # unless the table base anchors discovery; the epoch
+                # column that brings in is not data — drop it
+                merged = (
+                    reader.option("basePath", base)
+                    .parquet(*dirs)
+                    .drop("epoch")
+                    .distinct()
+                )
+            else:
+                merged = reader.parquet(*dirs).distinct()
+            if pcol is None:
+                merged.coalesce(n_out).write.mode("overwrite").parquet(
+                    compact_staging_dir(base, target)
+                )
+            else:
+                # n_out caps task parallelism; the partitionBy write
+                # still emits ONE file per partition value because the
+                # repartition clusters each value's rows into one task
+                merged.repartition(n_out, pcol).write.mode(
+                    "overwrite"
+                ).partitionBy(pcol).parquet(
+                    compact_staging_dir(base, target)
+                )
             swap_in(base, target, sub_eps)
     stats["files_after"] = parquet_file_count(store)
     stats["epochs_after"] = len(epoch_dirs(marker_base))

