@@ -266,6 +266,28 @@ class TestConnectedComponents:
         )
         assert dedup.connected_components(empty).count() == 0
 
+    def test_deep_chain_converges(self, spark):
+        # a 12-node path: min-label takes several propagation rounds
+        # to reach the far end — pins the changed-flag convergence
+        # check across multiple genuinely-changing iterations
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 12)], ["id_a", "id_b"]
+        )
+        cc = {
+            r["node"]: r["cluster_id"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert cc == {i: 1 for i in range(1, 13)}
+
+    def test_non_convergence_raises(self, spark):
+        import pytest as _pytest
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 40)], ["id_a", "id_b"]
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components(pairs, max_iter=2)
+
 
 class TestDeterministicSampling:
     def test_stable_across_partitionings(self, spark):

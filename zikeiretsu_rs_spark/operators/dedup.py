@@ -639,21 +639,23 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("_nl").alias("_nmin"))
         )
+        # carry the old label through the checkpoint as a changed flag:
+        # convergence then reads off the checkpointed blocks directly
+        # (one narrow scan) instead of re-joining new labels to old —
+        # a shuffle join + full count per round saved
         updated = labels.join(neighbor_min, "u", "left").select(
             "u",
             F.least(
                 F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
             ).alias("label"),
+            (F.coalesce(F.col("_nmin"), F.col("label")) < F.col("label")).alias(
+                "_chg"
+            ),
         )
         updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "u")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        converged = updated.where(F.col("_chg")).isEmpty()
+        labels = updated.drop("_chg")
+        if converged:
             break
     else:
         # silent wrong labels are worse than an error: a graph whose
