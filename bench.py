@@ -508,6 +508,68 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
     out["layout_ivfpq_probe_lake"] = _timed(
         sim.ivfpq_probe_lake(spark, ivfpq_p, qbatch, k=5, nprobe=2)
     )
+
+    # Bucketed co-located join (round 8): lineitem x orders written as
+    # 16-bucket tables on the join key — the bucket-spec equi-join
+    # runs with ZERO exchanges on the join itself (pre-bucketed,
+    # pre-sorted scans feed the SortMergeJoin directly) vs the plain
+    # parquet join's one-shuffle-per-side. Broadcast is disabled for
+    # BOTH measurements: at 100 TB neither fact side is
+    # broadcastable, and locally the broadcast would hide exactly the
+    # exchange bucketing removes. Seconds are the local[32] echo; the
+    # exchange counts are the structural fact that scales (the saved
+    # shuffle is ~O(fact bytes) per query, bought once at write time).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    tli, tod = f"zk_bench_li_{os.getpid()}", f"zk_bench_od_{os.getpid()}"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, df, key in [(tli, li, "l_orderkey"), (tod, od, "o_orderkey")]:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .option("path", f"{base}/{name}")
+                .bucketBy(16, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        bli, bod = spark.table(tli), spark.table(tod)
+
+        def _join_plain():
+            return li.join(od, li.l_orderkey == od.o_orderkey).groupBy(
+                "o_orderdate"
+            ).agg(F.sum("l_extendedprice").alias("rev"))
+
+        def _join_bucketed():
+            return bli.join(bod, bli.l_orderkey == bod.o_orderkey).groupBy(
+                "o_orderdate"
+            ).agg(F.sum("l_extendedprice").alias("rev"))
+
+        def _exchanges(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return float(plan.count("Exchange"))
+
+        out["layout_join_shuffled"] = _timed(_join_plain)
+        out["layout_join_bucketed"] = _timed(_join_bucketed)
+        # join-only plans (no aggregate) isolate the join's exchanges
+        jp = li.join(od, li.l_orderkey == od.o_orderkey)
+        jb = bli.join(bod, bli.l_orderkey == bod.o_orderkey)
+        jp.write.format("noop").mode("overwrite").save()
+        jb.write.format("noop").mode("overwrite").save()
+        out["layout_join_exchanges_plain"] = _exchanges(jp)
+        out["layout_join_exchanges_bucketed"] = _exchanges(jb)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tli}")
+        spark.sql(f"DROP TABLE IF EXISTS {tod}")
     shutil.rmtree(base, ignore_errors=True)
     return out
 

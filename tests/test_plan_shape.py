@@ -813,3 +813,61 @@ class TestRound8PlanShapes:
         assert sorted(map(tuple, probe.collect())) == sorted(
             map(tuple, mem.collect())
         )
+
+    def test_bucketed_join_is_exchange_free(self, spark, tmp_path):
+        """Round 8: pre-bucketed co-located join. Writing both join
+        sides bucketed (and sorted) on the join key removes the
+        join's exchanges entirely — the write-once shuffle the 100 TB
+        warehouse buys for every subsequent fact-fact join. The bench
+        layout section measures it; this pins the plan property (and
+        result parity) so a writer or conf change can't silently
+        bring the shuffle back."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        od = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_orderkey", "o_orderdate"
+        )
+        sfx = uuid.uuid4().hex[:8]
+        tli, tod = f"zk_t_li_{sfx}", f"zk_t_od_{sfx}"
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            for name, df, key in [
+                (tli, li, "l_orderkey"),
+                (tod, od, "o_orderkey"),
+            ]:
+                (
+                    df.write.mode("overwrite")
+                    .format("parquet")
+                    .option("path", str(tmp_path / name))
+                    .bucketBy(4, key)
+                    .sortBy(key)
+                    .saveAsTable(name)
+                )
+            bli, bod = spark.table(tli), spark.table(tod)
+            plain = li.join(od, li.l_orderkey == od.o_orderkey)
+            buck = bli.join(bod, bli.l_orderkey == bod.o_orderkey)
+            plain.write.format("noop").mode("overwrite").save()
+            buck.write.format("noop").mode("overwrite").save()
+            p_plan = plain._jdf.queryExecution().executedPlan().toString()
+            b_plan = buck._jdf.queryExecution().executedPlan().toString()
+            assert p_plan.count("Exchange") == 2, p_plan[:3000]
+            assert b_plan.count("Exchange") == 0, b_plan[:3000]
+            # same rows either way (bucketed layout is a layout, not
+            # a semantics change)
+            a = sorted(map(tuple, plain.collect()))
+            b = sorted(map(tuple, buck.collect()))
+            assert a == b and len(a) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {tli}")
+            spark.sql(f"DROP TABLE IF EXISTS {tod}")
