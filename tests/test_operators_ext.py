@@ -221,6 +221,93 @@ class TestSemanticDedup:
         assert got == want
         assert all(got[i] == 0 for i in range(2, 80, 2))
 
+    def test_earlier_dup_verdicts_arrow_matches_expression(self, spark):
+        # the shared pairwise-to-earlier map (semantic_dedup_lake /
+        # SemanticDedupIndex): corpus partners qualify at ANY id
+        # (including ids LARGER than the victim), batch partners only
+        # strictly earlier; forced block seams. Arrow and expression
+        # formulations must emit identical verdict maps.
+        import random
+
+        from zikeiretsu_rs_spark.operators.similarity import (
+            assign_cells,
+            earlier_dup_verdicts,
+            head_centroids,
+        )
+
+        rng = random.Random(11)
+        base = [rng.uniform(-1, 1) for _ in range(6)]
+        # a second direction shared ONLY by batch id 25 and corpus id
+        # 59: the victim's one qualifying partner has a LARGER id —
+        # the branch plain lower-id dedup would miss
+        lone = [rng.uniform(-1, 1) for _ in range(6)]
+        corpus_rows, batch_rows = [], []
+        # corpus: ids 0..58 interleaved, a third near `base`
+        for i in range(59):
+            v = (
+                [x + rng.uniform(-0.01, 0.01) for x in base]
+                if i % 3 == 0
+                else [rng.uniform(-1, 1) for _ in range(6)]
+            )
+            corpus_rows.append((i, v))
+        corpus_rows.append((59, lone))
+        # batch: ids 100.. plus ids 26..34 — which COLLIDE with corpus
+        # ids (a re-crawled id): the rule excludes a same-id corpus
+        # partner, and both formulations must agree on that
+        for j, i in enumerate(list(range(100, 130)) + list(range(26, 35))):
+            v = (
+                [x + rng.uniform(-0.01, 0.01) for x in base]
+                if j % 2 == 0
+                else [rng.uniform(-1, 1) for _ in range(6)]
+            )
+            batch_rows.append((i, v))
+        batch_rows.append(
+            (25, [x + rng.uniform(-0.005, 0.005) for x in lone])
+        )
+
+        def mk(rows):
+            return spark.createDataFrame(
+                rows, ["vec_id", "embedding"]
+            ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+        corpus_emb, batch_emb = mk(corpus_rows), mk(batch_rows)
+        cents = head_centroids(corpus_emb, 3, "vec_id", "embedding")
+        # the real call sites assign each side separately and union
+        # with the role flag (a vec_id join would cross-multiply the
+        # colliding ids)
+        asn = (
+            assign_cells(corpus_emb, cents, "vec_id", "embedding")
+            .withColumn("_batch", F.lit(False))
+            .unionByName(
+                assign_cells(batch_emb, cents, "vec_id", "embedding")
+                .withColumn("_batch", F.lit(True))
+            )
+            .select("cell", "vec_id", "_vec", "_n", "_batch")
+        )
+        kw = dict(threshold=0.93, id_col="vec_id")
+        arrow = {
+            r["vec_id"]: r["dup_of"]
+            for r in earlier_dup_verdicts(
+                asn, arrow_pairs=True, block_floats=300, **kw
+            ).collect()
+        }
+        expr = {
+            r["vec_id"]: r["dup_of"]
+            for r in earlier_dup_verdicts(
+                asn, arrow_pairs=False, **kw
+            ).collect()
+        }
+        assert arrow == expr
+        assert arrow, "fixture must produce at least one duplicate"
+        # victims are batch rows only
+        batch_ids = {r[0] for r in batch_rows}
+        assert set(arrow) <= batch_ids
+        # at least one verdict whose cause is a LARGER-id corpus doc
+        # (the branch plain lower-id dedup would miss)
+        assert any(
+            cause > victim for victim, cause in arrow.items()
+        ), arrow
+
 
 class TestBM25:
     def test_rare_term_outranks_common(self, spark):

@@ -655,6 +655,122 @@ def within_cell_min_dup_arrow(
     )
 
 
+def earlier_dup_verdicts(
+    allrows: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    arrow_pairs: bool = True,
+    block_floats: int = 8_000_000,
+) -> DataFrame:
+    """The pairwise-to-earlier verdict map shared by the incremental
+    semantic-dedup paths (`semantic_dedup_lake`, the streaming
+    `SemanticDedupIndex`): given one cell-assigned frame
+    (cell, id, _vec, _n, _batch) holding the stored-corpus partners
+    (_batch=False) and the new batch (_batch=True), emit
+    (id, dup_of) for every BATCH vector that has a same-cell
+    neighbor at cosine >= threshold among (a) any corpus row with a
+    different id, or (b) a batch row with a strictly smaller id;
+    dup_of = the smallest qualifying partner id. Rows without a
+    duplicate are absent (callers left-join the verdicts back).
+
+    arrow_pairs=True scores each cell with the blocked numpy matmul
+    (`within_cell_min_dup_arrow`'s cross-set generalization — same
+    memory bound, same FP caveat); False keeps the self-join +
+    expression-dot formulation as the parity anchor (pytest pins the
+    two row-identical). Both call sites previously inlined the
+    expression form verbatim — this is the single implementation.
+    """
+    if arrow_pairs:
+        import numpy as np
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        idt = allrows.schema[id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField(id_col, idt, True),
+                T.StructField("dup_of", idt, True),
+            ]
+        )
+        t = float(threshold)
+
+        def score(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            empty = pdf.iloc[0:0][[id_col]].assign(
+                dup_of=pdf[id_col].iloc[0:0]
+            )
+            isb = pdf["_batch"].to_numpy(dtype=bool)
+            vict = np.nonzero(isb)[0]
+            n = len(pdf)
+            if n < 2 or len(vict) == 0:
+                return empty
+            V = np.array(list(pdf["_vec"]), dtype=np.float64)
+            nr = pdf["_n"].to_numpy(dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            B = max(1, block_floats // n)
+            out_victim, out_cause = [], []
+            for s in range(0, len(vict), B):
+                cols = vict[s : s + B]
+                C = (V @ V[cols].T) / (nr[:, None] * nr[None, cols])
+                idj = ids[cols]
+                # corpus partners qualify at any DIFFERENT id; batch
+                # partners only when strictly earlier
+                mask = (~isb[:, None] & (ids[:, None] != idj[None, :])) | (
+                    isb[:, None] & (ids[:, None] < idj[None, :])
+                )
+                hit = (C >= t) & mask
+                anyhit = hit.any(axis=0)
+                if anyhit.any():
+                    hcols = np.nonzero(anyhit)[0]
+                    first = hit[:, hcols].argmax(axis=0)
+                    out_victim.append(idj[hcols])
+                    out_cause.append(ids[first])
+            if not out_victim:
+                return empty
+            return pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_victim),
+                    "dup_of": np.concatenate(out_cause),
+                }
+            )
+
+        return (
+            allrows.select("cell", id_col, "_vec", "_n", "_batch")
+            .groupBy("cell")
+            .applyInPandas(score, out_schema)
+        )
+    partners = allrows.select(
+        "cell",
+        F.col(id_col).alias("_ia"),
+        F.col("_vec").alias("_va"),
+        F.col("_n").alias("_na"),
+        F.col("_batch").alias("_intra"),
+    )
+    probe = allrows.where(F.col("_batch")).select(
+        "cell",
+        F.col(id_col).alias("_ib"),
+        F.col("_vec").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    pairs = (
+        partners.join(probe, "cell")
+        .where(
+            (F.col("_ia") != F.col("_ib"))
+            # corpus partners count at ANY id; batch partners only
+            # when strictly earlier (the pairwise-to-earlier rule)
+            & (~F.col("_intra") | (F.col("_ia") < F.col("_ib")))
+        )
+        .where(
+            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            >= F.lit(float(threshold))
+        )
+    )
+    return pairs.groupBy("_ib").agg(F.min("_ia").alias("dup_of")).select(
+        F.col("_ib").alias(id_col), "dup_of"
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.40,
@@ -2443,6 +2559,7 @@ def semantic_dedup_lake(
     threshold: float = 0.40,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow_pairs: bool = True,
 ) -> DataFrame:
     """Incremental SemDeDup against a STORED corpus — the semantic
     mirror of `dedup.incremental_dedup_lake`, composed over the IVF
@@ -2514,42 +2631,24 @@ def semantic_dedup_lake(
     lake = spark.read.parquet(fsio.join(index_path, "cells")).where(
         F.col("cell").isin(batch_cells)
     )
-    corp = lake.select(
+    allrows = lake.select(
         "cell",
-        F.col("neighbor_id").alias("_ia"),
-        F.col("vec").alias("_va"),
-        F.col("norm").alias("_na"),
-        F.lit(False).alias("_intra"),
-    )
-    partners = corp.unionByName(
+        F.col("neighbor_id").alias(id_col),
+        F.col("vec").alias("_vec"),
+        F.col("norm").alias("_n"),
+        F.lit(False).alias("_batch"),
+    ).unionByName(
         bat.select(
             "cell",
-            F.col(id_col).alias("_ia"),
-            F.col("_vec").alias("_va"),
-            F.col("_n").alias("_na"),
-            F.lit(True).alias("_intra"),
+            F.col(id_col),
+            "_vec",
+            "_n",
+            F.lit(True).alias("_batch"),
         )
     )
-    probe = bat.select(
-        "cell",
-        F.col(id_col).alias("_ib"),
-        F.col("_vec").alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    pairs = (
-        partners.join(probe, "cell")
-        .where(
-            (F.col("_ia") != F.col("_ib"))
-            # corpus partners count at ANY id; batch partners only
-            # when strictly earlier (the pairwise-to-earlier rule)
-            & (~F.col("_intra") | (F.col("_ia") < F.col("_ib")))
-        )
-        .where(
-            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-            >= F.lit(float(threshold))
-        )
-    )
-    dup = pairs.groupBy("_ib").agg(F.min("_ia").alias("dup_of"))
+    dup = earlier_dup_verdicts(
+        allrows, threshold, id_col, arrow_pairs=arrow_pairs
+    ).withColumnRenamed(id_col, "_ib")
     out = (
         batch.select(F.col(id_col))
         .join(dup, F.col(id_col) == F.col("_ib"), "left")

@@ -814,42 +814,26 @@ class SemanticDedupIndex:
                 [],
                 f"vec_id {id_t}, vec array<double>, norm double, cell int",
             )
-        partners = hist.select(
+        from ..operators.similarity import earlier_dup_verdicts
+
+        allrows = hist.select(
             "cell",
-            F.col("vec_id").alias("_ia"),
-            F.col("vec").alias("_va"),
-            F.col("norm").alias("_na"),
-            F.lit(False).alias("_intra"),
+            F.col("vec_id").alias(id_col),
+            F.col("vec").alias("_vec"),
+            F.col("norm").alias("_n"),
+            F.lit(False).alias("_batch"),
         ).unionByName(
             bat.select(
                 "cell",
-                F.col(id_col).alias("_ia"),
-                F.col("_vec").alias("_va"),
-                F.col("_n").alias("_na"),
-                F.lit(True).alias("_intra"),
+                F.col(id_col),
+                "_vec",
+                "_n",
+                F.lit(True).alias("_batch"),
             )
         )
-        probe = bat.select(
-            "cell",
-            F.col(id_col).alias("_ib"),
-            F.col("_vec").alias("_vb"),
-            F.col("_n").alias("_nb"),
-        )
-        from ..operators.similarity import _dot
-
-        pairs = (
-            partners.join(probe, "cell")
-            .where(
-                (F.col("_ia") != F.col("_ib"))
-                & (~F.col("_intra") | (F.col("_ia") < F.col("_ib")))
-            )
-            .where(
-                _dot(F.col("_va"), F.col("_vb"))
-                / (F.col("_na") * F.col("_nb"))
-                >= F.lit(self.threshold)
-            )
-        )
-        dup = pairs.groupBy("_ib").agg(F.min("_ia").alias("dup_of"))
+        dup = earlier_dup_verdicts(
+            allrows, self.threshold, id_col
+        ).withColumnRenamed(id_col, "_ib")
         verdicts = (
             vectors.select(F.col(id_col).alias("vec_id"))
             .join(dup, F.col("vec_id") == F.col("_ib"), "left")
