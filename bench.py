@@ -525,22 +525,16 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
     od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_orderdate"
     )
+    from zikeiretsu_rs_spark.catalog.bucketed import read_table, write_bucketed
+
     tli, tod = f"zk_bench_li_{os.getpid()}", f"zk_bench_od_{os.getpid()}"
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
-        for name, df, key in [(tli, li, "l_orderkey"), (tod, od, "o_orderkey")]:
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
-            (
-                df.write.mode("overwrite")
-                .format("parquet")
-                .option("path", f"{base}/{name}")
-                .bucketBy(16, key)
-                .sortBy(key)
-                .saveAsTable(name)
-            )
-        bli, bod = spark.table(tli), spark.table(tod)
+        write_bucketed(li, tli, "l_orderkey", 16, f"{base}/{tli}")
+        write_bucketed(od, tod, "o_orderkey", 16, f"{base}/{tod}")
+        bli, bod = read_table(spark, tli), read_table(spark, tod)
 
         def _join_plain():
             return li.join(od, li.l_orderkey == od.o_orderkey).groupBy(
@@ -553,18 +547,20 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
             ).agg(F.sum("l_extendedprice").alias("rev"))
 
         def _exchanges(df):
+            # the join's static plan carries the exchange count — no
+            # execution needed to read it
             plan = df._jdf.queryExecution().executedPlan().toString()
             return float(plan.count("Exchange"))
 
         out["layout_join_shuffled"] = _timed(_join_plain)
         out["layout_join_bucketed"] = _timed(_join_bucketed)
         # join-only plans (no aggregate) isolate the join's exchanges
-        jp = li.join(od, li.l_orderkey == od.o_orderkey)
-        jb = bli.join(bod, bli.l_orderkey == bod.o_orderkey)
-        jp.write.format("noop").mode("overwrite").save()
-        jb.write.format("noop").mode("overwrite").save()
-        out["layout_join_exchanges_plain"] = _exchanges(jp)
-        out["layout_join_exchanges_bucketed"] = _exchanges(jb)
+        out["layout_join_exchanges_plain"] = _exchanges(
+            li.join(od, li.l_orderkey == od.o_orderkey)
+        )
+        out["layout_join_exchanges_bucketed"] = _exchanges(
+            bli.join(bod, bli.l_orderkey == bod.o_orderkey)
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
@@ -684,12 +680,14 @@ def run_ann(spark, sf_dir: str) -> dict[str, float]:
     dim = len(emb.select("embedding").first()[0])
     q_u = emb.where(F.col("vec_id") < 10)
     exact_u = sim.cosine_topk(emb, q_u, k=10)
-    cents_u = sim.kmeans_centroids(emb, 16)
     n_exact_u = exact_u.count()
     for np_ in (1, 4, 16):
         swept = sim.ivf_topk(
+            # `cents` from the top of the section IS this sweep's
+            # model (same emb, same n_cells, deterministic fit) — no
+            # second Lloyd training
             emb, q_u, k=10, dim=dim, n_cells=16, nprobe=np_,
-            centroids=cents_u,
+            centroids=cents,
         )
         hits = swept.join(
             exact_u, ["query_id", "neighbor_id"], "left_semi"

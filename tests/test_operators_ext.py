@@ -221,6 +221,68 @@ class TestSemanticDedup:
         assert got == want
         assert all(got[i] == 0 for i in range(2, 80, 2))
 
+    def test_zero_norm_rows_raise_not_silently_kept(self, spark):
+        # a zero embedding (failed-embedder row) has no defined
+        # cosine. The expression path dies on it (ANSI DIVIDE_BY_ZERO
+        # at assignment); the Arrow kernel must raise too — numpy's
+        # NaN-is-never-ge would otherwise silently KEEP every such
+        # row, the quiet-wrong outcome this repo's error discipline
+        # exists to prevent
+        import pytest as _pytest
+
+        from zikeiretsu_rs_spark.operators.similarity import (
+            within_cell_min_dup_arrow,
+        )
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.9, 0.1, 0.0, 0.0]),
+            (7, [0.0, 0.0, 0.0, 0.0]),   # zero-norm
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+        with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            similarity.semantic_dedup(
+                emb, threshold=0.95, n_cells=1, arrow_pairs=False
+            ).collect()
+        # the kernel guard, hit directly: an assignment table whose
+        # stored norm is 0 (an arrow-assigned lake could carry one —
+        # assign_cells_arrow computes norms in numpy and does not
+        # divide by them)
+        asn = spark.createDataFrame(
+            [(0, [1.0, 0.0], 1.0, 0), (7, [0.0, 0.0], 0.0, 0)],
+            ["vec_id", "_vec", "_n", "cell"],
+        )
+        with _pytest.raises(Exception, match="zero-norm embedding"):
+            within_cell_min_dup_arrow(asn, 0.95, "vec_id").collect()
+
+    def test_duplicate_ids_are_not_their_own_dup(self, spark):
+        # two rows sharing one vec_id (double-ingested doc): the
+        # id_a < id_b guard is an ID comparison, so the pair is
+        # excluded and both copies survive — in BOTH formulations
+        # (row-position masking would emit (id, dup_of=id) and the
+        # id-keyed join-back would drop every copy)
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            # far from both centroids (cos ~ 0.6) — the only >= 0.99
+            # pair is the two copies of id 5 themselves
+            (5, [0.6, 0.6, 0.53, 0.0]),
+            (5, [0.6, 0.6, 0.5301, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+        a = sorted(map(tuple, similarity.semantic_dedup(
+            emb, threshold=0.99, n_cells=2, arrow_pairs=True
+        ).collect()))
+        b = sorted(map(tuple, similarity.semantic_dedup(
+            emb, threshold=0.99, n_cells=2, arrow_pairs=False
+        ).collect()))
+        assert a == b
+        assert all(r[2] for r in a if r[0] == 5)
+
     def test_earlier_dup_verdicts_arrow_matches_expression(self, spark):
         # the shared pairwise-to-earlier map (semantic_dedup_lake /
         # SemanticDedupIndex): corpus partners qualify at ANY id

@@ -824,7 +824,10 @@ class TestRound8PlanShapes:
         bring the shuffle back."""
         import uuid
 
-        from pyspark.sql import functions as F
+        from zikeiretsu_rs_spark.catalog.bucketed import (
+            read_table,
+            write_bucketed,
+        )
 
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
             "l_orderkey", "l_extendedprice"
@@ -835,26 +838,19 @@ class TestRound8PlanShapes:
         sfx = uuid.uuid4().hex[:8]
         tli, tod = f"zk_t_li_{sfx}", f"zk_t_od_{sfx}"
         prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_adaptive = spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+        )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         try:
-            for name, df, key in [
-                (tli, li, "l_orderkey"),
-                (tod, od, "o_orderkey"),
-            ]:
-                (
-                    df.write.mode("overwrite")
-                    .format("parquet")
-                    .option("path", str(tmp_path / name))
-                    .bucketBy(4, key)
-                    .sortBy(key)
-                    .saveAsTable(name)
-                )
-            bli, bod = spark.table(tli), spark.table(tod)
+            write_bucketed(li, tli, "l_orderkey", 4, str(tmp_path / tli))
+            write_bucketed(od, tod, "o_orderkey", 4, str(tmp_path / tod))
+            bli, bod = read_table(spark, tli), read_table(spark, tod)
             plain = li.join(od, li.l_orderkey == od.o_orderkey)
             buck = bli.join(bod, bli.l_orderkey == bod.o_orderkey)
-            plain.write.format("noop").mode("overwrite").save()
-            buck.write.format("noop").mode("overwrite").save()
+            # the static plan carries the exchange count — no
+            # execution needed to read it
             p_plan = plain._jdf.queryExecution().executedPlan().toString()
             b_plan = buck._jdf.queryExecution().executedPlan().toString()
             assert p_plan.count("Exchange") == 2, p_plan[:3000]
@@ -866,8 +862,14 @@ class TestRound8PlanShapes:
             assert a == b and len(a) > 0
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-            spark.conf.set(
-                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev
-            )
+            if prev_adaptive is None:
+                spark.conf.unset(
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold",
+                    prev_adaptive,
+                )
             spark.sql(f"DROP TABLE IF EXISTS {tli}")
             spark.sql(f"DROP TABLE IF EXISTS {tod}")

@@ -590,7 +590,13 @@ def within_cell_min_dup_arrow(
     path; norms are REUSED from `_n`, so only the pairwise dot's
     summation order differs from the expression twin (matmul blocking
     vs left-fold — same measure-zero FP caveat as assign_cells_arrow,
-    parity pinned on the fixtures by tests).
+    parity pinned on the fixtures by tests). Degenerate rows match the
+    expression twin's discipline: a zero-norm vector (failed embedder)
+    RAISES — the expression path dies on it too (ANSI DIVIDE_BY_ZERO
+    at cosine assignment), and inheriting numpy's NaN-is-never-ge
+    would instead silently keep every such row; and a duplicate id is
+    never its own cause (the `id_a < id_b` guard is an ID comparison,
+    not a row-position one, so a double-ingested id keeps all copies).
 
     Scale shape: one cell-keyed exchange (applyInPandas grouping); the
     pair matrix is never materialized — column blocks bound peak
@@ -622,16 +628,27 @@ def within_cell_min_dup_arrow(
         V = np.array(list(pdf["_vec"]), dtype=np.float64)
         nr = pdf["_n"].to_numpy(dtype=np.float64)
         ids = pdf[id_col].to_numpy()
+        if not np.all(nr > 0):
+            # the expression twin dies on these too (ANSI
+            # DIVIDE_BY_ZERO); numpy would silently produce NaN
+            # cosines that never pass `>= t` and KEEP every such row
+            raise ValueError(
+                "zero-norm embedding in cell "
+                f"(ids {ids[nr <= 0][:5].tolist()}) — cosine dedup is "
+                "undefined for zero vectors; filter them upstream"
+            )
         # column blocks: peak live floats ~ n * B, capped at
         # block_floats (default 8M doubles = 64 MB per task)
         B = max(1, block_floats // n)
         out_victim, out_cause = [], []
         for s in range(1, n, B):
             e = min(s + B, n)
-            # candidates for victim column j are rows i < j only
+            # candidates for victim column j are rows with SMALLER ids
+            # only (an id comparison — duplicate ids must not pair,
+            # matching the expression twin's id_a < id_b)
             C = (V[:e] @ V[s:e].T) / (nr[:e, None] * nr[None, s:e])
             hit = C >= t
-            hit &= np.arange(e)[:, None] < np.arange(s, e)[None, :]
+            hit &= ids[:e, None] < ids[None, s:e]
             anyhit = hit.any(axis=0)
             if anyhit.any():
                 cols = np.nonzero(anyhit)[0]
@@ -648,10 +665,17 @@ def within_cell_min_dup_arrow(
             }
         )
 
+    # one verdict per victim ID (not per victim row): duplicate ids —
+    # same-cell copies, or adversarially split across cells — collapse
+    # to the min cause exactly like the expression twin's groupBy(min);
+    # the aggregate is over victim rows only, and the id-keyed verdict
+    # map is what callers join back on
     return (
         asn.select("cell", id_col, "_vec", "_n")
         .groupBy("cell")
         .applyInPandas(score, out_schema)
+        .groupBy(id_col)
+        .agg(F.min("dup_of").alias("dup_of"))
     )
 
 
@@ -708,6 +732,14 @@ def earlier_dup_verdicts(
             V = np.array(list(pdf["_vec"]), dtype=np.float64)
             nr = pdf["_n"].to_numpy(dtype=np.float64)
             ids = pdf[id_col].to_numpy()
+            if not np.all(nr > 0):
+                # expression-twin discipline: raise, never silently
+                # keep NaN-cosine rows (see within_cell_min_dup_arrow)
+                raise ValueError(
+                    "zero-norm embedding in cell "
+                    f"(ids {ids[nr <= 0][:5].tolist()}) — cosine dedup "
+                    "is undefined for zero vectors; filter upstream"
+                )
             B = max(1, block_floats // n)
             out_victim, out_cause = [], []
             for s in range(0, len(vict), B):
@@ -739,6 +771,10 @@ def earlier_dup_verdicts(
             allrows.select("cell", id_col, "_vec", "_n", "_batch")
             .groupBy("cell")
             .applyInPandas(score, out_schema)
+            # collapse duplicate victim ids to the min cause (the
+            # expression twin's groupBy(min) semantics)
+            .groupBy(id_col)
+            .agg(F.min("dup_of").alias("dup_of"))
         )
     partners = allrows.select(
         "cell",
@@ -817,18 +853,21 @@ def semantic_dedup(
         if len(centroids) <= MAX_EXPR_CENTROIDS
         else assign_cells_arrow
     )
-    # the assignment table feeds BOTH sides of the within-cell
-    # self-join; materialize it once instead of re-running the scan +
-    # n_cells dot products per branch (at lake scale this is the
-    # cell-assignment table you'd persist next to the IVF index)
-    asn = assign(corpus, centroids, id_col, vec_col).cache()
+    asn = assign(corpus, centroids, id_col, vec_col)
     if arrow_pairs:
         # blocked-matmul within-cell verdicts: one cell-keyed exchange,
-        # no pair-row materialization (see within_cell_min_dup_arrow)
+        # no pair-row materialization (see within_cell_min_dup_arrow).
+        # asn is consumed exactly once here — no cache
         dup = within_cell_min_dup_arrow(asn, threshold, id_col).select(
             F.col(id_col).alias("id_b"), "dup_of"
         )
     else:
+        # the assignment table feeds BOTH sides of the within-cell
+        # self-join; materialize it once instead of re-running the
+        # scan + n_cells dot products per branch (at lake scale this
+        # is the cell-assignment table you'd persist next to the IVF
+        # index)
+        asn = asn.cache()
         a = asn.select(
             F.col("cell"),
             F.col(id_col).alias("id_a"),
