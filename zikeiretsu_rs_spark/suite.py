@@ -1466,19 +1466,23 @@ def q_ann_pq_refined_recall_check(spark, sf_dir):
 
 def q_ann_ivfadc_refined_recall_check(spark, sf_dir):
     """IVFADC+R (Jegou et al. §V-A): the residual-ADC inverted-list
-    scan proposes k*4 candidates, exact re-scoring reads floats for
-    ONLY those rows — the two-stage production shape composed over
-    the cell-pruned scan (`ivfadc_topk_refined`). Recall climbs from
-    the raw residual-ADC 0.39-0.55 toward the cell-probe ceiling;
-    floor 0.55 (the bench `ann` section records the clustered-corpus
-    lift: 0.60 ADC-only -> 0.97 refined)."""
+    scan proposes k*expand candidates, exact re-scoring reads floats
+    for ONLY those rows — the two-stage production shape composed over
+    the cell-pruned scan (`ivfadc_topk_refined`). expand=16 (measured
+    sweep on the near-uniform fixture: recall@10 0.49/0.60/0.72 at
+    expand 4/8/16 at sf0.1, 0.65/0.69/0.70 at sf0.01 — expand=4
+    sat UNDER the 0.55 floor at sf0.1, caught when this gate first ran
+    there; 16 clears it with margin at every driver sf while float
+    reads stay bounded at n_q*k*16 rows). Floor 0.55; the bench `ann`
+    section records the clustered-corpus lift (0.60 ADC-only -> 0.97+
+    refined)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     exact = similarity.cosine_topk(emb, queries, k=10)
     cents = similarity.sample_centroids(emb, 32, "vec_id", "embedding")
     book = similarity.pq_codebook_residual(emb, cents, m=16, ksub=64)
     approx = similarity.ivfadc_topk_refined(
-        emb, queries, book, k=10, expand=4, n_cells=32, nprobe=16,
+        emb, queries, book, k=10, expand=16, n_cells=32, nprobe=16,
         centroids=cents,
     )
     hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
