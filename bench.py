@@ -384,6 +384,36 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
     out["skew_chunk_containment_guarded"] = _timed(
         curation.chunk_containment(docs, "doc_id", "text")
     )
+
+    # semantic-dedup mega-cell (round 8): 80% of the embeddings
+    # collapsed toward one direction, cell-assigned under ORIGINAL-
+    # corpus centroids so ~82% of rows land in ONE cell — the skew
+    # case the Arrow kernel's docstring addresses. Measured: the
+    # kernel stays ~flat (one vectorized matmul in one task) while
+    # the AQE-splittable expression pair join pays interpreted fold
+    # cost per n² pair — skew does NOT favor the splittable twin;
+    # only cell-vectors-exceed-task-memory does.
+    from zikeiretsu_rs_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    skewed_emb = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 != 0,
+            F.transform(F.col("embedding"), lambda x: x * 0.05 + F.lit(1.0)),
+        ).otherwise(F.col("embedding")),
+    )
+    cents8 = sim.head_centroids(emb, 8, "vec_id", "embedding")
+    out["skew_semantic_megacell_arrow"] = _timed(
+        lambda: sim.semantic_dedup(
+            skewed_emb, threshold=0.99, centroids=cents8, arrow_pairs=True
+        )
+    )
+    out["skew_semantic_megacell_expr"] = _timed(
+        lambda: sim.semantic_dedup(
+            skewed_emb, threshold=0.99, centroids=cents8, arrow_pairs=False
+        )
+    )
     return out
 
 

@@ -600,11 +600,16 @@ def within_cell_min_dup_arrow(
 
     Scale shape: one cell-keyed exchange (applyInPandas grouping); the
     pair matrix is never materialized — column blocks bound peak
-    memory at ~64 MB per task regardless of cell size. A whole cell's
-    VECTORS must fit in one task (sqrt(N)-sized cells via n_cells_for
-    keep that at ~16 MB per million-row cell-budget corpus; a skewed
-    mega-cell hits the same unsplittable ceiling as any keyed group —
-    the expression-join twin remains the AQE-splittable fallback).
+    memory at ~64 MB per task regardless of cell size. The one hard
+    ceiling is that a cell's VECTORS must fit in one task
+    (sqrt(N)-sized cells via n_cells_for keep that at ~16 MB per
+    million-row cell-budget corpus). Skew does NOT favor the
+    expression twin: on an adversarial 82%-one-cell corpus at sf0.1
+    the kernel measures 1.8 s vs the AQE-splittable pair join's 9.3 s
+    (bench skew section) — the join splits the n² pair stream but
+    pays interpreted fold cost per pair, while the matmul's n² is
+    vectorized; fall back to the expression twin only when a cell's
+    vectors exceed task memory.
 
     Output: (id_col, dup_of) — only rows that HAVE a duplicate.
     """
