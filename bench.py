@@ -198,6 +198,22 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
     # lands on ONE key; force shuffle joins (at 100 TB the dim side
     # exceeds broadcast) so the skew actually bites
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    prev_adaptive = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+
+    def _restore_broadcast_confs():
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # unset means "track the regular threshold" — restoring a
+        # pinned copy would freeze AQE broadcast decisions later
+        if prev_adaptive is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+                prev_adaptive,
+            )
+
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
@@ -218,8 +234,7 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
             joins.salted_join(fact, dim, ["hot_id"], n_salts=32).select(*cols)
         )
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+        _restore_broadcast_confs()
 
     # bloom prefilter where it actually pays: broadcast DISABLED so
     # the join is a real shuffle (the 100 TB case — both sides
@@ -340,8 +355,7 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
             bloom_wide64_build
         )
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+        _restore_broadcast_confs()
 
     # stop-shingle skew: unguarded shingle self-join explodes
     # quadratically on the shared shingle; the df-cap guard drops it
@@ -414,6 +428,11 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
             skewed_emb, threshold=0.99, centroids=cents8, arrow_pairs=False
         )
     )
+    # the expression branch caches its assignment table internally
+    # (no unpersist point in the operator) — drop it so the skewed
+    # corpus doesn't pin executor storage through the remaining
+    # sections (the tail-pressure failure mode the round notes track)
+    spark.catalog.clearCache()
     return out
 
 
@@ -559,6 +578,9 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
 
     tli, tod = f"zk_bench_li_{os.getpid()}", f"zk_bench_od_{os.getpid()}"
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    prev_adaptive = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
@@ -593,7 +615,16 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+        # restore the adaptive threshold's OWN prior (unset means
+        # "track the regular threshold" — pinning a stale copy would
+        # silently freeze AQE broadcast decisions for later sections)
+        if prev_adaptive is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+                prev_adaptive,
+            )
         spark.sql(f"DROP TABLE IF EXISTS {tli}")
         spark.sql(f"DROP TABLE IF EXISTS {tod}")
     shutil.rmtree(base, ignore_errors=True)

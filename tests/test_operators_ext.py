@@ -256,6 +256,15 @@ class TestSemanticDedup:
         )
         with _pytest.raises(Exception, match="zero-norm embedding"):
             within_cell_min_dup_arrow(asn, 0.95, "vec_id").collect()
+        # the guard must not depend on cell population: a zero row
+        # ALONE in its cell raises too (the small-cell early return
+        # previously skipped the check)
+        lone = spark.createDataFrame(
+            [(0, [1.0, 0.0], 1.0, 0), (7, [0.0, 0.0], 0.0, 3)],
+            ["vec_id", "_vec", "_n", "cell"],
+        )
+        with _pytest.raises(Exception, match="zero-norm embedding"):
+            within_cell_min_dup_arrow(lone, 0.95, "vec_id").collect()
 
     def test_duplicate_ids_are_not_their_own_dup(self, spark):
         # two rows sharing one vec_id (double-ingested doc): the

@@ -69,6 +69,25 @@ class TestSemanticDedupIndex:
         # at least one real cross-relation exists in the fixture
         assert any(not r[2] for r in idx.verdicts().collect())
 
+    def test_expression_scoring_knob_matches_arrow(
+        self, spark, emb, cents, tmp_path
+    ):
+        # arrow_pairs=False (the memory escape hatch for a mega-cell
+        # history whose vectors exceed task memory) must produce the
+        # identical ledger through the expression join
+        from zikeiretsu_rs_spark.streaming.neardup import SemanticDedupIndex
+
+        seed, b1, b2 = _splits(emb)
+        ia = SemanticDedupIndex(spark, str(tmp_path / "a"), threshold=0.40)
+        ie = SemanticDedupIndex(
+            spark, str(tmp_path / "e"), threshold=0.40, arrow_pairs=False
+        )
+        for idx in (ia, ie):
+            idx.build(seed, cents)
+            idx.add_batch(b1)
+            idx.add_batch(b2)
+        assert _rows(ia.verdicts()) == _rows(ie.verdicts())
+
     def test_epoch_replay_is_idempotent(self, spark, emb, cents, tmp_path):
         from zikeiretsu_rs_spark.streaming.neardup import SemanticDedupIndex
 

@@ -628,11 +628,10 @@ def within_cell_min_dup_arrow(
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         n = len(pdf)
         empty = pdf.iloc[0:0][[id_col]].assign(dup_of=pdf[id_col].iloc[0:0])
-        if n < 2:
-            return empty
-        V = np.array(list(pdf["_vec"]), dtype=np.float64)
         nr = pdf["_n"].to_numpy(dtype=np.float64)
         ids = pdf[id_col].to_numpy()
+        # guard BEFORE the small-cell early return: whether a bad row
+        # raises must not depend on how many rows share its cell
         if not np.all(nr > 0):
             # the expression twin dies on these too (ANSI
             # DIVIDE_BY_ZERO); numpy would silently produce NaN
@@ -642,6 +641,9 @@ def within_cell_min_dup_arrow(
                 f"(ids {ids[nr <= 0][:5].tolist()}) — cosine dedup is "
                 "undefined for zero vectors; filter them upstream"
             )
+        if n < 2:
+            return empty
+        V = np.array(list(pdf["_vec"]), dtype=np.float64)
         # column blocks: peak live floats ~ n * B, capped at
         # block_floats (default 8M doubles = 64 MB per task)
         B = max(1, block_floats // n)
@@ -732,19 +734,20 @@ def earlier_dup_verdicts(
             isb = pdf["_batch"].to_numpy(dtype=bool)
             vict = np.nonzero(isb)[0]
             n = len(pdf)
-            if n < 2 or len(vict) == 0:
-                return empty
-            V = np.array(list(pdf["_vec"]), dtype=np.float64)
             nr = pdf["_n"].to_numpy(dtype=np.float64)
             ids = pdf[id_col].to_numpy()
+            # guard BEFORE the early returns: a zero-norm row alone in
+            # its cell must raise exactly like one in a crowded cell
+            # (expression-twin discipline — never silently keep)
             if not np.all(nr > 0):
-                # expression-twin discipline: raise, never silently
-                # keep NaN-cosine rows (see within_cell_min_dup_arrow)
                 raise ValueError(
                     "zero-norm embedding in cell "
                     f"(ids {ids[nr <= 0][:5].tolist()}) — cosine dedup "
                     "is undefined for zero vectors; filter upstream"
                 )
+            if n < 2 or len(vict) == 0:
+                return empty
+            V = np.array(list(pdf["_vec"]), dtype=np.float64)
             B = max(1, block_floats // n)
             out_victim, out_cause = [], []
             for s in range(0, len(vict), B):

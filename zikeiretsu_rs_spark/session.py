@@ -32,6 +32,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the engine's error discipline assumes ANSI semantics (e.g.
+        # 0/0 raises DIVIDE_BY_ZERO instead of silently yielding NULL;
+        # the Arrow dedup kernels' zero-norm guards mirror that raise).
+        # Spark 4 defaults ANSI on — pinned explicitly so the contract
+        # is version-stable rather than inherited
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

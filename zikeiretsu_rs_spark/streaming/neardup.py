@@ -699,6 +699,7 @@ class SemanticDedupIndex:
         spark: SparkSession,
         store_dir: str,
         threshold: float = 0.40,
+        arrow_pairs: bool = True,
     ):
         self.spark = spark
         self.store_dir = store_dir
@@ -706,6 +707,14 @@ class SemanticDedupIndex:
         self.verdicts_dir = fsio.join(store_dir, "verdicts")
         self.meta_path = fsio.join(store_dir, "index_meta.json")
         self.threshold = float(threshold)
+        # arrow_pairs=False selects the AQE-splittable expression join
+        # for the verdict scoring — the escape hatch for a history
+        # whose skew grows one cell's VECTORS past executor task
+        # memory (the Arrow kernel loads a whole cell per task; see
+        # within_cell_min_dup_arrow's ceiling note — in CPU terms the
+        # kernel wins even on mega-cells, so this is a memory knob,
+        # not a speed knob)
+        self.arrow_pairs = bool(arrow_pairs)
 
     # -- state ----------------------------------------------------------
     def _meta(self) -> dict:
@@ -832,7 +841,7 @@ class SemanticDedupIndex:
             )
         )
         dup = earlier_dup_verdicts(
-            allrows, self.threshold, id_col
+            allrows, self.threshold, id_col, arrow_pairs=self.arrow_pairs
         ).withColumnRenamed(id_col, "_ib")
         verdicts = (
             vectors.select(F.col(id_col).alias("vec_id"))
