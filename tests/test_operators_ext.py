@@ -265,6 +265,22 @@ class TestSemanticDedup:
         )
         with _pytest.raises(Exception, match="zero-norm embedding"):
             within_cell_min_dup_arrow(lone, 0.95, "vec_id").collect()
+        # same discipline in the cross-set kernel: a zero-norm BATCH
+        # row alone in its cell (no victims would otherwise be scored
+        # there) must still raise
+        from zikeiretsu_rs_spark.operators.similarity import (
+            earlier_dup_verdicts,
+        )
+
+        lone_batch = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0], 1.0, 0, False),
+                (7, [0.0, 0.0], 0.0, 3, True),
+            ],
+            ["vec_id", "_vec", "_n", "cell", "_batch"],
+        )
+        with _pytest.raises(Exception, match="zero-norm embedding"):
+            earlier_dup_verdicts(lone_batch, 0.95, "vec_id").collect()
 
     def test_duplicate_ids_are_not_their_own_dup(self, spark):
         # two rows sharing one vec_id (double-ingested doc): the
