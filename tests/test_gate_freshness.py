@@ -11,9 +11,18 @@ Rule: for every declared query, ``lag = newest_artifact_round -
 newest_row_round`` (a query with no driver row at all has infinite
 lag).  A query with ``lag >= MAX_LAG`` must be in the CURRENT head-50 —
 i.e. scheduled to receive a fresh row in the next driver artifact.
-With MAX_LAG = 4 the head rotation must retire rows before their
-fourth birthday, which at ~50 rows/round covers the full 159-query
-catalog inside the window.
+
+Capacity proof for MAX_LAG = 5 (set in r09, per the r08 verdict —
+MAX_LAG = 4 was arithmetically unsustainable at 166 queries): a query
+refreshed in round r must be re-slotted no later than the head for
+round r+4 (its row reaches lag 4 when artifact r+4 lands; the head
+declared then refreshes it in r+5, before lag hits MAX_LAG=5 with a
+stale-and-unscheduled state).  So every query needs a head slot at
+least once per 4 driver rounds: steady-state demand =
+ceil(166 / 4) = 42 <= 50 = HEAD slots per round, leaving ~8 spare
+slots/round for newly declared queries.  At MAX_LAG = 4 the demand was
+ceil(166 / 3) = 56 > 50 — structurally unretirable, which is exactly
+what these tests turned red on when CORRECTNESS_r08.json landed.
 """
 
 from __future__ import annotations
@@ -23,7 +32,7 @@ import re
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-MAX_LAG = 4
+MAX_LAG = 5
 HEAD = 50
 
 

@@ -3608,81 +3608,32 @@ def q_semantic_dedup_incremental(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # Declaration order is load-bearing: the driver's correctness gate
-# empirically checks the FIRST 50 declared queries (CORRECTNESS_r01-r07
+# empirically checks the FIRST 50 declared queries (CORRECTNESS_r01-r08
 # each had rows for exactly queries[0:50] in declaration order). The
 # head-50 is rotated every round so every declared query has a driver
-# hash row within a bounded window. Round 8 rotation (the r07 verdict's
-# #1 mandate): the head leads with (a) the 9 queries whose newest
-# driver row was r03 — four rounds stale — plus
-# ann_ivfpq_join_parity_check, which never had a driver row; then (b)
-# the 10 oldest r05 rows the verdict named; then (c) 30 of the 43
-# oracle-backed r04 rows (alphabetical — the remaining 13 plus the 7
-# r04 estimator rows lead the r09 head). Freshness is enforced by
-# tests/test_gate_freshness.py: any declared query whose newest driver
-# row is older than 3 rounds behind the newest artifact is a red test.
+# hash row within a bounded window. Round 9 rotation (the r08 verdict's
+# #1 mandate — take the 50 STALEST): (a) the 27 queries whose newest
+# driver row is r04 — four rounds stale, the exact set named by the
+# r08 failing assertion (7 estimator rows + the 20 r04/r05 tail rows
+# pipeline_corpus_curation..unigram_logprob); then (b) the 23
+# alphabetically-first of the 39 r05-stale rows. The 16 remaining
+# r05-stale rows lead the tail and MUST lead the r10 head.
+#
+# Capacity math (r08 verdict #8 — restate before declaring new
+# queries): tests/test_gate_freshness.py enforces MAX_LAG = 5, so
+# every query needs a head slot at least once per 4 driver rounds.
+# Steady-state slot demand = ceil(166 / 4) = 42 <= 50 head slots, with
+# 8 spare slots/round for newly declared queries (each new query takes
+# a head slot in its debut round, so the catalog can grow by up to
+# ~8 queries/round before the arithmetic breaks again).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- head-50: checked by the driver gate this round ------------------
-    # -- (a) r03-stale rows + never-gated parity check
-    "ts_eq_minute": q_ts_eq_minute,
-    "ts_head_limit_excl": q_ts_head_limit_excl,
-    "ts_tail_limit_excl": q_ts_tail_limit_excl,
-    "ts_clock_delta_range": q_ts_clock_delta_range,
-    "event_type_share": q_event_type_share,
-    "part_brand_stats": q_part_brand_stats,
-    "revenue_by_segment": q_revenue_by_segment,
-    "weekly_retention": q_weekly_retention,
-    "value_quantiles_by_type": q_value_quantiles_by_type,
-    "ann_ivfpq_join_parity_check": q_ann_ivfpq_join_parity_check,
-    # -- (b) oldest r05 rows (verdict-named)
-    "sketch_hll_rollup_check": q_sketch_hll_rollup_check,
-    "bpe_first_merge_check": q_bpe_first_merge_check,
-    "bpe_batch_round_check": q_bpe_batch_round_check,
-    "source_overlap_matrix": q_source_overlap_matrix,
-    "embedding_quantize": q_embedding_quantize,
-    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-    "heavy_hitters_check": q_heavy_hitters_check,
-    "phrase_search": q_phrase_search,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q14": q_tpch_q14,
-    # -- (c) oldest-coverage r04 fills (alphabetical, oracle-backed)
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_ivf_recall_check": q_ann_ivf_recall_check,
-    "ann_lsh_recall_check": q_ann_lsh_recall_check,
-    "asof_purchase_click": q_asof_purchase_click,
-    "chunk_containment": q_chunk_containment,
-    "decontaminate_eval": q_decontaminate_eval,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_simhash_check": q_dedup_simhash_check,
-    "deterministic_sample": q_deterministic_sample,
-    "doc_fingerprint": q_doc_fingerprint,
-    "doc_repetition": q_doc_repetition,
-    "doc_rolling_fp": q_doc_rolling_fp,
-    "embedding_neardup": q_embedding_neardup,
-    "embedding_neardup_lsh_check": q_embedding_neardup_lsh_check,
-    "gapfill_user_6h": q_gapfill_user_6h,
-    "moving_avg_1h": q_moving_avg_1h,
-    "multimodal_audio": q_multimodal_audio,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_frames": q_multimodal_frames,
-    "multimodal_png": q_multimodal_png,
-    "multimodal_resize": q_multimodal_resize,
-    # -- (d) new this round (new queries always get a head slot, per
-    # the round-3 discipline; the seven displaced r04 fills
-    # (pipeline_corpus_curation, quality_weighted_sample,
-    # rate_per_user, semantic_dedup_kmeans_check, seq_pack_256,
-    # sessionize_30m, sketch_distinct_check) lead the r09 head)
-    "ann_pq_join_parity_check": q_ann_pq_join_parity_check,
-    "ann_ivfadc_join_parity_check": q_ann_ivfadc_join_parity_check,
-    "ann_ivfpq_lake_parity_check": q_ann_ivfpq_lake_parity_check,
-    "ann_ivfadc_refined_recall_check": q_ann_ivfadc_refined_recall_check,
-    "ann_ivfpq_incremental_parity_check": (
-        q_ann_ivfpq_incremental_parity_check
-    ),
-    "semantic_dedup_lake": q_semantic_dedup_lake,
-    "semantic_dedup_incremental": q_semantic_dedup_incremental,
-    # -- tail: freshest rows last ----------------------------------------
+    # -- (a) the 27 four-round-stale rows (r08 failing assertion set)
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
     "quality_weighted_sample": q_quality_weighted_sample,
     "rate_per_user": q_rate_per_user,
@@ -3690,6 +3641,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_pack_256": q_seq_pack_256,
     "sessionize_30m": q_sessionize_30m,
     "sketch_distinct_check": q_sketch_distinct_check,
+    "sketch_distinct_users": q_sketch_distinct_users,
+    "sketch_hll_daily_rollup": q_sketch_hll_daily_rollup,
     "source_mix_weights": q_source_mix_weights,
     "source_quality_rollup": q_source_quality_rollup,
     "stratified_sample": q_stratified_sample,
@@ -3703,13 +3656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_test_split": q_train_test_split,
     "twa_user_1h": q_twa_user_1h,
     "unigram_logprob": q_unigram_logprob,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    "sketch_distinct_users": q_sketch_distinct_users,
-    "sketch_hll_daily_rollup": q_sketch_hll_daily_rollup,
+    # -- (b) the 23 alphabetically-first three-round-stale (r05) rows
     "ann_ivf_partitioned_recall_check": q_ann_ivf_partitioned_recall_check,
     "ann_ivfpq_recall_check": q_ann_ivfpq_recall_check,
     "ann_pq_recall_check": q_ann_pq_recall_check,
@@ -3717,6 +3664,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_next_purchase": q_asof_next_purchase,
     "bigram_logprob": q_bigram_logprob,
     "bloom_filtered_join": q_bloom_filtered_join,
+    "bpe_batch_learn": q_bpe_batch_learn,
+    "bpe_learn": q_bpe_learn,
     "cdc_chunks": q_cdc_chunks,
     "events_cap_per_user": q_events_cap_per_user,
     "events_mad_outliers": q_events_mad_outliers,
@@ -3731,6 +3680,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_rank_calibration": q_quality_rank_calibration,
     "remove_dup_spans": q_remove_dup_spans,
     "semantic_decontaminate": q_semantic_decontaminate,
+    # -- tail: stalest first -----------------------------------------
+    # -- the 16 remaining r05-stale rows (MUST lead the r10 head)
     "sketch_cms_check": q_sketch_cms_check,
     "source_temperature_mix": q_source_temperature_mix,
     "text_char_entropy": q_text_char_entropy,
@@ -3747,8 +3698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shards": q_training_shards,
     "url_dedup": q_url_dedup,
     "vocab_topk": q_vocab_topk,
-    "bpe_batch_learn": q_bpe_batch_learn,
-    "bpe_learn": q_bpe_learn,
+    # -- r07-fresh rows
     "agg_time_bucket_1h": q_agg_time_bucket_1h,
     "anti_join_parts": q_anti_join_parts,
     "block_list_style": q_block_list_style,
@@ -3799,6 +3749,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_range_scan": q_ts_range_scan,
     "ts_tail_limit": q_ts_tail_limit,
     "value_histogram": q_value_histogram,
+    # -- r08-fresh rows
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_recall_check": q_ann_ivf_recall_check,
+    "ann_ivfadc_join_parity_check": q_ann_ivfadc_join_parity_check,
+    "ann_ivfadc_refined_recall_check": q_ann_ivfadc_refined_recall_check,
+    "ann_ivfpq_incremental_parity_check": (
+        q_ann_ivfpq_incremental_parity_check
+    ),
+    "ann_ivfpq_join_parity_check": q_ann_ivfpq_join_parity_check,
+    "ann_ivfpq_lake_parity_check": q_ann_ivfpq_lake_parity_check,
+    "ann_lsh_recall_check": q_ann_lsh_recall_check,
+    "ann_pq_join_parity_check": q_ann_pq_join_parity_check,
+    "asof_purchase_click": q_asof_purchase_click,
+    "bpe_batch_round_check": q_bpe_batch_round_check,
+    "bpe_first_merge_check": q_bpe_first_merge_check,
+    "chunk_containment": q_chunk_containment,
+    "decontaminate_eval": q_decontaminate_eval,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash_check": q_dedup_simhash_check,
+    "deterministic_sample": q_deterministic_sample,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_repetition": q_doc_repetition,
+    "doc_rolling_fp": q_doc_rolling_fp,
+    "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh_check": q_embedding_neardup_lsh_check,
+    "embedding_quantize": q_embedding_quantize,
+    "event_type_share": q_event_type_share,
+    "gapfill_user_6h": q_gapfill_user_6h,
+    "heavy_hitters_check": q_heavy_hitters_check,
+    "moving_avg_1h": q_moving_avg_1h,
+    "multimodal_audio": q_multimodal_audio,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_png": q_multimodal_png,
+    "multimodal_resize": q_multimodal_resize,
+    "part_brand_stats": q_part_brand_stats,
+    "phrase_search": q_phrase_search,
+    "revenue_by_segment": q_revenue_by_segment,
+    "semantic_dedup_incremental": q_semantic_dedup_incremental,
+    "semantic_dedup_lake": q_semantic_dedup_lake,
+    "sketch_hll_rollup_check": q_sketch_hll_rollup_check,
+    "source_overlap_matrix": q_source_overlap_matrix,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q5": q_tpch_q5,
+    "ts_clock_delta_range": q_ts_clock_delta_range,
+    "ts_eq_minute": q_ts_eq_minute,
+    "ts_head_limit_excl": q_ts_head_limit_excl,
+    "ts_tail_limit_excl": q_ts_tail_limit_excl,
+    "value_quantiles_by_type": q_value_quantiles_by_type,
+    "weekly_retention": q_weekly_retention,
 }
 
 # ---------------------------------------------------------------------------
