@@ -131,6 +131,46 @@ HEADLINE = [
 # (threshold >= 0.9) the same operator prunes candidates massively.
 
 
+# Ambient-band probe (VERDICT r08 item 5): the same 5 fixed queries
+# timed at the START and at the END of the bench, so every full
+# artifact carries the machine-load spread measured THAT day and
+# cross-run deltas (e.g. the r08 95.9 s committed vs 116.9 s driver
+# rerun) are self-describing instead of argued from a hardcoded band.
+# The set spans the suite's shapes: parquet scan, hash-agg, broadcast
+# join, expression-heavy text, and a shuffling groupBy dedup.
+AMBIENT_PROBE = [
+    "ts_range_scan",
+    "tpch_q1",
+    "revenue_by_nation",
+    "text_quality",
+    "dedup_exact",
+]
+
+
+def run_ambient_probe(spark, sf_dir: str) -> dict[str, float]:
+    return {n: run_query(spark, n, sf_dir) for n in AMBIENT_PROBE}
+
+
+def ambient_summary(
+    start: dict[str, float], end: dict[str, float]
+) -> dict:
+    """Spread between the two probe passes: per-query worst ratio and
+    the probe-total ratio. band >= 1; 1.0 means a perfectly quiet
+    machine."""
+    ratios = [
+        max(end[q] / start[q], start[q] / end[q])
+        for q in start
+        if start[q] > 0 and end[q] > 0
+    ]
+    t0, t1 = sum(start.values()), sum(end.values())
+    return {
+        "probe_start": start,
+        "probe_end": end,
+        "band": round(max(ratios), 3) if ratios else None,
+        "total_ratio": round(max(t1 / t0, t0 / t1), 3) if t0 and t1 else None,
+    }
+
+
 def run_query(spark, name: str, sf_dir: str) -> float:
     """Steady-state min-of-2 (same protocol as the skew/layout
     sections): a single-shot run_query measured 1.2-1.4x phantom
@@ -769,6 +809,8 @@ def main() -> None:
     suite.load(spark, sf_dir, "lineitem").count()
     suite.events_ts_long(spark, sf_dir).count()
 
+    probe_start = run_ambient_probe(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(run_query(spark, name, sf_dir), 3)
@@ -776,6 +818,8 @@ def main() -> None:
     skew = run_skew(spark, sf_dir)
     layout = run_layout(spark, sf_dir)
     ann = run_ann(spark, sf_dir)
+
+    probe_end = run_ambient_probe(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -786,6 +830,7 @@ def main() -> None:
         "skew": skew,
         "layout": layout,
         "ann": ann,
+        "ambient": ambient_summary(probe_start, probe_end),
         "sf": sf,
     }
     # The driver captures only the stdout TAIL (BENCH_r5.json held a

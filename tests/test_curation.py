@@ -231,6 +231,8 @@ class TestUrls:
         ("http://deep.sub.proj.github.io/p", "proj.github.io"),
         ("http://a.b.ck/", "a.b.ck"),   # *.ck wildcard: b.ck is a suffix
         ("http://b.ck/", None),          # host IS a public suffix
+        ("http://ck/", None),            # wildcard parent alone: no match,
+                                         # default rule, no extra label
         ("http://www.ck/", "www.ck"),    # !www.ck exception
         ("http://co.uk/", None),         # suffix-only -> quarantine
         ("http://localhost/x", None),    # single label, no extra
@@ -261,6 +263,59 @@ class TestUrls:
         }
         for i, (raw, want) in enumerate(self.PSL_CASES):
             assert got[i] == want, (raw, got[i], want)
+
+    def test_parse_rules_allows_x_and_wildcard_x_pair(self):
+        """VERDICT r08 missing #3: the full upstream PSL contains
+        pairs like `X` + `*.X` (a registry that is both a suffix and
+        a wildcard parent). parse_rules must OR the kinds under one
+        key, not raise."""
+        from zikeiretsu_rs_spark.operators import psl
+
+        m = psl.parse_rules(["platform.io", "*.platform.io"])
+        assert m == {"platform.io": psl._NORMAL | psl._WILDCARD}
+
+    def test_multilabel_wildcard_parent_does_not_match_itself(
+        self, spark, monkeypatch
+    ):
+        """Spec: `*.X` matches one EXTRA label — it never matches X
+        itself. A host equal to a multi-label wildcard parent must
+        resolve via other rules (or the default rule), not as a
+        wildcard hit. Exercised with an X + `*.X` pair patched into
+        the rule map (parent has 2 labels, inside MAX_SUFFIX_LABELS)."""
+        from pyspark.sql import functions as F
+
+        from zikeiretsu_rs_spark.operators import psl
+
+        def resolve(rules, hosts):
+            monkeypatch.setattr(psl, "_RULES", rules)
+            df = spark.createDataFrame(
+                [(i, h) for i, h in enumerate(hosts)],
+                "i bigint, host string",
+            )
+            return [
+                r["d"]
+                for r in psl.attach_registrable_domain(
+                    df, F.col("host"), "d"
+                ).sort("i").collect()
+            ]
+
+        # wildcard rule ONLY: `*.platform.io` does not match the
+        # parent, so "platform.io" falls to the default rule (`io`
+        # public) and registers as itself
+        only_wild = psl.parse_rules(["*.platform.io"])
+        assert resolve(
+            only_wild, ["platform.io", "app.platform.io",
+                        "x.app.platform.io"]
+        ) == ["platform.io", None, "x.app.platform.io"]
+
+        # X + `*.X` pair: the normal rule makes the parent itself a
+        # public suffix (no extra label -> None), the wildcard makes
+        # every child a suffix too
+        pair = psl.parse_rules(["platform.io", "*.platform.io"])
+        assert resolve(
+            pair, ["platform.io", "app.platform.io",
+                   "x.app.platform.io", "site.io"]
+        ) == [None, None, "x.app.platform.io", "site.io"]
 
     def test_domain_cap_psl_separates_couk_registrables(self, spark):
         """The mis-cap the PSL fixes: two .co.uk registrables must be

