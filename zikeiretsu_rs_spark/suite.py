@@ -1496,6 +1496,39 @@ def q_ann_ivfadc_refined_recall_check(spark, sf_dir):
     )
 
 
+def q_ann_ivfadc_percell_recall_check(spark, sf_dir):
+    """PER-CELL residual codebooks (round 9, VERDICT r08 item 6): each
+    coarse cell trains its own (m, ksub) book over its residuals —
+    same m*log2(ksub)-bit code budget, n_cells-fold model artifact —
+    so the code universe covers ONE cell's displacement distribution.
+    Measured on the clustered bench corpus: recall@10 0.60 shared-
+    learned -> 0.74 per-cell, unrefined (bench `ann` curve). This
+    gate runs the near-uniform fixture with every cell probed
+    (n_cells = nprobe = 16), isolating per-cell ADC ranking quality
+    from cell-miss noise: measured 1.0 at sf0.01, 0.72 at sf0.1 —
+    deterministic (hash-seeded per-cell Lloyd, hash-sorted groups),
+    floor 0.60."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    cents = similarity.sample_centroids(emb, 16, "vec_id", "embedding")
+    books = similarity.pq_codebook_residual_percell(
+        emb, cents, m=16, ksub=64
+    )
+    approx = similarity.ivfadc_percell_topk(
+        emb, queries, books, k=10, nprobe=16, centroids=cents,
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    stats = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("_n_exact"),
+    )
+    return stats.crossJoin(hits.agg(F.count("*").alias("_n_hit"))).select(
+        "n_queries",
+        (F.col("_n_hit") / F.col("_n_exact") >= 0.60).alias("recall_ok"),
+    )
+
+
 def q_semantic_decontaminate(spark, sf_dir):
     """Embedding-level eval decontamination (the semantic complement
     of the 8-gram `decontaminate_eval`: paraphrases leak with zero
@@ -3622,10 +3655,11 @@ def q_semantic_dedup_incremental(spark, sf_dir):
 # Capacity math (r08 verdict #8 — restate before declaring new
 # queries): tests/test_gate_freshness.py enforces MAX_LAG = 5, so
 # every query needs a head slot at least once per 4 driver rounds.
-# Steady-state slot demand = ceil(166 / 4) = 42 <= 50 head slots, with
-# 8 spare slots/round for newly declared queries (each new query takes
-# a head slot in its debut round, so the catalog can grow by up to
-# ~8 queries/round before the arithmetic breaks again).
+# With the r09 addition (ann_ivfadc_percell_recall_check, head-
+# slotted in its debut round, displacing semantic_decontaminate to
+# the r10 lead) the catalog is 167: steady-state slot demand =
+# ceil(167 / 4) = 42 <= 50 head slots, ~8 spare slots/round for
+# newly declared queries before the arithmetic breaks again.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- head-50: checked by the driver gate this round ------------------
     # -- (a) the 27 four-round-stale rows (r08 failing assertion set)
@@ -3679,9 +3713,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "quality_rank_calibration": q_quality_rank_calibration,
     "remove_dup_spans": q_remove_dup_spans,
-    "semantic_decontaminate": q_semantic_decontaminate,
+    # -- (c) new this round (new queries always get a head slot, per
+    # the round-3 discipline; semantic_decontaminate was displaced to
+    # lead the r10 block below)
+    "ann_ivfadc_percell_recall_check": q_ann_ivfadc_percell_recall_check,
     # -- tail: stalest first -----------------------------------------
-    # -- the 16 remaining r05-stale rows (MUST lead the r10 head)
+    # -- the 16 remaining r05-stale rows + the displaced
+    # semantic_decontaminate (MUST lead the r10 head)
+    "semantic_decontaminate": q_semantic_decontaminate,
     "sketch_cms_check": q_sketch_cms_check,
     "source_temperature_mix": q_source_temperature_mix,
     "text_char_entropy": q_text_char_entropy,
@@ -3834,6 +3873,7 @@ VERIFICATION_QUERIES = {
     "ann_ivfpq_incremental_parity_check",
     "ann_pq_refined_recall_check",
     "ann_ivfadc_refined_recall_check",
+    "ann_ivfadc_percell_recall_check",
     "ann_ivf_partitioned_recall_check",
     "embedding_neardup_lsh_check",
     "sketch_distinct_check",
@@ -5922,6 +5962,7 @@ FROM embeddings WHERE vec_id < 10
     sqls["ann_ivfpq_recall_check"] = sqls["ann_lsh_recall_check"]
     sqls["ann_pq_refined_recall_check"] = sqls["ann_lsh_recall_check"]
     sqls["ann_ivfadc_refined_recall_check"] = sqls["ann_lsh_recall_check"]
+    sqls["ann_ivfadc_percell_recall_check"] = sqls["ann_lsh_recall_check"]
     sqls["ann_ivfpq_join_parity_check"] = """
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
        TRUE AS join_parity_ok
