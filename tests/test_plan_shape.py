@@ -873,3 +873,51 @@ class TestRound8PlanShapes:
                 )
             spark.sql(f"DROP TABLE IF EXISTS {tli}")
             spark.sql(f"DROP TABLE IF EXISTS {tod}")
+
+
+class TestRound9PlanShapes:
+    def test_percell_join_never_materializes_queries(self, spark):
+        """The round-9 per-cell IVFADC join twin
+        (`ivfadc_percell_topk_join`) carries the same
+        no-driver-materialization contract as the other three search
+        formulations' join twins: every driver-side materialization
+        primitive raises while the plan is constructed (the per-cell
+        model itself is fitted BEFORE the pin — it is a bounded model
+        artifact, the sanctioned collect class), and the built plan
+        joins probe rows to per-cell codes on `cell` and scores in
+        Arrow with no cartesian."""
+        from pyspark.sql import DataFrame
+
+        from zikeiretsu_rs_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = emb.where(suite.F.col("vec_id") < 10)
+        cents = similarity.sample_centroids(emb, 8, "vec_id", "embedding")
+        books = similarity.pq_codebook_residual_percell(
+            emb, cents, m=16, ksub=16
+        )
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "driver-side materialization during percell join build"
+            )
+
+        saved = {
+            n: getattr(DataFrame, n)
+            for n in ("collect", "toPandas", "first", "take", "head")
+        }
+        try:
+            for n in saved:
+                setattr(DataFrame, n, boom)
+            df = similarity.ivfadc_percell_topk_join(
+                emb, queries, books, k=5, nprobe=3, centroids=cents,
+            )
+            plan = plan_of(spark, df)
+        finally:
+            for n, f in saved.items():
+                setattr(DataFrame, n, f)
+        assert "cell" in plan, plan[:4000]
+        assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 1, (
+            plan[:4000]
+        )
+        assert "CartesianProduct" not in plan, plan[:4000]

@@ -2672,6 +2672,149 @@ def ivfadc_percell_topk(
     )
 
 
+def ivfadc_percell_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[list[float]]]],
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 32,
+) -> DataFrame:
+    """`ivfadc_percell_topk` for CORPUS-SCALE query sets — the join
+    twin every search formulation carries (round-8 discipline):
+    queries stay a DataFrame, probe cells are assigned in an Arrow
+    pass, and ONE `cell` equi-join lands each query's probe rows next
+    to the per-cell residual codes. The ADC tables are the cell-
+    indexed versions (p_sq/cross per cell; LUT_q computed per
+    (distinct query, distinct probed cell) inside the batch — at most
+    nprobe LUTs per query, each m*ksub floats). Corpus codes come
+    from the shared `residual_encode_percell`, so both paths score
+    bit-identical candidates (pinned by
+    `ann_ivfadc_percell_join_parity_check`).
+
+    Output: query_id, neighbor_id, adc_cosine (round 6), rank.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = sample_centroids(corpus, n_cells, id_col, vec_col)
+    cmat = np.array(centroids, dtype=np.float64)
+    n_cells = cmat.shape[0]
+    pmat = np.array(books, dtype=np.float64)  # (n_cells, m, ksub, dsub)
+    _, m, ksub, dsub = pmat.shape
+    p_sq = (pmat * pmat).sum(axis=3)
+    cent_sq = (cmat * cmat).sum(axis=1)
+    cross = np.einsum(
+        "cmd,cmkd->cmk", cmat.reshape(n_cells, m, dsub), pmat
+    )
+
+    coded = residual_encode_percell(
+        corpus, centroids, books, id_col, vec_col
+    )
+    probes = assign_probe_cells_arrow(
+        queries, centroids, nprobe, id_col, vec_col
+    )
+    joined = probes.join(coded, "cell").where(
+        F.col("query_id") != F.col(id_col)
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType, True),
+            T.StructField(
+                "neighbor_id", corpus.schema[id_col].dataType, True
+            ),
+            T.StructField("adc_cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def batches(it):
+        import heapq
+
+        ar = np.arange(m)
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            cd = np.array(list(pdf["codes"]), dtype=np.int64)
+            cells_b = pdf["cell"].to_numpy()
+            nids = pdf[id_col].to_numpy()
+            res_sq = p_sq[cells_b[:, None], ar[None, :], cd].sum(axis=1)
+            cross_term = cross[cells_b[:, None], ar[None, :], cd].sum(
+                axis=1
+            )
+            recon_sq = cent_sq[cells_b] + 2.0 * cross_term + res_sq
+            rnorm = np.sqrt(np.maximum(recon_sq, 0.0))
+            out_q, out_n, out_s = [], [], []
+            for qid, idx in pdf.groupby(
+                "query_id", sort=False
+            ).indices.items():
+                qvec = np.array(pdf["_qvec"].iloc[idx[0]], dtype=np.float64)
+                qn = np.sqrt((qvec * qvec).sum())
+                # same (1, n_cells) matmul shape as the collect path's
+                # q_dot_cent row, so the floats agree
+                qdc = (qvec.reshape(1, -1) @ cmat.T)[0]
+                qcells = cells_b[idx]
+                # one LUT per probed cell present in this batch —
+                # np.einsum over the cell-subset tensor keeps the
+                # contraction order identical to the collect path's
+                # full "qmd,cmkd->qcmk" (floats agree bit-for-bit)
+                ucells = np.unique(qcells)
+                lut_terms = np.empty(len(idx), dtype=np.float64)
+                for c in ucells:
+                    lut_c = np.einsum(
+                        "qmd,cmkd->qcmk",
+                        qvec.reshape(1, m, dsub),
+                        pmat[c : c + 1],
+                    )[0, 0]
+                    sel = np.nonzero(qcells == c)[0]
+                    lut_terms[sel] = lut_c[
+                        ar[None, :], cd[idx][sel]
+                    ].sum(axis=1)
+                num = qdc[qcells] + lut_terms
+                denom = qn * rnorm[idx]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, num / denom, 0.0)
+                top = heapq.nsmallest(
+                    min(k, len(idx)),
+                    range(len(idx)),
+                    key=lambda i: (-cos[i], nids[idx[i]]),
+                )
+                for i in top:
+                    out_q.append(qid)
+                    out_n.append(nids[idx[i]])
+                    out_s.append(cos[i])
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "adc_cosine": out_s,
+                }
+            )
+
+    scored = joined.mapInPandas(batches, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_cosine", 6).alias("adc_cosine"),
+            "rank",
+        )
+    )
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     eval_set: DataFrame,

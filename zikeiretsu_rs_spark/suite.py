@@ -1442,6 +1442,30 @@ def q_ann_ivfadc_join_parity_check(spark, sf_dir):
     return _join_parity(a, b)
 
 
+def q_ann_ivfadc_percell_join_parity_check(spark, sf_dir):
+    """The corpus-scale-queries PER-CELL IVFADC path
+    (`ivfadc_percell_topk_join` — codes from the shared
+    `residual_encode_percell`, probe cells assigned in Arrow, one
+    `cell` equi-join, per-(query, probed-cell) LUTs) must be
+    ROW-IDENTICAL to the bounded collect path (`ivfadc_percell_topk`)
+    under the same per-cell books and centroids — the join-twin
+    discipline every search formulation carries (round 8), extended
+    to the round-9 per-cell formulation."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    cents = similarity.sample_centroids(emb, 16, "vec_id", "embedding")
+    books = similarity.pq_codebook_residual_percell(
+        emb, cents, m=16, ksub=64
+    )
+    a = similarity.ivfadc_percell_topk(
+        emb, queries, books, k=10, nprobe=8, centroids=cents
+    )
+    b = similarity.ivfadc_percell_topk_join(
+        emb, queries, books, k=10, nprobe=8, centroids=cents
+    )
+    return _join_parity(a, b)
+
+
 def q_ann_pq_refined_recall_check(spark, sf_dir):
     """The production two-stage shape: ADC proposes k*4 candidates
     from the m-byte codes, exact re-scoring reads floats for ONLY
@@ -3655,10 +3679,11 @@ def q_semantic_dedup_incremental(spark, sf_dir):
 # Capacity math (r08 verdict #8 — restate before declaring new
 # queries): tests/test_gate_freshness.py enforces MAX_LAG = 5, so
 # every query needs a head slot at least once per 4 driver rounds.
-# With the r09 addition (ann_ivfadc_percell_recall_check, head-
-# slotted in its debut round, displacing semantic_decontaminate to
-# the r10 lead) the catalog is 167: steady-state slot demand =
-# ceil(167 / 4) = 42 <= 50 head slots, ~8 spare slots/round for
+# With the r09 additions (ann_ivfadc_percell_recall_check and
+# ann_ivfadc_percell_join_parity_check, head-slotted in their debut
+# round, displacing remove_dup_spans and semantic_decontaminate to
+# the r10 lead) the catalog is 168: steady-state slot demand =
+# ceil(168 / 4) = 42 <= 50 head slots, ~8 spare slots/round for
 # newly declared queries before the arithmetic breaks again.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- head-50: checked by the driver gate this round ------------------
@@ -3712,14 +3737,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_sample": q_priority_sample,
     "quality_classifier": q_quality_classifier,
     "quality_rank_calibration": q_quality_rank_calibration,
-    "remove_dup_spans": q_remove_dup_spans,
     # -- (c) new this round (new queries always get a head slot, per
-    # the round-3 discipline; semantic_decontaminate was displaced to
-    # lead the r10 block below)
+    # the round-3 discipline; remove_dup_spans and
+    # semantic_decontaminate were displaced to lead the r10 block
+    # below)
     "ann_ivfadc_percell_recall_check": q_ann_ivfadc_percell_recall_check,
+    "ann_ivfadc_percell_join_parity_check": (
+        q_ann_ivfadc_percell_join_parity_check
+    ),
     # -- tail: stalest first -----------------------------------------
-    # -- the 16 remaining r05-stale rows + the displaced
-    # semantic_decontaminate (MUST lead the r10 head)
+    # -- the 16 remaining r05-stale rows + the two displaced r05
+    # rows (MUST lead the r10 head)
+    "remove_dup_spans": q_remove_dup_spans,
     "semantic_decontaminate": q_semantic_decontaminate,
     "sketch_cms_check": q_sketch_cms_check,
     "source_temperature_mix": q_source_temperature_mix,
@@ -3874,6 +3903,7 @@ VERIFICATION_QUERIES = {
     "ann_pq_refined_recall_check",
     "ann_ivfadc_refined_recall_check",
     "ann_ivfadc_percell_recall_check",
+    "ann_ivfadc_percell_join_parity_check",
     "ann_ivf_partitioned_recall_check",
     "embedding_neardup_lsh_check",
     "sketch_distinct_check",
@@ -5969,6 +5999,9 @@ SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
 FROM embeddings WHERE vec_id < 10
 """
     sqls["ann_pq_join_parity_check"] = sqls["ann_ivfpq_join_parity_check"]
+    sqls["ann_ivfadc_percell_join_parity_check"] = sqls[
+        "ann_ivfpq_join_parity_check"
+    ]
     sqls["ann_ivfpq_lake_parity_check"] = """
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
        TRUE AS lake_parity_ok
