@@ -376,3 +376,79 @@ class TestStreamingIndexMaintenance:
         assert _rows(idx.probe(queries, k=3, nprobe=2)) == _rows(
             similarity.ivfpq_probe_lake(spark, one_shot, queries, k=3, nprobe=2)
         )
+
+
+class TestPercellEncoding:
+    """Round 9: the same IvfpqLakeIndex serves the per-cell residual
+    encoding (`encoding: ivfadc_percell` in the meta) — appends,
+    probes, and compaction all dispatch on the stored tag."""
+
+    @pytest.fixture(scope="class")
+    def percell_model(self, emb):
+        from zikeiretsu_rs_spark.operators import similarity
+
+        cents = similarity.head_centroids(emb, 8, "vec_id", "embedding")
+        books = similarity.pq_codebook_residual_percell(
+            emb, cents, m=16, ksub=16
+        )
+        return cents, books
+
+    def test_build_requires_exactly_one_model(
+        self, spark, emb, model, percell_model, tmp_path
+    ):
+        from zikeiretsu_rs_spark.operators import similarity
+
+        cents, book = model
+        _, books = percell_model
+        idx = similarity.IvfpqLakeIndex(spark, str(tmp_path / "bad"))
+        with pytest.raises(ValueError, match="exactly one"):
+            idx.build(emb, cents)
+        with pytest.raises(ValueError, match="exactly one"):
+            idx.build(emb, cents, book, books=books)
+
+    def test_appends_equal_one_shot_and_memory(
+        self, spark, emb, percell_model, tmp_path
+    ):
+        """seed + appends ≡ one-shot percell index ≡ in-memory join
+        twin — the same invisibility contract as the pq encoding."""
+        from zikeiretsu_rs_spark.operators import similarity
+
+        cents, books = percell_model
+        seed, b1, b2 = _thirds(emb)
+        queries = emb.where(F.col("vec_id") < 4)
+
+        idx = similarity.IvfpqLakeIndex(spark, str(tmp_path / "inc"))
+        idx.build(seed, cents, books=books)
+        idx.add_batch(b1)
+        idx.add_batch(b2)
+        inc = _rows(idx.probe(queries, k=3, nprobe=2))
+
+        one_shot = str(tmp_path / "oneshot")
+        similarity.ivfadc_percell_write_index(emb, one_shot, cents, books)
+        assert inc == _rows(
+            similarity.ivfadc_percell_probe_lake(
+                spark, one_shot, queries, k=3, nprobe=2
+            )
+        )
+        assert inc == _rows(
+            similarity.ivfadc_percell_topk_join(
+                emb, queries, books, k=3, nprobe=2, centroids=cents
+            )
+        )
+
+    def test_compact_preserves_results(
+        self, spark, emb, percell_model, tmp_path
+    ):
+        from zikeiretsu_rs_spark.operators import similarity
+
+        cents, books = percell_model
+        seed, b1, b2 = _thirds(emb)
+        queries = emb.where(F.col("vec_id") < 4)
+        idx = similarity.IvfpqLakeIndex(spark, str(tmp_path / "inc"))
+        idx.build(seed, cents, books=books)
+        idx.add_batch(b1)
+        idx.add_batch(b2)
+        before = _rows(idx.probe(queries, k=3, nprobe=2))
+        stats = idx.compact()
+        assert stats["epochs_before"] == 3 and stats["epochs_after"] == 2
+        assert _rows(idx.probe(queries, k=3, nprobe=2)) == before

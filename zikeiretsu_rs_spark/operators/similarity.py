@@ -2697,14 +2697,51 @@ def ivfadc_percell_topk_join(
 
     Output: query_id, neighbor_id, adc_cosine (round 6), rank.
     """
+    if centroids is None:
+        centroids = sample_centroids(corpus, n_cells, id_col, vec_col)
+    coded = residual_encode_percell(
+        corpus, centroids, books, id_col, vec_col
+    )
+    probes = assign_probe_cells_arrow(
+        queries, centroids, nprobe, id_col, vec_col
+    )
+    joined = probes.join(coded, "cell").where(
+        F.col("query_id") != F.col(id_col)
+    )
+    return _adc_score_joined_percell(
+        joined,
+        centroids,
+        books,
+        k,
+        qid_type=queries.schema[id_col].dataType,
+        nid_type=corpus.schema[id_col].dataType,
+        nid_name=id_col,
+    )
+
+
+def _adc_score_joined_percell(
+    joined: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[list[float]]]],
+    k: int,
+    qid_type,
+    nid_type,
+    nid_name: str,
+) -> DataFrame:
+    """Shared ADC scoring tail of the PER-CELL residual join searches
+    (the cell-indexed sibling of `_adc_score_joined`): one Arrow pass
+    over (query_id, _qvec, codes, cell, <nid_name>) joined rows —
+    reconstruction tables (p_sq/cross/cent_sq) indexed by cell, one
+    LUT per (distinct query, distinct probed cell) per record batch —
+    then the global per-query window merge. Same float64 gather-sums
+    as `ivfadc_percell_topk` (parity gates); used by the in-memory
+    join twin and the lake probe, so both score identically."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
-    if centroids is None:
-        centroids = sample_centroids(corpus, n_cells, id_col, vec_col)
     cmat = np.array(centroids, dtype=np.float64)
     n_cells = cmat.shape[0]
     pmat = np.array(books, dtype=np.float64)  # (n_cells, m, ksub, dsub)
@@ -2715,22 +2752,10 @@ def ivfadc_percell_topk_join(
         "cmd,cmkd->cmk", cmat.reshape(n_cells, m, dsub), pmat
     )
 
-    coded = residual_encode_percell(
-        corpus, centroids, books, id_col, vec_col
-    )
-    probes = assign_probe_cells_arrow(
-        queries, centroids, nprobe, id_col, vec_col
-    )
-    joined = probes.join(coded, "cell").where(
-        F.col("query_id") != F.col(id_col)
-    )
-
     schema = T.StructType(
         [
-            T.StructField("query_id", queries.schema[id_col].dataType, True),
-            T.StructField(
-                "neighbor_id", corpus.schema[id_col].dataType, True
-            ),
+            T.StructField("query_id", qid_type, True),
+            T.StructField("neighbor_id", nid_type, True),
             T.StructField("adc_cosine", T.DoubleType(), True),
         ]
     )
@@ -2745,7 +2770,7 @@ def ivfadc_percell_topk_join(
                 continue
             cd = np.array(list(pdf["codes"]), dtype=np.int64)
             cells_b = pdf["cell"].to_numpy()
-            nids = pdf[id_col].to_numpy()
+            nids = pdf[nid_name].to_numpy()
             res_sq = p_sq[cells_b[:, None], ar[None, :], cd].sum(axis=1)
             cross_term = cross[cells_b[:, None], ar[None, :], cd].sum(
                 axis=1
@@ -3268,6 +3293,46 @@ def ivfpq_probe_lake(
     )
 
 
+def ivfadc_percell_write_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    books: list[list[list[list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One-shot lake IVFADC index under PER-CELL residual books
+    (round 9): same layout, epoch machinery, and probe as
+    `ivfpq_write_index` — the encoding tag in `index_meta.json`
+    ("ivfadc_percell") is the only difference, dispatched inside ONE
+    `IvfpqLakeIndex` implementation. Codes come from
+    `residual_encode_percell`, so a lake probe scores bit-identical
+    candidates to `ivfadc_percell_topk_join` over the same corpus
+    (pinned by `ann_ivfadc_percell_lake_parity_check`)."""
+    IvfpqLakeIndex(corpus.sparkSession, path).build(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, books=books
+    )
+
+
+def ivfadc_percell_probe_lake(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a per-cell-books lake index written by
+    `ivfadc_percell_write_index` (thin alias of `IvfpqLakeIndex.probe`
+    — the store's meta carries the encoding, so the SAME probe entry
+    point serves both encodings; this name exists for symmetry with
+    `ivfpq_probe_lake`)."""
+    return IvfpqLakeIndex(spark, path).probe(
+        queries, k, nprobe, id_col, vec_col
+    )
+
+
 class IvfpqLakeIndex:
     """Incrementally maintained lake-resident IVFPQ index — the
     recurring-crawl form of `ivfpq_write_index`: new embedding batches
@@ -3276,6 +3341,13 @@ class IvfpqLakeIndex:
     appends prefix epochs without re-shingling the corpus. At 100 TB
     an index rebuild per crawl is a full-corpus Arrow encode + write;
     an append touches only the new batch.
+
+    ONE implementation, two encodings (round 9): the meta's
+    `encoding` tag selects shared-codebook absolute PQ ("pq", the
+    default) or per-cell residual books ("ivfadc_percell" — see
+    `pq_codebook_residual_percell`); `_encode` and `probe` dispatch
+    on it, everything else (layout, epochs, compaction, pruning) is
+    encoding-agnostic.
 
     Layout under `store_dir`:
 
@@ -3331,21 +3403,28 @@ class IvfpqLakeIndex:
             )
         return fsio.read_json(self.meta_path)
 
-    def _model(self) -> tuple[list[list[float]], list[list[list[float]]]]:
-        meta = self._meta()
-        return meta["centroids"], meta["codebook"]
-
     def _encode(
         self,
         vectors: DataFrame,
         id_col: str,
         vec_col: str,
-        centroids: list[list[float]],
-        codebook: list[list[list[float]]],
+        meta: dict,
     ) -> DataFrame:
-        """(neighbor_id, codes, cell) — the exact Arrow passes of the
-        one-shot writer (`assign_cells_arrow` raw-dot + `pq_encode`),
-        so appended epochs score bit-identical to a rebuilt index."""
+        """(neighbor_id, codes, cell) under the frozen model — the
+        exact Arrow passes of the in-memory paths, dispatched on the
+        store's encoding, so appended epochs score bit-identical to a
+        rebuilt index:
+
+        - "pq" (default): `assign_cells_arrow` raw-dot +
+          `pq_encode` (absolute-position codes, shared codebook);
+        - "ivfadc_percell": `residual_encode_percell` (cell + PQ
+          codes of the residual against THAT cell's book, one pass).
+        """
+        if meta.get("encoding", "pq") == "ivfadc_percell":
+            return residual_encode_percell(
+                vectors, meta["centroids"], meta["books"], id_col, vec_col
+            ).select(F.col(id_col).alias("neighbor_id"), "cell", "codes")
+        centroids, codebook = meta["centroids"], meta["codebook"]
         cells = assign_cells_arrow(
             vectors, centroids, id_col, vec_col, metric="dot"
         ).select(F.col(id_col).alias("neighbor_id"), "cell")
@@ -3359,9 +3438,10 @@ class IvfpqLakeIndex:
         self,
         corpus: DataFrame,
         centroids: list[list[float]],
-        codebook: list[list[list[float]]],
+        codebook: list[list[list[float]]] | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        books: list[list[list[list[float]]]] | None = None,
     ) -> None:
         """Freeze the model and index the seed corpus as epoch 0. The
         meta lands first (atomic PUT via catalog.fsio): a crash
@@ -3372,6 +3452,12 @@ class IvfpqLakeIndex:
         empty store) declare neighbor_id with the INDEX's type, never
         the query batch's (judged review, round 8).
 
+        Exactly one of `codebook` (shared absolute-position PQ, the
+        "pq" encoding) or `books` (per-cell residual books, the
+        "ivfadc_percell" encoding, round 9) freezes the model; the
+        choice is stamped into the meta and every later add_batch and
+        probe dispatches on it — a store can never mix encodings.
+
         Rebuild-in-place safe: the whole codes tree is cleared before
         epoch 0 lands, because a rebuild under a retrained model that
         only overwrote epoch 0 would leave later epochs encoded under
@@ -3381,17 +3467,25 @@ class IvfpqLakeIndex:
         zero-epoch empty store; re-running converges."""
         from ..catalog import fsio
 
-        fsio.write_json_atomic(
-            self.meta_path,
-            {
-                "centroids": centroids,
-                "codebook": codebook,
-                "id_type": corpus.schema[id_col].dataType.simpleString(),
-            },
-        )
+        if (codebook is None) == (books is None):
+            raise ValueError(
+                "pass exactly one of codebook= (shared PQ) or books= "
+                "(per-cell residual) to freeze the index model"
+            )
+        meta = {
+            "centroids": centroids,
+            "id_type": corpus.schema[id_col].dataType.simpleString(),
+        }
+        if books is not None:
+            meta["encoding"] = "ivfadc_percell"
+            meta["books"] = books
+        else:
+            meta["encoding"] = "pq"
+            meta["codebook"] = codebook
+        fsio.write_json_atomic(self.meta_path, meta)
         fsio.delete_dir(self.codes_dir)
         self._encode(
-            corpus, id_col, vec_col, centroids, codebook
+            corpus, id_col, vec_col, meta
         ).write.mode("overwrite").partitionBy("cell").parquet(
             f"{self.codes_dir}/epoch=0"
         )
@@ -3407,7 +3501,7 @@ class IvfpqLakeIndex:
         at 1 (0 is the seed); explicit epochs replay idempotently
         (per-epoch overwrite), so a foreachBatch wrapper passes
         epoch_id + 1 exactly like the dedup index's."""
-        centroids, codebook = self._model()
+        meta = self._meta()
         if epoch is None:
             eps = self._epochs()
             epoch = (eps[-1] + 1) if eps else 1
@@ -3418,7 +3512,7 @@ class IvfpqLakeIndex:
                 f"corpus); got {epoch}"
             )
         self._encode(
-            vectors, id_col, vec_col, centroids, codebook
+            vectors, id_col, vec_col, meta
         ).write.mode("overwrite").partitionBy("cell").parquet(
             f"{self.codes_dir}/epoch={epoch}"
         )
@@ -3445,7 +3539,7 @@ class IvfpqLakeIndex:
         from ..catalog import fsio
 
         meta = self._meta()
-        centroids, codebook = meta["centroids"], meta["codebook"]
+        centroids = meta["centroids"]
         q_t = queries.schema[id_col].dataType.simpleString()
         eps = self._epochs()
         if not eps:
@@ -3477,9 +3571,19 @@ class IvfpqLakeIndex:
         joined = probes.join(
             lake.select("neighbor_id", "codes", "cell"), "cell"
         ).where(F.col("query_id") != F.col("neighbor_id"))
+        if meta.get("encoding", "pq") == "ivfadc_percell":
+            return _adc_score_joined_percell(
+                joined,
+                centroids,
+                meta["books"],
+                k,
+                qid_type=queries.schema[id_col].dataType,
+                nid_type=lake.schema["neighbor_id"].dataType,
+                nid_name="neighbor_id",
+            )
         return _adc_score_joined(
             joined,
-            codebook,
+            meta["codebook"],
             k,
             qid_type=queries.schema[id_col].dataType,
             nid_type=lake.schema["neighbor_id"].dataType,

@@ -3529,6 +3529,55 @@ def q_ann_ivfpq_lake_parity_check(spark, sf_dir):
     )
 
 
+def q_ann_ivfadc_percell_lake_parity_check(spark, sf_dir):
+    """Lake-resident PER-CELL IVFADC index invariant (round 9): the
+    per-cell residual books freeze into the SAME `IvfpqLakeIndex`
+    layout under an `encoding: ivfadc_percell` meta tag
+    (`ivfadc_percell_write_index` — one lake-index implementation,
+    two encodings), the probe reads the model from the index's own
+    metadata and applies the static `cell IN` partition filter, and
+    the probe result must be IDENTICAL, row for row and rank for
+    rank, to the in-memory `ivfadc_percell_topk_join` under the same
+    model — which `ann_ivfadc_percell_join_parity_check` already
+    holds row-identical to the collect path, closing the chain
+    lake ≡ join ≡ collect for the round-9 formulation too."""
+    import os
+    import uuid
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    cents = similarity.head_centroids(emb, 16, "vec_id", "embedding")
+    books = similarity.pq_codebook_residual_percell(
+        emb, cents, m=16, ksub=64
+    )
+    path = (
+        f"/tmp/zikeiretsu_percell_lake_{os.getpid()}_"
+        f"{uuid.uuid4().hex[:12]}"
+    )
+    _reap_scratch_dirs(keep=path)
+    similarity.ivfadc_percell_write_index(emb, path, cents, books)
+    lake = similarity.ivfadc_percell_probe_lake(
+        spark, path, queries, k=10, nprobe=6
+    )
+    mem = similarity.ivfadc_percell_topk_join(
+        emb, queries, books, k=10, nprobe=6, centroids=cents
+    )
+    cols = ["query_id", "neighbor_id", "adc_cosine", "rank"]
+    miss_lm = lake.join(mem, cols, "left_anti").agg(
+        F.count("*").alias("_only_lake")
+    )
+    miss_ml = mem.join(lake, cols, "left_anti").agg(
+        F.count("*").alias("_only_mem")
+    )
+    stats = mem.agg(F.countDistinct("query_id").alias("n_queries"))
+    return stats.crossJoin(miss_lm).crossJoin(miss_ml).select(
+        "n_queries",
+        (
+            (F.col("_only_lake") == 0) & (F.col("_only_mem") == 0)
+        ).alias("lake_parity_ok"),
+    )
+
+
 def q_ann_ivfpq_incremental_parity_check(spark, sf_dir):
     """Incrementally MAINTAINED IVFPQ lake index invariant (round 8 —
     the recurring-crawl form of the lake index): the corpus is split
@@ -3679,12 +3728,13 @@ def q_semantic_dedup_incremental(spark, sf_dir):
 # Capacity math (r08 verdict #8 — restate before declaring new
 # queries): tests/test_gate_freshness.py enforces MAX_LAG = 5, so
 # every query needs a head slot at least once per 4 driver rounds.
-# With the r09 additions (ann_ivfadc_percell_recall_check and
-# ann_ivfadc_percell_join_parity_check, head-slotted in their debut
-# round, displacing remove_dup_spans and semantic_decontaminate to
-# the r10 lead) the catalog is 168: steady-state slot demand =
-# ceil(168 / 4) = 42 <= 50 head slots, ~8 spare slots/round for
-# newly declared queries before the arithmetic breaks again.
+# With the r09 additions (ann_ivfadc_percell_recall_check plus the
+# join and lake parity checks, head-slotted in their debut round,
+# displacing quality_rank_calibration, remove_dup_spans, and
+# semantic_decontaminate to the r10 lead) the catalog is 169:
+# steady-state slot demand = ceil(169 / 4) = 43 <= 50 head slots,
+# ~7 spare slots/round for newly declared queries before the
+# arithmetic breaks again.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- head-50: checked by the driver gate this round ------------------
     # -- (a) the 27 four-round-stale rows (r08 failing assertion set)
@@ -3736,18 +3786,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": q_pmi_collocations,
     "priority_sample": q_priority_sample,
     "quality_classifier": q_quality_classifier,
-    "quality_rank_calibration": q_quality_rank_calibration,
     # -- (c) new this round (new queries always get a head slot, per
-    # the round-3 discipline; remove_dup_spans and
-    # semantic_decontaminate were displaced to lead the r10 block
-    # below)
+    # the round-3 discipline; quality_rank_calibration,
+    # remove_dup_spans, and semantic_decontaminate were displaced to
+    # lead the r10 block below)
     "ann_ivfadc_percell_recall_check": q_ann_ivfadc_percell_recall_check,
     "ann_ivfadc_percell_join_parity_check": (
         q_ann_ivfadc_percell_join_parity_check
     ),
+    "ann_ivfadc_percell_lake_parity_check": (
+        q_ann_ivfadc_percell_lake_parity_check
+    ),
     # -- tail: stalest first -----------------------------------------
-    # -- the 16 remaining r05-stale rows + the two displaced r05
-    # rows (MUST lead the r10 head)
+    # -- the 19 remaining r05-stale rows (16 never scheduled + 3
+    # displaced by the round-9 debuts; MUST lead the r10 head)
+    "quality_rank_calibration": q_quality_rank_calibration,
     "remove_dup_spans": q_remove_dup_spans,
     "semantic_decontaminate": q_semantic_decontaminate,
     "sketch_cms_check": q_sketch_cms_check,
@@ -3904,6 +3957,7 @@ VERIFICATION_QUERIES = {
     "ann_ivfadc_refined_recall_check",
     "ann_ivfadc_percell_recall_check",
     "ann_ivfadc_percell_join_parity_check",
+    "ann_ivfadc_percell_lake_parity_check",
     "ann_ivf_partitioned_recall_check",
     "embedding_neardup_lsh_check",
     "sketch_distinct_check",
@@ -6007,6 +6061,9 @@ SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
        TRUE AS lake_parity_ok
 FROM embeddings WHERE vec_id < 10
 """
+    sqls["ann_ivfadc_percell_lake_parity_check"] = sqls[
+        "ann_ivfpq_lake_parity_check"
+    ]
     sqls["ann_ivfpq_incremental_parity_check"] = """
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
        TRUE AS incremental_parity_ok
