@@ -16,9 +16,12 @@ import json
 import sys
 
 FALLBACK_BAND = 1.4  # CHANGES_r04: sub-2.3s queries swing 1.25-1.4x ambient
-MIN_BAND = 1.25  # the probe measures suite-scale drift; individual short
-# queries swing wider than the 5-query probe total, so never flag below
-# the historically observed per-query floor
+MIN_BAND = 1.25  # the probe records the per-query-worst spread between its
+# two passes; individual short queries historically swing up to ~1.25x on
+# a quiet machine, so never flag below that floor
+MAX_BAND = 1.6  # and never let one noisy probe query silently disable
+# mover detection for the whole comparison — past this the RUN is the
+# problem, not the queries; warn and clamp
 
 
 def _measured_band(*artifacts) -> float | None:
@@ -42,9 +45,13 @@ def main() -> int:
     b = json.load(open(sys.argv[2]))
     measured = _measured_band(a, b)
     if measured is not None:
-        variance_band = max(measured, MIN_BAND)
+        variance_band = min(max(measured, MIN_BAND), MAX_BAND)
         print(f"ambient band (measured, wider run): {measured:.3f}x "
               f"-> mover threshold {variance_band:.3f}x")
+        if measured > MAX_BAND:
+            print(f"  WARNING: measured band {measured:.3f}x exceeds the "
+                  f"{MAX_BAND}x clamp — at least one run was taken under "
+                  "heavy load; re-measure before trusting ANY delta here")
     else:
         variance_band = FALLBACK_BAND
         print(f"ambient band: not recorded in both runs -> fallback "

@@ -2349,7 +2349,7 @@ def pq_codebook_residual_percell(
     instead of the whole corpus's. Same CODE budget per vector
     (m * log2(ksub) bits); the model artifact grows n_cells-fold.
     Measured on the clustered bench corpus at sf0.1: recall@10 0.60
-    shared-learned -> 0.73 per-cell at m=16, ksub=64, nprobe=4
+    shared-learned -> 0.74 per-cell at m=16, ksub=64, nprobe=4
     (the bench `ann` curve records it).
 
     Spark shape: ONE Arrow pass computes (cell, residual); a keyed
@@ -2543,11 +2543,12 @@ def ivfadc_percell_topk(
     inverted-list ADC scan as `ivfpq_residual_topk` (cell pruning, m
     bytes per scanned row, per-query LUTs), except every table is
     indexed by cell: LUT_q[c] = q-subspace · books[c], cross[c] =
-    centroid_c-subspace · books[c]. Per-query LUT memory grows to
-    nprobe * m * ksub floats per probed cell — unchanged in shape,
-    n_cells-fold in the precomputed tensor, still broadcast-scale at
-    moderate n_cells (the regime `pq_codebook_residual_percell`
-    documents). Recall lift measured in the bench `ann` curve.
+    centroid_c-subspace · books[c]. Per-query LUTs are built ONLY for
+    the query's probed cells (nq * nprobe * m * ksub floats total —
+    NOT the full (nq, n_cells, m, ksub) tensor, which is
+    n_cells/nprobe larger and would blow the driver at the ~1k-cell
+    regime `pq_codebook_residual_percell` documents). Recall lift
+    measured in the bench `ann` curve.
 
     Output: query_id, neighbor_id, adc_cosine, rank — identical
     contract to `ivfpq_residual_topk`.
@@ -2588,10 +2589,23 @@ def ivfadc_percell_topk(
     probes = [
         set(int(c) for c in order[i, :nprobe]) for i in range(len(qids))
     ]
-    # (nq, n_cells, m, ksub): the per-cell LUT tensor
-    luts = np.einsum(
-        "qmd,cmkd->qcmk", qmat.reshape(len(qids), m, dsub), pmat
-    )
+    # LUTs ONLY for each query's probed cells (nq * nprobe * m * ksub
+    # floats — the docstring's budget; the full (nq, n_cells, ...)
+    # tensor is n_cells/nprobe larger and blows the driver at the
+    # ~1k-cell regime). The per-cell einsum contracts identically to
+    # the full "qmd,cmkd->qcmk" slice, so floats agree bit-for-bit
+    # with the join twin's per-cell LUTs.
+    luts = [
+        {
+            c: np.einsum(
+                "qmd,cmkd->qcmk",
+                qmat[i].reshape(1, m, dsub),
+                pmat[c : c + 1],
+            )[0, 0]
+            for c in probes[i]
+        }
+        for i in range(len(qids))
+    ]
 
     out_schema = T.StructType(
         [
@@ -2629,12 +2643,14 @@ def ivfadc_percell_topk(
                 if not mask.any():
                     continue
                 idx = np.nonzero(mask)[0]
-                num = (
-                    q_dot_cent[qi][cells_b[idx]]
-                    + luts[qi][
-                        cells_b[idx][:, None], ar[None, :], cd[idx]
+                qcells = cells_b[idx]
+                lut_terms = np.empty(len(idx), dtype=np.float64)
+                for c in np.unique(qcells):
+                    sel = np.nonzero(qcells == c)[0]
+                    lut_terms[sel] = luts[qi][int(c)][
+                        ar[None, :], cd[idx][sel]
                     ].sum(axis=1)
-                )
+                num = q_dot_cent[qi][qcells] + lut_terms
                 denom = qnorm[qi] * rnorm[idx]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = np.where(denom > 0, num / denom, 0.0)
