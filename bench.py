@@ -776,12 +776,19 @@ def run_ann(spark, sf_dir: str) -> dict[str, float]:
     percell = sim.ivfadc_percell_topk(
         clustered, queries, books_pc, k=10, nprobe=4, centroids=cents_c,
     )
+    percell_refined = sim.ivfadc_percell_topk_refined(
+        clustered, queries, books_pc, k=10, expand=4, nprobe=4,
+        centroids=cents_c,
+    ).select("query_id", "neighbor_id")
     out = {
         "ann_clustered_recall_ivfpq_raw": recall(raw),
         "ann_clustered_recall_ivfadc_residual": recall(res),
         "ann_clustered_recall_ivfadc_residual_learned": recall(learned),
         "ann_clustered_recall_ivfadc_percell": recall(percell),
         "ann_clustered_recall_ivfadc_refined": recall(refined),
+        "ann_clustered_recall_ivfadc_percell_refined": recall(
+            percell_refined
+        ),
     }
     # nprobe sweep (round 8): the deployment knob — more probed cells
     # buy recall in exchange for linearly more scanned IO

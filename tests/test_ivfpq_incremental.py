@@ -452,3 +452,53 @@ class TestPercellEncoding:
         stats = idx.compact()
         assert stats["epochs_before"] == 3 and stats["epochs_after"] == 2
         assert _rows(idx.probe(queries, k=3, nprobe=2)) == before
+
+    def test_streaming_wrapper_serves_percell_stores(
+        self, spark, emb, percell_model, tmp_path
+    ):
+        """start_streaming_ivfpq_index is encoding-agnostic by
+        construction (it only calls add_batch, which dispatches on
+        the stored meta) — pinned by streaming batches into a
+        percell store and matching the one-shot index."""
+        import shutil as sh
+
+        from zikeiretsu_rs_spark.operators import similarity
+        from zikeiretsu_rs_spark.streaming.neardup import (
+            start_streaming_ivfpq_index,
+        )
+
+        cents, books = percell_model
+        seed, b1, b2 = _thirds(emb)
+        queries = emb.where(F.col("vec_id") < 4)
+        idx = similarity.IvfpqLakeIndex(spark, str(tmp_path / "stream"))
+        idx.build(seed, cents, books=books)
+
+        src = tmp_path / "src"
+        src.mkdir()
+        for name, batch in (("b1", b1), ("b2", b2)):
+            stage = tmp_path / f"_stage_{name}"
+            batch.select("vec_id", "embedding").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(stage))
+            for f in stage.glob("part-*.parquet"):
+                sh.copy(f, src / f"{name}.parquet")
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_streaming_ivfpq_index(
+            stream, idx, str(tmp_path / "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        one_shot = str(tmp_path / "oneshot")
+        similarity.ivfadc_percell_write_index(emb, one_shot, cents, books)
+        assert _rows(idx.probe(queries, k=3, nprobe=2)) == _rows(
+            similarity.ivfadc_percell_probe_lake(
+                spark, one_shot, queries, k=3, nprobe=2
+            )
+        )

@@ -1030,6 +1030,32 @@ class TestPercellResidualIvfPq:
         for r in part:
             assert full[(r["query_id"], r["neighbor_id"])] == r["adc_cosine"]
 
+    def test_refined_scores_are_exact_cosines(self, spark):
+        """ivfadc_percell_topk_refined: whatever candidates the
+        per-cell ADC proposed, the emitted scores are the exact
+        cosines (brute-force values), not the ADC approximations —
+        and the collect/join propose paths agree row-for-row."""
+        cents, emb = self._planted(spark)
+        queries = emb.where(F.col("vec_id") < 3)
+        books = similarity.pq_codebook_residual_percell(
+            emb, cents, m=2, ksub=8
+        )
+        brute = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in similarity.cosine_topk(emb, queries, k=23).collect()
+        }
+        got = similarity.ivfadc_percell_topk_refined(
+            emb, queries, books, k=5, expand=2, nprobe=4, centroids=cents
+        ).collect()
+        assert len(got) > 0
+        for r in got:
+            assert brute[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+        via_join = similarity.ivfadc_percell_topk_refined(
+            emb, queries, books, k=5, expand=2, nprobe=4,
+            centroids=cents, join_path=True,
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, via_join))
+
 
 class TestSemanticDecontaminate:
     def test_planted_paraphrase_flagged(self, spark):

@@ -3309,6 +3309,78 @@ def ivfpq_probe_lake(
     )
 
 
+def ivfadc_percell_topk_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[list[float]]]],
+    k: int = 10,
+    expand: int = 4,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 32,
+    join_path: bool = False,
+) -> DataFrame:
+    """IVFADC+R over PER-CELL books — the two-stage production shape
+    (`ivfadc_topk_refined`'s discipline) composed over the round-9
+    formulation: the per-cell ADC scan proposes k*expand candidates
+    from the m-byte codes, then ONLY those rows' float vectors are
+    read back and exactly re-scored. Float reads stay bounded at
+    n_queries*k*expand rows; recall climbs from the ADC number (0.74
+    unrefined on the clustered bench corpus) to the cell-probe
+    ceiling (the bench `ann` curve records the refined row).
+
+    `join_path=True` proposes via `ivfadc_percell_topk_join` and
+    leaves the query-side refinement join unhinted (corpus-scale
+    query sets must not broadcast); the default collect path
+    broadcasts the bounded query side — the same split as
+    `ivfadc_topk_refined`.
+
+    Output: query_id, neighbor_id, cosine (exact, round 6), rank.
+    """
+    from pyspark.sql import Window
+
+    propose = (
+        ivfadc_percell_topk_join if join_path else ivfadc_percell_topk
+    )
+    cand = propose(
+        corpus, queries, books, k=k * expand, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, centroids=centroids,
+        n_cells=n_cells,
+    ).select("query_id", "neighbor_id")
+    c = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_vec").alias("_cv"),
+        _norm(F.col("_vec")).alias("_cn"),
+    )
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qv"),
+        _norm(F.col("_vec")).alias("_qn"),
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(q if join_path else F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_cv"), F.col("_qv"))
+                / (F.col("_cn") * F.col("_qn")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ivfadc_percell_write_index(
     corpus: DataFrame,
     path: str,
