@@ -831,6 +831,12 @@ def main() -> None:
     suite.load(spark, sf_dir, "lineitem").count()
     suite.events_ts_long(spark, sf_dir).count()
 
+    # warm the probe set untimed first: the probe exists to measure
+    # AMBIENT drift between the two passes, and without this the
+    # start pass pays one-time codegen JIT that the end pass doesn't
+    # (first recorded run: ts_range_scan 0.33 s cold-probe vs 0.13 s
+    # end-probe — a 2.5x "band" that was warm-up, not load)
+    run_ambient_probe(spark, sf_dir)
     probe_start = run_ambient_probe(spark, sf_dir)
 
     timings: dict[str, float] = {}

@@ -100,4 +100,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        raise SystemExit(main())
+    except BrokenPipeError:  # `bench_compare ... | head` is routine
+        raise SystemExit(0)
