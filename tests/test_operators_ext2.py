@@ -1056,6 +1056,34 @@ class TestPercellResidualIvfPq:
         ).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, via_join))
 
+    def test_refined_zero_norm_candidate_scores_zero(self, spark):
+        """Round-9 review finding: the exact re-score tail divides by
+        _cn*_qn, and the session pins ANSI mode where x/0 raises — a
+        zero-norm corpus vector proposed by the ADC stage (which
+        scores it 0.0 via np.where) used to crash the refined query.
+        The shared _exact_rescore guards the division and applies the
+        SAME 0.0 convention as every ADC scan kernel."""
+        cents, emb = self._planted(spark)
+        zero = spark.createDataFrame(
+            [(999, [0.0] * 8)], ["vec_id", "embedding"]
+        )
+        corpus = emb.unionByName(zero)
+        queries = emb.where(F.col("vec_id") < 2)
+        books = similarity.pq_codebook_residual_percell(
+            corpus, cents, m=2, ksub=32
+        )
+        # k*expand large enough that the zero vector's candidate row
+        # survives into the re-score join
+        rows = similarity.ivfadc_percell_topk_refined(
+            corpus, queries, books, k=25, expand=1, nprobe=4,
+            centroids=cents,
+        ).collect()
+        scores = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"] for r in rows
+        }
+        zero_rows = [v for kq, v in scores.items() if kq[1] == 999]
+        assert zero_rows and all(v == 0.0 for v in zero_rows)
+
 
 class TestSemanticDecontaminate:
     def test_planted_paraphrase_flagged(self, spark):

@@ -101,6 +101,14 @@ def main() -> int:
 
 if __name__ == "__main__":
     try:
-        raise SystemExit(main())
+        rc = main()
+        sys.stdout.flush()
     except BrokenPipeError:  # `bench_compare ... | head` is routine
-        raise SystemExit(0)
+        # point stdout at devnull so interpreter shutdown's buffer
+        # flush doesn't hit EPIPE again outside this handler (the
+        # documented Python SIGPIPE recipe)
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        rc = 0
+    raise SystemExit(rc)

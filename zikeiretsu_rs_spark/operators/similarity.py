@@ -1646,6 +1646,60 @@ def _adc_score_joined(
     )
 
 
+def _exact_rescore(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    broadcast_queries: bool,
+) -> DataFrame:
+    """Shared exact re-scoring tail of ALL refined (+R) searches: the
+    proposed (query_id, neighbor_id) candidates join back to the float
+    vectors, exact cosine, per-query top-k window. One implementation
+    so a scoring change never has to land in three places.
+
+    `broadcast_queries=False` for corpus-scale query sets (the join
+    twins' contract — an unhinted equi-join left to AQE).
+
+    Zero-norm vectors score 0.0 — the SAME convention every ADC scan
+    kernel applies via `np.where(denom > 0, ..., 0.0)`; guarded with
+    `F.when` because the session pins ANSI mode, where a bare x/0
+    raises DIVIDE_BY_ZERO and would crash the refined query on rows
+    the unrefined path scores (review finding, round 9)."""
+    c = with_double_vec(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_vec").alias("_cv"),
+        _norm(F.col("_vec")).alias("_cn"),
+    )
+    q = with_double_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qv"),
+        _norm(F.col("_vec")).alias("_qn"),
+    )
+    denom = F.col("_cn") * F.col("_qn")
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q) if broadcast_queries else q, "query_id")
+        .withColumn(
+            "cosine",
+            F.when(
+                denom > 0,
+                F.round(_dot(F.col("_cv"), F.col("_qv")) / denom, 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def pq_topk_refined(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1670,35 +1724,9 @@ def pq_topk_refined(
         corpus, queries, codebook, k=k * expand, id_col=id_col,
         vec_col=vec_col,
     ).select("query_id", "neighbor_id")
-    c = with_double_vec(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("_vec").alias("_cv"),
-        _norm(F.col("_vec")).alias("_cn"),
-    )
-    q = with_double_vec(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_vec").alias("_qv"),
-        _norm(F.col("_vec")).alias("_qn"),
-    )
-    scored = (
-        cand.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("_cv"), F.col("_qv"))
-                / (F.col("_cn") * F.col("_qn")),
-                6,
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return _exact_rescore(
+        cand, corpus, queries, k, id_col, vec_col,
+        broadcast_queries=True,
     )
 
 
@@ -2042,35 +2070,9 @@ def ivfadc_topk_refined(
         nprobe=nprobe, id_col=id_col, vec_col=vec_col,
         centroids=centroids,
     ).select("query_id", "neighbor_id")
-    c = with_double_vec(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("_vec").alias("_cv"),
-        _norm(F.col("_vec")).alias("_cn"),
-    )
-    q = with_double_vec(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_vec").alias("_qv"),
-        _norm(F.col("_vec")).alias("_qn"),
-    )
-    scored = (
-        cand.join(c, "neighbor_id")
-        .join(q if join_path else F.broadcast(q), "query_id")
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("_cv"), F.col("_qv"))
-                / (F.col("_cn") * F.col("_qn")),
-                6,
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return _exact_rescore(
+        cand, corpus, queries, k, id_col, vec_col,
+        broadcast_queries=not join_path,
     )
 
 
@@ -3339,8 +3341,6 @@ def ivfadc_percell_topk_refined(
 
     Output: query_id, neighbor_id, cosine (exact, round 6), rank.
     """
-    from pyspark.sql import Window
-
     propose = (
         ivfadc_percell_topk_join if join_path else ivfadc_percell_topk
     )
@@ -3349,35 +3349,9 @@ def ivfadc_percell_topk_refined(
         id_col=id_col, vec_col=vec_col, centroids=centroids,
         n_cells=n_cells,
     ).select("query_id", "neighbor_id")
-    c = with_double_vec(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("_vec").alias("_cv"),
-        _norm(F.col("_vec")).alias("_cn"),
-    )
-    q = with_double_vec(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_vec").alias("_qv"),
-        _norm(F.col("_vec")).alias("_qn"),
-    )
-    scored = (
-        cand.join(c, "neighbor_id")
-        .join(q if join_path else F.broadcast(q), "query_id")
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("_cv"), F.col("_qv"))
-                / (F.col("_cn") * F.col("_qn")),
-                6,
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return _exact_rescore(
+        cand, corpus, queries, k, id_col, vec_col,
+        broadcast_queries=not join_path,
     )
 
 
