@@ -654,7 +654,11 @@ class TestRound7PlanShapes:
         raise during construction; the plan must still build, carry
         the probe-side join on `cell`, and keep the scoring in an
         Arrow pass (no row-at-a-time Python)."""
-        from pyspark.sql import DataFrame
+        # the CLASSIC DataFrame class: Spark 4 instances resolve
+        # collect/toPandas/... there, so patching the pyspark.sql
+        # base class never intercepts anything (round-10 fix — the
+        # tripwire was dead as originally written)
+        from pyspark.sql.classic.dataframe import DataFrame
 
         from zikeiretsu_rs_spark.operators import similarity
 
@@ -727,7 +731,11 @@ class TestRound8PlanShapes:
         `ivfpq_topk_join`: every driver-side materialization
         primitive raises while the plans are constructed, and the
         built plans join + score in Arrow with no cartesian."""
-        from pyspark.sql import DataFrame
+        # the CLASSIC DataFrame class: Spark 4 instances resolve
+        # collect/toPandas/... there, so patching the pyspark.sql
+        # base class never intercepts anything (round-10 fix — the
+        # tripwire was dead as originally written)
+        from pyspark.sql.classic.dataframe import DataFrame
 
         from zikeiretsu_rs_spark.operators import similarity
 
@@ -886,7 +894,11 @@ class TestRound9PlanShapes:
         artifact, the sanctioned collect class), and the built plan
         joins probe rows to per-cell codes on `cell` and scores in
         Arrow with no cartesian."""
-        from pyspark.sql import DataFrame
+        # the CLASSIC DataFrame class: Spark 4 instances resolve
+        # collect/toPandas/... there, so patching the pyspark.sql
+        # base class never intercepts anything (round-10 fix — the
+        # tripwire was dead as originally written)
+        from pyspark.sql.classic.dataframe import DataFrame
 
         from zikeiretsu_rs_spark.operators import similarity
 
