@@ -13,16 +13,19 @@ lag).  A query with ``lag >= MAX_LAG`` must be in the CURRENT head-50 —
 i.e. scheduled to receive a fresh row in the next driver artifact.
 
 Capacity proof for MAX_LAG = 5 (set in r09, per the r08 verdict —
-MAX_LAG = 4 was arithmetically unsustainable at 166 queries): a query
-refreshed in round r must be re-slotted no later than the head for
-round r+4 (its row reaches lag 4 when artifact r+4 lands; the head
+MAX_LAG = 4 was arithmetically unsustainable already at 166 queries):
+a query refreshed in round r must be re-slotted no later than the head
+for round r+4 (its row reaches lag 4 when artifact r+4 lands; the head
 declared then refreshes it in r+5, before lag hits MAX_LAG=5 with a
 stale-and-unscheduled state).  So every query needs a head slot at
-least once per 4 driver rounds: steady-state demand =
-ceil(166 / 4) = 42 <= 50 = HEAD slots per round, leaving ~8 spare
-slots/round for newly declared queries.  At MAX_LAG = 4 the demand was
-ceil(166 / 3) = 56 > 50 — structurally unretirable, which is exactly
-what these tests turned red on when CORRECTNESS_r08.json landed.
+least once per 4 driver rounds: steady-state demand at the current
+170-query catalog (169 after the r09 debuts + 1 r10 debut; suite.py's
+QUERIES comment restates the same arithmetic) =
+ceil(170 / 4) = 43 <= 50 = HEAD slots per round, leaving ~7 spare
+slots/round for newly declared queries.  At MAX_LAG = 4 the demand
+would be ceil(170 / 3) = 57 > 50 — structurally unretirable, which is
+exactly what these tests turned red on when CORRECTNESS_r08.json
+landed (then at 166: ceil(166 / 3) = 56 > 50).
 """
 
 from __future__ import annotations

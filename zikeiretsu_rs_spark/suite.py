@@ -3578,6 +3578,83 @@ def q_ann_ivfadc_percell_lake_parity_check(spark, sf_dir):
     )
 
 
+def q_ann_ivfadc_percell_lakebooks_parity_check(spark, sf_dir):
+    """CELL-PARTITIONED per-cell codebook storage invariant (round 10
+    — the beyond-~1k-cells regime the round-9 docstring promised):
+    the books fit as a DataFrame (`pq_codebook_residual_percell_df`,
+    never collected), persist as `books/cell=<i>/` parquet beside
+    the codes, the cogrouped encoder writes codes BIT-IDENTICAL to
+    the inline-books store's, and a probe — whose scan tasks read
+    only the probed cells' book files — must be IDENTICAL, row for
+    row and rank for rank, to the inline-meta store's probe AND to
+    the in-memory collect path (`ivfadc_percell_topk`) under the
+    same frozen model: partitioned ≡ broadcast ≡ collect. The two
+    fits are independent evaluations of the same deterministic plan
+    ((hash, id)-ordered sample, hash-sorted groups), so the models
+    agree without sharing driver state."""
+    import os
+    import uuid
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    cents = similarity.head_centroids(emb, 16, "vec_id", "embedding")
+    books = similarity.pq_codebook_residual_percell(
+        emb, cents, m=16, ksub=64
+    )
+    books_df = similarity.pq_codebook_residual_percell_df(
+        emb, cents, m=16, ksub=64
+    )
+    base = (
+        f"/tmp/zikeiretsu_percell_books_{os.getpid()}_"
+        f"{uuid.uuid4().hex[:12]}"
+    )
+    _reap_scratch_dirs(keep=base)
+    similarity.ivfadc_percell_write_index(
+        emb, f"{base}/inline", cents, books=books
+    )
+    similarity.ivfadc_percell_write_index(
+        emb, f"{base}/part", cents, books_df=books_df
+    )
+    part = similarity.ivfadc_percell_probe_lake(
+        spark, f"{base}/part", queries, k=10, nprobe=6
+    )
+    inline = similarity.ivfadc_percell_probe_lake(
+        spark, f"{base}/inline", queries, k=10, nprobe=6
+    )
+    mem = similarity.ivfadc_percell_topk(
+        emb, queries, books, k=10, nprobe=6, centroids=cents
+    )
+    cols = ["query_id", "neighbor_id", "adc_cosine", "rank"]
+    miss_pi = part.join(inline, cols, "left_anti").agg(
+        F.count("*").alias("_only_part")
+    )
+    miss_ip = inline.join(part, cols, "left_anti").agg(
+        F.count("*").alias("_only_inline")
+    )
+    miss_pm = part.join(mem, cols, "left_anti").agg(
+        F.count("*").alias("_only_part_vs_mem")
+    )
+    miss_mp = mem.join(part, cols, "left_anti").agg(
+        F.count("*").alias("_only_mem_vs_part")
+    )
+    stats = mem.agg(F.countDistinct("query_id").alias("n_queries"))
+    return (
+        stats.crossJoin(miss_pi)
+        .crossJoin(miss_ip)
+        .crossJoin(miss_pm)
+        .crossJoin(miss_mp)
+        .select(
+            "n_queries",
+            (
+                (F.col("_only_part") == 0)
+                & (F.col("_only_inline") == 0)
+                & (F.col("_only_part_vs_mem") == 0)
+                & (F.col("_only_mem_vs_part") == 0)
+            ).alias("lakebooks_parity_ok"),
+        )
+    )
+
+
 def q_ann_ivfpq_incremental_parity_check(spark, sf_dir):
     """Incrementally MAINTAINED IVFPQ lake index invariant (round 8 —
     the recurring-crawl form of the lake index): the corpus is split
@@ -3714,92 +3791,29 @@ def q_semantic_dedup_incremental(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # Declaration order is load-bearing: the driver's correctness gate
-# empirically checks the FIRST 50 declared queries (CORRECTNESS_r01-r08
+# empirically checks the FIRST 50 declared queries (CORRECTNESS_r01-r09
 # each had rows for exactly queries[0:50] in declaration order). The
 # head-50 is rotated every round so every declared query has a driver
-# hash row within a bounded window. Round 9 rotation (the r08 verdict's
-# #1 mandate — take the 50 STALEST): (a) the 27 queries whose newest
-# driver row is r04 — four rounds stale, the exact set named by the
-# r08 failing assertion (7 estimator rows + the 20 r04/r05 tail rows
-# pipeline_corpus_curation..unigram_logprob); then (b) the 23
-# alphabetically-first of the 39 r05-stale rows. The 16 remaining
-# r05-stale rows lead the tail and MUST lead the r10 head.
+# hash row within a bounded window. Round 10 rotation (the r09 verdict's
+# #1 mandate — LEAD with the 19 due rows): (a) the 19 queries whose
+# newest driver row is r05 — at lag 4 today, lag 5 the moment the r10
+# artifact lands (16 never head-slotted since r05 + the 3 displaced by
+# the r09 debuts); (b) the round-10 debut (new queries always get a
+# head slot, per the round-3 discipline); (c) the 30 alphabetically-
+# first of the 50 r07-stale rows. The 20 remaining r07 rows lead the
+# tail and MUST lead the r11 head.
 #
 # Capacity math (r08 verdict #8 — restate before declaring new
 # queries): tests/test_gate_freshness.py enforces MAX_LAG = 5, so
 # every query needs a head slot at least once per 4 driver rounds.
-# With the r09 additions (ann_ivfadc_percell_recall_check plus the
-# join and lake parity checks, head-slotted in their debut round,
-# displacing quality_rank_calibration, remove_dup_spans, and
-# semantic_decontaminate to the r10 lead) the catalog is 169:
-# steady-state slot demand = ceil(169 / 4) = 43 <= 50 head slots,
-# ~7 spare slots/round for newly declared queries before the
-# arithmetic breaks again.
+# With the r10 addition (ann_ivfadc_percell_lakebooks_parity_check,
+# head-slotted in its debut round) the catalog is 170: steady-state
+# slot demand = ceil(170 / 4) = 43 <= 50 head slots, ~7 spare
+# slots/round for newly declared queries before the arithmetic
+# breaks again.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- head-50: checked by the driver gate this round ------------------
-    # -- (a) the 27 four-round-stale rows (r08 failing assertion set)
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    "pipeline_corpus_curation": q_pipeline_corpus_curation,
-    "quality_weighted_sample": q_quality_weighted_sample,
-    "rate_per_user": q_rate_per_user,
-    "semantic_dedup_kmeans_check": q_semantic_dedup_kmeans,
-    "seq_pack_256": q_seq_pack_256,
-    "sessionize_30m": q_sessionize_30m,
-    "sketch_distinct_check": q_sketch_distinct_check,
-    "sketch_distinct_users": q_sketch_distinct_users,
-    "sketch_hll_daily_rollup": q_sketch_hll_daily_rollup,
-    "source_mix_weights": q_source_mix_weights,
-    "source_quality_rollup": q_source_quality_rollup,
-    "stratified_sample": q_stratified_sample,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    "text_lang_id": q_text_lang_id,
-    "text_quality": q_text_quality,
-    "text_scrub": q_text_scrub,
-    "text_token_stats": q_text_token_stats,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "train_test_split": q_train_test_split,
-    "twa_user_1h": q_twa_user_1h,
-    "unigram_logprob": q_unigram_logprob,
-    # -- (b) the 23 alphabetically-first three-round-stale (r05) rows
-    "ann_ivf_partitioned_recall_check": q_ann_ivf_partitioned_recall_check,
-    "ann_ivfpq_recall_check": q_ann_ivfpq_recall_check,
-    "ann_pq_recall_check": q_ann_pq_recall_check,
-    "ann_pq_refined_recall_check": q_ann_pq_refined_recall_check,
-    "asof_next_purchase": q_asof_next_purchase,
-    "bigram_logprob": q_bigram_logprob,
-    "bloom_filtered_join": q_bloom_filtered_join,
-    "bpe_batch_learn": q_bpe_batch_learn,
-    "bpe_learn": q_bpe_learn,
-    "cdc_chunks": q_cdc_chunks,
-    "events_cap_per_user": q_events_cap_per_user,
-    "events_mad_outliers": q_events_mad_outliers,
-    "ewma_user": q_ewma_user,
-    "line_dedup": q_line_dedup,
-    "multimodal_audio_frames": q_multimodal_audio_frames,
-    "multimodal_gif": q_multimodal_gif,
-    "multimodal_sniff": q_multimodal_sniff,
-    "pmi_collocations": q_pmi_collocations,
-    "priority_sample": q_priority_sample,
-    "quality_classifier": q_quality_classifier,
-    # -- (c) new this round (new queries always get a head slot, per
-    # the round-3 discipline; quality_rank_calibration,
-    # remove_dup_spans, and semantic_decontaminate were displaced to
-    # lead the r10 block below)
-    "ann_ivfadc_percell_recall_check": q_ann_ivfadc_percell_recall_check,
-    "ann_ivfadc_percell_join_parity_check": (
-        q_ann_ivfadc_percell_join_parity_check
-    ),
-    "ann_ivfadc_percell_lake_parity_check": (
-        q_ann_ivfadc_percell_lake_parity_check
-    ),
-    # -- tail: stalest first -----------------------------------------
-    # -- the 19 remaining r05-stale rows (16 never scheduled + 3
-    # displaced by the round-9 debuts; MUST lead the r10 head)
+    # -- (a) the 19 rows due at lag 5 when the r10 artifact lands
     "quality_rank_calibration": q_quality_rank_calibration,
     "remove_dup_spans": q_remove_dup_spans,
     "semantic_decontaminate": q_semantic_decontaminate,
@@ -3819,7 +3833,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shards": q_training_shards,
     "url_dedup": q_url_dedup,
     "vocab_topk": q_vocab_topk,
-    # -- r07-fresh rows
+    # -- (b) new this round
+    "ann_ivfadc_percell_lakebooks_parity_check": (
+        q_ann_ivfadc_percell_lakebooks_parity_check
+    ),
+    # -- (c) the 30 alphabetically-first of the 50 r07-stale rows
     "agg_time_bucket_1h": q_agg_time_bucket_1h,
     "anti_join_parts": q_anti_join_parts,
     "block_list_style": q_block_list_style,
@@ -3850,6 +3868,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_join": q_skew_salted_join,
     "text_bm25": q_text_bm25,
     "text_gopher_rules": q_text_gopher_rules,
+    # -- tail: stalest first -----------------------------------------
+    # -- the 20 remaining r07-stale rows (MUST lead the r11 head)
     "topk_events_per_type": q_topk_events_per_type,
     "tpch_q10": q_tpch_q10,
     "tpch_q11": q_tpch_q11,
@@ -3875,9 +3895,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall_check": q_ann_ivf_recall_check,
     "ann_ivfadc_join_parity_check": q_ann_ivfadc_join_parity_check,
     "ann_ivfadc_refined_recall_check": q_ann_ivfadc_refined_recall_check,
-    "ann_ivfpq_incremental_parity_check": (
-        q_ann_ivfpq_incremental_parity_check
-    ),
+    "ann_ivfpq_incremental_parity_check": q_ann_ivfpq_incremental_parity_check,
     "ann_ivfpq_join_parity_check": q_ann_ivfpq_join_parity_check,
     "ann_ivfpq_lake_parity_check": q_ann_ivfpq_lake_parity_check,
     "ann_lsh_recall_check": q_ann_lsh_recall_check,
@@ -3923,6 +3941,61 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_tail_limit_excl": q_ts_tail_limit_excl,
     "value_quantiles_by_type": q_value_quantiles_by_type,
     "weekly_retention": q_weekly_retention,
+    # -- r09-fresh rows
+    "ann_ivf_partitioned_recall_check": q_ann_ivf_partitioned_recall_check,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivfadc_percell_join_parity_check": (
+        q_ann_ivfadc_percell_join_parity_check
+    ),
+    "ann_ivfadc_percell_lake_parity_check": (
+        q_ann_ivfadc_percell_lake_parity_check
+    ),
+    "ann_ivfadc_percell_recall_check": q_ann_ivfadc_percell_recall_check,
+    "ann_ivfpq_recall_check": q_ann_ivfpq_recall_check,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_pq_recall_check": q_ann_pq_recall_check,
+    "ann_pq_refined_recall_check": q_ann_pq_refined_recall_check,
+    "asof_next_purchase": q_asof_next_purchase,
+    "bigram_logprob": q_bigram_logprob,
+    "bloom_filtered_join": q_bloom_filtered_join,
+    "bpe_batch_learn": q_bpe_batch_learn,
+    "bpe_learn": q_bpe_learn,
+    "cdc_chunks": q_cdc_chunks,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "events_cap_per_user": q_events_cap_per_user,
+    "events_mad_outliers": q_events_mad_outliers,
+    "ewma_user": q_ewma_user,
+    "line_dedup": q_line_dedup,
+    "multimodal_audio_frames": q_multimodal_audio_frames,
+    "multimodal_gif": q_multimodal_gif,
+    "multimodal_sniff": q_multimodal_sniff,
+    "pipeline_corpus_curation": q_pipeline_corpus_curation,
+    "pmi_collocations": q_pmi_collocations,
+    "priority_sample": q_priority_sample,
+    "quality_classifier": q_quality_classifier,
+    "quality_weighted_sample": q_quality_weighted_sample,
+    "rate_per_user": q_rate_per_user,
+    "semantic_dedup_kmeans_check": q_semantic_dedup_kmeans,
+    "seq_pack_256": q_seq_pack_256,
+    "sessionize_30m": q_sessionize_30m,
+    "sketch_distinct_check": q_sketch_distinct_check,
+    "sketch_distinct_users": q_sketch_distinct_users,
+    "sketch_hll_daily_rollup": q_sketch_hll_daily_rollup,
+    "source_mix_weights": q_source_mix_weights,
+    "source_quality_rollup": q_source_quality_rollup,
+    "stratified_sample": q_stratified_sample,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_scrub": q_text_scrub,
+    "text_token_stats": q_text_token_stats,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "train_test_split": q_train_test_split,
+    "twa_user_1h": q_twa_user_1h,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 # ---------------------------------------------------------------------------
@@ -3958,6 +4031,7 @@ VERIFICATION_QUERIES = {
     "ann_ivfadc_percell_recall_check",
     "ann_ivfadc_percell_join_parity_check",
     "ann_ivfadc_percell_lake_parity_check",
+    "ann_ivfadc_percell_lakebooks_parity_check",
     "ann_ivf_partitioned_recall_check",
     "embedding_neardup_lsh_check",
     "sketch_distinct_check",
@@ -6064,6 +6138,11 @@ FROM embeddings WHERE vec_id < 10
     sqls["ann_ivfadc_percell_lake_parity_check"] = sqls[
         "ann_ivfpq_lake_parity_check"
     ]
+    sqls["ann_ivfadc_percell_lakebooks_parity_check"] = """
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       TRUE AS lakebooks_parity_ok
+FROM embeddings WHERE vec_id < 10
+"""
     sqls["ann_ivfpq_incremental_parity_check"] = """
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
        TRUE AS incremental_parity_ok
