@@ -468,6 +468,34 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
             skewed_emb, threshold=0.99, centroids=cents8, arrow_pairs=False
         )
     )
+    # IVFADC per-cell join twin under the SAME mega-cell fixture
+    # (round 10, VERDICT r09 item 3 — measured, not assumed): ~82% of
+    # the codes land in ONE cell, so the join twin's `cell` equi-join
+    # lands ~82% of the corpus in one join partition, and every query
+    # whose probe list contains the mega cell scans it. Measured both
+    # ways against the balanced corpus (same rows, same model shape,
+    # original cell distribution); the ADC scan is linear per probed
+    # row and AQE's skew-join split applies to the oversized
+    # partition, which is why this is expected to track the probed
+    # row count rather than cliff — the rows exist to verify that.
+    books_sk = sim.pq_codebook_residual_percell(
+        skewed_emb, cents8, m=16, ksub=16
+    )
+    out["skew_ivfadc_megacell_join"] = _timed(
+        sim.ivfadc_percell_topk_join(
+            skewed_emb, skewed_emb.where(F.col("vec_id") < 10),
+            books_sk, k=10, nprobe=2, centroids=cents8,
+        )
+    )
+    books_bal = sim.pq_codebook_residual_percell(
+        emb, cents8, m=16, ksub=16
+    )
+    out["skew_ivfadc_balanced_join"] = _timed(
+        sim.ivfadc_percell_topk_join(
+            emb, emb.where(F.col("vec_id") < 10),
+            books_bal, k=10, nprobe=2, centroids=cents8,
+        )
+    )
     # the expression branch caches its assignment table internally
     # (no unpersist point in the operator) — drop it so the skewed
     # corpus doesn't pin executor storage through the remaining
@@ -597,6 +625,40 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
     out["layout_ivfpq_probe_lake"] = _timed(
         sim.ivfpq_probe_lake(spark, ivfpq_p, qbatch, k=5, nprobe=2)
     )
+
+    # Cell-partitioned per-cell books (round 10, VERDICT r09 item 2):
+    # the per-cell model sidecar lives as books/cell=<i>/ beside the
+    # codes, and a probe's scan tasks read ONLY the probed cells'
+    # book files — so the model IO a probe pays scales with nprobe
+    # (bounded by |queries|*nprobe), NOT with n_cells. Reported as
+    # bytes under the probed cells' book directories per nprobe vs
+    # the total book bytes at rest: the inline-meta regime would pay
+    # the total on EVERY probe regardless of nprobe (that broadcast
+    # is exactly what stops scaling past ~1k cells).
+    books_df16 = sim.pq_codebook_residual_percell_df(
+        emb, cents16, m=16, ksub=16
+    )
+    pb_p = f"{base}/percell_books"
+    sim.ivfadc_percell_write_index(
+        emb, pb_p, cents16, books_df=books_df16
+    )
+    out["layout_percell_books_probe_lake"] = _timed(
+        sim.ivfadc_percell_probe_lake(spark, pb_p, qbatch, k=5, nprobe=2)
+    )
+    out["layout_percell_books_bytes_total"] = float(
+        _tree_bytes(pb_p, "books/cell=*/*.parquet")
+    )
+    for np_ in (1, 4, 16):
+        # the same raw-dot probe assignment the percell probe pushes
+        # as its static `cell IN` filter (ivf_probe_cells is that
+        # list's one implementation)
+        cells = sim.ivf_probe_cells(qbatch, cents16, nprobe=np_)
+        out[f"layout_percell_books_bytes_nprobe{np_}"] = float(
+            sum(
+                _tree_bytes(pb_p, f"books/cell={c}/*.parquet")
+                for c in cells
+            )
+        )
 
     # Bucketed co-located join (round 8): lineitem x orders written as
     # 16-bucket tables on the join key — the bucket-spec equi-join
@@ -790,6 +852,34 @@ def run_ann(spark, sf_dir: str) -> dict[str, float]:
             percell_refined
         ),
     }
+    # per-cell nprobe curve (round 10, VERDICT r09 item 5): the same
+    # deployment knob the float-IVF sweep below records, under the
+    # per-cell books — separates coarse-probe misses (nprobe-bound,
+    # what the refined twin cannot recover either) from quantization
+    # error (ksub-bound, what the ksub row below measures). The
+    # nprobe=4 row is the headline percell number by construction.
+    for np_ in (1, 16):
+        out[f"ann_clustered_recall_ivfadc_percell_nprobe{np_}"] = recall(
+            sim.ivfadc_percell_topk(
+                clustered, queries, books_pc, k=10, nprobe=np_,
+                centroids=cents_c,
+            )
+        )
+    out["ann_clustered_recall_ivfadc_percell_nprobe4"] = out[
+        "ann_clustered_recall_ivfadc_percell"
+    ]
+    # ksub saturation probe (same VERDICT item): double each
+    # subspace's vocabulary at the same m — if the per-cell books
+    # were saturating at ksub=64, this row clears the nprobe=4 one.
+    books_pc128 = sim.pq_codebook_residual_percell(
+        clustered, cents_c, m=16, ksub=128
+    )
+    out["ann_clustered_recall_ivfadc_percell_ksub128"] = recall(
+        sim.ivfadc_percell_topk(
+            clustered, queries, books_pc128, k=10, nprobe=4,
+            centroids=cents_c,
+        )
+    )
     # nprobe sweep (round 8): the deployment knob — more probed cells
     # buy recall in exchange for linearly more scanned IO
     # (layout_ivf_files_probed / layout_ivf_files_total is the IO

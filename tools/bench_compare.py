@@ -2,12 +2,26 @@
 (VERDICT r05 'what's wrong' #2: headline claims must be computable
 from the repo alone). Usage:
 
-    python tools/bench_compare.py BENCH_r05_full.json BENCH_r06_full.json
+    python tools/bench_compare.py PREV_full.json RUN1.json [RUN2.json ...]
 
-Prints the common-query total ratio, per-query movers beyond the
-documented ambient variance band, and queries present on one side
-only. Works with any two files bench.py wrote via
-SPARK_GRAFT_BENCH_FULL / BENCH_full_latest.json.
+PREV is the previous round's committed artifact; RUN1.. are this
+round's named runs, FIRST of which is the committed pick. Prints the
+common-query total ratio (prev vs committed pick), per-query movers
+beyond the documented ambient variance band, and queries present on
+one side only.
+
+Mover classification (VERDICT r09 item 4 — the committed-vs-committed
+blind spot): a query beyond band against PREV in EVERY named run of
+the round is a REGRESSION; beyond band only in the committed pick (or
+a strict subset of runs) is run NOISE baked into the min-pick
+artifact. With a single run the tag is UNCONFIRMED — one run cannot
+distinguish the two.
+
+Exit codes (ADVICE r09): 0 = clean comparison; 3 = a measured ambient
+band exceeded the MAX_BAND clamp, so the run itself is untrustworthy —
+scripted callers must not consume deltas from a nonzero exit. A
+machine-readable summary JSON line (prefix `bench_compare:`) carries
+the same flag.
 """
 
 from __future__ import annotations
@@ -21,69 +35,95 @@ MIN_BAND = 1.25  # the probe records the per-query-worst spread between its
 # a quiet machine, so never flag below that floor
 MAX_BAND = 1.6  # and never let one noisy probe query silently disable
 # mover detection for the whole comparison — past this the RUN is the
-# problem, not the queries; warn and clamp
+# problem, not the queries; warn, clamp, and exit nonzero
 
 
-def _measured_band(*artifacts) -> float | None:
-    """The wider of the two runs' recorded ambient bands (bench.py
-    'ambient' section, VERDICT r08 item 5), or None if either run
-    predates the probe."""
-    bands = []
-    for art in artifacts:
-        band = (art.get("ambient") or {}).get("band")
-        if band is None:
-            return None
-        bands.append(band)
-    return max(bands)
+def _band_of(art: dict) -> float | None:
+    return (art.get("ambient") or {}).get("band")
 
 
 def main() -> int:
-    if len(sys.argv) != 3:
+    if len(sys.argv) < 3:
         print(__doc__)
         return 2
-    a = json.load(open(sys.argv[1]))
-    b = json.load(open(sys.argv[2]))
-    measured = _measured_band(a, b)
-    if measured is not None:
+    prev = json.load(open(sys.argv[1]))
+    runs = [(p, json.load(open(p))) for p in sys.argv[2:]]
+    committed_path, committed = runs[0]
+
+    bands = [_band_of(prev)] + [_band_of(r) for _, r in runs]
+    band_exceeded = False
+    if all(b is not None for b in bands):
+        measured = max(bands)
         variance_band = min(max(measured, MIN_BAND), MAX_BAND)
-        print(f"ambient band (measured, wider run): {measured:.3f}x "
-              f"-> mover threshold {variance_band:.3f}x")
+        print(f"ambient band (measured, widest of {len(bands)} runs): "
+              f"{measured:.3f}x -> mover threshold {variance_band:.3f}x")
         if measured > MAX_BAND:
+            band_exceeded = True
             print(f"  WARNING: measured band {measured:.3f}x exceeds the "
                   f"{MAX_BAND}x clamp — at least one run was taken under "
-                  "heavy load; re-measure before trusting ANY delta here")
+                  "heavy load; re-measure before trusting ANY delta here "
+                  "(exit 3)")
     else:
         variance_band = FALLBACK_BAND
-        print(f"ambient band: not recorded in both runs -> fallback "
+        print(f"ambient band: not recorded in every run -> fallback "
               f"threshold {variance_band}x")
-    qa, qb = a["queries"], b["queries"]
-    common = sorted(set(qa) & set(qb))
-    only_a = sorted(set(qa) - set(qb))
-    only_b = sorted(set(qb) - set(qa))
-    ta = sum(qa[q] for q in common)
-    tb = sum(qb[q] for q in common)
+
+    qp, qc = prev["queries"], committed["queries"]
+    common = sorted(set(qp) & set(qc))
+    only_prev = sorted(set(qp) - set(qc))
+    only_cur = sorted(set(qc) - set(qp))
+    tp = sum(qp[q] for q in common)
+    tc = sum(qc[q] for q in common)
     print(f"common queries: {len(common)}")
-    if ta > 0:
-        print(f"  {sys.argv[1]}: {ta:.1f}s   {sys.argv[2]}: {tb:.1f}s   "
-              f"ratio {tb / ta:.3f}x")
+    if tp > 0:
+        print(f"  {sys.argv[1]}: {tp:.1f}s   {committed_path}: {tc:.1f}s   "
+              f"ratio {tc / tp:.3f}x")
     else:
         print("  no common timed queries — only dropped/new sections apply")
+
+    def _beyond(va: float, vb: float) -> bool:
+        r = vb / va if va else float("inf")
+        return r > variance_band or r < 1 / variance_band
+
+    n_regressions = 0
     movers = []
     for q in common:
-        va, vb = qa[q], qb[q]
+        va, vb = qp[q], qc[q]
+        if not _beyond(va, vb):
+            continue
         r = vb / va if va else float("inf")
-        if r > variance_band or r < 1 / variance_band:
-            movers.append((r, q, va, vb))
-    for r, q, va, vb in sorted(movers):
-        tag = "WIN " if r < 1 else "SLOW"
-        print(f"  {tag} {q}: {va:.2f} -> {vb:.2f}  ({r:.2f}x)")
-    if only_a:
-        print(f"dropped: {only_a}")
-    if only_b:
-        print(f"new: {only_b} "
-              f"({sum(qb[q] for q in only_b):.1f}s)")
+        # the blind spot: check the SAME prev-vs-run delta in every
+        # named run of the round, not just the committed pick
+        others = [
+            rn["queries"][q]
+            for _, rn in runs[1:]
+            if q in rn.get("queries", {})
+        ]
+        if r < 1:
+            tag = "WIN "
+        elif not others:
+            tag = "SLOW?UNCONFIRMED"  # one run can't split noise/regression
+        elif all(_beyond(va, v) and v > va for v in others):
+            tag = "SLOW REGRESSION"  # beyond band in every named run
+            n_regressions += 1
+        else:
+            tag = "SLOW NOISE"  # normal in at least one other run
+        movers.append((r, q, va, vb, tag, others))
+    for r, q, va, vb, tag, others in sorted(movers):
+        extra = (
+            "  (other runs: "
+            + ", ".join(f"{v:.2f}" for v in others) + ")"
+            if others and tag.startswith("SLOW")
+            else ""
+        )
+        print(f"  {tag} {q}: {va:.2f} -> {vb:.2f}  ({r:.2f}x){extra}")
+    if only_prev:
+        print(f"dropped: {only_prev}")
+    if only_cur:
+        print(f"new: {only_cur} "
+              f"({sum(qc[q] for q in only_cur):.1f}s)")
     for section in ("skew", "layout", "ann"):
-        sa, sb = a.get(section), b.get(section)
+        sa, sb = prev.get(section), committed.get(section)
         if sa and sb:
             keys = sorted(set(sa) & set(sb))
             diffs = [
@@ -96,7 +136,15 @@ def main() -> int:
             ]
             if diffs:
                 print(f"{section}: " + "; ".join(diffs))
-    return 0
+    print("bench_compare: " + json.dumps({
+        "band_exceeded": band_exceeded,
+        "threshold": round(variance_band, 3),
+        "n_runs": len(runs),
+        "n_movers": len(movers),
+        "n_regressions": n_regressions,
+        "total_ratio": round(tc / tp, 3) if tp else None,
+    }))
+    return 3 if band_exceeded else 0
 
 
 if __name__ == "__main__":

@@ -1530,8 +1530,11 @@ def q_ann_ivfadc_percell_recall_check(spark, sf_dir):
     gate runs the near-uniform fixture with every cell probed
     (n_cells = nprobe = 16), isolating per-cell ADC ranking quality
     from cell-miss noise: measured 1.0 at sf0.01, 0.72 at sf0.1 —
-    deterministic (hash-seeded per-cell Lloyd, hash-sorted groups),
-    floor 0.60."""
+    deterministic (hash-seeded per-cell Lloyd, (hash, id)-sorted
+    groups), floor 0.65 (raised from the debut round's 0.60 per the
+    r09 verdict — the fit is deterministic, so the 0.72 measurement
+    is exact; the remaining margin absorbs only a testdata
+    regeneration)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     exact = similarity.cosine_topk(emb, queries, k=10)
@@ -1549,7 +1552,7 @@ def q_ann_ivfadc_percell_recall_check(spark, sf_dir):
     )
     return stats.crossJoin(hits.agg(F.count("*").alias("_n_hit"))).select(
         "n_queries",
-        (F.col("_n_hit") / F.col("_n_exact") >= 0.60).alias("recall_ok"),
+        (F.col("_n_hit") / F.col("_n_exact") >= 0.65).alias("recall_ok"),
     )
 
 
