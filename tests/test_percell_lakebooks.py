@@ -280,6 +280,43 @@ class TestPartitionedBooksAppend:
         assert len(before) > 0 and before == after
 
 
+class TestProbeRefined:
+    def test_refined_lake_probe_parity_both_layouts(
+        self, spark, emb, model, stores
+    ):
+        """`IvfpqLakeIndex.probe_refined` (round 10 — the production
+        two-stage shape over the stored index) must be row-identical
+        to the in-memory `ivfadc_percell_topk_refined(join_path=True)`
+        under the same model, for BOTH book layouts: the proposals
+        come from the (already parity-gated) lake probe and the exact
+        re-score is the ONE shared `_exact_rescore` tail. And the
+        broadcast-queries fast path must change the plan, not the
+        rows."""
+        from zikeiretsu_rs_spark.operators import similarity
+
+        cents, books = model
+        queries = emb.where(F.col("vec_id") < 6)
+        mem = similarity.ivfadc_percell_topk_refined(
+            emb, queries, books, k=5, expand=3, nprobe=3,
+            centroids=cents, join_path=True,
+        )
+        want = _rows(mem)
+        assert len(want) > 0
+        for path in stores:
+            idx = similarity.IvfpqLakeIndex(spark, path)
+            got = _rows(
+                idx.probe_refined(queries, emb, k=5, expand=3, nprobe=3)
+            )
+            assert got == want, path
+        got_b = _rows(
+            similarity.IvfpqLakeIndex(spark, stores[1]).probe_refined(
+                queries, emb, k=5, expand=3, nprobe=3,
+                broadcast_queries=True,
+            )
+        )
+        assert got_b == want
+
+
 class TestBuildValidation:
     def test_exactly_one_model_form(self, spark, emb, model, tmp_path):
         from zikeiretsu_rs_spark.operators import similarity

@@ -3996,6 +3996,43 @@ class IvfpqLakeIndex:
             nid_name="neighbor_id",
         )
 
+    def probe_refined(
+        self,
+        queries: DataFrame,
+        corpus: DataFrame,
+        k: int = 10,
+        expand: int = 4,
+        nprobe: int = 8,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        broadcast_queries: bool = False,
+    ) -> DataFrame:
+        """Two-stage lake probe — the production shape
+        (`ivfadc_topk_refined`'s discipline) over the STORED index:
+        `probe` proposes k*expand candidates from the m-byte codes
+        (cell-pruned scan, either encoding, either book layout), then
+        ONLY those rows' float vectors are read back from `corpus`
+        (the float table the index was built over — the index stores
+        codes, not floats, so refinement reads the source lake table)
+        and exactly re-scored via the ONE `_exact_rescore` tail every
+        +R search shares. Float reads stay bounded at
+        n_queries*k*expand rows regardless of index size.
+
+        `broadcast_queries=False` (default) keeps corpus-scale query
+        sets distributed — the join twins' contract; pass True for a
+        bounded query batch to skip the shuffle on the query side.
+
+        Output: query_id, neighbor_id, cosine (exact, round 6), rank.
+        """
+        cand = self.probe(
+            queries, k=k * expand, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col,
+        ).select("query_id", "neighbor_id")
+        return _exact_rescore(
+            cand, corpus, queries, k, id_col, vec_col,
+            broadcast_queries=broadcast_queries,
+        )
+
     # -- maintenance ------------------------------------------------------
     def compact(self, target_file_bytes: int = 128 << 20) -> dict:
         """Merge old epochs into the SECOND-highest one, bounding
