@@ -640,7 +640,7 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
     )
     pb_p = f"{base}/percell_books"
     sim.ivfadc_percell_write_index(
-        emb, pb_p, cents16, books_df=books_df16
+        emb, pb_p, cents16, books_df=books_df16, m=16, ksub=16
     )
     out["layout_percell_books_probe_lake"] = _timed(
         sim.ivfadc_percell_probe_lake(spark, pb_p, qbatch, k=5, nprobe=2)

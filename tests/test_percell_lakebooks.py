@@ -70,7 +70,7 @@ def stores(spark, emb, model, tmp_path_factory):
         emb, p_inline, cents, books=books
     )
     similarity.ivfadc_percell_write_index(
-        emb, p_part, cents, books_df=books_df
+        emb, p_part, cents, books_df=books_df, m=16, ksub=16
     )
     return p_inline, p_part
 
@@ -201,7 +201,7 @@ class TestPartitionedBooksAppend:
 
         p_part = str(tmp_path / "part_inc")
         idx = similarity.IvfpqLakeIndex(spark, p_part)
-        idx.build(seed, cents, books_df=books_df)
+        idx.build(seed, cents, books_df=books_df, m=16, ksub=16)
         idx.add_batch(batch)
         inc = idx.probe(queries, k=5, nprobe=3)
 
@@ -237,7 +237,7 @@ class TestPartitionedBooksAppend:
         )
         p = str(tmp_path / "drift")
         idx = similarity.IvfpqLakeIndex(spark, p)
-        idx.build(seed, cents, books_df=books_df)
+        idx.build(seed, cents, books_df=books_df, m=16, ksub=16)
         idx.add_batch(emb.join(cell0_ids, "vec_id", "left_anti"))
         codes = spark.read.parquet(f"{p}/codes")
         drifted = codes.where(F.col("cell") != 0)
@@ -260,7 +260,7 @@ class TestPartitionedBooksAppend:
         p = str(tmp_path / "compact")
         idx = similarity.IvfpqLakeIndex(spark, p)
         idx.build(emb.where(F.col("vec_id") % 3 == 0), cents,
-                  books_df=books_df)
+                  books_df=books_df, m=16, ksub=16)
         idx.add_batch(emb.where(F.col("vec_id") % 3 == 1))
         idx.add_batch(emb.where(F.col("vec_id") % 3 == 2))
         queries = emb.where(F.col("vec_id") < 6)
@@ -332,6 +332,7 @@ class TestBuildValidation:
                     "0 as cell",
                     "array(array(array(0.0d))) as book",
                 ),
+                m=1, ksub=1,
             )
 
     def test_empty_books_df_rejected(self, spark, emb, model, tmp_path):
@@ -344,4 +345,4 @@ class TestBuildValidation:
             "cell int, book array<array<array<double>>>",
         )
         with pytest.raises(ValueError, match="empty"):
-            idx.build(emb, cents, books_df=empty)
+            idx.build(emb, cents, books_df=empty, m=16, ksub=16)

@@ -3628,6 +3628,8 @@ def ivfadc_percell_write_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     books_df: DataFrame | None = None,
+    m: int | None = None,
+    ksub: int | None = None,
 ) -> None:
     """One-shot lake IVFADC index under PER-CELL residual books
     (round 9): same layout, epoch machinery, and probe as
@@ -3638,14 +3640,14 @@ def ivfadc_percell_write_index(
     candidates to `ivfadc_percell_topk_join` over the same corpus
     (pinned by `ann_ivfadc_percell_lake_parity_check`).
 
-    Pass `books_df` (from `pq_codebook_residual_percell_df`) instead
-    of `books` for the CELL-PARTITIONED book layout — the
-    beyond-~1k-cells regime where the book tensor never rides the
-    driver or a closure (round 10; pinned by
+    Pass `books_df` (from `pq_codebook_residual_percell_df`) plus its
+    (m, ksub) shape instead of `books` for the CELL-PARTITIONED book
+    layout — the beyond-~1k-cells regime where the book tensor never
+    rides the driver or a closure (round 10; pinned by
     `ann_ivfadc_percell_lakebooks_parity_check`)."""
     IvfpqLakeIndex(corpus.sparkSession, path).build(
         corpus, centroids, id_col=id_col, vec_col=vec_col, books=books,
-        books_df=books_df,
+        books_df=books_df, m=m, ksub=ksub,
     )
 
 
@@ -3799,6 +3801,8 @@ class IvfpqLakeIndex:
         vec_col: str = "embedding",
         books: list[list[list[list[float]]]] | None = None,
         books_df: DataFrame | None = None,
+        m: int | None = None,
+        ksub: int | None = None,
     ) -> None:
         """Freeze the model and index the seed corpus as epoch 0. The
         meta lands first (atomic PUT via catalog.fsio): a crash
@@ -3820,15 +3824,20 @@ class IvfpqLakeIndex:
 
         `books_df` is the beyond-~1k-cells regime
         `pq_codebook_residual_percell` documents: pass the (cell,
-        book) DataFrame from `pq_codebook_residual_percell_df` and
-        the (n_cells, m, ksub, dsub) tensor never materializes
-        anywhere — the fit stays distributed, the books land as
-        `books/cell=<i>/` parquet (one shuffle by cell so each cell's
-        book is one file), encoding cogroups residuals with book rows
-        by cell, and a probe's scan tasks read only the probed cells'
-        book files. Only (m, ksub) ride the meta (one head(1) row —
-        shape, not the model). The inline `books` path stays the
-        <=~1k-cells fast case (no book shuffle, no per-task reads).
+        book) DataFrame from `pq_codebook_residual_percell_df` PLUS
+        its (m, ksub) shape — explicit because deriving it from the
+        DataFrame would evaluate the whole fit plan a second time
+        just for two integers; the caller who ran the fit knows them,
+        the cogrouped encoder's reshape fails loudly on a mismatch,
+        and only the shape rides the meta, never the model. The
+        (n_cells, m, ksub, dsub) tensor then never materializes
+        anywhere — the fit stays distributed and evaluates EXACTLY
+        once (the books write), the books land as `books/cell=<i>/`
+        parquet (one shuffle by cell so each cell's book is one
+        file), encoding cogroups residuals with book rows by cell,
+        and a probe's scan tasks read only the probed cells' book
+        files. The inline `books` path stays the <=~1k-cells fast
+        case (no book shuffle, no per-task reads).
 
         Rebuild-in-place safe: the whole codes tree is cleared before
         epoch 0 lands, because a rebuild under a retrained model that
@@ -3853,17 +3862,16 @@ class IvfpqLakeIndex:
             "id_type": corpus.schema[id_col].dataType.simpleString(),
         }
         if books_df is not None:
-            head = books_df.select("book").head(1)  # shape, not model
-            if not head:
+            if m is None or ksub is None:
                 raise ValueError(
-                    "books_df is empty — fit it over the seed corpus "
-                    "(pq_codebook_residual_percell_df)"
+                    "books_df= requires m= and ksub= (the fit's shape "
+                    "— deriving it from the DataFrame would evaluate "
+                    "the whole fit plan twice)"
                 )
-            book0 = head[0]["book"]
             meta["encoding"] = "ivfadc_percell"
             meta["books_storage"] = "partitioned"
-            meta["m"] = len(book0)
-            meta["ksub"] = len(book0[0])
+            meta["m"] = int(m)
+            meta["ksub"] = int(ksub)
         elif books is not None:
             meta["encoding"] = "ivfadc_percell"
             meta["books"] = books
@@ -3885,6 +3893,17 @@ class IvfpqLakeIndex:
             ).write.mode("overwrite").partitionBy("cell").parquet(
                 self.books_dir
             )
+            # emptiness check against the WRITTEN parquet (a local
+            # 1-row read), never against the fit plan (a recompute);
+            # explicit schema because a zero-row partitioned write
+            # leaves nothing to infer one from
+            if not self.spark.read.schema(
+                "cell int, book array<array<array<double>>>"
+            ).parquet(self.books_dir).head(1):
+                raise ValueError(
+                    "books_df is empty — fit it over the seed corpus "
+                    "(pq_codebook_residual_percell_df)"
+                )
         self._encode(
             corpus, id_col, vec_col, meta
         ).write.mode("overwrite").partitionBy("cell").parquet(

@@ -3616,7 +3616,7 @@ def q_ann_ivfadc_percell_lakebooks_parity_check(spark, sf_dir):
         emb, f"{base}/inline", cents, books=books
     )
     similarity.ivfadc_percell_write_index(
-        emb, f"{base}/part", cents, books_df=books_df
+        emb, f"{base}/part", cents, books_df=books_df, m=16, ksub=64
     )
     part = similarity.ivfadc_percell_probe_lake(
         spark, f"{base}/part", queries, k=10, nprobe=6
