@@ -248,6 +248,23 @@ class TestPartitionedBooksAppend:
         ).count()
         assert nonzero == 0  # zero book => code 0 everywhere
 
+        # and a PROBE whose nprobe covers the drifted cells must not
+        # crash on the missing book rows — it scores them against the
+        # zero book, row-identical to the inline tensor's zero
+        # padding over the same seed-fit model (review finding,
+        # round 10: the first cut raised instead)
+        books_seed = similarity.pq_codebook_residual_percell(
+            seed, cents, m=16, ksub=16
+        )
+        p_inline = str(tmp_path / "drift_inline")
+        idx_i = similarity.IvfpqLakeIndex(spark, p_inline)
+        idx_i.build(seed, cents, books=books_seed)
+        idx_i.add_batch(emb.join(cell0_ids, "vec_id", "left_anti"))
+        queries = emb.where(F.col("vec_id") < 6)
+        got = _rows(idx.probe(queries, k=5, nprobe=len(cents)))
+        want = _rows(idx_i.probe(queries, k=5, nprobe=len(cents)))
+        assert len(got) > 0 and got == want
+
     def test_compact_preserves_books_and_probe(
         self, spark, emb, model, tmp_path
     ):

@@ -12,9 +12,12 @@ one side only.
 
 Mover classification (VERDICT r09 item 4 — the committed-vs-committed
 blind spot): a query beyond band against PREV in EVERY named run of
-the round is a REGRESSION; beyond band only in the committed pick (or
-a strict subset of runs) is run NOISE baked into the min-pick
-artifact. With a single run the tag is UNCONFIRMED — one run cannot
+the round is real (SLOW REGRESSION / WIN CONFIRMED); beyond band only
+in the committed pick (or a strict subset of runs) is run NOISE baked
+into the min-pick artifact — and that applies to WINS too: under a
+min-of-runs protocol a phantom speedup is the MOST likely noise
+direction, so an unconfirmed WIN must not flow into headline claims.
+With a single run the tag is ?UNCONFIRMED — one run cannot
 distinguish the two.
 
 Exit codes (ADVICE r09): 0 = clean comparison; 3 = a measured ambient
@@ -93,27 +96,32 @@ def main() -> int:
             continue
         r = vb / va if va else float("inf")
         # the blind spot: check the SAME prev-vs-run delta in every
-        # named run of the round, not just the committed pick
+        # named run of the round, not just the committed pick —
+        # in BOTH directions (a min-pick artifact manufactures
+        # phantom WINs at least as easily as phantom SLOWs)
         others = [
             rn["queries"][q]
             for _, rn in runs[1:]
             if q in rn.get("queries", {})
         ]
-        if r < 1:
-            tag = "WIN "
-        elif not others:
-            tag = "SLOW?UNCONFIRMED"  # one run can't split noise/regression
-        elif all(_beyond(va, v) and v > va for v in others):
-            tag = "SLOW REGRESSION"  # beyond band in every named run
-            n_regressions += 1
+        slower = r > 1
+        if not others:
+            # one run can't split noise from a real move
+            tag = ("SLOW" if slower else "WIN") + "?UNCONFIRMED"
+        elif all(
+            _beyond(va, v) and ((v > va) == slower) for v in others
+        ):
+            tag = "SLOW REGRESSION" if slower else "WIN CONFIRMED"
+            if slower:
+                n_regressions += 1
         else:
-            tag = "SLOW NOISE"  # normal in at least one other run
+            tag = ("SLOW" if slower else "WIN") + " NOISE"
         movers.append((r, q, va, vb, tag, others))
     for r, q, va, vb, tag, others in sorted(movers):
         extra = (
             "  (other runs: "
             + ", ".join(f"{v:.2f}" for v in others) + ")"
-            if others and tag.startswith("SLOW")
+            if others
             else ""
         )
         print(f"  {tag} {q}: {va:.2f} -> {vb:.2f}  ({r:.2f}x){extra}")

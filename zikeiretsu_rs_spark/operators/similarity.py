@@ -2333,6 +2333,33 @@ def ivfadc_topk_join(
     )
 
 
+def _cells_and_residuals(vecs, cmat):
+    """THE raw-dot cell assignment + residual computation every
+    per-cell path shares (fit, broadcast encoder, cogrouped encoder):
+    one site so the codes-bit-identical parity contract between the
+    inline and partitioned book layouts can never drift apart in a
+    hand-synced copy. Returns (cells int64, residuals float64)."""
+    import numpy as np
+
+    cells = np.argmax(vecs @ cmat.T, axis=1)  # raw-dot parity
+    return cells, vecs - cmat[cells]
+
+
+def _percell_code_kernel(sub, pmat_c):
+    """THE per-cell PQ encode kernel (einsum "nmd,mkd->nmk" +
+    argmin(p_sq - 2*dots)) shared by the broadcast and cogrouped
+    encoders — same single-site rationale as `_cells_and_residuals`.
+    `sub` is (n, m, dsub) residual subvectors, `pmat_c` the one
+    cell's (m, ksub, dsub) book; returns (n, m) int32 codes."""
+    import numpy as np
+
+    p_sq_c = (pmat_c * pmat_c).sum(axis=2)
+    dots = np.einsum("nmd,mkd->nmk", sub, pmat_c)
+    return np.argmin(
+        p_sq_c[None, :, :] - 2.0 * dots, axis=2
+    ).astype(np.int32)
+
+
 def pq_codebook_residual_percell_df(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -2399,13 +2426,13 @@ def pq_codebook_residual_percell_df(
             if len(pdf) == 0:
                 continue
             vecs = np.array(list(pdf["_vec"]), dtype=np.float64)
-            cells = np.argmax(vecs @ cmat.T, axis=1)  # raw-dot parity
+            cells, res = _cells_and_residuals(vecs, cmat)
             yield pd.DataFrame(
                 {
                     "cell": cells.astype(np.int32),
                     "_h": pdf["_h"],
                     "_id": pdf["_id"],
-                    "_res": list(vecs - cmat[cells]),
+                    "_res": list(res),
                 }
             )
 
@@ -2537,7 +2564,6 @@ def residual_encode_percell(
     cmat = np.array(centroids, dtype=np.float64)
     pmat = np.array(books, dtype=np.float64)  # (n_cells, m, ksub, dsub)
     n_cells, m, ksub, dsub = pmat.shape
-    p_sq = (pmat * pmat).sum(axis=3)  # (n_cells, m, ksub)
     src = with_double_vec(corpus, vec_col).select(F.col(id_col), "_vec")
     schema = T.StructType(
         [
@@ -2553,16 +2579,12 @@ def residual_encode_percell(
             if n == 0:
                 continue
             vecs = np.array(list(pdf["_vec"]), dtype=np.float64)
-            cells = np.argmax(vecs @ cmat.T, axis=1)
-            res = vecs - cmat[cells]
+            cells, res = _cells_and_residuals(vecs, cmat)
             codes = np.empty((n, m), dtype=np.int32)
             for c in np.unique(cells):
                 idx = np.nonzero(cells == c)[0]
                 sub = res[idx].reshape(len(idx), m, dsub)
-                dots = np.einsum("nmd,mkd->nmk", sub, pmat[c])
-                codes[idx] = np.argmin(
-                    p_sq[c][None, :, :] - 2.0 * dots, axis=2
-                )
+                codes[idx] = _percell_code_kernel(sub, pmat[c])
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -2630,12 +2652,12 @@ def _residual_encode_cogrouped(
             if len(pdf) == 0:
                 continue
             vecs = np.array(list(pdf["_vec"]), dtype=np.float64)
-            cells = np.argmax(vecs @ cmat.T, axis=1)  # raw-dot parity
+            cells, res = _cells_and_residuals(vecs, cmat)
             yield pd.DataFrame(
                 {
                     "cell": cells.astype(np.int32),
                     "_id": pdf["_id"],
-                    "_res": list(vecs - cmat[cells]),
+                    "_res": list(res),
                 }
             )
 
@@ -2665,13 +2687,7 @@ def _residual_encode_cogrouped(
             ).reshape(m, ksub, dsub)
         else:
             pmat_c = np.zeros((m, ksub, dsub), dtype=np.float64)
-        # identical per-cell ops to residual_encode_percell's unique-
-        # cell loop: einsum "nmd,mkd->nmk" + argmin(p_sq - 2*dots)
-        p_sq_c = (pmat_c * pmat_c).sum(axis=2)
-        dots = np.einsum("nmd,mkd->nmk", sub, pmat_c)
-        codes = np.argmin(
-            p_sq_c[None, :, :] - 2.0 * dots, axis=2
-        ).astype(np.int32)
+        codes = _percell_code_kernel(sub, pmat_c)
         return pd.DataFrame(
             {
                 id_col: left["_id"],
@@ -2914,6 +2930,7 @@ def _adc_score_joined_percell(
     nid_type,
     nid_name: str,
     books_dir: str | None = None,
+    lake_shape: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Shared ADC scoring tail of the PER-CELL residual join searches
     (the cell-indexed sibling of `_adc_score_joined`): one Arrow pass
@@ -2928,17 +2945,24 @@ def _adc_score_joined_percell(
 
     - `books` — the in-memory (n_cells, m, ksub, dsub) tensor,
       broadcast via closure. The <=~1k-cells fast case.
-    - `books_dir` — the cell-partitioned lake layout
-      (`books/cell=<i>/` parquet beside the codes, written by
-      `IvfpqLakeIndex.build(books_df=...)`): each SCAN TASK lazily
-      reads only the cells its record batches actually score
-      (pyarrow partition-filtered reads, cached per task), so book
-      bytes read scale with the probed-cell count (nprobe-bound),
-      never with n_cells — the beyond-~1k-cells regime
-      `pq_codebook_residual_percell` documents. Per-cell tensors are
-      elementwise slices of the global ones (squares summed over
-      dsub; one-cell einsums), so the floats are bit-identical to the
-      broadcast path — pinned by
+    - `books_dir` (+ `lake_shape=(m, ksub)` from the store's meta) —
+      the cell-partitioned lake layout (`books/cell=<i>/` parquet
+      beside the codes, written by `IvfpqLakeIndex.build(
+      books_df=...)`): each SCAN TASK lazily reads only the cells its
+      record batches actually score — one direct
+      `books/cell=<c>` dataset read per cell, cached per task, NEVER
+      a discovery walk over the whole books tree (which would cost
+      O(n_cells) directory listings in exactly the beyond-~1k-cells
+      regime this layout exists for) — so book bytes AND metadata
+      calls scale with the probed-cell count (nprobe-bound), never
+      with n_cells. A probed cell with codes but no book row (a
+      batch drifted into a cell the seed never populated) scores
+      against the zero book, exactly like the in-memory tensor's
+      zero padding — that is why the shape must ride in from the
+      meta rather than be inferred from a loaded row. Per-cell
+      tensors are elementwise slices of the global ones (squares
+      summed over dsub; one-cell einsums), so the floats are
+      bit-identical to the broadcast path — pinned by
       `ann_ivfadc_percell_lakebooks_parity_check`.
     """
     import numpy as np
@@ -2960,6 +2984,10 @@ def _adc_score_joined_percell(
             "cmd,cmkd->cmk", cmat.reshape(n_cells, m, dsub), pmat
         )
     else:
+        if lake_shape is None:
+            raise ValueError("books_dir= requires lake_shape=(m, ksub)")
+        m, ksub = int(lake_shape[0]), int(lake_shape[1])
+        dsub = dim // m
         pmat = p_sq = cross = None
 
     schema = T.StructType(
@@ -2978,39 +3006,41 @@ def _adc_score_joined_percell(
         # (the join shuffled on `cell`), so a task revisits few cells.
         book_cache: dict[int, tuple] = {}
 
-        def _load_cells(need: list[int]) -> None:
+        def _load_cell(c: int) -> None:
+            # DIRECT read of this one cell's directory — a hive
+            # discovery over books_dir would list every cell=* dir
+            # (O(n_cells) metadata calls per task, repeatedly) in
+            # exactly the many-cells regime this layout exists for
             import pyarrow.dataset as pads
 
-            dset = pads.dataset(
-                books_dir, format="parquet", partitioning="hive"
-            )
-            tbl = dset.to_table(
-                filter=pads.field("cell").isin([int(c) for c in need])
-            )
-            got = set()
-            for row in tbl.to_pylist():
-                c = int(row["cell"])
-                got.add(c)
-                pmat_c = np.array(row["book"], dtype=np.float64)
-                mm, kk, dd = pmat_c.shape
-                # identical elementwise ops to the global precompute:
-                # squares summed over dsub; the one-cell einsum is the
-                # global "cmd,cmkd->cmk" restricted to c (verified
-                # bit-identical; parity-gated)
-                p_sq_c = (pmat_c * pmat_c).sum(axis=2)
-                cross_c = np.einsum(
-                    "md,mkd->mk", cmat[c].reshape(mm, dd), pmat_c
+            try:
+                tbl = pads.dataset(
+                    f"{books_dir}/cell={c}", format="parquet"
+                ).to_table(columns=["book"])
+            except FileNotFoundError:
+                tbl = None
+            if tbl is None or tbl.num_rows == 0:
+                # codes exist but no book row: a batch drifted into a
+                # cell the seed fit never populated — score against
+                # the zero book, exactly the in-memory tensor's
+                # zero-padding verdict (the store-level existence of
+                # books/ is guarded at the driver before the scan)
+                pmat_c = np.zeros((m, ksub, dsub), dtype=np.float64)
+            else:
+                pmat_c = np.array(
+                    tbl.to_pylist()[0]["book"], dtype=np.float64
                 )
-                book_cache[c] = (pmat_c, p_sq_c, cross_c)
-            missing = [c for c in need if c not in got]
-            if missing:
-                raise ValueError(
-                    f"no book rows under {books_dir} for cells "
-                    f"{missing} — the index holds codes for a cell "
-                    "the partitioned book layout never wrote"
-                )
+            # identical elementwise ops to the global precompute:
+            # squares summed over dsub; the one-cell einsum is the
+            # global "cmd,cmkd->cmk" restricted to c (verified
+            # bit-identical; parity-gated)
+            p_sq_c = (pmat_c * pmat_c).sum(axis=2)
+            cross_c = np.einsum(
+                "md,mkd->mk", cmat[c].reshape(m, dsub), pmat_c
+            )
+            book_cache[c] = (pmat_c, p_sq_c, cross_c)
 
-        ar = None
+        ar = np.arange(m)
         for pdf in it:
             n = len(pdf)
             if n == 0:
@@ -3019,8 +3049,6 @@ def _adc_score_joined_percell(
             cells_b = pdf["cell"].to_numpy()
             nids = pdf[nid_name].to_numpy()
             if books is not None:
-                if ar is None:
-                    ar = np.arange(m)
                 res_sq = p_sq[cells_b[:, None], ar[None, :], cd].sum(
                     axis=1
                 )
@@ -3029,13 +3057,9 @@ def _adc_score_joined_percell(
                 ].sum(axis=1)
             else:
                 ucells_b = np.unique(cells_b)
-                miss = [
-                    int(c) for c in ucells_b if int(c) not in book_cache
-                ]
-                if miss:
-                    _load_cells(miss)
-                if ar is None:
-                    ar = np.arange(book_cache[int(ucells_b[0])][0].shape[0])
+                for c in ucells_b:
+                    if int(c) not in book_cache:
+                        _load_cell(int(c))
                 loc = np.searchsorted(ucells_b, cells_b)
                 p_sq_b = np.stack(
                     [book_cache[int(c)][1] for c in ucells_b]
@@ -3069,7 +3093,6 @@ def _adc_score_joined_percell(
                 # contraction order identical to the collect path's
                 # full "qmd,cmkd->qcmk" (floats agree bit-for-bit)
                 ucells = np.unique(qcells)
-                m_ = len(ar)
                 lut_terms = np.empty(len(idx), dtype=np.float64)
                 for c in ucells:
                     book_c = (
@@ -3079,7 +3102,7 @@ def _adc_score_joined_percell(
                     )
                     lut_c = np.einsum(
                         "qmd,cmkd->qcmk",
-                        qvec.reshape(1, m_, -1),
+                        qvec.reshape(1, m, dsub),
                         book_c,
                     )[0, 0]
                     sel = np.nonzero(qcells == c)[0]
@@ -3993,6 +4016,16 @@ class IvfpqLakeIndex:
         ).where(F.col("query_id") != F.col("neighbor_id"))
         if meta.get("encoding", "pq") == "ivfadc_percell":
             partitioned = meta.get("books_storage") == "partitioned"
+            if partitioned and not fsio.exists(self.books_dir):
+                # distinguish a corrupt store (books tree gone — every
+                # probed cell would silently fall back to the zero
+                # book) from the legitimate per-cell miss (batch drift
+                # into an unfitted cell), which the scan handles
+                raise ValueError(
+                    f"{self.store_dir} is a partitioned-books store "
+                    "but its books/ directory is missing — rebuild "
+                    "the index"
+                )
             return _adc_score_joined_percell(
                 joined,
                 centroids,
@@ -4005,6 +4038,11 @@ class IvfpqLakeIndex:
                 nid_type=lake.schema["neighbor_id"].dataType,
                 nid_name="neighbor_id",
                 books_dir=self.books_dir if partitioned else None,
+                lake_shape=(
+                    (int(meta["m"]), int(meta["ksub"]))
+                    if partitioned
+                    else None
+                ),
             )
         return _adc_score_joined(
             joined,
