@@ -352,14 +352,109 @@ class TestBuildValidation:
                 m=1, ksub=1,
             )
 
-    def test_empty_books_df_rejected(self, spark, emb, model, tmp_path):
+    def test_empty_books_df_rejected_store_intact(
+        self, spark, emb, model, tmp_path
+    ):
+        """A bad books_df (here: empty) must reject BEFORE the old
+        store is touched — the first cut validated after the
+        meta/codes/books deletes, so the rejected rebuild destroyed
+        the working index (review finding, round 10)."""
         from zikeiretsu_rs_spark.operators import similarity
 
         cents, _ = model
-        idx = similarity.IvfpqLakeIndex(spark, str(tmp_path / "y"))
+        p = str(tmp_path / "y")
+        good = similarity.pq_codebook_residual_percell_df(
+            emb, cents, m=16, ksub=16
+        )
+        idx = similarity.IvfpqLakeIndex(spark, p)
+        idx.build(emb, cents, books_df=good, m=16, ksub=16)
+        queries = emb.where(F.col("vec_id") < 3)
+        before = _rows(idx.probe(queries, k=5, nprobe=3))
+
         empty = spark.createDataFrame(
             [],
             "cell int, book array<array<array<double>>>",
         )
         with pytest.raises(ValueError, match="empty"):
             idx.build(emb, cents, books_df=empty, m=16, ksub=16)
+        after = _rows(idx.probe(queries, k=5, nprobe=3))
+        assert len(before) > 0 and before == after  # store untouched
+
+    def test_wrong_declared_m_rejected(self, spark, emb, model, tmp_path):
+        """A wrong m with a right ksub is undetectable downstream —
+        the flattened book length is ksub*dim, independent of m, so
+        the cogrouped encoder's reshape succeeds and silently
+        scrambles every code. build() must catch it against the
+        written rows (review finding, round 10)."""
+        from zikeiretsu_rs_spark.operators import similarity
+
+        cents, _ = model
+        books_df = similarity.pq_codebook_residual_percell_df(
+            emb, cents, m=16, ksub=16
+        )
+        idx = similarity.IvfpqLakeIndex(spark, str(tmp_path / "z"))
+        with pytest.raises(ValueError, match="shape mismatch"):
+            idx.build(emb, cents, books_df=books_df, m=8, ksub=16)
+
+    def test_shape_args_rejected_without_books_df(
+        self, spark, emb, model, tmp_path
+    ):
+        from zikeiretsu_rs_spark.operators import similarity
+
+        cents, books = model
+        idx = similarity.IvfpqLakeIndex(spark, str(tmp_path / "w"))
+        with pytest.raises(ValueError, match="only with books_df"):
+            idx.build(emb, cents, books=books, m=8, ksub=32)
+
+
+class TestBooksTreeCorruption:
+    """Corruption vs drift: a probed FITTED cell whose book dir is
+    gone is damage and must raise; a probed never-fitted cell is the
+    drift case the scan legitimately zero-book-scores. The build's
+    books_manifest.json is what tells them apart."""
+
+    def _built(self, spark, emb, model, tmp_path):
+        from zikeiretsu_rs_spark.operators import similarity
+
+        cents, _ = model
+        books_df = similarity.pq_codebook_residual_percell_df(
+            emb, cents, m=16, ksub=16
+        )
+        p = str(tmp_path / "corrupt")
+        idx = similarity.IvfpqLakeIndex(spark, p)
+        idx.build(emb, cents, books_df=books_df, m=16, ksub=16)
+        return idx, p, emb.where(F.col("vec_id") < 6), len(cents)
+
+    def test_manifest_written_and_matches_dirs(
+        self, spark, emb, model, tmp_path
+    ):
+        from zikeiretsu_rs_spark.catalog import fsio
+
+        idx, p, _, _ = self._built(spark, emb, model, tmp_path)
+        man = fsio.read_json(os.path.join(p, "books_manifest.json"))
+        dirs = sorted(
+            int(os.path.basename(d).split("=", 1)[1])
+            for d in glob.glob(os.path.join(p, "books", "cell=*"))
+        )
+        assert man["cells"] == dirs and len(dirs) >= 2
+
+    def test_missing_books_tree_raises(self, spark, emb, model, tmp_path):
+        idx, p, queries, n_cells = self._built(
+            spark, emb, model, tmp_path
+        )
+        shutil.rmtree(os.path.join(p, "books"))
+        with pytest.raises(ValueError, match="rebuild the index"):
+            idx.probe(queries, k=5, nprobe=3)
+
+    def test_missing_fitted_cell_dir_raises(
+        self, spark, emb, model, tmp_path
+    ):
+        idx, p, queries, n_cells = self._built(
+            spark, emb, model, tmp_path
+        )
+        victim = sorted(glob.glob(os.path.join(p, "books", "cell=*")))[0]
+        shutil.rmtree(victim)
+        # nprobe = n_cells so the probe set definitely includes the
+        # damaged cell
+        with pytest.raises(ValueError, match="books tree is damaged"):
+            idx.probe(queries, k=5, nprobe=n_cells)

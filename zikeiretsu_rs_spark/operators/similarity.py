@@ -3891,10 +3891,51 @@ class IvfpqLakeIndex:
                     "— deriving it from the DataFrame would evaluate "
                     "the whole fit plan twice)"
                 )
+            # VALIDATION BEFORE DESTRUCTION: the fit lands in a
+            # staging dir first (this is also the fit plan's ONE
+            # evaluation), gets its emptiness and declared shape
+            # checked against the written rows, and only then is the
+            # old store touched — a bad books_df (empty seed, wrong
+            # m/ksub) must reject with the existing index fully
+            # intact (review finding, round 10: the first cut
+            # validated after the meta/codes/books deletes). The
+            # shape check matters because the cogrouped encoder's
+            # reshape alone canNOT catch a wrong m — the flattened
+            # book length is ksub*dim, independent of m, so a wrong
+            # m with a right ksub silently scrambles every code.
+            staging = self.books_dir + "__staging"
+            fsio.delete_dir(staging)
+            books_df.select("cell", "book").repartition(
+                "cell"
+            ).write.mode("overwrite").partitionBy("cell").parquet(
+                staging
+            )
+            head = self.spark.read.schema(
+                "cell int, book array<array<array<double>>>"
+            ).parquet(staging).head(1)
+            if not head:
+                fsio.delete_dir(staging)
+                raise ValueError(
+                    "books_df is empty — fit it over the seed corpus "
+                    "(pq_codebook_residual_percell_df)"
+                )
+            fit_m, fit_ksub = len(head[0]["book"]), len(head[0]["book"][0])
+            if fit_m != int(m) or fit_ksub != int(ksub):
+                fsio.delete_dir(staging)
+                raise ValueError(
+                    f"books_df shape mismatch: declared (m={m}, "
+                    f"ksub={ksub}) but the fit wrote (m={fit_m}, "
+                    f"ksub={fit_ksub}) books"
+                )
             meta["encoding"] = "ivfadc_percell"
             meta["books_storage"] = "partitioned"
             meta["m"] = int(m)
             meta["ksub"] = int(ksub)
+        elif m is not None or ksub is not None:
+            raise ValueError(
+                "m=/ksub= apply only with books_df= (inline books "
+                "and codebooks carry their own shape)"
+            )
         elif books is not None:
             meta["encoding"] = "ivfadc_percell"
             meta["books"] = books
@@ -3911,22 +3952,32 @@ class IvfpqLakeIndex:
             # per probed cell). Books land BEFORE codes: a crash in
             # between leaves a zero-epoch store that probes empty and
             # rebuilds idempotently, same as the meta-first rule.
-            books_df.select("cell", "book").repartition(
-                "cell"
-            ).write.mode("overwrite").partitionBy("cell").parquet(
-                self.books_dir
+            # This is a copy of the already-validated staging rows
+            # (small: the model, not the corpus), not a re-evaluation
+            # of the fit.
+            self.spark.read.parquet(staging).select(
+                "cell", "book"
+            ).repartition("cell").write.mode(
+                "overwrite"
+            ).partitionBy("cell").parquet(self.books_dir)
+            fsio.delete_dir(staging)
+            # the fitted-cell manifest distinguishes CORRUPTION (a
+            # fitted cell's book dir lost — probe must raise) from
+            # legitimate DRIFT (a batch landed in a never-fitted cell
+            # — probe scores the zero book); bounded at n_cells ints.
+            # Written before the codes so a crash in between leaves a
+            # loudly-incomplete store, never a silently-degraded one.
+            fsio.write_json_atomic(
+                fsio.join(self.store_dir, "books_manifest.json"),
+                {
+                    "cells": sorted(
+                        int(d.split("=", 1)[1])
+                        for d in fsio.list_dir_names(
+                            self.books_dir, "cell="
+                        )
+                    )
+                },
             )
-            # emptiness check against the WRITTEN parquet (a local
-            # 1-row read), never against the fit plan (a recompute);
-            # explicit schema because a zero-row partitioned write
-            # leaves nothing to infer one from
-            if not self.spark.read.schema(
-                "cell int, book array<array<array<double>>>"
-            ).parquet(self.books_dir).head(1):
-                raise ValueError(
-                    "books_df is empty — fit it over the seed corpus "
-                    "(pq_codebook_residual_percell_df)"
-                )
         self._encode(
             corpus, id_col, vec_col, meta
         ).write.mode("overwrite").partitionBy("cell").parquet(
@@ -4016,16 +4067,42 @@ class IvfpqLakeIndex:
         ).where(F.col("query_id") != F.col("neighbor_id"))
         if meta.get("encoding", "pq") == "ivfadc_percell":
             partitioned = meta.get("books_storage") == "partitioned"
-            if partitioned and not fsio.exists(self.books_dir):
-                # distinguish a corrupt store (books tree gone — every
-                # probed cell would silently fall back to the zero
-                # book) from the legitimate per-cell miss (batch drift
-                # into an unfitted cell), which the scan handles
-                raise ValueError(
-                    f"{self.store_dir} is a partitioned-books store "
-                    "but its books/ directory is missing — rebuild "
-                    "the index"
+            if partitioned:
+                # corruption vs drift: the build's fitted-cell
+                # manifest says which cells MUST have a book dir — a
+                # probed fitted cell whose dir is gone means the tree
+                # was damaged (raise), while a probed never-fitted
+                # cell is the legitimate drift case the scan scores
+                # against the zero book. O(probed cells) driver stat
+                # calls, the same bound as the probe-cell collect.
+                man_path = fsio.join(
+                    self.store_dir, "books_manifest.json"
                 )
+                if not fsio.exists(self.books_dir) or not fsio.exists(
+                    man_path
+                ):
+                    raise ValueError(
+                        f"{self.store_dir} is a partitioned-books "
+                        "store but its books/ directory or "
+                        "books_manifest.json is missing — rebuild "
+                        "the index"
+                    )
+                fitted = set(fsio.read_json(man_path)["cells"])
+                broken = [
+                    c
+                    for c in probe_cells
+                    if c in fitted
+                    and not fsio.exists(
+                        fsio.join(self.books_dir, f"cell={c}")
+                    )
+                ]
+                if broken:
+                    raise ValueError(
+                        f"fitted cells {broken} have no book "
+                        f"directory under {self.books_dir} — the "
+                        "books tree is damaged (the manifest says "
+                        "they were written); rebuild the index"
+                    )
             return _adc_score_joined_percell(
                 joined,
                 centroids,
