@@ -458,3 +458,38 @@ class TestBooksTreeCorruption:
         # damaged cell
         with pytest.raises(ValueError, match="books tree is damaged"):
             idx.probe(queries, k=5, nprobe=n_cells)
+
+    def test_fitted_cell_empty_dir_raises(
+        self, spark, emb, model, tmp_path
+    ):
+        """Partial delete that spares the cell directory but loses the
+        part file: the driver's directory-existence check cannot see
+        it, so the TASK-side fitted-manifest verdict must raise
+        instead of silently scoring the zero book (judged ADVICE
+        r10 — the exact silent-degradation case the manifest exists
+        to prevent)."""
+        idx, p, queries, n_cells = self._built(
+            spark, emb, model, tmp_path
+        )
+        victim = sorted(glob.glob(os.path.join(p, "books", "cell=*")))[0]
+        for f in glob.glob(os.path.join(victim, "*")):
+            os.unlink(f)
+        assert os.path.isdir(victim)  # dir survives, content is gone
+        with pytest.raises(Exception, match="missing or empty"):
+            idx.probe(queries, k=5, nprobe=n_cells).collect()
+
+    def test_rebuild_inline_clears_stale_manifest(
+        self, spark, emb, model, tmp_path
+    ):
+        """Rebuilding a partitioned-books store as inline-books must
+        not leave a stale books_manifest.json claiming fitted cells
+        that no longer exist (judged ADVICE r10)."""
+        from zikeiretsu_rs_spark.operators import similarity
+
+        cents, books = model
+        idx, p, queries, _ = self._built(spark, emb, model, tmp_path)
+        assert os.path.exists(os.path.join(p, "books_manifest.json"))
+        idx.build(emb, cents, books=books)
+        assert not os.path.exists(os.path.join(p, "books_manifest.json"))
+        # and the rebuilt inline store probes fine
+        assert idx.probe(queries, k=5, nprobe=3).count() > 0

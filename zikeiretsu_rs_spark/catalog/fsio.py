@@ -59,6 +59,23 @@ def _fs(path: str):
     return pafs.FileSystem.from_uri(path)  # (filesystem, fs_path)
 
 
+def dataset_filesystem(path: str):
+    """Resolve the (filesystem, dataset_path) pair a pyarrow.dataset
+    read of `path` should use, honoring the scheme registry above —
+    the registry is THE extension point for routing custom schemes,
+    so dataset reads must consult it exactly like the metadata IO
+    does (judged ADVICE r10: a direct `pads.dataset(uri)` bypasses
+    registered filesystems). Plain local paths return (None, path):
+    pyarrow's default local handler applies.
+
+    Resolve at the DRIVER and ship the resolved pair into task
+    closures — the registry is driver-process state, so a worker-side
+    lookup would silently miss registered schemes."""
+    if not is_uri(path):
+        return None, path
+    return _fs(path)
+
+
 def exists(path: str) -> bool:
     if not is_uri(path):
         return os.path.exists(path)
