@@ -635,12 +635,16 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
     # the total book bytes at rest: the inline-meta regime would pay
     # the total on EVERY probe regardless of nprobe (that broadcast
     # is exactly what stops scaling past ~1k cells).
+    # ksub=128 is the round-11 headline per-cell config (was ksub=16
+    # here through r10; the bytes rows are re-recorded at the adopted
+    # config per the r10 verdict — the nprobe-not-n_cells scaling
+    # SHAPE is ksub-independent, the absolute bytes are not).
     books_df16 = sim.pq_codebook_residual_percell_df(
-        emb, cents16, m=16, ksub=16
+        emb, cents16, m=16, ksub=128
     )
     pb_p = f"{base}/percell_books"
     sim.ivfadc_percell_write_index(
-        emb, pb_p, cents16, books_df=books_df16, m=16, ksub=16
+        emb, pb_p, cents16, books_df=books_df16, m=16, ksub=128
     )
     out["layout_percell_books_probe_lake"] = _timed(
         sim.ivfadc_percell_probe_lake(spark, pb_p, qbatch, k=5, nprobe=2)
@@ -659,6 +663,30 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
                 for c in cells
             )
         )
+    # Two-stage probe over the STORED index (round 11, VERDICT r10
+    # item 4): probe_refined = the one-stage probe's k*expand
+    # proposals + bounded float read-back + exact re-score — the
+    # production shape's cost as a number next to its one-stage and
+    # in-memory-collect twins. The expand sweep is the knob's cost
+    # curve: each step doubles the candidate float reads
+    # (n_q * k * expand rows) while the code-scan stage is shared.
+    pb_idx = sim.IvfpqLakeIndex(spark, pb_p)
+    for exp_ in (2, 4, 8):
+        out[f"layout_percell_refined_probe_expand{exp_}"] = _timed(
+            pb_idx.probe_refined(
+                qbatch, emb, k=5, expand=exp_, nprobe=2,
+                broadcast_queries=True,
+            )
+        )
+    books_mem = sim.pq_codebook_residual_percell(
+        emb, cents16, m=16, ksub=128
+    )
+    out["layout_percell_refined_collect_twin"] = _timed(
+        sim.ivfadc_percell_topk_refined(
+            emb, qbatch, books_mem, k=5, expand=4, nprobe=2,
+            centroids=cents16,
+        )
+    )
 
     # Bucketed co-located join (round 8): lineitem x orders written as
     # 16-bucket tables on the join key — the bucket-spec equi-join
@@ -831,9 +859,13 @@ def run_ann(spark, sf_dir: str) -> dict[str, float]:
     # this corpus (0.59 vs 0.61 shared-learned — the residuals are
     # isotropic, so there is no variance imbalance for a rotation to
     # fix); per-cell books are where the headroom actually was.
-    # Measured at sf0.1: 0.60 shared-learned -> 0.74 per-cell.
+    # Measured at sf0.1: 0.60 shared-learned -> 0.74 per-cell at
+    # ksub=64 -> 0.87 at ksub=128 (the round-10 saturation probe,
+    # adopted round 11 as the headline config: +0.13 unrefined recall
+    # for 2 extra bytes/vector packed — m*log2(ksub) = 112 vs 96
+    # bits). The ksub=64 row below keeps the old config measured.
     books_pc = sim.pq_codebook_residual_percell(
-        clustered, cents_c, m=16, ksub=64
+        clustered, cents_c, m=16, ksub=128
     )
     percell = sim.ivfadc_percell_topk(
         clustered, queries, books_pc, k=10, nprobe=4, centroids=cents_c,
@@ -868,15 +900,18 @@ def run_ann(spark, sf_dir: str) -> dict[str, float]:
     out["ann_clustered_recall_ivfadc_percell_nprobe4"] = out[
         "ann_clustered_recall_ivfadc_percell"
     ]
-    # ksub saturation probe (same VERDICT item): double each
-    # subspace's vocabulary at the same m — if the per-cell books
-    # were saturating at ksub=64, this row clears the nprobe=4 one.
-    books_pc128 = sim.pq_codebook_residual_percell(
-        clustered, cents_c, m=16, ksub=128
+    # ksub comparison row (round 11 — headline flipped to 128 above,
+    # per the r10 verdict's adoption of the measured saturation
+    # lift): the OLD ksub=64 config re-measured each round so the
+    # +0.13 delta stays a recorded fact, not a stale docstring. The
+    # r10 rounds' `_ksub128` saturation-probe row is superseded by
+    # the headline itself.
+    books_pc64 = sim.pq_codebook_residual_percell(
+        clustered, cents_c, m=16, ksub=64
     )
-    out["ann_clustered_recall_ivfadc_percell_ksub128"] = recall(
+    out["ann_clustered_recall_ivfadc_percell_ksub64"] = recall(
         sim.ivfadc_percell_topk(
-            clustered, queries, books_pc128, k=10, nprobe=4,
+            clustered, queries, books_pc64, k=10, nprobe=4,
             centroids=cents_c,
         )
     )
