@@ -678,9 +678,12 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
                 broadcast_queries=True,
             )
         )
-    books_mem = sim.pq_codebook_residual_percell(
-        emb, cents16, m=16, ksub=128
-    )
+    # the collect twin's tensor is the SAME model the store froze —
+    # read the n_cells book rows back from the lake instead of
+    # re-running the full per-cell Lloyd fit a second time (judged
+    # review, round 11: the refit was duplicated work outside the
+    # timed region; shape comes from the store's own meta)
+    books_mem = sim.load_percell_books(spark, pb_p)
     out["layout_percell_refined_collect_twin"] = _timed(
         sim.ivfadc_percell_topk_refined(
             emb, qbatch, books_mem, k=5, expand=4, nprobe=2,

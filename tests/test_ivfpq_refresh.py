@@ -205,18 +205,7 @@ class TestRefreshQuality:
         cents, victim, _, _ = split
         idx, p = _build_drifted(spark, split, tmp_path)
         idx.refresh_books(emb)
-        rows = spark.read.schema(
-            "cell int, book array<array<array<double>>>"
-        ).parquet(f"{p}/books").collect()  # bounded: n_cells rows
-        dsub = len(cents[0]) // M
-        books = [
-            [[[0.0] * dsub for _ in range(KSUB)] for _ in range(M)]
-            for _ in range(N_CELLS)
-        ]
-        for r in rows:
-            books[int(r["cell"])] = [
-                [[float(x) for x in c] for c in sub] for sub in r["book"]
-            ]
+        books = similarity.load_percell_books(spark, p)
         queries = emb.where(F.col("vec_id") < 6)
         mem = similarity.ivfadc_percell_topk(
             emb, queries, books, k=5, nprobe=4, centroids=cents
@@ -314,3 +303,84 @@ class TestCompactIntegration:
         )
         assert len(eps) <= 2  # merged history + replayable head
         assert _rows(idx.probe(queries, k=5, nprobe=N_CELLS)) == want
+
+
+class TestRefreshCrashSafety:
+    def test_torn_codes_rewrite_rolls_back_and_converges(
+        self, spark, emb, split, tmp_path
+    ):
+        """Simulated crash inside the step-3 dynamic-overwrite job
+        commit (partition dir deleted, staged replacement not yet
+        moved in, backup still present): the next refresh must first
+        restore the pre-rewrite copy — no indexed row may be lost —
+        then converge to the same state as a clean refresh."""
+        import shutil
+
+        cents, victim, _, batch = split
+        clean_idx, _ = _build_drifted(spark, split, tmp_path / "clean")
+        clean_idx.refresh_books(emb)
+        queries = emb.where(F.col("vec_id") < 6)
+        want = _rows(clean_idx.probe(queries, k=5, nprobe=N_CELLS))
+
+        idx, p = _build_drifted(spark, split, tmp_path / "torn")
+        n_before = spark.read.parquet(f"{p}/codes").count()
+        # hand-build the torn state a mid-commit crash leaves behind
+        live = os.path.join(p, "codes", "epoch=1", f"cell={victim}")
+        backup = os.path.join(
+            p, "codes__refresh_backup", "epoch=1", f"cell={victim}"
+        )
+        shutil.copytree(live, backup)
+        shutil.rmtree(live)  # the commit's delete landed, the move didn't
+        assert spark.read.parquet(f"{p}/codes").count() < n_before
+        # while the tree is torn, probing must refuse loudly — rows
+        # are MISSING, not inexact
+        with pytest.raises(ValueError, match="torn book-refresh"):
+            idx.probe(queries, k=5, nprobe=N_CELLS)
+        res = idx.refresh_books(emb)
+        assert res["refreshed_cells"] == [victim]
+        assert res["rows_reencoded"] == batch.count()  # nothing lost
+        assert not os.path.isdir(os.path.join(p, "codes__refresh_backup"))
+        assert spark.read.parquet(f"{p}/codes").count() == n_before
+        assert _rows(idx.probe(queries, k=5, nprobe=N_CELLS)) == want
+
+    def test_compact_refresh_rejects_before_merging(
+        self, spark, emb, split, tmp_path
+    ):
+        """compact(refresh_corpus=...) on an ineligible store must
+        fail BEFORE the epoch merge mutates anything."""
+        from zikeiretsu_rs_spark.operators import similarity
+
+        cents, _, seed, batch = split
+        books = similarity.pq_codebook_residual_percell(
+            seed, cents, m=M, ksub=KSUB
+        )
+        p = str(tmp_path / "inline")
+        idx = similarity.IvfpqLakeIndex(spark, p)
+        idx.build(seed, cents, books=books)
+        idx.add_batch(batch.limit(10), epoch=1)
+        idx.add_batch(batch.limit(10), epoch=2)
+        epochs_before = sorted(os.listdir(os.path.join(p, "codes")))
+        assert len(epochs_before) == 3
+        with pytest.raises(ValueError, match="partitioned-books"):
+            idx.compact(refresh_corpus=emb)
+        assert sorted(os.listdir(os.path.join(p, "codes"))) == epochs_before
+
+    def test_crash_mid_backup_copy_drops_tmp_and_proceeds(
+        self, spark, emb, split, tmp_path
+    ):
+        """A crash mid backup COPY leaves only the __tmp sibling; the
+        live partitions are intact (the rewrite never started), so
+        recovery must drop the incomplete copy — never promote or
+        restore it — and the refresh must run normally."""
+        cents, victim, _, batch = split
+        idx, p = _build_drifted(spark, split, tmp_path)
+        tmp = os.path.join(
+            p, "codes__refresh_backup__tmp", "epoch=1", f"cell={victim}"
+        )
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "part-truncated.parquet"), "wb") as f:
+            f.write(b"\x00\x01")  # a torn, unreadable copy
+        res = idx.refresh_books(emb)
+        assert res["refreshed_cells"] == [victim]
+        assert res["rows_reencoded"] == batch.count()
+        assert not os.path.isdir(os.path.join(p, "codes__refresh_backup__tmp"))

@@ -3721,19 +3721,9 @@ def q_ann_ivfpq_lake_refresh_parity_check(spark, sf_dir):
     res = idx.compact(refresh_corpus=emb)
     refreshed_ok = res["refresh"]["refreshed_cells"] == [victim]
     # merged post-refresh model read back from the lake (bounded:
-    # n_cells rows — the same sanctioned bound as the percell fit)
-    rows = spark.read.schema(
-        "cell int, book array<array<array<double>>>"
-    ).parquet(f"{path}/books").collect()
-    dsub = len(cents[0]) // m
-    books = [
-        [[[0.0] * dsub for _ in range(ksub)] for _ in range(m)]
-        for _ in range(n_cells)
-    ]
-    for r in rows:
-        books[int(r["cell"])] = [
-            [[float(x) for x in c] for c in sub] for sub in r["book"]
-        ]
+    # n_cells rows — the same sanctioned bound as the percell fit;
+    # shape from the store's own frozen meta)
+    books = similarity.load_percell_books(spark, path)
     mem = similarity.ivfadc_percell_topk(
         emb, queries, books, k=10, nprobe=n_cells, centroids=cents
     )
