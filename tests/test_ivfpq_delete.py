@@ -277,6 +277,129 @@ class TestPurge:
         assert _rows(idx.probe(queries, k=5, nprobe=N_CELLS)) == want
 
 
+class TestLifecycleEdges:
+    """The judged-review pass over the first delete cut: lifecycle
+    interactions between tombstones and rebuild / torn writes / torn
+    compaction swaps / full takedown / epoch-number reuse."""
+
+    def test_rebuild_clears_stale_tombstones(
+        self, spark, emb, cents, tmp_path
+    ):
+        """Tombstones are statements about the OLD store's epochs: a
+        rebuild restarts at epoch 0, so a surviving (id, cut) would
+        silently kill the rebuild corpus's rows."""
+        from zikeiretsu_rs_spark.operators import similarity
+
+        idx, p = _build_pq(spark, emb, cents, tmp_path)
+        doomed = emb.where(F.col("vec_id") % 7 == 3)
+        idx.delete(doomed)
+        cb = similarity.pq_codebook(emb, m=M, ksub=KSUB, vec_col="embedding")
+        idx.build(emb, cents, codebook=cb)  # rebuild in place
+        assert not os.path.isdir(os.path.join(p, "tombstones"))
+        queries = emb.where(F.col("vec_id") < 6)
+        dead = {r["vec_id"] for r in doomed.select("vec_id").collect()}
+        # the rebuilt index must surface previously-deleted ids again
+        assert _ids(idx.probe(queries, k=50, nprobe=N_CELLS)) & dead
+
+    def test_torn_delete_write_is_inert_and_swept(
+        self, spark, emb, cents, tmp_path
+    ):
+        """A delete() that died inside its tombstone batch write
+        leaves only a _temporary dir — the schema-pinned tombstone
+        read sees zero tombstones (probe/refresh/purge keep working)
+        and the next purge sweeps the debris."""
+        idx, p = _build_pq(spark, emb, cents, tmp_path)
+        os.makedirs(os.path.join(p, "tombstones", "batch=0", "_temporary"))
+        queries = emb.where(F.col("vec_id") < 6)
+        full = _rows(idx.probe(queries, k=5, nprobe=N_CELLS))
+        assert full  # probe neither crashes nor filters anything
+        res = idx.purge_deleted()
+        assert res["purged_rows"] == 0
+        assert not os.path.isdir(os.path.join(p, "tombstones"))
+        assert _rows(idx.probe(queries, k=5, nprobe=N_CELLS)) == full
+
+    def test_full_takedown_probes_empty(self, spark, emb, cents, tmp_path):
+        """Deleting every indexed id then purging must converge to
+        the documented zero-epoch empty store, not a fileless tree
+        that fails schema inference on the next read."""
+        idx, p = _build_pq(spark, emb, cents, tmp_path)
+        idx.delete(emb)
+        res = idx.purge_deleted()
+        assert res["rewritten_partitions"] == 0
+        assert res["removed_partitions"] > 0
+        assert not os.path.isdir(os.path.join(p, "codes"))
+        queries = emb.where(F.col("vec_id") < 6)
+        out = idx.probe(queries, k=5, nprobe=N_CELLS)
+        assert out.count() == 0  # empty result, correct schema
+        assert out.columns == ["query_id", "neighbor_id", "adc_cosine", "rank"]
+
+    def test_purge_recovers_torn_compaction_swap_first(
+        self, spark, emb, cents, tmp_path
+    ):
+        """A compaction swap that died between its two renames leaves
+        `_old_epoch=N` and no live `epoch=N` (Spark discovery skips
+        _-prefixed dirs). Purge must roll that forward BEFORE
+        computing the dead set — otherwise tombstones whose rows hide
+        in the stranded epoch are dropped unapplied and the rows
+        resurrect at the next compact."""
+        idx, p = _build_pq(spark, emb, cents, tmp_path)
+        codes = os.path.join(p, "codes")
+        doomed = emb.where(F.col("vec_id") % 7 == 3)
+        res0 = idx.delete(doomed)
+        assert res0["tombstoned_ids"] > 0
+        # crash simulation: the swap died between its two renames —
+        # the epoch is stranded under the _-prefixed name
+        os.rename(
+            os.path.join(codes, "epoch=0"),
+            os.path.join(codes, "_old_epoch=0"),
+        )
+        res = idx.purge_deleted()
+        assert res["purged_rows"] == doomed.count()
+        assert os.path.isdir(os.path.join(codes, "epoch=0"))  # rolled forward
+        dead = {r["vec_id"] for r in doomed.select("vec_id").collect()}
+        lake = spark.read.parquet(codes)
+        assert lake.where(F.col("neighbor_id").isin(list(dead))).count() == 0
+
+    def test_add_batch_never_reuses_epoch_under_live_cut(
+        self, spark, emb, cents, tmp_path
+    ):
+        """Epoch numbering high-waters above surviving tombstone
+        cuts: simulate the crash window where a purge removed a
+        fully-dead epoch directory but died before dropping the
+        tombstones — the next add_batch must NOT reuse the removed
+        epoch number (a surviving cut kills epochs <= cut)."""
+        import shutil
+
+        seed = emb.where(F.col("vec_id") % 2 == 0)
+        batch = emb.where(F.col("vec_id") % 2 == 1)
+        idx, p = _build_pq_over(spark, seed, cents, tmp_path)
+        idx.add_batch(batch)  # epoch 1
+        idx.delete(batch)  # cut = 1
+        # crash simulation: epoch 1 physically gone, tombstones alive
+        shutil.rmtree(os.path.join(p, "codes", "epoch=1"))
+        idx.add_batch(batch)  # would be epoch 1 again without the guard
+        eps = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(p, "codes"))
+            if d.startswith("epoch=")
+        )
+        assert eps == [0, 2]  # high-watered past the live cut
+        queries = emb.where(F.col("vec_id") < 6)
+        alive = _ids(idx.probe(queries, k=50, nprobe=N_CELLS))
+        readded = {r["vec_id"] for r in batch.select("vec_id").collect()}
+        assert alive & readded  # the re-add survived the old cut
+
+
+def _build_pq_over(spark, corpus, cents, tmp_path):
+    from zikeiretsu_rs_spark.operators import similarity
+
+    cb = similarity.pq_codebook(corpus, m=M, ksub=KSUB, vec_col="embedding")
+    p = str(tmp_path / "store_pq_seed")
+    idx = similarity.IvfpqLakeIndex(spark, p)
+    idx.build(corpus, cents, codebook=cb)
+    return idx, p
+
+
 class TestCompactAndRefreshInteraction:
     def test_compact_purges_before_merge_no_resurrection(
         self, spark, emb, cents, tmp_path

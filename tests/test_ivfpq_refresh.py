@@ -334,7 +334,7 @@ class TestRefreshCrashSafety:
         assert spark.read.parquet(f"{p}/codes").count() < n_before
         # while the tree is torn, probing must refuse loudly — rows
         # are MISSING, not inexact
-        with pytest.raises(ValueError, match="torn book-refresh"):
+        with pytest.raises(ValueError, match="torn codes rewrite"):
             idx.probe(queries, k=5, nprobe=N_CELLS)
         res = idx.refresh_books(emb)
         assert res["refreshed_cells"] == [victim]
