@@ -691,6 +691,26 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
         )
     )
 
+    # Tombstone deletes (round 11): the live-view anti-join a probe
+    # pays while tombstones exist, the physical purge (detection is
+    # ONE full codes scan; the rewrite prunes to the dead rows'
+    # partitions), and the post-purge probe back at the tombstone-
+    # free cost. ~5% of ids tombstoned; compare probe_tombstoned /
+    # probe_purged against layout_percell_books_probe_lake (the same
+    # one-stage probe before any delete). Runs LAST against this
+    # store — the purge mutates it.
+    pb_idx.delete(emb.where(F.col("vec_id") % 20 == 7).select("vec_id"))
+    out["layout_percell_probe_tombstoned"] = _timed(
+        pb_idx.probe(qbatch, k=5, nprobe=2)
+    )
+    t0 = time.perf_counter()
+    purged = pb_idx.purge_deleted()
+    out["layout_percell_purge_deleted"] = round(time.perf_counter() - t0, 3)
+    out["layout_percell_purge_rows"] = float(purged["purged_rows"])
+    out["layout_percell_probe_purged"] = _timed(
+        pb_idx.probe(qbatch, k=5, nprobe=2)
+    )
+
     # Bucketed co-located join (round 8): lineitem x orders written as
     # 16-bucket tables on the join key — the bucket-spec equi-join
     # runs with ZERO exchanges on the join itself (pre-bucketed,
