@@ -1,0 +1,319 @@
+"""Upsert + Structured-Streaming maintenance of the ANN lake index
+(round 11 — with delete in the lifecycle, UPDATE = delete + add):
+
+- `IvfpqLakeIndex.upsert_batch`: tombstone the batch's ids with an
+  EXPLICIT cut = epoch-1 (kill older versions, touch nothing newer),
+  then append as `epoch`. Probes see exactly the newest version of
+  each id — pinned against a ground-truth store built over the
+  updated corpus under the SAME frozen model.
+- Replay safety: the tombstone batch id (-epoch) and cut (epoch-1)
+  are both pinned to the epoch, so a redelivery — even one whose
+  first delivery crashed between the tombstone write and the codes
+  write — rewrites bit-identical state. A recomputed default cut
+  would see the first delivery's own epoch and kill the replay's
+  adds (the failure `delete(epoch_cut=)` exists to prevent).
+- `streaming.ingest.start_streaming_ann_ingest`: foreachBatch
+  wrapper, modes append / upsert / cdc (op-tagged change feed, one
+  tombstone batch covering deletes + upserts, unknown ops raise).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+M, KSUB, N_CELLS = 8, 8, 4
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _ids(df):
+    return {r["neighbor_id"] for r in df.select("neighbor_id").collect()}
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def model(emb):
+    from zikeiretsu_rs_spark.operators import similarity
+
+    cents = similarity.head_centroids(emb, N_CELLS, "vec_id", "embedding")
+    cb = similarity.pq_codebook(emb, m=M, ksub=KSUB, vec_col="embedding")
+    return cents, cb
+
+
+def _build(spark, corpus, model, path):
+    from zikeiretsu_rs_spark.operators import similarity
+
+    cents, cb = model
+    idx = similarity.IvfpqLakeIndex(spark, path)
+    idx.build(corpus, cents, codebook=cb)
+    return idx
+
+
+def _mutated(emb, pred):
+    """Flip the embedding sign for rows matching pred — a determinate
+    'new crawl revision' that moves vectors (and possibly cells)."""
+    return emb.withColumn(
+        "embedding",
+        F.when(
+            pred, F.transform("embedding", lambda x: -x)
+        ).otherwise(F.col("embedding")),
+    )
+
+
+class TestUpsertBatch:
+    def test_upsert_matches_ground_truth_rebuild(
+        self, spark, emb, model, tmp_path
+    ):
+        idx = _build(spark, emb, model, str(tmp_path / "live"))
+        updated = _mutated(emb, F.col("vec_id") % 5 == 0)
+        idx.upsert_batch(updated.where(F.col("vec_id") % 5 == 0))
+        truth = _build(spark, updated, model, str(tmp_path / "truth"))
+        queries = emb.where(F.col("vec_id") < 5)
+        cols = ["query_id", "neighbor_id", "adc_cosine", "rank"]
+        assert _rows(
+            idx.probe(queries, k=5, nprobe=N_CELLS).select(*cols)
+        ) == _rows(truth.probe(queries, k=5, nprobe=N_CELLS).select(*cols))
+
+    def test_unchanged_vector_upsert_is_noop_for_probes(
+        self, spark, emb, model, tmp_path
+    ):
+        """A blanket re-crawl upsert of UNCHANGED vectors re-encodes
+        to the same codes under the frozen model — probe-identical,
+        just write-amplified."""
+        idx = _build(spark, emb, model, str(tmp_path / "s"))
+        queries = emb.where(F.col("vec_id") < 5)
+        before = _rows(idx.probe(queries, k=5, nprobe=N_CELLS))
+        idx.upsert_batch(emb.where(F.col("vec_id") % 3 == 0))
+        assert _rows(idx.probe(queries, k=5, nprobe=N_CELLS)) == before
+
+    def test_upsert_replay_bit_identical(self, spark, emb, model, tmp_path):
+        p = str(tmp_path / "s")
+        idx = _build(spark, emb, model, p)
+        batch = _mutated(emb, F.lit(True)).where(F.col("vec_id") % 4 == 1)
+        idx.upsert_batch(batch, epoch=1)
+        codes1 = _rows(spark.read.parquet(f"{p}/codes"))
+        tomb1 = _rows(spark.read.parquet(f"{p}/tombstones"))
+        idx.upsert_batch(batch, epoch=1)  # foreachBatch redelivery
+        assert _rows(spark.read.parquet(f"{p}/codes")) == codes1
+        assert _rows(spark.read.parquet(f"{p}/tombstones")) == tomb1
+
+    def test_replay_after_crash_between_halves_converges(
+        self, spark, emb, model, tmp_path
+    ):
+        """First delivery dies between the tombstone write and the
+        codes write; the redelivery must produce the same final state
+        as an uninterrupted upsert — this is exactly why the cut is
+        pinned at epoch-1 instead of recomputed."""
+        p1, p2 = str(tmp_path / "torn"), str(tmp_path / "clean")
+        torn = _build(spark, emb, model, p1)
+        clean = _build(spark, emb, model, p2)
+        batch = _mutated(emb, F.lit(True)).where(F.col("vec_id") % 4 == 1)
+        # crash window: only the tombstone half landed
+        torn.delete(batch.select("vec_id"), batch=-1, epoch_cut=0)
+        torn.upsert_batch(batch, epoch=1)  # the redelivery
+        clean.upsert_batch(batch, epoch=1)
+        assert _rows(spark.read.parquet(f"{p1}/codes")) == _rows(
+            spark.read.parquet(f"{p2}/codes")
+        )
+        assert _rows(spark.read.parquet(f"{p1}/tombstones")) == _rows(
+            spark.read.parquet(f"{p2}/tombstones")
+        )
+
+    def test_gapped_upsert_epoch_rejects(self, spark, emb, model, tmp_path):
+        idx = _build(spark, emb, model, str(tmp_path / "s"))
+        with pytest.raises(ValueError, match="gap"):
+            idx.upsert_batch(emb.where(F.col("vec_id") < 3), epoch=5)
+
+    def test_epoch_cut_above_log_rejects(self, spark, emb, model, tmp_path):
+        idx = _build(spark, emb, model, str(tmp_path / "s"))
+        with pytest.raises(ValueError, match="epoch_cut"):
+            idx.delete(emb.where(F.col("vec_id") < 3), epoch_cut=7)
+
+
+SCHEMA = "vec_id long, embedding array<float>"
+CDC_SCHEMA = "vec_id long, embedding array<float>, op string"
+
+
+def _write_batch_file(spark, df, schema, tmp_path, src, name):
+    import shutil as sh
+
+    stage = tmp_path / f"_stage_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    for f in stage.glob("part-*.parquet"):
+        sh.copy(f, src / f"{name}.parquet")
+
+
+class TestStreamingAnnIngest:
+    def test_upsert_mode_end_to_end(self, spark, emb, model, tmp_path):
+        from zikeiretsu_rs_spark.streaming.ingest import (
+            start_streaming_ann_ingest,
+        )
+
+        p = str(tmp_path / "idx")
+        idx = _build(spark, emb, model, p)
+        updated = _mutated(emb, F.col("vec_id") % 5 == 0)
+        src = tmp_path / "src"
+        src.mkdir()
+        _write_batch_file(
+            spark,
+            updated.where(F.col("vec_id") % 10 == 0)
+            .select("vec_id", "embedding"),
+            SCHEMA, tmp_path, src, "b1",
+        )
+        _write_batch_file(
+            spark,
+            updated.where(F.col("vec_id") % 10 == 5)
+            .select("vec_id", "embedding"),
+            SCHEMA, tmp_path, src, "b2",
+        )
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_streaming_ann_ingest(
+            stream, idx, str(tmp_path / "ckpt"), mode="upsert"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        truth = _build(spark, updated, model, str(tmp_path / "truth"))
+        queries = emb.where(F.col("vec_id") < 5)
+        cols = ["query_id", "neighbor_id", "adc_cosine", "rank"]
+        assert _rows(
+            idx.probe(queries, k=5, nprobe=N_CELLS).select(*cols)
+        ) == _rows(truth.probe(queries, k=5, nprobe=N_CELLS).select(*cols))
+
+    def test_cdc_mode_applies_upserts_and_deletes(
+        self, spark, emb, model, tmp_path
+    ):
+        from zikeiretsu_rs_spark.streaming.ingest import (
+            start_streaming_ann_ingest,
+        )
+
+        p = str(tmp_path / "idx")
+        idx = _build(spark, emb, model, p)
+        updated = _mutated(emb, F.col("vec_id") % 7 == 1)
+        changes = updated.where(F.col("vec_id") % 7 == 1).withColumn(
+            "op", F.lit("U")
+        ).unionByName(
+            emb.where(F.col("vec_id") % 7 == 2).withColumn(
+                "op", F.lit("D")
+            )
+        )
+        src = tmp_path / "src"
+        src.mkdir()
+        _write_batch_file(
+            spark, changes.select("vec_id", "embedding", "op"),
+            CDC_SCHEMA, tmp_path, src, "b1",
+        )
+        stream = (
+            spark.readStream.schema(CDC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_streaming_ann_ingest(
+            stream, idx, str(tmp_path / "ckpt"), mode="cdc"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # ground truth: updated vectors, deleted ids gone
+        live = updated.where(F.col("vec_id") % 7 != 2)
+        truth = _build(spark, live, model, str(tmp_path / "truth"))
+        queries = emb.where(F.col("vec_id") < 5)
+        cols = ["query_id", "neighbor_id", "adc_cosine", "rank"]
+        got = idx.probe(queries, k=5, nprobe=N_CELLS)
+        assert _rows(got.select(*cols)) == _rows(
+            truth.probe(queries, k=5, nprobe=N_CELLS).select(*cols)
+        )
+        deleted = {
+            r["vec_id"]
+            for r in emb.where(F.col("vec_id") % 7 == 2)
+            .select("vec_id").collect()
+        }
+        assert not (_ids(got) & deleted)
+
+    def test_cdc_unknown_op_fails_the_batch(
+        self, spark, emb, model, tmp_path
+    ):
+        from zikeiretsu_rs_spark.streaming.ingest import (
+            start_streaming_ann_ingest,
+        )
+
+        idx = _build(spark, emb, model, str(tmp_path / "idx"))
+        src = tmp_path / "src"
+        src.mkdir()
+        _write_batch_file(
+            spark,
+            emb.where(F.col("vec_id") < 3).withColumn(
+                "op", F.lit("X")
+            ).select("vec_id", "embedding", "op"),
+            CDC_SCHEMA, tmp_path, src, "b1",
+        )
+        stream = (
+            spark.readStream.schema(CDC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_streaming_ann_ingest(
+            stream, idx, str(tmp_path / "ckpt"), mode="cdc"
+        )
+        try:
+            with pytest.raises(Exception, match="unknown op"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def test_compact_every_purges_in_stream(
+        self, spark, emb, model, tmp_path
+    ):
+        """Scheduled in-stream maintenance: with compact_every=1 every
+        micro-batch ends in a compact, whose purge-then-merge spends
+        the upsert's tombstones — the store stays physically clean
+        without an out-of-band maintenance job."""
+        from zikeiretsu_rs_spark.streaming.ingest import (
+            start_streaming_ann_ingest,
+        )
+
+        p = str(tmp_path / "idx")
+        idx = _build(spark, emb, model, p)
+        updated = _mutated(emb, F.col("vec_id") % 5 == 0)
+        src = tmp_path / "src"
+        src.mkdir()
+        _write_batch_file(
+            spark,
+            updated.where(F.col("vec_id") % 5 == 0)
+            .select("vec_id", "embedding"),
+            SCHEMA, tmp_path, src, "b1",
+        )
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_streaming_ann_ingest(
+            stream, idx, str(tmp_path / "ckpt"),
+            mode="upsert", compact_every=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert not os.path.isdir(os.path.join(p, "tombstones"))
+        truth = _build(spark, updated, model, str(tmp_path / "truth"))
+        queries = emb.where(F.col("vec_id") < 5)
+        cols = ["query_id", "neighbor_id", "adc_cosine", "rank"]
+        assert _rows(
+            idx.probe(queries, k=5, nprobe=N_CELLS).select(*cols)
+        ) == _rows(truth.probe(queries, k=5, nprobe=N_CELLS).select(*cols))

@@ -4142,6 +4142,7 @@ class IvfpqLakeIndex:
         ids: DataFrame,
         id_col: str = "vec_id",
         batch: int | None = None,
+        epoch_cut: int | None = None,
     ) -> dict:
         """Tombstone the given ids out of the index (round 11 — the
         remaining lifecycle gap: build/append/refresh/compact existed,
@@ -4160,9 +4161,14 @@ class IvfpqLakeIndex:
         match nothing and are swept with the rest at purge time.
 
         Explicit `batch` numbers replay idempotently (per-batch
-        overwrite, the add_batch discipline) — but a redelivery is
-        only bit-identical while no NEW epoch landed in between, so
-        like compact/refresh this is a maintenance op: do not run it
+        overwrite, the add_batch discipline); an explicit `epoch_cut`
+        (<= the newest epoch) makes the replay bit-identical even
+        after the same logical operation's add_batch landed —
+        `upsert_batch` depends on this: a recomputed default cut
+        would include the upsert's OWN epoch on redelivery and kill
+        its adds. Without both explicit, a redelivery is only
+        bit-identical while no NEW epoch landed in between, so like
+        compact/refresh this is a maintenance op: do not run it
         concurrently with add_batch. Returns {"tombstoned_ids": n,
         "epoch_cut": e, "batch": b}; a store with no epochs yet has
         nothing to kill and no epoch to cut at — no-op."""
@@ -4172,7 +4178,13 @@ class IvfpqLakeIndex:
         eps = self._epochs()
         if not eps:
             return {"tombstoned_ids": 0, "epoch_cut": None, "batch": None}
-        cut = int(eps[-1])
+        cut = int(eps[-1]) if epoch_cut is None else int(epoch_cut)
+        if not 0 <= cut <= int(eps[-1]):
+            raise ValueError(
+                f"epoch_cut={cut} outside the store's epoch log "
+                f"[0, {eps[-1]}] — a cut above the newest epoch would "
+                "kill future appends"
+            )
         if batch is None:
             batches = (
                 [
@@ -4200,6 +4212,68 @@ class IvfpqLakeIndex:
         # build's staged-fit read-back
         n = self.spark.read.parquet(batch_dir).count()
         return {"tombstoned_ids": int(n), "epoch_cut": cut, "batch": batch}
+
+    def upsert_batch(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        epoch: int | None = None,
+    ) -> None:
+        """Append one batch whose ids MAY already be indexed — the
+        UPDATE verb `add_batch`'s unique-ids contract forbids (round
+        11: with delete in the lifecycle, update is delete + add).
+        Log-structured: the batch's ids are tombstoned with an
+        EXPLICIT epoch_cut = epoch - 1 (kill every older version,
+        touch nothing newer), then the batch appends as `epoch` via
+        the ordinary add_batch; probes see exactly the newest version
+        of each id. Rows whose vectors did not change re-encode to
+        the same codes under the frozen model, so a blanket re-crawl
+        upsert is correct, just write-amplified by the unchanged rows.
+
+        Replay-safe BECAUSE both halves are pinned to the epoch: the
+        tombstone batch id is -epoch (the negative namespace cannot
+        collide with user deletes' auto-numbering, which starts at 0)
+        and the cut is epoch-1, so a foreachBatch redelivery — even
+        one whose first delivery crashed between the tombstone write
+        and the codes write — rewrites bit-identical state. A
+        recomputed default cut would see the first delivery's own
+        epoch and kill the replay's adds; `delete` documents the
+        dependency. The crash window between the two writes shows the
+        batch's ids as ABSENT (tombstoned, not yet re-added) rather
+        than stale — the replay closes it.
+
+        The streaming form is `streaming.ingest
+        .start_streaming_ann_ingest(mode="upsert"/"cdc")`."""
+        eps = self._epochs()
+        if epoch is None:
+            epoch = (eps[-1] + 1) if eps else 1
+        epoch = int(epoch)
+        if epoch < 1:
+            raise ValueError(
+                "upsert_batch epochs start at 1 (epoch 0 is the seed "
+                f"corpus); got {epoch}"
+            )
+        if eps and epoch > eps[-1] + 1:
+            # contiguity keeps the cut inside the epoch log: a gapped
+            # epoch's cut (epoch-1 > newest) would be a tombstone on
+            # epochs that do not exist yet — exactly what delete's
+            # validation forbids. foreachBatch epoch_ids are
+            # contiguous, so the streaming form never hits this.
+            raise ValueError(
+                f"upsert_batch epoch={epoch} leaves a gap above the "
+                f"newest epoch {eps[-1]} — upsert epochs must be "
+                "contiguous (next is "
+                f"{eps[-1] + 1}) so the kill-older cut stays inside "
+                "the epoch log"
+            )
+        self.delete(
+            vectors.select(id_col),
+            id_col=id_col,
+            batch=-epoch,
+            epoch_cut=epoch - 1,
+        )
+        self.add_batch(vectors, id_col=id_col, vec_col=vec_col, epoch=epoch)
 
     def _live_codes(self, lake: DataFrame) -> DataFrame:
         """Apply tombstones to a codes-lake view: anti-join out rows

@@ -150,6 +150,98 @@ def start_streaming_crawl_pipeline(
     return writer.start()
 
 
+def start_streaming_ann_ingest(
+    stream_df: DataFrame,
+    index,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "append",
+    op_col: str = "op",
+    trigger_seconds: int | None = None,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Structured-Streaming maintenance of an ANN lake index
+    (`operators.similarity.IvfpqLakeIndex`, round 11) — the crawl
+    pipeline's discipline applied to the embedding index: one
+    foreachBatch per micro-batch, exactly-once at batch level via
+    checkpointing, every half pinned to the batch's epoch so
+    redelivery rewrites bit-identical state. The index must already
+    be `build()`-ed (the frozen model is an offline artifact; a
+    stream cannot fit it).
+
+    Modes:
+    - "append": ids are new (add_batch's unique-ids contract) —
+      each batch lands as epoch `epoch_id + 1`.
+    - "upsert": ids may already be indexed — `upsert_batch`
+      tombstones each batch's ids below its epoch then appends
+      (UPDATE = delete + add; unchanged vectors re-encode to the
+      same codes under the frozen model).
+    - "cdc": change feed with an `op_col` of "I"/"U" (upsert the
+      row) or "D" (delete the id, vec_col may be null). ONE
+      tombstone batch covers the deleted AND upserted ids
+      (batch=-(epoch_id+1), cut=epoch_id — the upsert_batch
+      replay-pin), then the I/U rows append as epoch_id + 1.
+      Unknown op values raise (a silently dropped change is a
+      correctness hole). Within one micro-batch an id should appear
+      once: if it carries both an upsert and a delete, the upsert
+      wins (its row lands above the cut) — pre-compact the feed per
+      batch if intra-batch ordering matters.
+
+    `compact_every`: scheduled in-stream maintenance via
+    neardup._maybe_compact — serialized with the writes, replay-safe
+    (never absorbs the epoch this batch wrote), and for this index
+    each compact also physically purges spent tombstones
+    (purge-then-merge)."""
+    if mode not in ("append", "upsert", "cdc"):
+        raise ValueError(
+            f"mode={mode!r}: pick 'append' (new ids), 'upsert' "
+            "(replace-or-add), or 'cdc' (op-tagged change feed)"
+        )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch = epoch_id + 1  # 0 is the seed corpus
+        if mode == "append":
+            index.add_batch(batch_df, id_col, vec_col, epoch=epoch)
+        elif mode == "upsert":
+            index.upsert_batch(batch_df, id_col, vec_col, epoch=epoch)
+        else:
+            ops = batch_df.select(id_col, op_col).groupBy(op_col).count()
+            bad = [
+                r[op_col]
+                for r in ops.collect()  # bounded: one row per op kind
+                if r[op_col] not in ("I", "U", "D")
+            ]
+            if bad:
+                raise ValueError(
+                    f"cdc batch {epoch_id} carries unknown op values "
+                    f"{bad} (expected I/U/D) — refusing to drop "
+                    "changes silently"
+                )
+            index.delete(
+                batch_df.select(id_col),
+                id_col=id_col,
+                batch=-epoch,
+                epoch_cut=epoch - 1,
+            )
+            index.add_batch(
+                batch_df.where(F.col(op_col) != "D").select(
+                    id_col, vec_col
+                ),
+                id_col,
+                vec_col,
+                epoch=epoch,
+            )
+        neardup._maybe_compact(index, epoch_id, compact_every)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def streaming_time_bucket(
     stream_df: DataFrame,
     bucket: str = "5 minutes",

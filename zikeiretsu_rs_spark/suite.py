@@ -3849,6 +3849,67 @@ def q_ann_ivfpq_lake_delete_parity_check(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_lake_upsert_parity_check(spark, sf_dir):
+    """LAKE-INDEX UPSERT invariant (round 11 — with delete in the
+    lifecycle, UPDATE = delete + add): `upsert_batch` tombstones the
+    batch's ids with an EXPLICIT cut = epoch-1 (kill every older
+    version, touch nothing newer — the cut and the tombstone batch id
+    are both pinned to the epoch, which is what makes a foreachBatch
+    redelivery bit-identical even across a crash between the two
+    halves; pytest-pinned in tests/test_ann_streaming.py) and appends
+    the new versions as `epoch`. A probe over build(corpus) +
+    upsert_batch(changed rows) must be IDENTICAL, row for row and
+    rank for rank, to the in-memory `ivfpq_topk_join` over the
+    UPDATED corpus under the same frozen model — updates are visible
+    only as the new vectors, never as duplicates or stale ranks. The
+    changed rows flip their embedding sign (vec_id≡0 mod 5) — a
+    mutation that moves vectors across coarse cells, exercising the
+    cross-cell move path; the query batch (vec_id<10) keeps its
+    original vectors on the query side while both paths see the
+    updated corpus rows (including queries 0 and 5) on the indexed
+    side."""
+    import os
+    import uuid
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    book = similarity.pq_codebook(emb, m=16, ksub=64)
+    cents = similarity.head_centroids(emb, 16, "vec_id", "embedding")
+    updated = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    )
+    path = (
+        f"/tmp/zikeiretsu_upsert_{os.getpid()}_{uuid.uuid4().hex[:12]}"
+    )
+    _reap_scratch_dirs(keep=path)
+    idx = similarity.IvfpqLakeIndex(spark, path)
+    idx.build(emb, cents, codebook=book)
+    idx.upsert_batch(updated.where(F.col("vec_id") % 5 == 0))
+    lake = idx.probe(queries, k=10, nprobe=6)
+    mem = similarity.ivfpq_topk_join(
+        updated, queries, book, k=10, n_cells=16, nprobe=6,
+        centroids=cents,
+    )
+    cols = ["query_id", "neighbor_id", "adc_cosine", "rank"]
+    miss_lm = lake.join(mem, cols, "left_anti").agg(
+        F.count("*").alias("_only_lake")
+    )
+    miss_ml = mem.join(lake, cols, "left_anti").agg(
+        F.count("*").alias("_only_mem")
+    )
+    stats = mem.agg(F.countDistinct("query_id").alias("n_queries"))
+    return stats.crossJoin(miss_lm).crossJoin(miss_ml).select(
+        "n_queries",
+        (
+            (F.col("_only_lake") == 0) & (F.col("_only_mem") == 0)
+        ).alias("upsert_parity_ok"),
+    )
+
+
 def q_ann_ivfpq_incremental_parity_check(spark, sf_dir):
     """Incrementally MAINTAINED IVFPQ lake index invariant (round 8 —
     the recurring-crawl form of the lake index): the corpus is split
@@ -3991,18 +4052,20 @@ def q_semantic_dedup_incremental(spark, sf_dir):
 # hash row within a bounded window. Round 11 rotation (the r10
 # verdict's #1 mandate): (a) the 20 queries whose newest driver row is
 # r07 — lag 4 today, lag 5 the moment the r11 artifact lands (the
-# exact set the r10 tail comment named); (b) the two round-11 debuts
-# (new queries always get a head slot, per the round-3 discipline);
-# (c) the 28 alphabetically-first of the 50 r08-stale rows. The 22
-# remaining r08 rows lead the tail and MUST lead the r12 head.
+# exact set the r10 tail comment named); (b) the three round-11
+# debuts (new queries always get a head slot, per the round-3
+# discipline); (c) the 27 alphabetically-first of the 50 r08-stale
+# rows. The 23 remaining r08 rows lead the tail and MUST lead the
+# r12 head.
 #
 # Capacity math (r08 verdict #8 — restate before declaring new
 # queries): tests/test_gate_freshness.py enforces MAX_LAG = 5, so
 # every query needs a head slot at least once per 4 driver rounds.
-# With the r11 additions (ann_ivfpq_lake_refresh_parity_check and
-# ann_ivfpq_lake_delete_parity_check, head-slotted in their debut
-# round) the catalog is 172: steady-state slot demand =
-# ceil(172 / 4) = 43 <= 50 head slots, ~7 spare slots/round for
+# With the r11 additions (ann_ivfpq_lake_refresh_parity_check,
+# ann_ivfpq_lake_delete_parity_check, and
+# ann_ivfpq_lake_upsert_parity_check, head-slotted in their debut
+# round) the catalog is 173: steady-state slot demand =
+# ceil(173 / 4) = 44 <= 50 head slots, ~6 spare slots/round for
 # newly declared queries before the arithmetic breaks again.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- head-50: checked by the driver gate this round ------------------
@@ -4035,7 +4098,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_lake_delete_parity_check": (
         q_ann_ivfpq_lake_delete_parity_check
     ),
-    # -- (c) the 28 alphabetically-first of the 50 r08-stale rows
+    "ann_ivfpq_lake_upsert_parity_check": (
+        q_ann_ivfpq_lake_upsert_parity_check
+    ),
+    # -- (c) the 27 alphabetically-first of the 50 r08-stale rows
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_recall_check": q_ann_ivf_recall_check,
     "ann_ivfadc_join_parity_check": q_ann_ivfadc_join_parity_check,
@@ -4063,11 +4129,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_lsh_check": q_embedding_neardup_lsh_check,
     "embedding_quantize": q_embedding_quantize,
     "event_type_share": q_event_type_share,
-    "gapfill_user_6h": q_gapfill_user_6h,
     # -- tail: stalest first -----------------------------------------
-    # -- the 22 remaining r08 rows (lag 3 after r11 — MUST lead the
-    # -- r12 head; heavy_hitters_check yielded its head slot to the
-    # -- delete debut, per the debuts-always-head rule)
+    # -- the 23 remaining r08 rows (lag 3 after r11 — MUST lead the
+    # -- r12 head; gapfill_user_6h and heavy_hitters_check yielded
+    # -- their head slots to the upsert/delete debuts, per the
+    # -- debuts-always-head rule)
+    "gapfill_user_6h": q_gapfill_user_6h,
     "heavy_hitters_check": q_heavy_hitters_check,
     "moving_avg_1h": q_moving_avg_1h,
     "multimodal_audio": q_multimodal_audio,
@@ -4237,6 +4304,7 @@ VERIFICATION_QUERIES = {
     "ann_ivfadc_percell_lakebooks_parity_check",
     "ann_ivfpq_lake_refresh_parity_check",
     "ann_ivfpq_lake_delete_parity_check",
+    "ann_ivfpq_lake_upsert_parity_check",
     "ann_ivf_partitioned_recall_check",
     "embedding_neardup_lsh_check",
     "sketch_distinct_check",
@@ -6361,6 +6429,11 @@ FROM embeddings WHERE vec_id < 10
     sqls["ann_ivfpq_lake_delete_parity_check"] = """
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
        TRUE AS delete_parity_ok
+FROM embeddings WHERE vec_id < 10
+"""
+    sqls["ann_ivfpq_lake_upsert_parity_check"] = """
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       TRUE AS upsert_parity_ok
 FROM embeddings WHERE vec_id < 10
 """
     sqls["ann_ivfadc_join_parity_check"] = sqls[
