@@ -142,7 +142,9 @@ SCHEMA = "vec_id long, embedding array<float>"
 CDC_SCHEMA = "vec_id long, embedding array<float>, op string"
 
 
-def _write_batch_file(spark, df, schema, tmp_path, src, name):
+def _write_batch_file(df, tmp_path, src, name):
+    """One parquet file per logical micro-batch (the stream's schema
+    is pinned by readStream.schema, not here)."""
     import shutil as sh
 
     stage = tmp_path / f"_stage_{name}"
@@ -163,16 +165,14 @@ class TestStreamingAnnIngest:
         src = tmp_path / "src"
         src.mkdir()
         _write_batch_file(
-            spark,
             updated.where(F.col("vec_id") % 10 == 0)
             .select("vec_id", "embedding"),
-            SCHEMA, tmp_path, src, "b1",
+            tmp_path, src, "b1",
         )
         _write_batch_file(
-            spark,
             updated.where(F.col("vec_id") % 10 == 5)
             .select("vec_id", "embedding"),
-            SCHEMA, tmp_path, src, "b2",
+            tmp_path, src, "b2",
         )
         stream = (
             spark.readStream.schema(SCHEMA)
@@ -213,8 +213,8 @@ class TestStreamingAnnIngest:
         src = tmp_path / "src"
         src.mkdir()
         _write_batch_file(
-            spark, changes.select("vec_id", "embedding", "op"),
-            CDC_SCHEMA, tmp_path, src, "b1",
+            changes.select("vec_id", "embedding", "op"),
+            tmp_path, src, "b1",
         )
         stream = (
             spark.readStream.schema(CDC_SCHEMA)
@@ -255,11 +255,10 @@ class TestStreamingAnnIngest:
         src = tmp_path / "src"
         src.mkdir()
         _write_batch_file(
-            spark,
             emb.where(F.col("vec_id") < 3).withColumn(
                 "op", F.lit("X")
             ).select("vec_id", "embedding", "op"),
-            CDC_SCHEMA, tmp_path, src, "b1",
+            tmp_path, src, "b1",
         )
         stream = (
             spark.readStream.schema(CDC_SCHEMA)
@@ -292,10 +291,9 @@ class TestStreamingAnnIngest:
         src = tmp_path / "src"
         src.mkdir()
         _write_batch_file(
-            spark,
             updated.where(F.col("vec_id") % 5 == 0)
             .select("vec_id", "embedding"),
-            SCHEMA, tmp_path, src, "b1",
+            tmp_path, src, "b1",
         )
         stream = (
             spark.readStream.schema(SCHEMA)
@@ -317,3 +315,103 @@ class TestStreamingAnnIngest:
         assert _rows(
             idx.probe(queries, k=5, nprobe=N_CELLS).select(*cols)
         ) == _rows(truth.probe(queries, k=5, nprobe=N_CELLS).select(*cols))
+
+
+class TestUpsertReviewFixes:
+    """The judged-review pass over the first upsert cut: epoch
+    numbering vs surviving cuts, user/upsert tombstone namespaces,
+    and the one-checkpoint-per-store stream ledger."""
+
+    def test_upsert_default_epoch_clears_surviving_cut(
+        self, spark, emb, model, tmp_path
+    ):
+        """Crashed-purge state: a fully-dead epoch directory removed,
+        its tombstones (cut above every remaining epoch dir) still
+        standing. The next default-epoch upsert must land ABOVE the
+        surviving cut — at the dir-derived epoch it would be
+        anti-joined out — and its kill-older cut must validate (the
+        log's high water includes surviving cuts)."""
+        import shutil
+
+        p = str(tmp_path / "s")
+        idx = _build(spark, emb, model, p)
+        batch = emb.where(F.col("vec_id") % 4 == 1)
+        idx.add_batch(batch)  # epoch 1
+        idx.delete(batch.select("vec_id"))  # cut = 1
+        shutil.rmtree(os.path.join(p, "codes", "epoch=1"))  # the crash
+        new = _mutated(emb, F.lit(True)).where(F.col("vec_id") % 4 == 1)
+        idx.upsert_batch(new)  # must pick epoch 2, cut 1
+        eps = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(p, "codes"))
+            if d.startswith("epoch=")
+        )
+        assert eps == [0, 2]
+        queries = emb.where(F.col("vec_id") < 5)
+        upserted = {r["vec_id"] for r in new.select("vec_id").collect()}
+        assert _ids(idx.probe(queries, k=50, nprobe=N_CELLS)) & upserted
+
+    def test_user_delete_autonumber_skips_upsert_namespace(
+        self, spark, emb, model, tmp_path
+    ):
+        """After an upsert (tombstone batch -epoch), a user delete
+        without an explicit batch must number from 0 upward — max()+1
+        over a negatives-only tree would land INSIDE the reserved
+        namespace and a replayed upsert would overwrite the user's
+        takedown tombstone."""
+        p = str(tmp_path / "s")
+        idx = _build(spark, emb, model, p)
+        batch = _mutated(emb, F.lit(True)).where(F.col("vec_id") % 4 == 1)
+        idx.upsert_batch(batch, epoch=1)  # tombstone batch=-1
+        res = idx.delete(emb.where(F.col("vec_id") == 0))
+        assert res["batch"] == 0
+        # the replayed upsert must leave the user tombstone intact
+        idx.upsert_batch(batch, epoch=1)
+        assert os.path.isdir(os.path.join(p, "tombstones", "batch=0"))
+        queries = emb.where(F.col("vec_id") < 5)
+        assert 0 not in _ids(idx.probe(queries, k=50, nprobe=N_CELLS))
+
+    def test_stream_ledger_refuses_fresh_checkpoint(
+        self, spark, emb, model, tmp_path
+    ):
+        """A fresh checkpoint restarts epoch_ids at 0 — driving an
+        already-maintained index from one would overwrite its early
+        epochs. The ledger binds store to checkpoint at start;
+        force_takeover rebinds; rebuild clears the binding."""
+        from zikeiretsu_rs_spark.streaming.ingest import (
+            start_streaming_ann_ingest,
+        )
+
+        p = str(tmp_path / "idx")
+        idx = _build(spark, emb, model, p)
+        src = tmp_path / "src"
+        src.mkdir()
+        _write_batch_file(
+            emb.where(F.col("vec_id") < 0).select("vec_id", "embedding"),
+            tmp_path, src, "b0",
+        )
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_streaming_ann_ingest(
+            stream, idx, str(tmp_path / "ckpt1"), mode="append"
+        )
+        q.stop()
+        with pytest.raises(ValueError, match="already maintained"):
+            start_streaming_ann_ingest(
+                stream, idx, str(tmp_path / "ckpt2"), mode="append"
+            )
+        q = start_streaming_ann_ingest(
+            stream, idx, str(tmp_path / "ckpt2"), mode="append",
+            force_takeover=True,
+        )
+        q.stop()
+        # rebuild clears the binding: a brand-new checkpoint binds
+        # without force
+        idx2 = _build(spark, emb, model, p)
+        q = start_streaming_ann_ingest(
+            stream, idx2, str(tmp_path / "ckpt3"), mode="append"
+        )
+        q.stop()

