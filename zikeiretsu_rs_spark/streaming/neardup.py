@@ -641,23 +641,25 @@ def start_streaming_ivfpq_index(
     encoded under the index's frozen model and appended as one epoch —
     the ANN mirror of `start_streaming_incremental_dedup`, and the
     missing half of the crawl pipeline (documents stream through
-    dedup; their embeddings stream into the search index). foreachBatch
-    epoch_ids replay idempotently (per-epoch overwrite); epoch 0 is
-    the seed corpus `build` wrote, so batches shift up by one.
-    `compact_every=N` bounds file counts automatically (see
-    _maybe_compact); without it, run `index.compact()` in the
-    stream's maintenance window."""
+    dedup; their embeddings stream into the search index).
 
-    def process(batch_df: DataFrame, epoch_id: int) -> None:
-        index.add_batch(batch_df, id_col, vec_col, epoch=epoch_id + 1)
-        _maybe_compact(index, epoch_id, compact_every)
+    Round 11: the append-only form became ONE mode of
+    `streaming.ingest.start_streaming_ann_ingest` (which adds upsert
+    and CDC modes plus the one-checkpoint-per-store ledger guard) —
+    this name stays as the append-mode alias so the crawl-pipeline
+    vocabulary keeps its ANN mirror."""
+    from .ingest import start_streaming_ann_ingest
 
-    writer = stream_vectors.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_dir
+    return start_streaming_ann_ingest(
+        stream_vectors,
+        index,
+        checkpoint_dir,
+        id_col=id_col,
+        vec_col=vec_col,
+        mode="append",
+        trigger_seconds=trigger_seconds,
+        compact_every=compact_every,
     )
-    if trigger_seconds is not None:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
 
 
 class SemanticDedupIndex:
