@@ -1,0 +1,240 @@
+"""Takedowns for the exact incremental-dedup lake index (round 11 —
+`IvfpqLakeIndex.delete`'s sibling, same `catalog/tombstones.py`
+epoch-cut markers): `IncrementalDedupIndex.forget(ids)` removes
+documents from every FUTURE verdict's history (the seed-∪-earlier-
+epochs side of the batch rule), `purge_forgotten` / `compact`
+physically drop their text/signatures/prefixes, and the verdicts
+ledger — identifiers and booleans only, no content — stays intact as
+history.
+
+Invariants pinned here:
+
+- post-forget batch verdicts ≡ `incremental_dedup` one-shot where
+  the history is (everything indexed) − (forgotten docs);
+- re-indexing a forgotten id in a later epoch resurrects it;
+- forget replays idempotently (explicit batch overwrite) and no-ops
+  on a store with no epochs;
+- purge is physical (docs/sigs/prefix hold none of the forgotten
+  ids), probe-invisible for future batches, convergent on re-run,
+  and NEVER deletes an epoch directory — `prefix/epoch=N` is the
+  commit marker `verdicts()` keys off, so a fully-forgotten epoch is
+  overwritten with an empty table and its historical verdicts stay
+  visible;
+- a torn purge rewrite (surviving `__forget_backup`) makes add_batch
+  refuse loudly and rolls back on the next purge;
+- compact purges BEFORE its epoch merge (a tombstone must never meet
+  renumbered epochs) and the ledger survives unchanged;
+- add_batch's default epoch numbering high-waters above surviving
+  cuts.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+SEED = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2, "one two three four five six seven eight nine"),
+    (3, "totally unrelated seed text about weather patterns today"),
+]
+B1 = [
+    (10, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+    (11, "fresh crawl content with no earlier relatives at all"),
+]
+B2 = [
+    (20, "alpha beta gamma delta epsilon zeta eta theta"),
+    (21, "fresh crawl content with no earlier relatives at all"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _ids_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def _v(df):
+    return sorted(
+        (r["doc_id"], r["is_kept"], r["dup_of"]) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def idx(spark, tmp_path):
+    from zikeiretsu_rs_spark.streaming.neardup import IncrementalDedupIndex
+
+    i = IncrementalDedupIndex(
+        spark, str(tmp_path / "store"), n=3, threshold=0.5
+    )
+    i.build(_df(spark, SEED))
+    return i
+
+
+class TestForgetSemantics:
+    def test_forgotten_docs_leave_future_history(self, spark, idx):
+        """After forgetting seed doc 1 and batch doc 11, batch 2's
+        verdicts must match the one-shot rule over the LIVE history
+        {2, 3, 10}: 20 still drops (10, 1's surviving dup, is
+        history), 21 is kept (its only relative, 11, is forgotten)."""
+        from zikeiretsu_rs_spark.operators import dedup
+
+        idx.add_batch(_df(spark, B1))
+        idx.forget(_ids_df(spark, [1, 11]))
+        got = _v(idx.add_batch(_df(spark, B2)))
+        live_hist = [r for r in SEED + B1 if r[0] not in (1, 11)]
+        flagged = spark.createDataFrame(
+            [(i, t, False) for i, t in live_hist]
+            + [(i, t, True) for i, t in B2],
+            ["doc_id", "text", "_new"],
+        )
+        want = _v(
+            dedup.incremental_dedup(
+                flagged, "doc_id", "text", "_new", n=3, threshold=0.5
+            )
+        )
+        assert got == want
+        assert got == [(20, False, 10), (21, True, None)]
+
+    def test_reindex_resurrects_forgotten_doc(self, spark, idx):
+        idx.forget(_ids_df(spark, [1]))
+        # re-crawl of doc 1's text under a new id-compatible epoch:
+        # the same id re-indexed in a HIGHER epoch outlives the cut
+        idx.add_batch(_df(spark, [(1, SEED[0][1])]), epoch=1)
+        got = _v(idx.add_batch(_df(spark, B1), epoch=2))
+        assert (10, False, 1) in got  # doc 1 is history again
+
+    def test_forget_replay_idempotent(self, spark, idx, tmp_path):
+        p = str(tmp_path / "store")
+        r1 = idx.forget(_ids_df(spark, [1]), batch=0)
+        t1 = sorted(
+            map(tuple, spark.read.parquet(f"{p}/tombstones").collect())
+        )
+        r2 = idx.forget(_ids_df(spark, [1]), batch=0)
+        t2 = sorted(
+            map(tuple, spark.read.parquet(f"{p}/tombstones").collect())
+        )
+        assert (r1, t1) == (r2, t2)
+
+    def test_forget_on_unbuilt_store_is_noop(self, spark, tmp_path):
+        from zikeiretsu_rs_spark.streaming.neardup import (
+            IncrementalDedupIndex,
+        )
+
+        i = IncrementalDedupIndex(spark, str(tmp_path / "empty"))
+        res = i.forget(_ids_df(spark, [1]))
+        assert res == {"tombstoned_ids": 0, "epoch_cut": None, "batch": None}
+
+
+class TestPurgeForgotten:
+    def test_purge_is_physical_ledger_intact(self, spark, idx, tmp_path):
+        p = str(tmp_path / "store")
+        idx.add_batch(_df(spark, B1))
+        ledger_before = _v(idx.verdicts())
+        idx.forget(_ids_df(spark, [1, 11]))
+        res = idx.purge_forgotten()
+        assert res["purged_rows"] > 0
+        assert res["dropped_tombstone_batches"] == 1
+        assert not os.path.isdir(os.path.join(p, "tombstones"))
+        for t, schema in (
+            ("docs", "doc_id long, text string"),
+            ("sigs", "doc_id long, _set array<bigint>"),
+            ("prefix", "doc_id long, shingle long, _sz long"),
+        ):
+            left = spark.read.schema(schema).parquet(os.path.join(p, t))
+            assert left.where(F.col("doc_id").isin([1, 11])).count() == 0, t
+        # the ledger is history — untouched by the takedown
+        assert _v(idx.verdicts()) == ledger_before
+        # converged: nothing left to do
+        res2 = idx.purge_forgotten()
+        assert res2 == {"purged_rows": 0, "dropped_tombstone_batches": 0}
+        # and future batches agree with the tombstone-era view
+        assert _v(idx.add_batch(_df(spark, B2))) == [
+            (20, False, 10),
+            (21, True, None),
+        ]
+
+    def test_fully_forgotten_epoch_keeps_commit_marker(
+        self, spark, idx, tmp_path
+    ):
+        """Forget ALL of batch 1: its epoch dirs must survive as empty
+        tables (prefix/epoch=N is the commit marker), and its
+        verdicts must stay visible."""
+        p = str(tmp_path / "store")
+        idx.add_batch(_df(spark, B1))
+        ledger = _v(idx.verdicts())
+        idx.forget(_ids_df(spark, [10, 11]))
+        idx.purge_forgotten()
+        assert os.path.isdir(os.path.join(p, "prefix", "epoch=1"))
+        assert idx._epochs(idx.prefix_dir) == [0, 1]
+        assert _v(idx.verdicts()) == ledger
+        # empty-epoch reads are schema-pinned everywhere: a new batch
+        # still verdicts correctly against the emptied history
+        assert _v(idx.add_batch(_df(spark, B2))) == [
+            (20, False, 1),
+            (21, True, None),
+        ]
+
+    def test_torn_purge_add_batch_refuses_then_recovers(
+        self, spark, idx, tmp_path
+    ):
+        p = str(tmp_path / "store")
+        idx.add_batch(_df(spark, B1))
+        idx.forget(_ids_df(spark, [1, 11]))
+        # simulate the torn window: a backup exists, a live dir is gone
+        backup = os.path.join(p, "__forget_backup")
+        os.makedirs(os.path.join(backup, "docs"))
+        shutil.copytree(
+            os.path.join(p, "docs", "epoch=0"),
+            os.path.join(backup, "docs", "epoch=0"),
+        )
+        shutil.rmtree(os.path.join(p, "docs", "epoch=0"))
+        with pytest.raises(ValueError, match="forget_backup"):
+            idx.add_batch(_df(spark, B2))
+        res = idx.purge_forgotten()  # rolls back, then applies
+        assert res["purged_rows"] > 0
+        assert not os.path.isdir(backup)
+        assert _v(idx.add_batch(_df(spark, B2))) == [
+            (20, False, 10),
+            (21, True, None),
+        ]
+
+
+class TestCompactInteraction:
+    def test_compact_purges_before_merge(self, spark, idx, tmp_path):
+        p = str(tmp_path / "store")
+        idx.add_batch(_df(spark, B1), epoch=1)
+        idx.add_batch(_df(spark, B2), epoch=2)
+        ledger = _v(idx.verdicts())
+        idx.forget(_ids_df(spark, [1, 11]))
+        out = idx.compact()
+        assert out["purge"]["purged_rows"] > 0
+        assert not os.path.isdir(os.path.join(p, "tombstones"))
+        docs = spark.read.schema("doc_id long, text string").parquet(
+            os.path.join(p, "docs")
+        )
+        assert docs.where(F.col("doc_id").isin([1, 11])).count() == 0
+        assert _v(idx.verdicts()) == ledger
+        # post-compact verdicts still follow the live history
+        got = _v(idx.add_batch(_df(spark, [(30, B1[0][1])])))
+        assert got == [(30, False, 10)]
+
+    def test_add_batch_high_waters_above_surviving_cut(
+        self, spark, idx, tmp_path
+    ):
+        """Crash simulation: an epoch's directories removed while its
+        tombstone cut survives — the next default-epoch batch must
+        number ABOVE the cut, or the surviving marker would silently
+        forget the new batch."""
+        p = str(tmp_path / "store")
+        idx.add_batch(_df(spark, B1), epoch=1)
+        idx.forget(_ids_df(spark, [10, 11]))  # cut = 1
+        for t in ("docs", "sigs", "prefix", "verdicts"):
+            shutil.rmtree(os.path.join(p, t, "epoch=1"), ignore_errors=True)
+        idx.add_batch(_df(spark, B2))  # would be epoch 1 without the guard
+        assert idx._epochs(idx.prefix_dir) == [0, 2]
+        got = _v(idx.add_batch(_df(spark, [(30, B2[1][1])])))
+        assert got == [(30, False, 21)]  # the re-added batch is LIVE

@@ -1,0 +1,150 @@
+"""Log-structured delete markers shared by the lake indexes (round
+11). ONE implementation of the tombstone lifecycle primitives, the
+same sharing discipline as `epochs.py` (which holds the epoch-merge
+lifecycle these markers compose with):
+
+- a tombstone batch is `tombstones/batch=M/` parquet rows of
+  (<id>, epoch_cut): the marker kills the id's rows in every epoch
+  <= epoch_cut, and appends always land in strictly higher epochs,
+  so re-adding an id resurrects it — a delete is an event in the
+  append log, not a permanent ban;
+- batch ids >= 0 are the USER namespace (auto-numbered); negative
+  ids are RESERVED for epoch-pinned system tombstones (the ANN
+  index's upsert writes batch=-epoch) so a replayed upsert can never
+  overwrite a user takedown;
+- reads pin their schema EXPLICITLY, so a torn delete write that
+  left only a `_temporary` dir reads as zero tombstones instead of
+  failing schema inference on every downstream probe;
+- `high_water` is the epoch log's logical top (max of epoch dirs and
+  surviving cuts): every epoch-numbering decision must use it — a
+  crashed purge can remove a fully-dead epoch directory while its
+  cut survives, and a new epoch at or below that cut would be
+  silently killed.
+
+Consumers: `operators/similarity.py:IvfpqLakeIndex` (delete /
+upsert_batch / purge_deleted) and
+`streaming/neardup.py:IncrementalDedupIndex` (forget). Each store
+keeps its own purge (physical layouts differ — (epoch, cell) code
+partitions vs per-table epoch dirs); the marker semantics live here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fsio
+
+
+def exists(tomb_dir: str) -> bool:
+    return fsio.exists(tomb_dir)
+
+
+def batch_ids(tomb_dir: str) -> list[int]:
+    if not fsio.exists(tomb_dir):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in fsio.list_dir_names(tomb_dir, "batch=")
+    )
+
+
+def next_user_batch(tomb_dir: str) -> int:
+    """Auto-numbering stays in the non-negative user namespace:
+    max()+1 over a tree holding only negative (system/upsert) batches
+    would land inside the reserved namespace, and a replayed upsert
+    would then overwrite the user's takedown tombstone."""
+    user = [b for b in batch_ids(tomb_dir) if b >= 0]
+    return (max(user) + 1) if user else 0
+
+
+def write_batch(
+    tomb_dir: str,
+    ids: DataFrame,
+    id_col: str,
+    out_id_col: str,
+    id_type: str,
+    cut: int,
+    batch: int,
+) -> int:
+    """Write one tombstone batch (idempotent per-batch overwrite) and
+    return the number of distinct ids tombstoned. The count reads the
+    WRITTEN rows, so the ids plan evaluates exactly once (the write)."""
+    batch_dir = f"{tomb_dir}/batch={int(batch)}"
+    ids.select(
+        F.col(id_col).cast(id_type).alias(out_id_col)
+    ).distinct().withColumn(
+        "epoch_cut", F.lit(int(cut)).cast("int")
+    ).write.mode("overwrite").parquet(batch_dir)
+    return int(ids.sparkSession.read.parquet(batch_dir).count())
+
+
+def cuts(
+    spark: SparkSession, tomb_dir: str, out_id_col: str, id_type: str
+) -> DataFrame:
+    """(_del_id, _del_cut): one row per deleted id with its newest
+    epoch cut, schema-pinned (see module docstring on torn writes)."""
+    return (
+        spark.read.schema(f"{out_id_col} {id_type}, epoch_cut int")
+        .parquet(tomb_dir)
+        .groupBy(out_id_col)
+        .agg(F.max("epoch_cut").alias("_del_cut"))
+        .select(F.col(out_id_col).alias("_del_id"), "_del_cut")
+    )
+
+
+def max_cut(
+    spark: SparkSession, tomb_dir: str, out_id_col: str, id_type: str
+) -> int | None:
+    if not fsio.exists(tomb_dir):
+        return None
+    top = (
+        cuts(spark, tomb_dir, out_id_col, id_type)
+        .agg(F.max("_del_cut"))
+        .collect()[0][0]
+    )
+    return None if top is None else int(top)
+
+
+def high_water(
+    spark: SparkSession,
+    tomb_dir: str,
+    eps: list[int],
+    out_id_col: str,
+    id_type: str,
+) -> int:
+    """The epoch log's logical top (-1 for a store with neither
+    epochs nor tombstones). Bounded: one directory listing + a 1-row
+    aggregate over the (small) tombstone side when present."""
+    hw = eps[-1] if eps else -1
+    top = max_cut(spark, tomb_dir, out_id_col, id_type)
+    if top is not None:
+        hw = max(hw, top)
+    return int(hw)
+
+
+def live_view(
+    lake: DataFrame,
+    spark: SparkSession,
+    tomb_dir: str,
+    id_col: str,
+    id_type: str,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Anti-join the dead rows out of an epoch-columned lake view:
+    a row dies when its id has a tombstone with epoch_cut >= the
+    row's epoch (both sides of the comparison come from directory
+    names, never data). Zero-cost when no tombstones exist (one
+    existence stat). The tombstone side reduces to one (id, max cut)
+    row per deleted id before the join; it is small relative to the
+    corpus in any sane regime but unbounded in principle, so no
+    broadcast hint — AQE picks broadcast vs sort-merge from its
+    actual size."""
+    if not fsio.exists(tomb_dir):
+        return lake
+    return lake.join(
+        cuts(spark, tomb_dir, id_col, id_type),
+        (F.col(id_col) == F.col("_del_id"))
+        & (F.col(epoch_col) <= F.col("_del_cut")),
+        "left_anti",
+    )

@@ -3864,20 +3864,16 @@ class IvfpqLakeIndex:
         cut is silently killed by it (add_batch/upsert_batch default
         numbering), while a cut up to the mark is a statement about
         epochs that genuinely existed (delete validation, upsert's
-        replay cut). Bounded: one directory listing + a 1-row
-        aggregate over the (small) tombstone side when present."""
-        if eps is None:
-            eps = self._epochs()
-        hw = eps[-1] if eps else -1
-        if self._tombstones_exist():
-            top = (
-                self._tombstone_cuts(meta.get("id_type", "bigint"))
-                .agg(F.max("_del_cut"))
-                .collect()[0][0]
-            )
-            if top is not None:
-                hw = max(hw, int(top))
-        return int(hw)
+        replay cut)."""
+        from ..catalog import tombstones
+
+        return tombstones.high_water(
+            self.spark,
+            self.tombstones_dir,
+            self._epochs() if eps is None else eps,
+            "neighbor_id",
+            meta.get("id_type", "bigint"),
+        )
 
     def _meta(self) -> dict:
         from ..catalog import fsio
@@ -4191,7 +4187,7 @@ class IvfpqLakeIndex:
         concurrently with add_batch. Returns {"tombstoned_ids": n,
         "epoch_cut": e, "batch": b}; a store with no epochs yet has
         nothing to kill and no epoch to cut at — no-op."""
-        from ..catalog import fsio
+        from ..catalog import tombstones
 
         meta = self._meta()
         eps = self._epochs()
@@ -4212,39 +4208,21 @@ class IvfpqLakeIndex:
                 "kill future appends"
             )
         if batch is None:
-            batches = (
-                [
-                    int(d.split("=", 1)[1])
-                    for d in fsio.list_dir_names(
-                        self.tombstones_dir, "batch="
-                    )
-                ]
-                if fsio.exists(self.tombstones_dir)
-                else []
-            )
-            # auto-numbering stays in the non-negative user namespace:
-            # negative batch ids are RESERVED for upsert_batch's
-            # epoch-pinned tombstones, and max()+1 over a tree holding
-            # only upsert batches would land inside it — a replayed
-            # upsert would then overwrite the user's takedown
-            # tombstone (judged review, round 11, upsert pass)
-            user = [b for b in batches if b >= 0]
-            batch = (max(user) + 1) if user else 0
+            # user namespace only — negatives are reserved for
+            # upsert_batch's epoch-pinned tombstones (catalog/
+            # tombstones.py documents why)
+            batch = tombstones.next_user_batch(self.tombstones_dir)
         batch = int(batch)
-        nid_t = meta.get(
-            "id_type", ids.schema[id_col].dataType.simpleString()
+        n = tombstones.write_batch(
+            self.tombstones_dir,
+            ids,
+            id_col,
+            "neighbor_id",
+            meta.get("id_type", ids.schema[id_col].dataType.simpleString()),
+            cut,
+            batch,
         )
-        batch_dir = f"{self.tombstones_dir}/batch={batch}"
-        ids.select(
-            F.col(id_col).cast(nid_t).alias("neighbor_id")
-        ).distinct().withColumn(
-            "epoch_cut", F.lit(cut).cast("int")
-        ).write.mode("overwrite").parquet(batch_dir)
-        # count the WRITTEN rows, not the input plan — the ids plan
-        # evaluates exactly once (the write), same economy rule as the
-        # build's staged-fit read-back
-        n = self.spark.read.parquet(batch_dir).count()
-        return {"tombstoned_ids": int(n), "epoch_cut": cut, "batch": batch}
+        return {"tombstoned_ids": n, "epoch_cut": cut, "batch": batch}
 
     def upsert_batch(
         self,
@@ -4319,39 +4297,29 @@ class IvfpqLakeIndex:
         it is small relative to the corpus in any sane regime but
         unbounded in principle, so no broadcast hint — AQE picks
         broadcast vs sort-merge from its actual size."""
-        if not self._tombstones_exist():
-            return lake
-        return lake.join(
-            self._tombstone_cuts(
-                lake.schema["neighbor_id"].dataType.simpleString()
-            ),
-            (F.col("neighbor_id") == F.col("_del_id"))
-            & (F.col("epoch") <= F.col("_del_cut")),
-            "left_anti",
+        from ..catalog import tombstones
+
+        return tombstones.live_view(
+            lake,
+            self.spark,
+            self.tombstones_dir,
+            "neighbor_id",
+            lake.schema["neighbor_id"].dataType.simpleString(),
         )
 
     def _tombstones_exist(self) -> bool:
-        from ..catalog import fsio
+        from ..catalog import tombstones
 
-        return fsio.exists(self.tombstones_dir)
+        return tombstones.exists(self.tombstones_dir)
 
     def _tombstone_cuts(self, nid_type: str) -> DataFrame:
-        """(_del_id, _del_cut): one row per deleted id with its newest
-        epoch cut. The read pins the schema EXPLICITLY (delete() casts
-        ids to the store's frozen id type, so the lake side's type is
-        the truth): a torn delete() write that left only a _temporary
-        dir then reads as ZERO tombstones instead of crashing every
-        probe/refresh/purge on schema inference — the torn batch is
-        inert and the next purge sweeps the directory (judged review,
-        round 11, delete pass)."""
-        return (
-            self.spark.read.schema(
-                f"neighbor_id {nid_type}, epoch_cut int"
-            )
-            .parquet(self.tombstones_dir)
-            .groupBy("neighbor_id")
-            .agg(F.max("epoch_cut").alias("_del_cut"))
-            .select(F.col("neighbor_id").alias("_del_id"), "_del_cut")
+        """(_del_id, _del_cut) — schema-pinned read, one row per
+        deleted id (catalog/tombstones.py documents the torn-write
+        resilience this buys)."""
+        from ..catalog import tombstones
+
+        return tombstones.cuts(
+            self.spark, self.tombstones_dir, "neighbor_id", nid_type
         )
 
     # -- read -----------------------------------------------------------

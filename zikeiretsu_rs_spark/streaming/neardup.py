@@ -331,6 +331,12 @@ class IncrementalDedupIndex:
     - `docs/epoch=N` — (id, text) per epoch; with a sigs-bearing
       store this is provenance only (kept because the crash contract
       orders writes against it and replays need the raw batch).
+    - `tombstones/batch=M/` — (doc_id, epoch_cut) takedown markers
+      (round 11, `forget()`, shared `catalog/tombstones.py`
+      semantics): future batches' history excludes the marked docs,
+      re-indexing in a higher epoch resurrects, and
+      `purge_forgotten`/`compact` physically drop text/sigs/prefixes
+      while the id-only verdicts ledger survives as history.
 
     Ids must be globally increasing across epochs (crawl ids are),
     so "earlier epoch" and "smaller id" orientations agree.
@@ -349,6 +355,7 @@ class IncrementalDedupIndex:
         self.sigs_dir = fsio.join(store_dir, "sigs")
         self.docs_dir = fsio.join(store_dir, "docs")
         self.verdicts_dir = fsio.join(store_dir, "verdicts")
+        self.tombstones_dir = fsio.join(store_dir, "tombstones")
         self.n, self.threshold = n, threshold
 
     def _has_sigs(self) -> bool:
@@ -361,12 +368,27 @@ class IncrementalDedupIndex:
         return _epoch_dirs(base)
 
     def _read_before(self, base: str, schema: str, epoch: int) -> DataFrame:
+        """History view for the batch rule: epochs strictly below
+        `epoch`, with FORGOTTEN rows anti-joined out (round 11 — a
+        takedown removes the doc from every future verdict's history;
+        the epoch-cut semantics are catalog/tombstones.py's, read via
+        the basePath-exposed epoch partition column). Zero-cost when
+        the store has no tombstones."""
+        from ..catalog import tombstones
+
         dirs = [
             f"{base}/epoch={e}" for e in self._epochs(base) if e < epoch
         ]
         if not dirs:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*dirs)
+        df = (
+            self.spark.read.schema(schema + ", epoch int")
+            .option("basePath", base)
+            .parquet(*dirs)
+        )
+        return tombstones.live_view(
+            df, self.spark, self.tombstones_dir, "doc_id", "long"
+        ).drop("epoch")
 
     def build(
         self, corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -422,11 +444,36 @@ class IncrementalDedupIndex:
 
         from ..operators.dedup import check_prefix_index_meta
 
+        from ..catalog import tombstones
+
         _require_integral_id(docs, id_col, "IncrementalDedupIndex.add_batch")
         check_prefix_index_meta(self.store_dir, self.n, self.threshold)
+        if fsio.exists(fsio.join(self.store_dir, "__forget_backup")):
+            # a purge_forgotten crashed mid-rewrite: history rows may
+            # be physically MISSING, and a verdict computed against
+            # the torn view could false-keep forever. Refuse loudly;
+            # forget-purge/compact recovers.
+            raise ValueError(
+                f"{self.store_dir} has a torn forget-purge rewrite "
+                "(__forget_backup present) — history rows may be "
+                "missing; run purge_forgotten or compact to roll "
+                "back before indexing"
+            )
         if epoch is None:
-            eps = self._epochs(self.prefix_dir)
-            epoch = (eps[-1] + 1) if eps else 1
+            # the log's high water includes surviving tombstone cuts
+            # (catalog/tombstones.py documents the crashed-purge state
+            # where they outlive their epoch's rows)
+            epoch = max(
+                1,
+                tombstones.high_water(
+                    self.spark,
+                    self.tombstones_dir,
+                    self._epochs(self.prefix_dir),
+                    "doc_id",
+                    "long",
+                )
+                + 1,
+            )
         epoch = int(epoch)
         if epoch < 1:
             # 0 is the seed corpus; silently clamping an explicit 0
@@ -512,6 +559,216 @@ class IncrementalDedupIndex:
             batch_sigs.unpersist()
         return self.spark.read.parquet(f"{self.verdicts_dir}/epoch={epoch}")
 
+    def forget(
+        self,
+        ids: DataFrame,
+        id_col: str = "doc_id",
+        batch: int | None = None,
+        epoch_cut: int | None = None,
+    ) -> dict:
+        """Tombstone documents out of the index's HISTORY (round 11 —
+        the takedown verb, `IvfpqLakeIndex.delete`'s sibling): future
+        batches' verdicts no longer consult the forgotten docs (they
+        vanish from the seed-∪-earlier-epochs side of the batch
+        rule), and `purge_forgotten` / `compact` physically drop
+        their text, signatures, and prefixes. Epoch-cut semantics are
+        `catalog/tombstones.py`'s: the marker kills the id's rows in
+        epochs <= cut, so RE-INDEXING the id in a later batch
+        resurrects it.
+
+        What forget does NOT do: rewrite the verdicts ledger. Issued
+        verdicts are historical facts — a doc dropped last month as
+        dup_of a now-forgotten doc stays dropped — and the ledger
+        holds only identifiers and booleans, no content, so the
+        takedown (text/signature/prefix removal) is complete without
+        falsifying history. It also does not re-open past drops: the
+        batch rule is applied at arrival time, never retroactively.
+
+        O(|ids|); same replay/namespace rules as the ANN delete
+        (explicit batch overwrites idempotently, auto-numbering
+        stays >= 0, explicit epoch_cut must sit inside the log's
+        high water). Maintenance op — not concurrent with
+        add_batch."""
+        from ..catalog import tombstones
+
+        eps = self._epochs(self.prefix_dir)
+        if not eps:
+            return {"tombstoned_ids": 0, "epoch_cut": None, "batch": None}
+        hw = tombstones.high_water(
+            self.spark, self.tombstones_dir, eps, "doc_id", "long"
+        )
+        cut = int(eps[-1]) if epoch_cut is None else int(epoch_cut)
+        if not 0 <= cut <= hw:
+            raise ValueError(
+                f"epoch_cut={cut} outside the store's epoch log "
+                f"[0, {hw}] — a cut above the newest epoch would "
+                "kill future batches"
+            )
+        if batch is None:
+            batch = tombstones.next_user_batch(self.tombstones_dir)
+        batch = int(batch)
+        n = tombstones.write_batch(
+            self.tombstones_dir, ids, id_col, "doc_id", "long", cut, batch
+        )
+        return {"tombstoned_ids": n, "epoch_cut": cut, "batch": batch}
+
+    def _recover_forget_backup(self, local_store: str) -> bool:
+        """Roll a torn forget-purge rewrite back: every backed-up
+        `<table>/epoch=N` dir is restored (the live dir may be
+        missing, partial, or complete — the copy is the pre-rewrite
+        truth either way), then the backup root is dropped. The
+        tombstones are still present, so a re-run re-detects and
+        converges. A `__tmp` sibling (crash mid-copy — live dirs
+        untouched) is simply discarded."""
+        import os
+        import shutil
+
+        backup = os.path.join(local_store, "__forget_backup")
+        shutil.rmtree(backup + "__tmp", ignore_errors=True)
+        if not os.path.isdir(backup):
+            return False
+        for table in sorted(os.listdir(backup)):
+            for ep_name in sorted(os.listdir(os.path.join(backup, table))):
+                live = os.path.join(local_store, table, ep_name)
+                shutil.rmtree(live, ignore_errors=True)
+                os.makedirs(os.path.dirname(live), exist_ok=True)
+                os.rename(os.path.join(backup, table, ep_name), live)
+        shutil.rmtree(backup, ignore_errors=True)
+        return True
+
+    def purge_forgotten(self) -> dict:
+        """Physically apply forget tombstones: rewrite every docs/
+        sigs/prefix epoch directory holding forgotten rows to its
+        live subset (per-epoch granularity — these tables have no
+        finer partitioning), then drop the spent tombstones. The
+        verdicts ledger is deliberately untouched (forget documents
+        why). A fully-forgotten epoch is overwritten with an EMPTY
+        table rather than removed: `prefix/epoch=N` is the commit
+        marker `verdicts()` keys off, and deleting it would un-commit
+        the epoch and hide its (historical) verdicts.
+
+        Crash-safe under the ANN purge's discipline: affected dirs
+        are copied to `__forget_backup` first (built under a __tmp
+        name, renamed in only when complete), `add_batch` refuses
+        while the backup exists, tombstones drop LAST, and a re-run
+        after any crash converges. `compact` runs this BEFORE its
+        epoch merge — the cut comparison reads the epoch the merge
+        renumbers. Must not run concurrently with add_batch; local
+        store_dir only (same rule as compact)."""
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from ..catalog import tombstones
+
+        local_store = fsio.as_local(
+            self.store_dir, "dedup-index forget purge"
+        )
+        self._recover_forget_backup(local_store)
+        if not tombstones.exists(self.tombstones_dir):
+            return {"purged_rows": 0, "dropped_tombstone_batches": 0}
+        n_batches = len(tombstones.batch_ids(self.tombstones_dir))
+        cuts = tombstones.cuts(
+            self.spark, self.tombstones_dir, "doc_id", "long"
+        )
+        tables = {
+            t: s
+            for t, s in self._TABLE_SCHEMAS.items()
+            if t != "verdicts" and self._epochs(fsio.join(self.store_dir, t))
+        }
+        # ONE scan per table: flag dead rows via the cuts join,
+        # aggregate total and dead per epoch together. Bounded driver
+        # collects: one row per epoch per table.
+        plans = {}
+        total_dead = 0
+        for t, schema in tables.items():
+            base = fsio.join(self.store_dir, t)
+            df = (
+                self.spark.read.schema(schema + ", epoch int")
+                .option("basePath", base)
+                .parquet(base)
+            )
+            per_ep = (
+                df.join(
+                    cuts, F.col("doc_id") == F.col("_del_id"), "left"
+                )
+                .groupBy("epoch")
+                .agg(
+                    F.count("*").alias("_total"),
+                    F.sum(
+                        (
+                            F.col("_del_cut").isNotNull()
+                            & (F.col("epoch") <= F.col("_del_cut"))
+                        ).cast("long")
+                    ).alias("_dead"),
+                )
+                .collect()
+            )
+            stats = {
+                int(r["epoch"]): (int(r["_total"]), int(r["_dead"] or 0))
+                for r in per_ep
+            }
+            affected = sorted(e for e, (_, d) in stats.items() if d > 0)
+            if affected:
+                plans[t] = (base, schema, affected, stats)
+                total_dead += sum(stats[e][1] for e in affected)
+        if not plans:
+            fsio.delete_dir(self.tombstones_dir)
+            return {
+                "purged_rows": 0,
+                "dropped_tombstone_batches": n_batches,
+            }
+        # back up EVERY affected dir across all tables under one root
+        # before any rewrite (complete-or-absent via __tmp + rename)
+        backup = os.path.join(local_store, "__forget_backup")
+        shutil.rmtree(backup, ignore_errors=True)
+        shutil.rmtree(backup + "__tmp", ignore_errors=True)
+        os.makedirs(backup + "__tmp")
+        for t, (base, _, affected, _) in plans.items():
+            for e in affected:
+                src = os.path.join(local_store, t, f"epoch={e}")
+                if os.path.isdir(src):
+                    shutil.copytree(
+                        src,
+                        os.path.join(backup + "__tmp", t, f"epoch={e}"),
+                    )
+        os.rename(backup + "__tmp", backup)
+        # rewrite in add_batch's write order (docs -> sigs -> prefix)
+        # so every crash point leaves prefixes covered by docs+sigs
+        for t in ("docs", "sigs", "prefix"):
+            if t not in plans:
+                continue
+            base, schema, affected, stats = plans[t]
+            live_eps = [e for e in affected if stats[e][0] > stats[e][1]]
+            dead_eps = [e for e in affected if stats[e][0] == stats[e][1]]
+            if live_eps:
+                df = (
+                    self.spark.read.schema(schema + ", epoch int")
+                    .option("basePath", base)
+                    .parquet(*[f"{base}/epoch={e}" for e in live_eps])
+                )
+                tombstones.live_view(
+                    df, self.spark, self.tombstones_dir, "doc_id", "long"
+                ).write.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).partitionBy("epoch").parquet(base)
+            for e in dead_eps:
+                # empty overwrite, never a delete: prefix/epoch=N is
+                # the commit marker (schema-pinned reads handle the
+                # zero-file dir either way)
+                self.spark.createDataFrame([], schema).write.mode(
+                    "overwrite"
+                ).parquet(f"{base}/epoch={e}")
+        shutil.rmtree(backup, ignore_errors=True)
+        # tombstones drop LAST — a crash above leaves them filtering
+        # the (already-purged) view to the same rows
+        fsio.delete_dir(self.tombstones_dir)
+        return {
+            "purged_rows": int(total_dead),
+            "dropped_tombstone_batches": n_batches,
+        }
+
     def verdicts(self) -> DataFrame:
         # only epochs whose prefix commit marker exists: a crash mid-
         # epoch can leave a partial verdicts dir, which must not be
@@ -580,6 +837,12 @@ class IncrementalDedupIndex:
         whatever epoch dirs remain and `distinct()` collapses rows a
         half-finished deletion left duplicated.
 
+        Forgotten rows are physically dropped FIRST (`purge_forgotten`
+        — mandatory ordering: the tombstones' epoch-cut comparison
+        reads the epoch numbering this merge rewrites), so the merged
+        epochs never carry forgotten text and the summary's "purge"
+        key reports what was swept.
+
         Maintenance operation: must not run concurrently with
         add_batch (run it between micro-batches or in the stream's
         maintenance window). Requires a local/file:// store_dir —
@@ -587,13 +850,16 @@ class IncrementalDedupIndex:
         as catalog compaction). Returns {files_before, files_after,
         epochs_before, epochs_after}. One orchestration shared with
         NearDupIndex: epochs.compact_tables."""
-        return epochlib.compact_tables(
+        purge = self.purge_forgotten()
+        out = epochlib.compact_tables(
             self.spark,
             fsio.as_local(self.store_dir, "dedup-index compaction"),
             self._TABLE_SCHEMAS,
             marker="prefix",
             target_file_bytes=target_file_bytes,
         )
+        out["purge"] = purge
+        return out
 
 
 def start_streaming_incremental_dedup(

@@ -3910,6 +3910,89 @@ def q_ann_ivfpq_lake_upsert_parity_check(spark, sf_dir):
     )
 
 
+def q_dedup_incremental_forget_check(spark, sf_dir):
+    """DEDUP-INDEX TAKEDOWN invariant (round 11 — `forget` is
+    `IvfpqLakeIndex.delete`'s sibling on the exact incremental-dedup
+    index, same catalog/tombstones.py epoch-cut markers): after
+    forgetting a slice of the indexed history, a new batch's verdicts
+    through the lake index must be IDENTICAL to the one-shot
+    `incremental_dedup` rule where the history is (seed ∪ earlier
+    batches) − (forgotten docs) — takedowns are visible only as
+    absence from future history, never as changed orientation or
+    resurrected candidates. Then `purge_forgotten` runs and the
+    physical stores (docs/sigs/prefix) must hold none of the
+    forgotten ids while the verdicts LEDGER — identifiers and
+    booleans only, no content — survives as history. Crash/replay
+    mechanics (torn-rewrite refusal + rollback, commit-marker
+    preservation for fully-forgotten epochs, cut high-watering) are
+    pytest-pinned (tests/test_dedup_forget.py)."""
+    import os
+    import uuid
+
+    from .operators import dedup
+    from .streaming.neardup import IncrementalDedupIndex
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.where(F.col("doc_id") % 4 != 0)
+    b1 = docs.where(F.col("doc_id") % 8 == 0)
+    b2 = docs.where(F.col("doc_id") % 8 == 4)
+    gone = (F.col("doc_id") % 4 != 0) & (F.col("doc_id") % 5 == 1)
+    path = (
+        f"/tmp/zikeiretsu_forget_{os.getpid()}_{uuid.uuid4().hex[:12]}"
+    )
+    _reap_scratch_dirs(keep=path)
+    idx = IncrementalDedupIndex(spark, path, n=3, threshold=0.5)
+    idx.build(seed)
+    idx.add_batch(b1, epoch=1)
+    idx.forget(docs.where(gone).select("doc_id"))
+    got = idx.add_batch(b2, epoch=2)
+    live_hist = seed.unionByName(b1).where(~gone)
+    flagged = live_hist.withColumn("_new", F.lit(False)).unionByName(
+        b2.withColumn("_new", F.lit(True))
+    )
+    want = dedup.incremental_dedup(
+        flagged, "doc_id", "text", "_new", n=3, threshold=0.5
+    )
+    # dup_of is NULL for kept rows and column-list joins are not
+    # null-safe — coalesce to a sentinel so kept rows can match
+    def keyed(df):
+        return df.select(
+            "doc_id",
+            "is_kept",
+            F.coalesce("dup_of", F.lit(-1)).alias("_dup_key"),
+        )
+
+    got_k, want_k = keyed(got), keyed(want)
+    cols = ["doc_id", "is_kept", "_dup_key"]
+    miss_gw = got_k.join(want_k, cols, "left_anti").agg(
+        F.count("*").alias("_only_lake")
+    )
+    miss_wg = want_k.join(got_k, cols, "left_anti").agg(
+        F.count("*").alias("_only_oneshot")
+    )
+    idx.purge_forgotten()
+    left_over = (
+        spark.read.schema("doc_id long, text string")
+        .parquet(os.path.join(path, "docs"))
+        .join(docs.where(gone).select("doc_id"), "doc_id", "left_semi")
+        .agg(F.count("*").alias("_forgotten_in_store"))
+    )
+    stats = want.agg(F.count("*").alias("n_batch"))
+    return (
+        stats.crossJoin(miss_gw)
+        .crossJoin(miss_wg)
+        .crossJoin(left_over)
+        .select(
+            "n_batch",
+            (
+                (F.col("_only_lake") == 0)
+                & (F.col("_only_oneshot") == 0)
+                & (F.col("_forgotten_in_store") == 0)
+            ).alias("forget_parity_ok"),
+        )
+    )
+
+
 def q_ann_ivfpq_incremental_parity_check(spark, sf_dir):
     """Incrementally MAINTAINED IVFPQ lake index invariant (round 8 —
     the recurring-crawl form of the lake index): the corpus is split
@@ -4052,20 +4135,21 @@ def q_semantic_dedup_incremental(spark, sf_dir):
 # hash row within a bounded window. Round 11 rotation (the r10
 # verdict's #1 mandate): (a) the 20 queries whose newest driver row is
 # r07 — lag 4 today, lag 5 the moment the r11 artifact lands (the
-# exact set the r10 tail comment named); (b) the three round-11
+# exact set the r10 tail comment named); (b) the four round-11
 # debuts (new queries always get a head slot, per the round-3
-# discipline); (c) the 27 alphabetically-first of the 50 r08-stale
-# rows. The 23 remaining r08 rows lead the tail and MUST lead the
+# discipline); (c) the 26 alphabetically-first of the 50 r08-stale
+# rows. The 24 remaining r08 rows lead the tail and MUST lead the
 # r12 head.
 #
 # Capacity math (r08 verdict #8 — restate before declaring new
 # queries): tests/test_gate_freshness.py enforces MAX_LAG = 5, so
 # every query needs a head slot at least once per 4 driver rounds.
 # With the r11 additions (ann_ivfpq_lake_refresh_parity_check,
-# ann_ivfpq_lake_delete_parity_check, and
-# ann_ivfpq_lake_upsert_parity_check, head-slotted in their debut
-# round) the catalog is 173: steady-state slot demand =
-# ceil(173 / 4) = 44 <= 50 head slots, ~6 spare slots/round for
+# ann_ivfpq_lake_delete_parity_check,
+# ann_ivfpq_lake_upsert_parity_check, and
+# dedup_incremental_forget_check, head-slotted in their debut
+# round) the catalog is 174: steady-state slot demand =
+# ceil(174 / 4) = 44 <= 50 head slots, ~6 spare slots/round for
 # newly declared queries before the arithmetic breaks again.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- head-50: checked by the driver gate this round ------------------
@@ -4101,7 +4185,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_lake_upsert_parity_check": (
         q_ann_ivfpq_lake_upsert_parity_check
     ),
-    # -- (c) the 27 alphabetically-first of the 50 r08-stale rows
+    "dedup_incremental_forget_check": q_dedup_incremental_forget_check,
+    # -- (c) the 26 alphabetically-first of the 50 r08-stale rows
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_recall_check": q_ann_ivf_recall_check,
     "ann_ivfadc_join_parity_check": q_ann_ivfadc_join_parity_check,
@@ -4128,12 +4213,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh_check": q_embedding_neardup_lsh_check,
     "embedding_quantize": q_embedding_quantize,
-    "event_type_share": q_event_type_share,
     # -- tail: stalest first -----------------------------------------
-    # -- the 23 remaining r08 rows (lag 3 after r11 — MUST lead the
-    # -- r12 head; gapfill_user_6h and heavy_hitters_check yielded
-    # -- their head slots to the upsert/delete debuts, per the
-    # -- debuts-always-head rule)
+    # -- the 24 remaining r08 rows (lag 3 after r11 — MUST lead the
+    # -- r12 head; event_type_share, gapfill_user_6h, and
+    # -- heavy_hitters_check yielded their head slots to the r11
+    # -- debuts, per the debuts-always-head rule)
+    "event_type_share": q_event_type_share,
     "gapfill_user_6h": q_gapfill_user_6h,
     "heavy_hitters_check": q_heavy_hitters_check,
     "moving_avg_1h": q_moving_avg_1h,
@@ -4305,6 +4390,7 @@ VERIFICATION_QUERIES = {
     "ann_ivfpq_lake_refresh_parity_check",
     "ann_ivfpq_lake_delete_parity_check",
     "ann_ivfpq_lake_upsert_parity_check",
+    "dedup_incremental_forget_check",
     "ann_ivf_partitioned_recall_check",
     "embedding_neardup_lsh_check",
     "sketch_distinct_check",
@@ -6435,6 +6521,11 @@ FROM embeddings WHERE vec_id < 10
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
        TRUE AS upsert_parity_ok
 FROM embeddings WHERE vec_id < 10
+"""
+    sqls["dedup_incremental_forget_check"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_batch,
+       TRUE AS forget_parity_ok
+FROM documents WHERE doc_id % 8 = 4
 """
     sqls["ann_ivfadc_join_parity_check"] = sqls[
         "ann_ivfpq_join_parity_check"
