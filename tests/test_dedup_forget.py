@@ -238,3 +238,12 @@ class TestCompactInteraction:
         assert idx._epochs(idx.prefix_dir) == [0, 2]
         got = _v(idx.add_batch(_df(spark, [(30, B2[1][1])])))
         assert got == [(30, False, 21)]  # the re-added batch is LIVE
+
+    def test_forget_rejects_non_integral_ids(self, spark, idx):
+        """Boundary guard parity with build/add_batch: a string id
+        would die mid-write with an opaque cast error and a double id
+        would ANSI-truncate and tombstone the WRONG document."""
+        with pytest.raises(TypeError, match="integral"):
+            idx.forget(spark.createDataFrame([("doc-1",)], ["doc_id"]))
+        with pytest.raises(TypeError, match="integral"):
+            idx.forget(spark.createDataFrame([(1.9,)], "doc_id double"))
