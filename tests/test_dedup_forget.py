@@ -247,3 +247,156 @@ class TestCompactInteraction:
             idx.forget(spark.createDataFrame([("doc-1",)], ["doc_id"]))
         with pytest.raises(TypeError, match="integral"):
             idx.forget(spark.createDataFrame([(1.9,)], "doc_id double"))
+
+
+class TestNearDupForget:
+    """The same takedown verb on the LSH triage index: forgotten docs
+    leave the bucket history (future matches), the matches ledger —
+    ids and an estimated score, no content — survives, purge is
+    physical and bucket-epoch dirs are preserved as empty tables."""
+
+    @pytest.fixture()
+    def nidx(self, spark, tmp_path):
+        from zikeiretsu_rs_spark.streaming.neardup import NearDupIndex
+
+        i = NearDupIndex(
+            spark, str(tmp_path / "nd"), n=3, k=64, bands=16, threshold=0.5
+        )
+        i.add_batch(_df(spark, SEED + B1), epoch=0)
+        return i
+
+    def test_forgotten_docs_stop_matching(self, spark, nidx, tmp_path):
+        p = str(tmp_path / "nd")
+        ledger = sorted(map(tuple, nidx.matches().collect()))
+        nidx.forget(_ids_df(spark, [1, 11]))
+        nidx.add_batch(_df(spark, B2))
+        new_rows = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{p}/matches/epoch=1").collect(),
+            )
+        )
+        # 20's only relatives are 1 (forgotten) and 10 (live); 21's
+        # only relative is 11 (forgotten)
+        assert [r[:2] for r in new_rows] == [(20, 10)]
+        # the pre-forget ledger is history — untouched
+        assert sorted(map(tuple, nidx.matches().collect())) == sorted(
+            ledger + new_rows
+        )
+
+    def test_purge_physical_and_epoch_dirs_preserved(
+        self, spark, nidx, tmp_path
+    ):
+        p = str(tmp_path / "nd")
+        nidx.forget(_ids_df(spark, [1, 11]))
+        res = nidx.purge_forgotten()
+        assert res["purged_rows"] > 0
+        assert not os.path.isdir(os.path.join(p, "tombstones"))
+        left = spark.read.schema(
+            "doc_id long, band int, bsig long, sig array<int>"
+        ).parquet(os.path.join(p, "buckets"))
+        assert left.where(F.col("doc_id").isin([1, 11])).count() == 0
+        assert os.path.isdir(os.path.join(p, "buckets", "epoch=0"))
+        # post-purge matches agree with the tombstone-era view
+        nidx.add_batch(_df(spark, B2))
+        new_rows = spark.read.parquet(f"{p}/matches/epoch=1")
+        assert sorted(
+            (r["doc_id"], r["dup_of"]) for r in new_rows.collect()
+        ) == [(20, 10)]
+
+    def test_compact_purges_first(self, spark, nidx, tmp_path):
+        p = str(tmp_path / "nd")
+        nidx.add_batch(_df(spark, B2), epoch=1)
+        nidx.forget(_ids_df(spark, [1, 11]))
+        out = nidx.compact()
+        assert out["purge"]["purged_rows"] > 0
+        assert not os.path.isdir(os.path.join(p, "tombstones"))
+        left = spark.read.schema(
+            "doc_id long, band int, bsig long, sig array<int>"
+        ).parquet(os.path.join(p, "buckets"))
+        assert left.where(F.col("doc_id").isin([1, 11])).count() == 0
+
+
+VECS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.0, 1.0, 0.0]),
+]
+VB1 = [(10, [0.99, 0.1, 0.0, 0.0])]   # near-dup of 1
+VB2 = [(20, [0.98, 0.15, 0.0, 0.0])]  # near-dup of 1 AND 10
+
+
+class TestSemanticForget:
+    """The takedown verb on the cosine-verdict index: forgotten
+    vectors leave future verdicts' history, the id-only verdicts
+    ledger survives, purge is cell-granular and commit markers hold."""
+
+    @pytest.fixture()
+    def sidx(self, spark, tmp_path):
+        from zikeiretsu_rs_spark.streaming.neardup import SemanticDedupIndex
+
+        i = SemanticDedupIndex(spark, str(tmp_path / "sem"), threshold=0.9)
+        corpus = spark.createDataFrame(
+            VECS, "vec_id long, embedding array<double>"
+        )
+        i.build(corpus, [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]])
+        return i
+
+    def test_forgotten_vector_leaves_future_verdicts(self, spark, sidx):
+        v = spark.createDataFrame(VB1, "vec_id long, embedding array<double>")
+        got1 = sorted(map(tuple, sidx.add_batch(v, epoch=1).collect()))
+        assert got1 == [(10, 1, False)]  # dropped as dup of seed 1
+        sidx.forget(
+            spark.createDataFrame([(1,), (10,)], "vec_id long")
+        )
+        v2 = spark.createDataFrame(VB2, "vec_id long, embedding array<double>")
+        got2 = sorted(map(tuple, sidx.add_batch(v2, epoch=2).collect()))
+        assert got2 == [(20, None, True)]  # both relatives forgotten
+        # the epoch-1 verdict is history — still in the ledger
+        assert (10, 1, False) in sorted(
+            map(tuple, sidx.verdicts().collect())
+        )
+
+    def test_purge_cell_granular_marker_preserved(
+        self, spark, sidx, tmp_path
+    ):
+        p = str(tmp_path / "sem")
+        v = spark.createDataFrame(VB1, "vec_id long, embedding array<double>")
+        sidx.add_batch(v, epoch=1)
+        ledger = sorted(map(tuple, sidx.verdicts().collect()))
+        sidx.forget(
+            spark.createDataFrame([(10,)], "vec_id long")
+        )  # epoch 1 becomes fully dead
+        res = sidx.purge_forgotten()
+        assert res["purged_rows"] == 1
+        assert not os.path.isdir(os.path.join(p, "tombstones"))
+        # the epoch dir survives as the commit marker, its cell died
+        assert os.path.isdir(os.path.join(p, "cells", "epoch=1"))
+        cells = spark.read.schema(
+            "vec_id long, vec array<double>, norm double"
+        ).parquet(os.path.join(p, "cells"))
+        assert cells.where(F.col("vec_id") == 10).count() == 0
+        assert sorted(map(tuple, sidx.verdicts().collect())) == ledger
+        # resurrect: re-index 10 in a later epoch — it is history
+        # again (20 drops; dup_of stays the SMALLEST qualifying id,
+        # which is the still-live seed vector 1)
+        sidx.add_batch(v, epoch=2)
+        cells2 = spark.read.schema(
+            "vec_id long, vec array<double>, norm double"
+        ).parquet(os.path.join(p, "cells"))
+        assert cells2.where(F.col("vec_id") == 10).count() == 1
+        v2 = spark.createDataFrame(VB2, "vec_id long, embedding array<double>")
+        got = sorted(map(tuple, sidx.add_batch(v2, epoch=3).collect()))
+        assert got == [(20, 1, False)]
+
+    def test_compact_purges_first(self, spark, sidx, tmp_path):
+        p = str(tmp_path / "sem")
+        v = spark.createDataFrame(VB1, "vec_id long, embedding array<double>")
+        sidx.add_batch(v, epoch=1)
+        sidx.forget(spark.createDataFrame([(1,)], "vec_id long"))
+        out = sidx.compact()
+        assert out["purge"]["purged_rows"] == 1
+        cells = spark.read.schema(
+            "vec_id long, vec array<double>, norm double"
+        ).parquet(os.path.join(p, "cells"))
+        assert cells.where(F.col("vec_id") == 1).count() == 0

@@ -110,18 +110,34 @@ class NearDupIndex:
         self.store_dir = store_dir
         self.bucket_dir = fsio.join(store_dir, "buckets")
         self.matches_dir = fsio.join(store_dir, "matches")
+        self.tombstones_dir = fsio.join(store_dir, "tombstones")
         self.n, self.k, self.bands, self.threshold = n, k, bands, threshold
+
+    _BUCKET_SCHEMA_DDL = "doc_id long, band int, bsig long, sig array<int>"
 
     def _epochs(self) -> list[int]:
         return _epoch_dirs(self.bucket_dir)
 
     def _buckets_before(self, epoch: int) -> DataFrame:
+        """History buckets strictly below `epoch`, with FORGOTTEN
+        docs anti-joined out (round 11 — the takedown verb; epoch-cut
+        semantics in catalog/tombstones.py, read via the
+        basePath-exposed epoch partition column)."""
+        from ..catalog import tombstones
+
         dirs = [
             f"{self.bucket_dir}/epoch={e}" for e in self._epochs() if e < epoch
         ]
         if not dirs:
             return self.spark.createDataFrame([], BUCKET_SCHEMA)
-        return self.spark.read.schema(BUCKET_SCHEMA).parquet(*dirs)
+        df = (
+            self.spark.read.schema(self._BUCKET_SCHEMA_DDL + ", epoch int")
+            .option("basePath", self.bucket_dir)
+            .parquet(*dirs)
+        )
+        return tombstones.live_view(
+            df, self.spark, self.tombstones_dir, "doc_id", "long"
+        ).drop("epoch")
 
     def add_batch(
         self,
@@ -146,10 +162,29 @@ class NearDupIndex:
         `epoch < N` — a replayed micro-batch (same foreachBatch
         epoch_id) rewrites identical state instead of matching against
         its own previous write."""
+        from ..catalog import tombstones
+
         _require_integral_id(docs, id_col, "NearDupIndex.add_batch")
+        if fsio.exists(fsio.join(self.store_dir, "__forget_backup")):
+            raise ValueError(
+                f"{self.store_dir} has a torn forget-purge rewrite "
+                "(__forget_backup present) — history rows may be "
+                "missing; run purge_forgotten or compact to roll "
+                "back before indexing"
+            )
         if epoch is None:
-            eps = self._epochs()
-            epoch = (eps[-1] + 1) if eps else 0
+            # cuts-aware numbering (catalog/tombstones.py): this
+            # index's first epoch is 0, not 1 (no seed corpus)
+            epoch = (
+                tombstones.high_water(
+                    self.spark,
+                    self.tombstones_dir,
+                    self._epochs(),
+                    "doc_id",
+                    "long",
+                )
+                + 1
+            )
         new = _bucketize(docs, id_col, text_col, self.n, self.k, self.bands)
         new.cache()
         history = self._buckets_before(epoch)
@@ -219,6 +254,50 @@ class NearDupIndex:
             ),
         )
 
+    def forget(
+        self,
+        ids: DataFrame,
+        id_col: str = "doc_id",
+        batch: int | None = None,
+        epoch_cut: int | None = None,
+    ) -> dict:
+        """Takedown (round 11 — the dedup-family forget verb, shared
+        catalog/tombstones.py epoch-cut markers): future batches no
+        longer triage against the forgotten docs' signatures, and
+        `purge_forgotten`/`compact` physically drop their bucket rows.
+        The matches LEDGER — ids and an estimated score, no content —
+        survives as history (the IncrementalDedupIndex.forget
+        rationale). Re-indexing the id in a later epoch resurrects.
+        Maintenance op — not concurrent with add_batch."""
+        _require_integral_id(ids, id_col, "NearDupIndex.forget")
+        return _forget_ids(
+            self.spark,
+            self._epochs(),
+            self.tombstones_dir,
+            ids,
+            id_col,
+            "doc_id",
+            "long",
+            batch,
+            epoch_cut,
+        )
+
+    def purge_forgotten(self) -> dict:
+        """Physically drop forgotten docs' bucket rows (ONE shared
+        implementation, `_purge_forgotten_tables` — backup/rollback,
+        empty-overwrite epoch preservation, tombstones-drop-last).
+        The matches ledger is deliberately not passed: it is history.
+        `compact` runs this BEFORE its epoch merge."""
+        return _purge_forgotten_tables(
+            self.spark,
+            self.store_dir,
+            self.tombstones_dir,
+            {"buckets": (self._BUCKET_SCHEMA_DDL, ["epoch"])},
+            "doc_id",
+            "long",
+            "neardup-index forget purge",
+        )
+
     _TABLE_SCHEMAS = {
         # iteration order == add_batch write order (matches ->
         # buckets), so every crash point leaves buckets covered
@@ -236,14 +315,21 @@ class NearDupIndex:
         candidate sets and the cumulative ledger are identical before
         and after (pytest-pinned). Crash-safe via the shared staged
         swap (ONE orchestration: epochs.compact_tables); must not run
-        concurrently with add_batch; requires a local store_dir."""
-        return epochlib.compact_tables(
+        concurrently with add_batch; requires a local store_dir.
+        Forgotten docs' bucket rows are physically dropped FIRST
+        (`purge_forgotten` — the epoch-cut comparison reads the
+        numbering this merge rewrites); the summary's "purge" key
+        reports what was swept."""
+        purge = self.purge_forgotten()
+        out = epochlib.compact_tables(
             self.spark,
             fsio.as_local(self.store_dir, "neardup-index compaction"),
             self._TABLE_SCHEMAS,
             marker="buckets",
             target_file_bytes=target_file_bytes,
         )
+        out["purge"] = purge
+        return out
 
 
 def _maybe_compact(index, epoch_id: int, compact_every: int | None) -> None:
@@ -292,6 +378,215 @@ def start_streaming_neardup(
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def _recover_forget_backup_dirs(local_store: str) -> bool:
+    """Roll a torn forget-purge rewrite back: every backed-up
+    `<table>/<partition...>` dir under `__forget_backup` is restored
+    (the live dir may be missing, partial, or complete — the copy is
+    the pre-rewrite truth either way), then the backup root is
+    dropped. The tombstones are still present, so a re-run re-detects
+    and converges. A `__tmp` sibling (crash mid-copy — live dirs
+    untouched) is simply discarded. Shared by the three dedup-family
+    indexes (the ANN index has its own codes-tree variant)."""
+    import os
+    import shutil
+
+    backup = os.path.join(local_store, "__forget_backup")
+    shutil.rmtree(backup + "__tmp", ignore_errors=True)
+    if not os.path.isdir(backup):
+        return False
+    for root, dirs, _files in os.walk(backup):
+        # restore at the LEAF partition level: a backed-up dir with no
+        # subdirectories is one partition's files
+        if not dirs:
+            rel = os.path.relpath(root, backup)
+            live = os.path.join(local_store, rel)
+            shutil.rmtree(live, ignore_errors=True)
+            os.makedirs(os.path.dirname(live), exist_ok=True)
+            shutil.move(root, live)
+    shutil.rmtree(backup, ignore_errors=True)
+    return True
+
+
+def _purge_forgotten_tables(
+    spark,
+    store_dir: str,
+    tomb_dir: str,
+    tables: dict[str, tuple[str, list[str]]],
+    id_col: str,
+    id_type: str,
+    purpose: str,
+) -> dict:
+    """ONE physical-purge implementation for the dedup-family lake
+    indexes (IncrementalDedupIndex docs/sigs/prefix,
+    NearDupIndex buckets, SemanticDedupIndex cells): rewrite every
+    leaf partition holding forgotten rows to its live subset, then
+    drop the spent tombstones. `tables` maps table name ->
+    (data schema WITHOUT partition cols, partition cols — ["epoch"]
+    or ["epoch", "cell"]). Ledger tables (matches/verdicts — ids and
+    booleans only, no content) are deliberately NOT passed: they are
+    history.
+
+    Layout rules this helper enforces:
+    - an `epoch=N` directory is NEVER deleted (it is the commit /
+      numbering marker); a fully-forgotten epoch-level partition is
+      overwritten with an EMPTY table instead, and for (epoch, cell)
+      tables only the cell subdirectories are removed;
+    - affected partitions are backed up to `__forget_backup` first
+      (built under __tmp, renamed in when complete), the caller's
+      add_batch refuses while the backup exists, tombstones drop
+      LAST — every crash window rolls back via
+      `_recover_forget_backup_dirs` and a re-run converges;
+    - detection is ONE scan per table (left-join dead flag, paired
+      counts per partition — bounded driver collects at one row per
+      partition).
+
+    Must not run concurrently with add_batch; local store_dir only."""
+    import os
+    import shutil
+
+    from ..catalog import tombstones
+
+    local_store = fsio.as_local(store_dir, purpose)
+    _recover_forget_backup_dirs(local_store)
+    if not tombstones.exists(tomb_dir):
+        return {"purged_rows": 0, "dropped_tombstone_batches": 0}
+    n_batches = len(tombstones.batch_ids(tomb_dir))
+    cuts = tombstones.cuts(spark, tomb_dir, id_col, id_type)
+    plans = {}
+    total_dead = 0
+    for t, (schema, pcols) in tables.items():
+        base = fsio.join(store_dir, t)
+        if not _epoch_dirs(base):
+            continue
+        pschema = ", ".join(f"{c} int" for c in pcols)
+        df = (
+            spark.read.schema(f"{schema}, {pschema}")
+            .option("basePath", base)
+            .parquet(base)
+        )
+        per_part = (
+            df.join(cuts, F.col(id_col) == F.col("_del_id"), "left")
+            .groupBy(*pcols)
+            .agg(
+                F.count("*").alias("_total"),
+                F.sum(
+                    (
+                        F.col("_del_cut").isNotNull()
+                        & (F.col("epoch") <= F.col("_del_cut"))
+                    ).cast("long")
+                ).alias("_dead"),
+            )
+            .collect()
+        )
+        stats = {
+            tuple(int(r[c]) for c in pcols): (
+                int(r["_total"]),
+                int(r["_dead"] or 0),
+            )
+            for r in per_part
+        }
+        affected = sorted(p for p, (_, d) in stats.items() if d > 0)
+        if affected:
+            plans[t] = (base, schema, pcols, affected, stats)
+            total_dead += sum(stats[p][1] for p in affected)
+    if not plans:
+        fsio.delete_dir(tomb_dir)
+        return {"purged_rows": 0, "dropped_tombstone_batches": n_batches}
+
+    def part_rel(pcols, p):
+        return os.path.join(*(f"{c}={v}" for c, v in zip(pcols, p)))
+
+    backup = os.path.join(local_store, "__forget_backup")
+    shutil.rmtree(backup, ignore_errors=True)
+    shutil.rmtree(backup + "__tmp", ignore_errors=True)
+    os.makedirs(backup + "__tmp")
+    for t, (base, _s, pcols, affected, _st) in plans.items():
+        for p in affected:
+            src = os.path.join(local_store, t, part_rel(pcols, p))
+            if os.path.isdir(src):
+                shutil.copytree(
+                    src,
+                    os.path.join(backup + "__tmp", t, part_rel(pcols, p)),
+                )
+    os.rename(backup + "__tmp", backup)
+    # rewrite tables in the dict's declaration order — callers pass
+    # their add_batch write order so every crash point leaves the
+    # commit-marker table covered
+    for t, (base, schema, pcols, affected, stats) in plans.items():
+        pschema = ", ".join(f"{c} int" for c in pcols)
+        live_parts = [p for p in affected if stats[p][0] > stats[p][1]]
+        dead_parts = [p for p in affected if stats[p][0] == stats[p][1]]
+        if live_parts:
+            df = (
+                spark.read.schema(f"{schema}, {pschema}")
+                .option("basePath", base)
+                .parquet(
+                    *[f"{base}/{part_rel(pcols, p)}" for p in live_parts]
+                )
+            )
+            tombstones.live_view(
+                df, spark, tomb_dir, id_col, id_type
+            ).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy(*pcols).parquet(base)
+        for p in dead_parts:
+            if len(pcols) == 1:
+                # epoch-level partition: empty overwrite, never a
+                # delete — the epoch dir is the commit marker
+                spark.createDataFrame([], schema).write.mode(
+                    "overwrite"
+                ).parquet(f"{base}/{part_rel(pcols, p)}")
+            else:
+                # sub-partition (cell) dirs can go; the epoch dir
+                # above them stays (explicit-schema reads handle a
+                # cell-less epoch dir)
+                shutil.rmtree(
+                    os.path.join(local_store, t, part_rel(pcols, p)),
+                    ignore_errors=True,
+                )
+    shutil.rmtree(backup, ignore_errors=True)
+    # tombstones drop LAST — a crash above leaves them filtering the
+    # (already-purged) view to the same rows
+    fsio.delete_dir(tomb_dir)
+    return {
+        "purged_rows": int(total_dead),
+        "dropped_tombstone_batches": n_batches,
+    }
+
+
+def _forget_ids(
+    spark,
+    epochs: list[int],
+    tomb_dir: str,
+    ids: DataFrame,
+    id_col: str,
+    out_id_col: str,
+    id_type: str,
+    batch: int | None,
+    epoch_cut: int | None,
+) -> dict:
+    """Shared forget/delete marker write for the dedup-family indexes
+    (validation + numbering on catalog/tombstones.py semantics)."""
+    from ..catalog import tombstones
+
+    if not epochs:
+        return {"tombstoned_ids": 0, "epoch_cut": None, "batch": None}
+    hw = tombstones.high_water(spark, tomb_dir, epochs, out_id_col, id_type)
+    cut = int(epochs[-1]) if epoch_cut is None else int(epoch_cut)
+    if not 0 <= cut <= hw:
+        raise ValueError(
+            f"epoch_cut={cut} outside the store's epoch log [0, {hw}] "
+            "— a cut above the newest epoch would kill future batches"
+        )
+    if batch is None:
+        batch = tombstones.next_user_batch(tomb_dir)
+    batch = int(batch)
+    n = tombstones.write_batch(
+        tomb_dir, ids, id_col, out_id_col, id_type, cut, batch
+    )
+    return {"tombstoned_ids": n, "epoch_cut": cut, "batch": batch}
 
 
 class IncrementalDedupIndex:
@@ -589,189 +884,54 @@ class IncrementalDedupIndex:
         stays >= 0, explicit epoch_cut must sit inside the log's
         high water). Maintenance op — not concurrent with
         add_batch."""
-        from ..catalog import tombstones
-
         # same boundary guard as build/add_batch: a string id dies
         # mid-write with an opaque ANSI cast error, and a double id
         # would truncate under ANSI and tombstone the WRONG document
         # — forget is the compliance-critical verb (judged review,
         # round 11, forget pass)
         _require_integral_id(ids, id_col, "IncrementalDedupIndex.forget")
-        eps = self._epochs(self.prefix_dir)
-        if not eps:
-            return {"tombstoned_ids": 0, "epoch_cut": None, "batch": None}
-        hw = tombstones.high_water(
-            self.spark, self.tombstones_dir, eps, "doc_id", "long"
+        return _forget_ids(
+            self.spark,
+            self._epochs(self.prefix_dir),
+            self.tombstones_dir,
+            ids,
+            id_col,
+            "doc_id",
+            "long",
+            batch,
+            epoch_cut,
         )
-        cut = int(eps[-1]) if epoch_cut is None else int(epoch_cut)
-        if not 0 <= cut <= hw:
-            raise ValueError(
-                f"epoch_cut={cut} outside the store's epoch log "
-                f"[0, {hw}] — a cut above the newest epoch would "
-                "kill future batches"
-            )
-        if batch is None:
-            batch = tombstones.next_user_batch(self.tombstones_dir)
-        batch = int(batch)
-        n = tombstones.write_batch(
-            self.tombstones_dir, ids, id_col, "doc_id", "long", cut, batch
-        )
-        return {"tombstoned_ids": n, "epoch_cut": cut, "batch": batch}
-
-    def _recover_forget_backup(self, local_store: str) -> bool:
-        """Roll a torn forget-purge rewrite back: every backed-up
-        `<table>/epoch=N` dir is restored (the live dir may be
-        missing, partial, or complete — the copy is the pre-rewrite
-        truth either way), then the backup root is dropped. The
-        tombstones are still present, so a re-run re-detects and
-        converges. A `__tmp` sibling (crash mid-copy — live dirs
-        untouched) is simply discarded."""
-        import os
-        import shutil
-
-        backup = os.path.join(local_store, "__forget_backup")
-        shutil.rmtree(backup + "__tmp", ignore_errors=True)
-        if not os.path.isdir(backup):
-            return False
-        for table in sorted(os.listdir(backup)):
-            for ep_name in sorted(os.listdir(os.path.join(backup, table))):
-                live = os.path.join(local_store, table, ep_name)
-                shutil.rmtree(live, ignore_errors=True)
-                os.makedirs(os.path.dirname(live), exist_ok=True)
-                os.rename(os.path.join(backup, table, ep_name), live)
-        shutil.rmtree(backup, ignore_errors=True)
-        return True
 
     def purge_forgotten(self) -> dict:
         """Physically apply forget tombstones: rewrite every docs/
         sigs/prefix epoch directory holding forgotten rows to its
-        live subset (per-epoch granularity — these tables have no
-        finer partitioning), then drop the spent tombstones. The
-        verdicts ledger is deliberately untouched (forget documents
-        why). A fully-forgotten epoch is overwritten with an EMPTY
-        table rather than removed: `prefix/epoch=N` is the commit
-        marker `verdicts()` keys off, and deleting it would un-commit
-        the epoch and hide its (historical) verdicts.
-
-        Crash-safe under the ANN purge's discipline: affected dirs
-        are copied to `__forget_backup` first (built under a __tmp
-        name, renamed in only when complete), `add_batch` refuses
-        while the backup exists, tombstones drop LAST, and a re-run
-        after any crash converges. `compact` runs this BEFORE its
-        epoch merge — the cut comparison reads the epoch the merge
-        renumbers. Must not run concurrently with add_batch; local
-        store_dir only (same rule as compact)."""
-        import os
-        import shutil
-
-        from ..catalog import tombstones
-
-        local_store = fsio.as_local(
-            self.store_dir, "dedup-index forget purge"
+        live subset, then drop the spent tombstones (ONE shared
+        implementation, `_purge_forgotten_tables` — see its docstring
+        for the backup/rollback, empty-overwrite commit-marker, and
+        tombstones-drop-last discipline). The verdicts ledger is
+        deliberately untouched (forget documents why). `compact` runs
+        this BEFORE its epoch merge — the cut comparison reads the
+        epoch numbering the merge rewrites. Must not run concurrently
+        with add_batch; local store_dir only (same rule as
+        compact)."""
+        return _purge_forgotten_tables(
+            self.spark,
+            self.store_dir,
+            self.tombstones_dir,
+            # add_batch's write order (docs -> sigs -> prefix): every
+            # crash point leaves prefixes covered by docs+sigs
+            {
+                "docs": ("doc_id long, text string", ["epoch"]),
+                "sigs": ("doc_id long, _set array<bigint>", ["epoch"]),
+                "prefix": (
+                    "doc_id long, shingle long, _sz long",
+                    ["epoch"],
+                ),
+            },
+            "doc_id",
+            "long",
+            "dedup-index forget purge",
         )
-        self._recover_forget_backup(local_store)
-        if not tombstones.exists(self.tombstones_dir):
-            return {"purged_rows": 0, "dropped_tombstone_batches": 0}
-        n_batches = len(tombstones.batch_ids(self.tombstones_dir))
-        cuts = tombstones.cuts(
-            self.spark, self.tombstones_dir, "doc_id", "long"
-        )
-        tables = {
-            t: s
-            for t, s in self._TABLE_SCHEMAS.items()
-            if t != "verdicts" and self._epochs(fsio.join(self.store_dir, t))
-        }
-        # ONE scan per table: flag dead rows via the cuts join,
-        # aggregate total and dead per epoch together. Bounded driver
-        # collects: one row per epoch per table.
-        plans = {}
-        total_dead = 0
-        for t, schema in tables.items():
-            base = fsio.join(self.store_dir, t)
-            df = (
-                self.spark.read.schema(schema + ", epoch int")
-                .option("basePath", base)
-                .parquet(base)
-            )
-            per_ep = (
-                df.join(
-                    cuts, F.col("doc_id") == F.col("_del_id"), "left"
-                )
-                .groupBy("epoch")
-                .agg(
-                    F.count("*").alias("_total"),
-                    F.sum(
-                        (
-                            F.col("_del_cut").isNotNull()
-                            & (F.col("epoch") <= F.col("_del_cut"))
-                        ).cast("long")
-                    ).alias("_dead"),
-                )
-                .collect()
-            )
-            stats = {
-                int(r["epoch"]): (int(r["_total"]), int(r["_dead"] or 0))
-                for r in per_ep
-            }
-            affected = sorted(e for e, (_, d) in stats.items() if d > 0)
-            if affected:
-                plans[t] = (base, schema, affected, stats)
-                total_dead += sum(stats[e][1] for e in affected)
-        if not plans:
-            fsio.delete_dir(self.tombstones_dir)
-            return {
-                "purged_rows": 0,
-                "dropped_tombstone_batches": n_batches,
-            }
-        # back up EVERY affected dir across all tables under one root
-        # before any rewrite (complete-or-absent via __tmp + rename)
-        backup = os.path.join(local_store, "__forget_backup")
-        shutil.rmtree(backup, ignore_errors=True)
-        shutil.rmtree(backup + "__tmp", ignore_errors=True)
-        os.makedirs(backup + "__tmp")
-        for t, (base, _, affected, _) in plans.items():
-            for e in affected:
-                src = os.path.join(local_store, t, f"epoch={e}")
-                if os.path.isdir(src):
-                    shutil.copytree(
-                        src,
-                        os.path.join(backup + "__tmp", t, f"epoch={e}"),
-                    )
-        os.rename(backup + "__tmp", backup)
-        # rewrite in add_batch's write order (docs -> sigs -> prefix)
-        # so every crash point leaves prefixes covered by docs+sigs
-        for t in ("docs", "sigs", "prefix"):
-            if t not in plans:
-                continue
-            base, schema, affected, stats = plans[t]
-            live_eps = [e for e in affected if stats[e][0] > stats[e][1]]
-            dead_eps = [e for e in affected if stats[e][0] == stats[e][1]]
-            if live_eps:
-                df = (
-                    self.spark.read.schema(schema + ", epoch int")
-                    .option("basePath", base)
-                    .parquet(*[f"{base}/epoch={e}" for e in live_eps])
-                )
-                tombstones.live_view(
-                    df, self.spark, self.tombstones_dir, "doc_id", "long"
-                ).write.mode("overwrite").option(
-                    "partitionOverwriteMode", "dynamic"
-                ).partitionBy("epoch").parquet(base)
-            for e in dead_eps:
-                # empty overwrite, never a delete: prefix/epoch=N is
-                # the commit marker (schema-pinned reads handle the
-                # zero-file dir either way)
-                self.spark.createDataFrame([], schema).write.mode(
-                    "overwrite"
-                ).parquet(f"{base}/epoch={e}")
-        shutil.rmtree(backup, ignore_errors=True)
-        # tombstones drop LAST — a crash above leaves them filtering
-        # the (already-purged) view to the same rows
-        fsio.delete_dir(self.tombstones_dir)
-        return {
-            "purged_rows": int(total_dead),
-            "dropped_tombstone_batches": n_batches,
-        }
 
     def verdicts(self) -> DataFrame:
         # only epochs whose prefix commit marker exists: a crash mid-
@@ -977,6 +1137,7 @@ class SemanticDedupIndex:
         self.store_dir = store_dir
         self.cells_dir = fsio.join(store_dir, "cells")
         self.verdicts_dir = fsio.join(store_dir, "verdicts")
+        self.tombstones_dir = fsio.join(store_dir, "tombstones")
         self.meta_path = fsio.join(store_dir, "index_meta.json")
         self.threshold = float(threshold)
         # arrow_pairs=False selects the AQE-splittable expression join
@@ -1063,10 +1224,29 @@ class SemanticDedupIndex:
         the batch. Batch epochs start at 1 (0 is the seed); explicit
         epochs replay idempotently — the foreachBatch wrapper passes
         epoch_id + 1."""
+        from ..catalog import tombstones
+
         meta = self._meta()
+        if fsio.exists(fsio.join(self.store_dir, "__forget_backup")):
+            raise ValueError(
+                f"{self.store_dir} has a torn forget-purge rewrite "
+                "(__forget_backup present) — history rows may be "
+                "missing; run purge_forgotten or compact to roll "
+                "back before indexing"
+            )
         if epoch is None:
-            eps = _epoch_dirs(self.cells_dir)
-            epoch = (eps[-1] + 1) if eps else 1
+            # cuts-aware numbering (catalog/tombstones.py)
+            epoch = max(
+                1,
+                tombstones.high_water(
+                    self.spark,
+                    self.tombstones_dir,
+                    _epoch_dirs(self.cells_dir),
+                    "vec_id",
+                    meta.get("id_type", "bigint"),
+                )
+                + 1,
+            )
         epoch = int(epoch)
         if epoch < 1:
             raise ValueError(
@@ -1084,10 +1264,19 @@ class SemanticDedupIndex:
         ]
         id_t = meta.get("id_type", "bigint")
         if hist_dirs:
+            # forgotten vectors anti-joined out before the pairwise
+            # stage (round 11 takedowns — the live view reads the
+            # basePath-exposed epoch partition column)
             hist = (
-                self.spark.read.option("basePath", self.cells_dir)
-                .parquet(*hist_dirs)
-                .where(F.col("cell").isin(batch_cells))
+                tombstones.live_view(
+                    self.spark.read.option("basePath", self.cells_dir)
+                    .parquet(*hist_dirs)
+                    .where(F.col("cell").isin(batch_cells)),
+                    self.spark,
+                    self.tombstones_dir,
+                    "vec_id",
+                    id_t,
+                )
                 .select("vec_id", "vec", "norm", "cell")
             )
         else:
@@ -1163,13 +1352,68 @@ class SemanticDedupIndex:
         )
 
     # -- maintenance ------------------------------------------------------
+    def forget(
+        self,
+        ids: DataFrame,
+        id_col: str = "vec_id",
+        batch: int | None = None,
+        epoch_cut: int | None = None,
+    ) -> dict:
+        """Takedown (round 11 — the dedup-family forget verb, shared
+        catalog/tombstones.py epoch-cut markers): future batches no
+        longer verdict against the forgotten vectors, and
+        `purge_forgotten`/`compact` physically drop their (vec, norm)
+        rows from the cells table. The verdicts LEDGER — ids and
+        booleans, no vectors — survives as history. Re-indexing the
+        id in a later epoch resurrects. Maintenance op — not
+        concurrent with add_batch."""
+        meta = self._meta()
+        return _forget_ids(
+            self.spark,
+            _epoch_dirs(self.cells_dir),
+            self.tombstones_dir,
+            ids,
+            id_col,
+            "vec_id",
+            meta.get("id_type", "bigint"),
+            batch,
+            epoch_cut,
+        )
+
+    def purge_forgotten(self) -> dict:
+        """Physically drop forgotten vectors from the cells table
+        (ONE shared implementation, `_purge_forgotten_tables`). The
+        (epoch, cell) partitioning makes the rewrite cell-granular;
+        epoch dirs survive as commit markers even when fully
+        forgotten (a cell-less epoch dir reads as zero rows under the
+        explicit schemas every consumer uses). The verdicts ledger is
+        history — not passed. `compact` runs this BEFORE its merge."""
+        id_t = self._meta().get("id_type", "bigint")
+        return _purge_forgotten_tables(
+            self.spark,
+            self.store_dir,
+            self.tombstones_dir,
+            {
+                "cells": (
+                    f"vec_id {id_t}, vec array<double>, norm double",
+                    ["epoch", "cell"],
+                )
+            },
+            "vec_id",
+            id_t,
+            "semantic-index forget purge",
+        )
+
     def compact(self, target_file_bytes: int = 128 << 20) -> dict:
         """Replay-safe epoch compaction (epochs.compact_tables): cells
         keep their `cell` partitioning through the merge so the
         candidate scan's pruning survives; the highest epoch is never
-        absorbed. Must not run concurrently with add_batch; local
-        store only."""
-        return epochlib.compact_tables(
+        absorbed. Forgotten vectors are physically dropped FIRST
+        (`purge_forgotten` — the epoch-cut comparison reads the
+        numbering this merge rewrites). Must not run concurrently
+        with add_batch; local store only."""
+        purge = self.purge_forgotten()
+        out = epochlib.compact_tables(
             self.spark,
             fsio.as_local(self.store_dir, "semantic-index compaction"),
             # schema=None: id type follows the corpus
@@ -1178,6 +1422,8 @@ class SemanticDedupIndex:
             target_file_bytes=target_file_bytes,
             partition_cols={"cells": "cell"},
         )
+        out["purge"] = purge
+        return out
 
 
 def start_streaming_semantic_dedup(
