@@ -415,3 +415,46 @@ class TestUpsertReviewFixes:
             stream, idx2, str(tmp_path / "ckpt3"), mode="append"
         )
         q.stop()
+
+    def test_stream_ledger_same_checkpoint_different_spelling(
+        self, spark, emb, model, tmp_path
+    ):
+        """The ledger binds the checkpoint as a CANONICAL URI resolved
+        the way Spark resolves checkpointLocation (judged ADVICE r11,
+        low): the same logical checkpoint passed as a relative path,
+        an absolute path, or a file: URI must all be accepted — a
+        spurious refusal would force force_takeover=True, the exact
+        flag that CAN overwrite early epochs when misused."""
+        from zikeiretsu_rs_spark.streaming.ingest import (
+            start_streaming_ann_ingest,
+        )
+
+        p = str(tmp_path / "idx")
+        idx = _build(spark, emb, model, p)
+        src = tmp_path / "src"
+        src.mkdir()
+        _write_batch_file(
+            emb.where(F.col("vec_id") < 0).select("vec_id", "embedding"),
+            tmp_path, src, "b0",
+        )
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        ckpt = str(tmp_path / "ckpt1")
+        q = start_streaming_ann_ingest(stream, idx, ckpt, mode="append")
+        q.stop()
+        for spelling in (
+            os.path.relpath(ckpt, os.getcwd()),
+            "file:" + ckpt,
+        ):
+            q = start_streaming_ann_ingest(
+                stream, idx, spelling, mode="append"
+            )
+            q.stop()
+        # a genuinely different checkpoint still refuses
+        with pytest.raises(ValueError, match="already maintained"):
+            start_streaming_ann_ingest(
+                stream, idx, str(tmp_path / "other"), mode="append"
+            )

@@ -178,6 +178,35 @@ class TestPurgeForgotten:
             (21, True, None),
         ]
 
+    def test_purge_recovers_torn_compaction_swap_first(
+        self, spark, idx, tmp_path
+    ):
+        """A compaction swap that died between its two renames leaves
+        `_old_epoch=N` and no live `epoch=N` — a dir both Spark
+        discovery and _epoch_dirs skip. Purge must roll that forward
+        BEFORE computing the dead set (the ANN twin's discipline,
+        judged ADVICE r11 high): otherwise tombstones whose docs hide
+        in the stranded epoch are dropped unapplied and the content
+        resurrects at the next recover with nothing left to filter
+        it."""
+        p = str(tmp_path / "store")
+        idx.add_batch(_df(spark, B1), epoch=1)
+        idx.forget(_ids_df(spark, [1, 11]))
+        # crash simulation: the docs swap died between its two renames
+        os.rename(
+            os.path.join(p, "docs", "epoch=0"),
+            os.path.join(p, "docs", "_old_epoch=0"),
+        )
+        res = idx.purge_forgotten()
+        assert res["purged_rows"] > 0
+        assert os.path.isdir(os.path.join(p, "docs", "epoch=0"))
+        assert not os.path.isdir(os.path.join(p, "docs", "_old_epoch=0"))
+        assert not os.path.isdir(os.path.join(p, "tombstones"))
+        docs = spark.read.schema("doc_id long, text string").parquet(
+            os.path.join(p, "docs")
+        )
+        assert docs.where(F.col("doc_id").isin([1, 11])).count() == 0
+
     def test_torn_purge_add_batch_refuses_then_recovers(
         self, spark, idx, tmp_path
     ):
@@ -388,6 +417,20 @@ class TestSemanticForget:
         v2 = spark.createDataFrame(VB2, "vec_id long, embedding array<double>")
         got = sorted(map(tuple, sidx.add_batch(v2, epoch=3).collect()))
         assert got == [(20, 1, False)]
+
+    def test_forget_rejects_lossy_id_cast(self, spark, sidx):
+        """The shared write_batch guard (judged ADVICE r11, low):
+        SemanticDedupIndex has no _require_integral_id wrapper, so a
+        double id would ANSI-truncate inside the tombstone write and
+        kill the WRONG vector while reporting success. The marker
+        layer itself must refuse the lossy cast."""
+        with pytest.raises(TypeError, match="losslessly"):
+            sidx.forget(spark.createDataFrame([(1.9,)], "vec_id double"))
+        # and NULL ids match nothing in the anti-join — refuse too
+        with pytest.raises(TypeError, match="losslessly"):
+            sidx.forget(
+                spark.createDataFrame([(None,)], "vec_id bigint")
+            )
 
     def test_compact_purges_first(self, spark, sidx, tmp_path):
         p = str(tmp_path / "sem")

@@ -69,7 +69,39 @@ def write_batch(
 ) -> int:
     """Write one tombstone batch (idempotent per-batch overwrite) and
     return the number of distinct ids tombstoned. The count reads the
-    WRITTEN rows, so the ids plan evaluates exactly once (the write)."""
+    WRITTEN rows, so the ids plan evaluates exactly once (the write).
+
+    The id column must survive the cast to the store's id_type
+    LOSSLESSLY (judged ADVICE r11, low): a silently mismatched column
+    would yield NULL ids (which match nothing in the live-view
+    anti-join) or a truncated value that tombstones the WRONG id —
+    while the returned count still reported success on a
+    compliance-critical delete. Enforced here so all four takedown
+    verbs (IvfpqLakeIndex.delete and the three dedup-family forget()s)
+    inherit the guard: every id must be non-null and round-trip
+    id_type -> source type unchanged, else this raises before any
+    marker lands. Cost: one extra job over the (small) ids side."""
+    src_type = ids.schema[id_col].dataType.simpleString()
+    bad = (
+        ids.select(
+            F.col(id_col).alias("_src"),
+            F.col(id_col).cast(id_type).alias("_dst"),
+        )
+        .where(
+            F.col("_src").isNull()
+            | ~F.col("_dst").cast(src_type).eqNullSafe(F.col("_src"))
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise TypeError(
+            f"tombstone id column {id_col!r} ({src_type}) does not "
+            f"cast losslessly to the store's id type {id_type}: e.g. "
+            f"{bad[0]['_src']!r} -> {bad[0]['_dst']!r} — a silent "
+            "NULL/truncated marker would miss (or kill the wrong) "
+            "id while the delete reports success"
+        )
     batch_dir = f"{tomb_dir}/batch={int(batch)}"
     ids.select(
         F.col(id_col).cast(id_type).alias(out_id_col)

@@ -449,6 +449,18 @@ def _purge_forgotten_tables(
     from ..catalog import tombstones
 
     local_store = fsio.as_local(store_dir, purpose)
+    # roll BOTH torn-rewrite classes back before computing the dead
+    # set — the ANN twin's discipline (purge_deleted): a compaction
+    # swap that died between its two renames leaves `_old_epoch=N`
+    # with no live sibling, which Spark discovery AND _epoch_dirs
+    # both skip. compact() runs this purge BEFORE epochs.compact_tables
+    # (whose recover() would roll the epoch forward), so without this
+    # the dead-set scan sees zero dead rows for docs hiding in the
+    # stranded epoch, drops the tombstone tree last, and the next
+    # recover() resurrects forgotten content with nothing left to
+    # filter it (judged ADVICE r11, high).
+    for t in tables:
+        epochlib.recover(os.path.join(local_store, t))
     _recover_forget_backup_dirs(local_store)
     if not tombstones.exists(tomb_dir):
         return {"purged_rows": 0, "dropped_tombstone_batches": 0}
