@@ -25,9 +25,10 @@ Invariants pinned here:
 - purge is physical (dead ids gone from the codes parquet, fully-dead
   partitions removed, tombstone tree dropped) and probe-invisible:
   results before and after purge are identical rows;
-- purge re-runs converge; a torn purge rewrite (surviving
-  codes__refresh_backup) makes probe refuse and rolls back on the
-  next purge, converging to the same final state;
+- purge re-runs converge; while a purge rewrite's backup survives
+  (healthy in-flight or torn) probe serves the pre-rewrite SNAPSHOT
+  (backup ∪ untouched partitions — bit-identical results, round 12)
+  and the next purge rolls back, converging to the same final state;
 - compact purges BEFORE the merge, so epoch renumbering never meets a
   live tombstone and deleted rows cannot resurrect through
   compaction;
@@ -240,13 +241,18 @@ class TestPurge:
         alive = _ids(idx.probe(queries, k=5, nprobe=N_CELLS))
         assert not (alive & dead)
 
-    def test_torn_purge_rewrite_probe_refuses_then_recovers(
+    def test_torn_purge_rewrite_probe_serves_snapshot_then_recovers(
         self, spark, emb, cents, tmp_path
     ):
         """A surviving codes__refresh_backup (crash inside the
-        partition rewrite's job commit) must make probe refuse loudly
-        — rows may be physically MISSING — and the next purge must
-        roll back and converge to the same final state."""
+        partition rewrite's job commit, or a HEALTHY rewrite still in
+        flight) no longer makes probe refuse (round 12): the backup
+        is by construction a complete pre-rewrite truth for the
+        replaced partitions, so probe serves the snapshot — backup ∪
+        untouched live partitions — and returns BIT-IDENTICAL
+        pre-rewrite results even while rows are physically missing
+        from the live tree. The next purge still rolls back and
+        converges to the same final state."""
         import shutil
 
         idx, p = _build_percell(spark, emb, cents, tmp_path)
@@ -270,11 +276,38 @@ class TestPurge:
             os.path.join(backup, "epoch=0", victim_dir),
         )
         shutil.rmtree(os.path.join(codes, "epoch=0", victim_dir))
-        with pytest.raises(ValueError, match="refresh_backup"):
-            idx.probe(queries, k=5, nprobe=N_CELLS)
+        # mid-rewrite: the snapshot read is bit-identical pre-rewrite
+        assert _rows(idx.probe(queries, k=5, nprobe=N_CELLS)) == want
         res = idx.purge_deleted()  # rolls back, then applies tombstones
         assert res["purged_rows"] == doomed.count()
         assert _rows(idx.probe(queries, k=5, nprobe=N_CELLS)) == want
+
+
+    def test_probe_snapshot_when_every_partition_replaced(
+        self, spark, emb, cents, tmp_path
+    ):
+        """Worst-case maintenance window: a rewrite that replaces
+        EVERY live partition (e.g. a full-corpus refresh) mid-flight
+        with the live tree already gone. The snapshot is the backup
+        alone — probe (and the refined two-stage probe through it)
+        must return bit-identical pre-rewrite results, not refuse and
+        not probe empty."""
+        import shutil
+
+        idx, p = _build_pq(spark, emb, cents, tmp_path)
+        queries = emb.where(F.col("vec_id") < 6)
+        want = _rows(idx.probe(queries, k=5, nprobe=N_CELLS))
+        want_refined = _rows(
+            idx.probe_refined(queries, emb, k=5, nprobe=N_CELLS)
+        )
+        codes = os.path.join(p, "codes")
+        shutil.copytree(codes, codes + "__refresh_backup")
+        shutil.rmtree(codes)  # the rewrite deleted everything live
+        assert _rows(idx.probe(queries, k=5, nprobe=N_CELLS)) == want
+        assert (
+            _rows(idx.probe_refined(queries, emb, k=5, nprobe=N_CELLS))
+            == want_refined
+        )
 
 
 class TestLifecycleEdges:

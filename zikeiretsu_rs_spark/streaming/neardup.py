@@ -386,27 +386,16 @@ def _recover_forget_backup_dirs(local_store: str) -> bool:
     (the live dir may be missing, partial, or complete — the copy is
     the pre-rewrite truth either way), then the backup root is
     dropped. The tombstones are still present, so a re-run re-detects
-    and converges. A `__tmp` sibling (crash mid-copy — live dirs
-    untouched) is simply discarded. Shared by the three dedup-family
-    indexes (the ANN index has its own codes-tree variant)."""
+    and converges. One shared implementation with the ANN index's
+    codes rollback — `catalog/backup.py` (incl. the judged rule that
+    a stranded `__tmp` is discarded, never restored)."""
     import os
-    import shutil
 
-    backup = os.path.join(local_store, "__forget_backup")
-    shutil.rmtree(backup + "__tmp", ignore_errors=True)
-    if not os.path.isdir(backup):
-        return False
-    for root, dirs, _files in os.walk(backup):
-        # restore at the LEAF partition level: a backed-up dir with no
-        # subdirectories is one partition's files
-        if not dirs:
-            rel = os.path.relpath(root, backup)
-            live = os.path.join(local_store, rel)
-            shutil.rmtree(live, ignore_errors=True)
-            os.makedirs(os.path.dirname(live), exist_ok=True)
-            shutil.move(root, live)
-    shutil.rmtree(backup, ignore_errors=True)
-    return True
+    from ..catalog import backup as backuplib
+
+    return backuplib.recover(
+        local_store, os.path.join(local_store, "__forget_backup")
+    )
 
 
 def _purge_forgotten_tables(
@@ -510,19 +499,17 @@ def _purge_forgotten_tables(
     def part_rel(pcols, p):
         return os.path.join(*(f"{c}={v}" for c, v in zip(pcols, p)))
 
-    backup = os.path.join(local_store, "__forget_backup")
-    shutil.rmtree(backup, ignore_errors=True)
-    shutil.rmtree(backup + "__tmp", ignore_errors=True)
-    os.makedirs(backup + "__tmp")
-    for t, (base, _s, pcols, affected, _st) in plans.items():
-        for p in affected:
-            src = os.path.join(local_store, t, part_rel(pcols, p))
-            if os.path.isdir(src):
-                shutil.copytree(
-                    src,
-                    os.path.join(backup + "__tmp", t, part_rel(pcols, p)),
-                )
-    os.rename(backup + "__tmp", backup)
+    from ..catalog import backup as backuplib
+
+    backup = backuplib.create(
+        local_store,
+        os.path.join(local_store, "__forget_backup"),
+        [
+            os.path.join(t, part_rel(pcols, p))
+            for t, (_b, _s, pcols, affected, _st) in plans.items()
+            for p in affected
+        ],
+    )
     # rewrite tables in the dict's declaration order — callers pass
     # their add_batch write order so every crash point leaves the
     # commit-marker table covered
