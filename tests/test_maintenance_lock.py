@@ -1,0 +1,149 @@
+"""Maintenance/add_batch exclusion enforced with the T5 lockfile
+(round 12, VERDICT r11 item 3).
+
+Every lake-index mutating verb — IvfpqLakeIndex build / add_batch /
+delete / upsert_batch / purge_deleted / refresh_books / compact and
+the dedup family's build / add_batch / forget / purge_forgotten /
+compact — used to carry a prose-only "must not run concurrently with
+add_batch" contract; a violation corrupted silently (interleaved
+epoch numbering, a purge rewrite racing an append). The verbs now
+take `<store>/__maintenance.lock` via `catalog/lockfile.py` (the
+machinery WritableStore's per-metrics writers already trust), so
+concurrent entry fails loudly with the holder's writer id.
+
+Pinned here:
+
+- a held maintenance lock makes every other instance's mutating verb
+  raise AcquireLockError (reads — probe/verdicts — stay lock-free:
+  they are snapshot/anti-join views and never mutate);
+- composite verbs are reentrant per instance (upsert = delete + add,
+  compact = purge + merge + refresh take the lock ONCE), proven by
+  running them under the decorator at all;
+- crashed holders follow the T5 scavenging discipline: only the
+  writer id recorded in the lockfile can remove it
+  (remove_lock_if_same_writer), never a different live writer.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from zikeiretsu_rs_spark.catalog import lockfile
+
+SF_DIR = "/root/testdata/sf0.001"
+M, KSUB, N_CELLS = 8, 8, 4
+
+
+class _OtherProcess:
+    """Stand-in for a different writer (another instance/process):
+    store_mutation_lock keys reentrancy off the owner object, so a
+    distinct owner contends on the real lockfile."""
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _build_ann(spark, emb, path):
+    from zikeiretsu_rs_spark.operators import similarity
+
+    cents = similarity.head_centroids(emb, N_CELLS, "vec_id", "embedding")
+    cb = similarity.pq_codebook(emb, m=M, ksub=KSUB, vec_col="embedding")
+    idx = similarity.IvfpqLakeIndex(spark, path)
+    idx.build(emb, cents, codebook=cb)
+    return idx
+
+
+class TestAnnMaintenanceLock:
+    def test_held_lock_fails_every_mutating_verb_loudly(
+        self, spark, emb, tmp_path
+    ):
+        p = str(tmp_path / "idx")
+        idx = _build_ann(spark, emb, p)
+        batch = emb.where(F.col("vec_id") % 5 == 0)
+        holder = _OtherProcess()
+        with lockfile.store_mutation_lock(holder, p):
+            for verb in (
+                lambda: idx.add_batch(batch),
+                lambda: idx.delete(batch.select("vec_id")),
+                lambda: idx.upsert_batch(batch),
+                lambda: idx.purge_deleted(),
+                lambda: idx.compact(),
+            ):
+                with pytest.raises(
+                    lockfile.AcquireLockError, match="held by writer"
+                ):
+                    verb()
+            # reads stay available while maintenance holds the lock
+            queries = emb.where(F.col("vec_id") < 6)
+            assert idx.probe(queries, k=5, nprobe=N_CELLS).count() > 0
+        # released: the same verbs (incl. the composite upsert, which
+        # nests delete + add under ONE reentrant acquisition) proceed
+        idx.upsert_batch(batch, epoch=1)
+        assert not os.path.exists(
+            lockfile.lockfile_path(p, lockfile.MAINTENANCE_LOCK_NAME)
+        )
+
+    def test_crashed_holder_scavenged_only_by_same_writer(
+        self, spark, emb, tmp_path
+    ):
+        """Crash simulation: the lockfile survives its process. The
+        T5 discipline applies unchanged — a different writer cannot
+        break the lock; the recorded writer id can."""
+        p = str(tmp_path / "idx")
+        idx = _build_ann(spark, emb, p)
+        batch = emb.where(F.col("vec_id") % 5 == 0)
+        path = lockfile.lockfile_path(p, lockfile.MAINTENANCE_LOCK_NAME)
+        with open(path, "w") as f:
+            f.write("crashed-writer-id")
+        with pytest.raises(lockfile.AcquireLockError, match="crashed"):
+            idx.add_batch(batch)
+        assert not lockfile.remove_lock_if_same_writer(
+            p, lockfile.MAINTENANCE_LOCK_NAME, "someone-else"
+        )
+        assert os.path.exists(path)  # a foreign writer cannot break it
+        assert lockfile.remove_lock_if_same_writer(
+            p, lockfile.MAINTENANCE_LOCK_NAME, "crashed-writer-id"
+        )
+        idx.add_batch(batch)  # scavenged: ingest resumes
+
+
+class TestDedupFamilyMaintenanceLock:
+    def test_incremental_dedup_verbs_locked(self, spark, tmp_path):
+        from zikeiretsu_rs_spark.streaming.neardup import (
+            IncrementalDedupIndex,
+        )
+
+        p = str(tmp_path / "store")
+        idx = IncrementalDedupIndex(spark, p, n=3, threshold=0.5)
+        idx.build(
+            spark.createDataFrame(
+                [(1, "alpha beta gamma delta epsilon zeta")],
+                ["doc_id", "text"],
+            )
+        )
+        batch = spark.createDataFrame(
+            [(10, "fresh crawl content with no relatives")],
+            ["doc_id", "text"],
+        )
+        ids = spark.createDataFrame([(1,)], "doc_id long")
+        holder = _OtherProcess()
+        with lockfile.store_mutation_lock(holder, p):
+            for verb in (
+                lambda: idx.add_batch(batch),
+                lambda: idx.forget(ids),
+                lambda: idx.purge_forgotten(),
+                lambda: idx.compact(),
+            ):
+                with pytest.raises(
+                    lockfile.AcquireLockError, match="held by writer"
+                ):
+                    verb()
+            # the id-only ledger read stays available
+            idx.verdicts().count()
+        # released: compact (purge + epoch merge, nested reentrantly)
+        idx.add_batch(batch)
+        idx.forget(ids)
+        idx.compact()

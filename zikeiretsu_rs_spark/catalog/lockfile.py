@@ -115,6 +115,68 @@ def metrics_lock(
             pass
 
 
+MAINTENANCE_LOCK_NAME = "__maintenance"
+
+
+@contextmanager
+def store_mutation_lock(owner, store_dir: str, timeout_sec: float = 0.0):
+    """Mutual exclusion for a lake index store's MUTATING verbs —
+    add_batch / delete / upsert_batch / forget / purge / refresh /
+    compact (round 12, VERDICT r11 item 3). Those verbs' "must not
+    run concurrently with add_batch" contracts used to be prose only;
+    a violated contract corrupts silently (interleaved epoch
+    numbering, a purge rewrite racing an append). This makes the
+    violation fail loudly with the holder's writer id, using the SAME
+    lockfile machinery the warehouse writers already trust (T5):
+    `<store_dir>/__maintenance.lock`, O_CREAT|O_EXCL locally,
+    exists-then-put on object stores.
+
+    Reentrant per `owner` (an index instance): composite verbs take
+    the lock once at the outermost call (upsert = delete + add,
+    compact = purge + merge + refresh), while a different instance or
+    process contends on the real file. The owner carries its writer
+    id for the instance's lifetime (`owner._writer_id`, created here
+    on first use), so the T5 scavenging discipline applies unchanged:
+    a crashed holder's lock is removed by
+    `remove_lock_if_same_writer(store_dir, MAINTENANCE_LOCK_NAME,
+    writer_id)` — never by a different live writer."""
+    depth = getattr(owner, "_store_lock_depth", 0)
+    if depth:
+        owner._store_lock_depth = depth + 1
+        try:
+            yield None
+        finally:
+            owner._store_lock_depth = depth
+        return
+    wid = getattr(owner, "_writer_id", None)
+    if wid is None:
+        wid = owner._writer_id = new_writer_id()
+    owner._store_lock_depth = 1
+    try:
+        with metrics_lock(
+            store_dir, MAINTENANCE_LOCK_NAME, wid, timeout_sec
+        ) as path:
+            yield path
+    finally:
+        owner._store_lock_depth = 0
+
+
+def locked_mutation(fn):
+    """Decorator form of `store_mutation_lock` for index methods: the
+    instance must expose `store_dir`. Keeps the verb bodies untouched
+    — the lock wraps the whole call, releases on any raise, and the
+    per-owner reentrancy lets decorated verbs compose (compact →
+    purge → recover, upsert → delete + add)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with store_mutation_lock(self, self.store_dir):
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 def remove_lock_if_same_writer(db_dir: str, metrics: str, writer_id: str) -> bool:
     """Stale-lock cleanup after a crash: remove the lock only when its
     recorded writer id matches (`remove_local_lock_file_if_same_writer`,

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..catalog.lockfile import locked_mutation
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -3956,6 +3958,7 @@ class IvfpqLakeIndex:
         return codes.join(cells, "neighbor_id")
 
     # -- write ----------------------------------------------------------
+    @locked_mutation
     def build(
         self,
         corpus: DataFrame,
@@ -4151,6 +4154,7 @@ class IvfpqLakeIndex:
             f"{self.codes_dir}/epoch=0"
         )
 
+    @locked_mutation
     def add_batch(
         self,
         vectors: DataFrame,
@@ -4177,6 +4181,7 @@ class IvfpqLakeIndex:
             f"{self.codes_dir}/epoch={epoch}"
         )
 
+    @locked_mutation
     def delete(
         self,
         ids: DataFrame,
@@ -4249,6 +4254,7 @@ class IvfpqLakeIndex:
         )
         return {"tombstoned_ids": n, "epoch_cut": cut, "batch": batch}
 
+    @locked_mutation
     def upsert_batch(
         self,
         vectors: DataFrame,
@@ -4597,6 +4603,7 @@ class IvfpqLakeIndex:
         )
 
     # -- maintenance ------------------------------------------------------
+    @locked_mutation
     def refresh_books(
         self,
         corpus: DataFrame,
@@ -4918,6 +4925,7 @@ class IvfpqLakeIndex:
             [f"epoch={ep}/cell={c}" for ep, c in parts],
         )
 
+    @locked_mutation
     def purge_deleted(self) -> dict:
         """Physically apply tombstones: rewrite every (epoch, cell)
         code partition holding dead rows to its live subset, remove
@@ -5136,6 +5144,7 @@ class IvfpqLakeIndex:
             local_codes, local_codes + "__refresh_backup"
         )
 
+    @locked_mutation
     def compact(
         self,
         target_file_bytes: int = 128 << 20,

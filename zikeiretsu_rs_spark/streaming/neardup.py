@@ -36,6 +36,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..catalog import epochs as epochlib
 from ..catalog import fsio
+from ..catalog.lockfile import locked_mutation
 from ..operators.dedup import minhash_signatures
 
 # single implementation of epoch listing/recovery/swap shared with
@@ -139,6 +140,7 @@ class NearDupIndex:
             df, self.spark, self.tombstones_dir, "doc_id", "long"
         ).drop("epoch")
 
+    @locked_mutation
     def add_batch(
         self,
         docs: DataFrame,
@@ -254,6 +256,7 @@ class NearDupIndex:
             ),
         )
 
+    @locked_mutation
     def forget(
         self,
         ids: DataFrame,
@@ -282,6 +285,7 @@ class NearDupIndex:
             epoch_cut,
         )
 
+    @locked_mutation
     def purge_forgotten(self) -> dict:
         """Physically drop forgotten docs' bucket rows (ONE shared
         implementation, `_purge_forgotten_tables` — backup/rollback,
@@ -305,6 +309,7 @@ class NearDupIndex:
         "buckets": BUCKET_SCHEMA,
     }
 
+    @locked_mutation
     def compact(self, target_file_bytes: int = 128 << 20) -> dict:
         """Merge old bucket/match epochs into the SECOND-highest one
         (catalog/epochs.py discipline — the highest epoch is the only
@@ -684,6 +689,7 @@ class IncrementalDedupIndex:
             df, self.spark, self.tombstones_dir, "doc_id", "long"
         ).drop("epoch")
 
+    @locked_mutation
     def build(
         self, corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> None:
@@ -717,6 +723,7 @@ class IncrementalDedupIndex:
         ).write.mode("overwrite").parquet(f"{self.prefix_dir}/epoch=0")
         dedup.write_prefix_index_meta(self.store_dir, self.n, self.threshold)
 
+    @locked_mutation
     def add_batch(
         self,
         docs: DataFrame,
@@ -853,6 +860,7 @@ class IncrementalDedupIndex:
             batch_sigs.unpersist()
         return self.spark.read.parquet(f"{self.verdicts_dir}/epoch={epoch}")
 
+    @locked_mutation
     def forget(
         self,
         ids: DataFrame,
@@ -901,6 +909,7 @@ class IncrementalDedupIndex:
             epoch_cut,
         )
 
+    @locked_mutation
     def purge_forgotten(self) -> dict:
         """Physically apply forget tombstones: rewrite every docs/
         sigs/prefix epoch directory holding forgotten rows to its
@@ -970,6 +979,7 @@ class IncrementalDedupIndex:
         "verdicts": "doc_id long, is_kept boolean, dup_of long",
     }
 
+    @locked_mutation
     def compact(self, target_file_bytes: int = 128 << 20) -> dict:
         """Merge the committed prefix/docs/verdicts epochs into the
         SECOND-highest epoch, bounding the store's directory and file
@@ -1178,6 +1188,7 @@ class SemanticDedupIndex:
         return assign(vectors, centroids, id_col, vec_col).localCheckpoint()
 
     # -- write ----------------------------------------------------------
+    @locked_mutation
     def build(
         self,
         corpus: DataFrame,
@@ -1211,6 +1222,7 @@ class SemanticDedupIndex:
             f"{self.cells_dir}/epoch=0"
         )
 
+    @locked_mutation
     def add_batch(
         self,
         vectors: DataFrame,
@@ -1351,6 +1363,7 @@ class SemanticDedupIndex:
         )
 
     # -- maintenance ------------------------------------------------------
+    @locked_mutation
     def forget(
         self,
         ids: DataFrame,
@@ -1379,6 +1392,7 @@ class SemanticDedupIndex:
             epoch_cut,
         )
 
+    @locked_mutation
     def purge_forgotten(self) -> dict:
         """Physically drop forgotten vectors from the cells table
         (ONE shared implementation, `_purge_forgotten_tables`). The
@@ -1403,6 +1417,7 @@ class SemanticDedupIndex:
             "semantic-index forget purge",
         )
 
+    @locked_mutation
     def compact(self, target_file_bytes: int = 128 << 20) -> dict:
         """Replay-safe epoch compaction (epochs.compact_tables): cells
         keep their `cell` partitioning through the merge so the
