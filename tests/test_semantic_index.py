@@ -187,3 +187,87 @@ class TestSemanticDedupIndex:
         # batch 1 (epoch 2) triggered compact: [0,1,2] -> [1,2]
         assert _epoch_dirs(idx.cells_dir) == [1, 2]
         assert _rows(idx.verdicts()) == _rows(_one_shot(emb, cents, n // 2))
+
+
+class TestSemanticCdcTakedowns:
+    """The cosine leg of the round-12 takedown feed: the semantic
+    wrapper's mode="cdc" shares _cdc_batch with the incremental
+    wrapper (I/U index the vector, D forgets the id; one epoch-pinned
+    tombstone batch at batch=-epoch, cut=epoch-1)."""
+
+    def test_cdc_feed_indexes_and_forgets_e2e(
+        self, spark, emb, cents, tmp_path
+    ):
+        import os
+        import shutil as sh
+
+        from zikeiretsu_rs_spark.streaming.neardup import (
+            SemanticDedupIndex,
+            start_streaming_semantic_dedup,
+        )
+
+        seed, b1, b2 = _splits(emb)
+        p = str(tmp_path / "sem")
+        idx = SemanticDedupIndex(spark, p, threshold=0.40)
+        idx.build(seed, cents)
+        # ground truth for batch 2 under the takedown: a twin index
+        # whose history simply never held the forgotten ids
+        doomed = [
+            r["vec_id"]
+            for r in b1.select("vec_id").limit(3).collect()
+        ]
+        truth = SemanticDedupIndex(
+            spark, str(tmp_path / "truth"), threshold=0.40
+        )
+        truth.build(seed, cents)
+        truth.add_batch(b1.where(~F.col("vec_id").isin(doomed)), epoch=1)
+        want2 = _rows(truth.add_batch(b2, epoch=2))
+
+        src = tmp_path / "src"
+        src.mkdir()
+        cdc_schema = "vec_id long, embedding array<float>, op string"
+
+        def feed(name, df):
+            staged = tmp_path / f"_stage_{name}"
+            df.coalesce(1).write.mode("overwrite").parquet(str(staged))
+            for f in staged.glob("part-*.parquet"):
+                sh.copy(f, src / f"{name}.parquet")
+
+        feed("b1", b1.withColumn("op", F.lit("I")).select(
+            "vec_id", "embedding", "op"))
+        stream = (
+            spark.readStream.schema(cdc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_streaming_semantic_dedup(
+            stream, idx, str(tmp_path / "ckpt"), mode="cdc"
+        )
+        try:
+            q.processAllAvailable()
+            feed(
+                "b2",
+                spark.createDataFrame(
+                    [(i, None, "D") for i in doomed], cdc_schema
+                ).unionByName(
+                    b2.withColumn("op", F.lit("I")).select(
+                        "vec_id", "embedding", "op"
+                    )
+                ),
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got2 = _rows(
+            spark.read.parquet(f"{p}/verdicts/epoch=2").select(
+                "vec_id", "dup_of", "is_kept"
+            )
+        )
+        assert got2 == want2
+        assert os.path.isdir(os.path.join(p, "tombstones", "batch=-2"))
+        # physical completion through the standing purge path
+        idx.purge_forgotten()
+        cells = spark.read.schema(
+            "vec_id long, vec array<double>, norm double"
+        ).parquet(os.path.join(p, "cells"))
+        assert cells.where(F.col("vec_id").isin(doomed)).count() == 0

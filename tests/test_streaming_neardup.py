@@ -521,3 +521,161 @@ class TestIdTypeGuards:
         inc = IncrementalDedupIndex(spark, str(tmp_path / "inc"))
         with _pytest.raises(TypeError, match="integral id"):
             inc.build(sdocs)
+
+
+class TestStreamingCdcTakedowns:
+    """The takedown feed for the dedup family (round 12 — parity with
+    `start_streaming_ann_ingest(mode="cdc")`): an op-tagged change
+    feed where I/U rows index and D rows forget(), applied at
+    micro-batch boundaries with the ANN wrapper's epoch-pinned replay
+    discipline (ONE tombstone batch=-epoch at cut=epoch-1 covering
+    deletes and the upserts' older versions, then the I/U rows land
+    as `epoch`)."""
+
+    CDC_SCHEMA = "doc_id long, text string, op string"
+
+    def _feed(self, spark, tmp_path, src, name, rows):
+        df = spark.createDataFrame(rows, self.CDC_SCHEMA)
+        staged = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("part-*.parquet"):
+            shutil.copy(f, src / f"{name}.parquet")
+
+    def _start(self, spark, idx, src, ckpt):
+        from zikeiretsu_rs_spark.streaming.neardup import (
+            start_streaming_incremental_dedup,
+        )
+
+        stream = (
+            spark.readStream.schema(self.CDC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return start_streaming_incremental_dedup(
+            stream, idx, str(ckpt), mode="cdc"
+        )
+
+    def test_cdc_feed_indexes_and_forgets_e2e(self, spark, tmp_path):
+        """Two checkpointed micro-batches: batch 1 inserts INC_B1;
+        batch 2 takes down seed doc 1 and batch-1 doc 11 (D rows)
+        while inserting INC_B2. Batch 2's verdicts must equal the
+        one-shot incremental_dedup over the LIVE history (everything
+        indexed minus the forgotten docs) — the forget test's
+        invariant, now driven through a checkpointed stream."""
+        from zikeiretsu_rs_spark.streaming.neardup import (
+            IncrementalDedupIndex,
+        )
+
+        p = str(tmp_path / "store")
+        idx = IncrementalDedupIndex(spark, p, n=3, threshold=0.5)
+        idx.build(spark.createDataFrame(CORPUS, ["doc_id", "text"]))
+        src = tmp_path / "src"
+        src.mkdir()
+        self._feed(
+            spark, tmp_path, src, "b1",
+            [(i, t, "I") for i, t in INC_B1],
+        )
+        q = self._start(spark, idx, src, tmp_path / "ckpt")
+        try:
+            q.processAllAvailable()
+            v1 = {
+                (r["doc_id"], r["is_kept"], r["dup_of"])
+                for r in spark.read.parquet(f"{p}/verdicts/epoch=1").collect()
+            }
+            assert v1 == {(10, False, 1), (11, True, None), (12, False, 11)}
+            self._feed(
+                spark, tmp_path, src, "b2",
+                [(1, None, "D"), (11, None, "D")]
+                + [(i, t, "I") for i, t in INC_B2],
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # epoch-2 verdicts follow the live history {2,3} ∪ {10,12}
+        # (1 and 11 forgotten; dropped docs like 10/12 stay history)
+        got2 = {
+            (r["doc_id"], r["is_kept"], r["dup_of"])
+            for r in spark.read.parquet(f"{p}/verdicts/epoch=2").collect()
+        }
+        live_hist = [r for r in CORPUS + INC_B1 if r[0] not in (1, 11)]
+        flagged = spark.createDataFrame(
+            [(i, t, False) for i, t in live_hist]
+            + [(i, t, True) for i, t in INC_B2],
+            ["doc_id", "text", "_new"],
+        )
+        want2 = {
+            (r["doc_id"], r["is_kept"], r["dup_of"])
+            for r in dedup.incremental_dedup(
+                flagged, "doc_id", "text", "_new", n=3, threshold=0.5
+            ).collect()
+        }
+        assert got2 == want2
+        assert got2 == {(20, False, 2), (21, False, 12), (22, True, None)}
+        # the tombstone batch is epoch-pinned in the reserved negative
+        # namespace (batch=-2, cut=1 — the replay pin)
+        import os
+
+        assert os.path.isdir(os.path.join(p, "tombstones", "batch=-2"))
+        # and the takedown completes physically through the standing
+        # purge path: text/sigs/prefixes of 1 and 11 drop
+        idx.purge_forgotten()
+        docs = spark.read.schema("doc_id long, text string").parquet(
+            os.path.join(p, "docs")
+        )
+        assert docs.where(F.col("doc_id").isin([1, 11])).count() == 0
+
+    def test_cdc_unknown_op_fails_the_batch(self, spark, tmp_path):
+        from zikeiretsu_rs_spark.streaming.neardup import (
+            IncrementalDedupIndex,
+        )
+
+        idx = IncrementalDedupIndex(
+            spark, str(tmp_path / "store"), n=3, threshold=0.5
+        )
+        idx.build(spark.createDataFrame(CORPUS, ["doc_id", "text"]))
+        src = tmp_path / "src"
+        src.mkdir()
+        self._feed(
+            spark, tmp_path, src, "b1",
+            [(i, t, "X") for i, t in INC_B1],
+        )
+        q = self._start(spark, idx, src, tmp_path / "ckpt")
+        import pytest as _pytest
+
+        try:
+            with _pytest.raises(Exception, match="unknown op"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def test_stream_ledger_binds_dedup_store_to_checkpoint(
+        self, spark, tmp_path
+    ):
+        """The one-checkpoint-per-store guard now covers the dedup
+        wrappers too: a fresh checkpoint restarts epoch_ids at 0 and
+        would overwrite early epochs (and in cdc mode write tombstone
+        cuts below live data); rebuild clears the binding."""
+        import pytest as _pytest
+
+        from zikeiretsu_rs_spark.streaming.neardup import (
+            IncrementalDedupIndex,
+        )
+
+        p = str(tmp_path / "store")
+        idx = IncrementalDedupIndex(spark, p, n=3, threshold=0.5)
+        idx.build(spark.createDataFrame(CORPUS, ["doc_id", "text"]))
+        src = tmp_path / "src"
+        src.mkdir()
+        self._feed(
+            spark, tmp_path, src, "b1",
+            [(i, t, "I") for i, t in INC_B1],
+        )
+        q = self._start(spark, idx, src, tmp_path / "ckpt1")
+        q.stop()
+        with _pytest.raises(ValueError, match="already maintained"):
+            self._start(spark, idx, src, tmp_path / "ckpt2")
+        # rebuild clears the binding (and stale tombstones/epochs):
+        # a brand-new checkpoint binds without force_takeover
+        idx.build(spark.createDataFrame(CORPUS, ["doc_id", "text"]))
+        q = self._start(spark, idx, src, tmp_path / "ckpt3")
+        q.stop()

@@ -27,40 +27,6 @@ from ..ingest.writable_store import WritableStore
 from . import neardup
 
 
-def _canonical_checkpoint_uri(spark, checkpoint_dir: str) -> str:
-    """Canonical URI for a checkpointLocation, resolved the way SPARK
-    resolves it — a Hadoop Path qualified against the DEFAULT
-    filesystem's working directory — not the driver cwd (judged
-    ADVICE r11, low): binding os.path.abspath() in the stream ledger
-    spuriously refused the same logical checkpoint passed from a
-    different working directory, and two distinct checkpoints on
-    different filesystems could collide on the same abspath string.
-    Falls back to a file:-scheme abspath when no JVM is reachable
-    (mocked sessions in unit tests)."""
-    import os
-
-    from ..catalog import fsio
-
-    try:
-        jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
-        fs = path.getFileSystem(
-            spark.sparkContext._jsc.hadoopConfiguration()
-        )
-        uri = fs.makeQualified(path).toUri()
-        # compose from components: Hadoop stringifies a null vs empty
-        # authority differently ("file:/x" vs "file:///x") for the
-        # same filesystem location
-        return (
-            f"{uri.getScheme()}://{uri.getAuthority() or ''}"
-            f"{uri.getPath()}"
-        )
-    except Exception:  # noqa: BLE001 — no JVM: normalize locally
-        if fsio.is_uri(checkpoint_dir):
-            return checkpoint_dir
-        return "file://" + os.path.abspath(checkpoint_dir)
-
-
 def start_streaming_ingest(
     stream_df: DataFrame,
     store: WritableStore,
@@ -239,35 +205,14 @@ def start_streaming_ann_ingest(
     one; pass `force_takeover=True` only when the index genuinely
     starts over under the new checkpoint (e.g. right after a
     rebuild), which rebinds the ledger."""
-    import os
-
-    from ..catalog import fsio
+    from . import ledger
 
     if mode not in ("append", "upsert", "cdc"):
         raise ValueError(
             f"mode={mode!r}: pick 'append' (new ids), 'upsert' "
             "(replace-or-add), or 'cdc' (op-tagged change feed)"
         )
-    spark = index.spark
-    ckpt = _canonical_checkpoint_uri(spark, checkpoint_dir)
-    ledger = fsio.join(index.store_dir, "stream_ledger.json")
-    if fsio.exists(ledger) and not force_takeover:
-        # canonicalize the BOUND value too: ledgers written before
-        # round 12 hold a bare abspath — same logical checkpoint,
-        # different string
-        bound = _canonical_checkpoint_uri(
-            spark, fsio.read_json(ledger).get("checkpoint_dir")
-        )
-        if bound != ckpt:
-            raise ValueError(
-                f"{index.store_dir} is already maintained from "
-                f"checkpoint {bound!r}; a fresh checkpoint restarts "
-                "epoch_ids at 0 and would overwrite the index's "
-                "early epochs. Reuse that checkpoint, or pass "
-                "force_takeover=True if the index is genuinely "
-                "starting over under this one."
-            )
-    fsio.write_json_atomic(ledger, {"checkpoint_dir": ckpt})
+    ledger.bind(index.spark, index.store_dir, checkpoint_dir, force_takeover)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         epoch = epoch_id + 1  # 0 is the seed corpus

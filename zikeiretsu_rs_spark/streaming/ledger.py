@@ -1,0 +1,92 @@
+"""One-checkpoint-per-store stream ledger, shared by every streaming
+index wrapper (round 12 — extracted from `streaming/ingest.py` so the
+dedup family's CDC mode inherits the exact guard the ANN wrapper
+proved in round 11).
+
+The streaming wrappers derive index epochs from foreachBatch
+epoch_ids, which restart at 0 under a FRESH checkpoint — driving an
+already-maintained index from a new checkpoint would silently
+OVERWRITE its early epochs (per-epoch overwrite is the replay
+mechanism) and, in the CDC/upsert modes, write epoch-pinned tombstone
+cuts below the live data. The wrapper therefore records its
+checkpoint in `<store>/stream_ledger.json` at start and refuses a
+different one; `force_takeover=True` rebinds only when the index
+genuinely starts over under the new checkpoint (e.g. right after a
+rebuild — the builds clear the ledger for exactly that reason).
+
+Checkpoints are bound as CANONICAL URIs resolved the way Spark
+resolves `checkpointLocation` — a Hadoop Path qualified against the
+DEFAULT filesystem — not the driver cwd (judged ADVICE r11, low):
+binding an abspath spuriously refused the same logical checkpoint
+passed from a different working directory, and two distinct
+checkpoints on different filesystems could collide on one abspath
+string.
+"""
+
+from __future__ import annotations
+
+from ..catalog import fsio
+
+
+def canonical_checkpoint_uri(spark, checkpoint_dir: str) -> str:
+    """Canonical URI for a checkpointLocation (see module docstring).
+    Composed from URI components because Hadoop stringifies a null vs
+    empty authority differently ("file:/x" vs "file:///x") for the
+    same filesystem location. Falls back to a file:-scheme abspath
+    when no JVM is reachable (mocked sessions in unit tests)."""
+    import os
+
+    try:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+        fs = path.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        uri = fs.makeQualified(path).toUri()
+        return (
+            f"{uri.getScheme()}://{uri.getAuthority() or ''}"
+            f"{uri.getPath()}"
+        )
+    except Exception:  # noqa: BLE001 — no JVM: normalize locally
+        if fsio.is_uri(checkpoint_dir):
+            return checkpoint_dir
+        return "file://" + os.path.abspath(checkpoint_dir)
+
+
+def bind(
+    spark,
+    store_dir: str,
+    checkpoint_dir: str,
+    force_takeover: bool = False,
+) -> None:
+    """Record (or validate) the store's checkpoint binding; raises
+    ValueError when a DIFFERENT checkpoint tries to drive the store
+    without force_takeover."""
+    ckpt = canonical_checkpoint_uri(spark, checkpoint_dir)
+    ledger = fsio.join(store_dir, "stream_ledger.json")
+    if fsio.exists(ledger) and not force_takeover:
+        # canonicalize the BOUND value too: ledgers written before
+        # round 12 hold a bare abspath — same logical checkpoint,
+        # different string
+        bound = canonical_checkpoint_uri(
+            spark, fsio.read_json(ledger).get("checkpoint_dir")
+        )
+        if bound != ckpt:
+            raise ValueError(
+                f"{store_dir} is already maintained from checkpoint "
+                f"{bound!r}; a fresh checkpoint restarts epoch_ids "
+                "at 0 and would overwrite the index's early epochs. "
+                "Reuse that checkpoint, or pass force_takeover=True "
+                "if the index is genuinely starting over under this "
+                "one."
+            )
+    fsio.write_json_atomic(ledger, {"checkpoint_dir": ckpt})
+
+
+def clear(store_dir: str) -> None:
+    """Drop the binding — rebuilds call this: the rebuilt index
+    legitimately starts over, so the next wrapper binds a fresh
+    checkpoint without force_takeover."""
+    ledger = fsio.join(store_dir, "stream_ledger.json")
+    if fsio.exists(ledger):
+        fsio.delete(ledger)

@@ -695,10 +695,28 @@ class IncrementalDedupIndex:
     ) -> None:
         """Index the immutable seed corpus as epoch 0 and freeze the
         shingle order. The corpus itself is never deduped (the batch
-        rule never drops old documents)."""
+        rule never drops old documents).
+
+        Rebuild-in-place is a clean slate (round 12 — the
+        IvfpqLakeIndex rebuild contract applied here): old epochs are
+        statements about the OLD shingle order, surviving forget
+        tombstones (cut >= 0) would silently kill the NEW seed's
+        docs, the verdicts ledger references epoch numbering that
+        restarts, and the stream ledger's checkpoint binding is stale
+        — all cleared before the new epoch 0 lands."""
+        from . import ledger
         from ..operators import dedup
 
         _require_integral_id(corpus, id_col, "IncrementalDedupIndex.build")
+        for d in (
+            self.prefix_dir,
+            self.sigs_dir,
+            self.docs_dir,
+            self.verdicts_dir,
+            self.tombstones_dir,
+        ):
+            fsio.delete_dir(d)
+        ledger.clear(self.store_dir)
         base = corpus.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
@@ -1035,14 +1053,71 @@ class IncrementalDedupIndex:
         return out
 
 
+def _cdc_batch(
+    index,
+    batch_df: DataFrame,
+    epoch: int,
+    id_col: str,
+    payload_cols: list[str],
+    op_col: str,
+) -> None:
+    """ONE micro-batch of an op-tagged change feed against a
+    dedup-family index (round 12 — parity with the ANN wrapper's
+    `start_streaming_ann_ingest(mode="cdc")`, same epoch-pinned
+    replay discipline): validate ops (I/U upsert the row, D forgets
+    the id; unknown values raise — a silently dropped change is a
+    correctness hole), write ONE tombstone batch covering the deleted
+    AND upserted ids (batch=-epoch in the reserved negative
+    namespace, cut=epoch-1 — kill every older version, touch nothing
+    newer), then index the I/U rows as `epoch`. Both halves are
+    pinned to the epoch, so a foreachBatch redelivery — even one
+    whose first delivery crashed between the two writes — rewrites
+    bit-identical state. The batch is persisted: the op validation,
+    the forget, and the verdict/index write would otherwise each
+    re-scan the micro-batch's source files."""
+    batch_df.persist()
+    try:
+        bad = [
+            r[op_col]
+            # bounded: one row per distinct op value
+            for r in batch_df.select(op_col).distinct().collect()
+            if r[op_col] not in ("I", "U", "D")
+        ]
+        if bad:
+            raise ValueError(
+                f"cdc batch (epoch {epoch}) carries unknown op "
+                f"values {bad} (expected I/U/D) — refusing to drop "
+                "changes silently"
+            )
+        index.forget(
+            batch_df.select(id_col),
+            id_col=id_col,
+            batch=-epoch,
+            epoch_cut=epoch - 1,
+        )
+        index.add_batch(
+            batch_df.where(F.col(op_col) != "D").select(
+                id_col, *payload_cols
+            ),
+            id_col,
+            *payload_cols,
+            epoch=epoch,
+        )
+    finally:
+        batch_df.unpersist()
+
+
 def start_streaming_incremental_dedup(
     stream_docs: DataFrame,
     index: IncrementalDedupIndex,
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "append",
+    op_col: str = "op",
     trigger_seconds: int | None = None,
     compact_every: int | None = None,
+    force_takeover: bool = False,
 ) -> StreamingQuery:
     """Streaming form of the exact incremental-dedup rule: each
     micro-batch is verdict'd against the lake prefix index (seed
@@ -1052,10 +1127,44 @@ def start_streaming_incremental_dedup(
     foreachBatch epoch_ids start at 0, which is reserved for the seed
     corpus — add_batch shifts them up by one. `compact_every=N` runs
     the index's replay-safe compaction after every Nth batch (see
-    _maybe_compact)."""
+    _maybe_compact).
+
+    Modes (round 12 — takedown-feed parity with the ANN wrapper):
+    - "append": plain document batches, each indexed as one epoch.
+    - "cdc": op-tagged change feed (`op_col` of "I"/"U" index the
+      row, "D" forgets the id — text_col may be null on D rows).
+      Each batch is ONE epoch-pinned forget (batch=-epoch,
+      cut=epoch-1, covering deletes and the upserts' older versions)
+      plus one add of the I/U rows — see _cdc_batch for the replay
+      discipline. The seed corpus (epoch 0) guarantees the cut is
+      always inside the epoch log, so replays are bit-identical from
+      the first batch. (NearDupIndex keeps an append-only wrapper:
+      it has no seed epoch, so a first-batch cut would sit outside
+      its log; take down its triage history out-of-band via
+      `forget()`.)
+
+    One checkpoint per store (streaming/ledger.py): epochs derive
+    from foreachBatch epoch_ids, so a FRESH checkpoint would restart
+    numbering and overwrite early epochs (and in cdc mode write cuts
+    below live data); the wrapper binds checkpoint_dir in the store's
+    stream ledger and refuses a different one unless
+    `force_takeover=True` (the rebuild path)."""
+    from . import ledger
+
+    if mode not in ("append", "cdc"):
+        raise ValueError(
+            f"mode={mode!r}: pick 'append' (plain batches) or 'cdc' "
+            "(op-tagged change feed with takedowns)"
+        )
+    ledger.bind(index.spark, index.store_dir, checkpoint_dir, force_takeover)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        index.add_batch(batch_df, id_col, text_col, epoch=epoch_id + 1)
+        if mode == "append":
+            index.add_batch(batch_df, id_col, text_col, epoch=epoch_id + 1)
+        else:
+            _cdc_batch(
+                index, batch_df, epoch_id + 1, id_col, [text_col], op_col
+            )
         _maybe_compact(index, epoch_id, compact_every)
 
     writer = stream_docs.writeStream.foreachBatch(process).option(
@@ -1210,8 +1319,16 @@ class SemanticDedupIndex:
                 "id_type": corpus.schema[id_col].dataType.simpleString(),
             },
         )
+        from . import ledger
+
         fsio.delete_dir(self.cells_dir)
         fsio.delete_dir(self.verdicts_dir)
+        # tombstones are statements about the OLD store's epochs (a
+        # surviving cut would kill the rebuild corpus) and the stream
+        # ledger's checkpoint binding is stale — the IvfpqLakeIndex
+        # rebuild contract, applied round 12
+        fsio.delete_dir(self.tombstones_dir)
+        ledger.clear(self.store_dir)
         asn = self._assign(corpus, id_col, vec_col)
         asn.select(
             F.col(id_col).alias("vec_id"),
@@ -1446,8 +1563,11 @@ def start_streaming_semantic_dedup(
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "append",
+    op_col: str = "op",
     trigger_seconds: int | None = None,
     compact_every: int | None = None,
+    force_takeover: bool = False,
 ) -> StreamingQuery:
     """Streaming semantic dedup: each micro-batch of embeddings is
     verdict'd against the lake cell index (seed + all earlier epochs)
@@ -1455,10 +1575,29 @@ def start_streaming_semantic_dedup(
     `start_streaming_incremental_dedup`, completing the streaming
     dedup family. foreachBatch epoch_ids replay idempotently; epoch 0
     is the seed corpus, so batches shift up by one. `compact_every=N`
-    runs the replay-safe compaction in-stream (see _maybe_compact)."""
+    runs the replay-safe compaction in-stream (see _maybe_compact).
+
+    `mode="cdc"` accepts an op-tagged change feed (I/U index the
+    row, D forgets the id) with the same epoch-pinned replay
+    discipline as the incremental wrapper — see _cdc_batch. The
+    stream ledger (streaming/ledger.py) binds one checkpoint per
+    store in both modes."""
+    from . import ledger
+
+    if mode not in ("append", "cdc"):
+        raise ValueError(
+            f"mode={mode!r}: pick 'append' (plain batches) or 'cdc' "
+            "(op-tagged change feed with takedowns)"
+        )
+    ledger.bind(index.spark, index.store_dir, checkpoint_dir, force_takeover)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        index.add_batch(batch_df, id_col, vec_col, epoch=epoch_id + 1)
+        if mode == "append":
+            index.add_batch(batch_df, id_col, vec_col, epoch=epoch_id + 1)
+        else:
+            _cdc_batch(
+                index, batch_df, epoch_id + 1, id_col, [vec_col], op_col
+            )
         _maybe_compact(index, epoch_id, compact_every)
 
     writer = stream_vectors.writeStream.foreachBatch(process).option(
