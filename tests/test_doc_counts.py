@@ -90,3 +90,47 @@ class TestDocCountsHonest:
                 f"{os.path.basename(path)} claims {n} tests; "
                 f"collection finds {collected}"
             )
+
+    def test_bench_quotes_match_committed_artifact(self):
+        """Bench-number honesty (VERDICT r11 'what's wrong' #3: the
+        r11 CHANGES quoted layout/probe timings from a mid-round run
+        instead of the committed artifact — exactly the drift class
+        this gate exists for). Convention: a per-query bench number
+        quoted in the NEWEST CHANGES as `` `name` 1.23 s `` (the row
+        name backticked, the seconds immediately following) must
+        match the newest committed BENCH_r{N}_full.json to the quoted
+        precision. Names not present in the artifact are ignored
+        (prose backticks); historical CHANGES files are exempt."""
+        import json
+
+        newest = _newest_changes()
+        if newest is None:
+            pytest.skip("no CHANGES files")
+        benches = sorted(
+            f
+            for f in os.listdir(REPO)
+            if re.fullmatch(r"BENCH_r\d+_full\.json", f)
+        )
+        if not benches:
+            pytest.skip("no committed full bench artifact")
+        artifact = json.loads(
+            open(os.path.join(REPO, benches[-1])).read()
+        )
+        rows = artifact.get("queries", {})
+        text = open(newest).read()
+        bad = []
+        for m in re.finditer(r"`(\w+)`\s+(\d+\.\d+)\s*s\b", text):
+            name, quoted = m.group(1), m.group(2)
+            if name not in rows:
+                continue
+            decimals = len(quoted.split(".")[1])
+            if round(float(rows[name]), decimals) != float(quoted):
+                bad.append(
+                    f"{name}: CHANGES quotes {quoted} s, committed "
+                    f"{benches[-1]} holds {rows[name]:.3f} s"
+                )
+        assert not bad, (
+            f"{os.path.basename(newest)} quotes bench numbers that do "
+            f"not match the committed artifact: {bad} — render doc "
+            "numbers from the final committed BENCH_r{N}_full.json"
+        )
