@@ -933,3 +933,59 @@ class TestRound9PlanShapes:
             plan[:4000]
         )
         assert "CartesianProduct" not in plan, plan[:4000]
+
+
+class TestRound12PlanShapes:
+    def test_snapshot_probe_excludes_replaced_partitions_statically(
+        self, spark, tmp_path
+    ):
+        """Round 12: while a maintenance rewrite's backup exists, the
+        snapshot probe reads live ∪ backup. Scale shape pinned here:
+        the live-side scan must carry BOTH the replaced-(epoch, cell)
+        exclusion and the probe-cell set as PartitionFilters (pruning
+        at file-listing time — an in-flight half-written partition's
+        files are never listed past pruning), the backup scan must
+        carry the probe-cell filter, and no join/cartesian appears —
+        the exclusion is a static predicate, never a runtime lookup."""
+        import os
+        import shutil
+
+        from zikeiretsu_rs_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = emb.where(suite.F.col("vec_id") < 4)
+        cents = similarity.head_centroids(emb, 8, "vec_id", "embedding")
+        cb = similarity.pq_codebook(emb, m=8, ksub=8, vec_col="embedding")
+        p = str(tmp_path / "snap")
+        idx = similarity.IvfpqLakeIndex(spark, p)
+        idx.build(emb, cents, codebook=cb)
+        codes = os.path.join(p, "codes")
+        victim = sorted(
+            d
+            for d in os.listdir(os.path.join(codes, "epoch=0"))
+            if d.startswith("cell=")
+        )[0]
+        backup = codes + "__refresh_backup"
+        os.makedirs(os.path.join(backup, "epoch=0"))
+        shutil.copytree(
+            os.path.join(codes, "epoch=0", victim),
+            os.path.join(backup, "epoch=0", victim),
+        )
+        shutil.rmtree(os.path.join(codes, "epoch=0", victim))
+        probe = idx.probe(queries, k=3, nprobe=8)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        pf = [
+            ln
+            for ln in plan.splitlines()
+            if "PartitionFilters" in ln
+            and "PartitionFilters: []" not in ln  # the float query scan
+        ]
+        # two partitioned parquet scans: live (epoch+cell exclusion
+        # AND cell IN) and backup (cell IN)
+        assert len(pf) == 2, plan[:4000]
+        assert any("epoch#" in ln and "cell#" in ln for ln in pf), (
+            plan[:4000]
+        )
+        assert all("cell#" in ln for ln in pf), plan[:4000]
+        assert "CartesianProduct" not in plan, plan[:4000]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:4000]
