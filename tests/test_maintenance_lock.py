@@ -104,8 +104,12 @@ class TestAnnMaintenanceLock:
             p, lockfile.MAINTENANCE_LOCK_NAME, "someone-else"
         )
         assert os.path.exists(path)  # a foreign writer cannot break it
+        # the operator flow: read the recorded holder, verify its
+        # process is dead out-of-band, remove with that id
+        holder = lockfile.read_holder(p, lockfile.MAINTENANCE_LOCK_NAME)
+        assert holder == "crashed-writer-id"
         assert lockfile.remove_lock_if_same_writer(
-            p, lockfile.MAINTENANCE_LOCK_NAME, "crashed-writer-id"
+            p, lockfile.MAINTENANCE_LOCK_NAME, holder
         )
         idx.add_batch(batch)  # scavenged: ingest resumes
 

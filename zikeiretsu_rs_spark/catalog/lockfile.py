@@ -161,6 +161,17 @@ def store_mutation_lock(owner, store_dir: str, timeout_sec: float = 0.0):
         owner._store_lock_depth = 0
 
 
+def read_holder(db_dir: str, metrics: str) -> str:
+    """The writer id recorded in a live lockfile ('' when absent or
+    unreadable) — the operator-facing half of crash scavenging: read
+    the holder, verify out-of-band that its process is dead, then
+    remove with `remove_lock_if_same_writer(db_dir, metrics, holder)`.
+    The same-writer rule still holds — this never removes anything
+    itself, so one writer can never break another's LIVE lock by
+    accident."""
+    return _read_holder(lockfile_path(db_dir, metrics))
+
+
 def locked_mutation(fn):
     """Decorator form of `store_mutation_lock` for index methods: the
     instance must expose `store_dir`. Keeps the verb bodies untouched
