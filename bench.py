@@ -703,6 +703,37 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
     out["layout_percell_probe_tombstoned"] = _timed(
         pb_idx.probe(qbatch, k=5, nprobe=2)
     )
+    # Snapshot probe through a maintenance window (round 12): while a
+    # rewrite's backup survives, probe serves backup ∪ untouched
+    # partitions instead of refusing. The mid-state here is the
+    # worst single-epoch case — HALF the cells replaced (backed up,
+    # live dirs gone) — and the number to compare is
+    # layout_percell_probe_tombstoned (same store, same tombstones,
+    # no window): the snapshot's extra cost is one directory listing
+    # plus the two-scan union. purge_deleted immediately after rolls
+    # the window back and proceeds — its timing below therefore also
+    # covers the recovery path.
+    import os as _os
+    import shutil as _sh
+
+    _codes = f"{pb_p}/codes"
+    _cells = sorted(
+        d
+        for d in _os.listdir(f"{_codes}/epoch=0")
+        if d.startswith("cell=")
+    )
+    _bk = _codes + "__refresh_backup"
+    _os.makedirs(f"{_bk}/epoch=0")
+    for _c in _cells[::2]:
+        _sh.copytree(f"{_codes}/epoch=0/{_c}", f"{_bk}/epoch=0/{_c}")
+        _sh.rmtree(f"{_codes}/epoch=0/{_c}")
+    out["layout_percell_probe_snapshot_window"] = _timed(
+        pb_idx.probe(qbatch, k=5, nprobe=2)
+    )
+    # roll the window back OUTSIDE the timed purge so
+    # layout_percell_purge_deleted stays comparable to the r11 row
+    # (purge itself would recover first — same code path)
+    pb_idx._recover_codes_backup(_codes)
     t0 = time.perf_counter()
     purged = pb_idx.purge_deleted()
     out["layout_percell_purge_deleted"] = round(time.perf_counter() - t0, 3)
