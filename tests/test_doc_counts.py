@@ -116,7 +116,16 @@ class TestDocCountsHonest:
         artifact = json.loads(
             open(os.path.join(REPO, benches[-1])).read()
         )
-        rows = artifact.get("queries", {})
+        # every per-name numeric section — the r11 drift was in
+        # LAYOUT rows, so queries alone would miss the exact case
+        # this gate exists for
+        rows = {}
+        for section in ("queries", "layout", "ann", "skew"):
+            rows.update(
+                (k, v)
+                for k, v in artifact.get(section, {}).items()
+                if isinstance(v, (int, float))
+            )
         text = open(newest).read()
         bad = []
         for m in re.finditer(r"`(\w+)`\s+(\d+\.\d+)\s*s\b", text):
