@@ -742,6 +742,46 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
         pb_idx.probe(qbatch, k=5, nprobe=2)
     )
 
+    # Dedup history read through a forget-purge window (round 13 —
+    # the dedup twin of layout_percell_probe_snapshot_window): while
+    # a `__forget_backup` survives, `_snapshot_history_read` serves
+    # backup ∪ untouched epoch partitions (path-selected for these
+    # epoch-level tables — pure file pruning) instead of refusing.
+    # The measured op is one full add_batch verdict pass; compare
+    # layout_dedup_verdict_snapshot_window against
+    # layout_dedup_verdict_live (same store, same batch, no window):
+    # the window's extra cost is one backup walk + the re-listing
+    # stability check. The torn state is the worst single-epoch case
+    # — ALL of epoch 1's docs/sigs/prefix backed up, live dirs gone.
+    import shutil as _sh2
+
+    from zikeiretsu_rs_spark.streaming.neardup import (
+        IncrementalDedupIndex as _IDI,
+    )
+
+    docs_all = suite.load(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    _dd = tempfile.mkdtemp(prefix="zk_layout_dedup_")
+    _didx = _IDI(spark, f"{_dd}/idx", n=3, threshold=0.5)
+    _didx.build(docs_all.where(F.col("doc_id") % 4 != 0))
+    _didx.add_batch(docs_all.where(F.col("doc_id") % 8 == 0), epoch=1)
+    _b2 = docs_all.where(F.col("doc_id") % 8 == 4)
+    out["layout_dedup_verdict_live"] = _timed(
+        lambda: _didx.add_batch(_b2, epoch=2)
+    )
+    _bk2 = f"{_dd}/idx/__forget_backup"
+    for _t in ("docs", "sigs", "prefix"):
+        _os.makedirs(f"{_bk2}/{_t}")
+        _sh2.copytree(
+            f"{_dd}/idx/{_t}/epoch=1", f"{_bk2}/{_t}/epoch=1"
+        )
+        _sh2.rmtree(f"{_dd}/idx/{_t}/epoch=1")
+    out["layout_dedup_verdict_snapshot_window"] = _timed(
+        lambda: _didx.add_batch(_b2, epoch=2)
+    )
+    _sh2.rmtree(_dd, ignore_errors=True)
+
     # Bucketed co-located join (round 8): lineitem x orders written as
     # 16-bucket tables on the join key — the bucket-spec equi-join
     # runs with ZERO exchanges on the join itself (pre-bucketed,
