@@ -268,6 +268,44 @@ def locked_mutation(fn):
     return wrapper
 
 
+def scavenge_if_dead_local(db_dir: str, metrics: str) -> bool:
+    """Mechanized form of the operator scavenging flow for the one
+    case the round-13 evidence makes DECIDABLE in-process: the lock
+    was acquired on THIS host (recorded `host` matches) by a pid
+    that no longer exists. A writer is a process, so a dead recorded
+    pid on the same host proves the holder crashed — removal can
+    never break a live writer's lock. Every uncertain case refuses:
+    no evidence doc (pre-r13 lock), different/missing host (can't
+    check the pid from here), pid still present (alive — or recycled,
+    which is indistinguishable, so it stays; false-KEEP is the safe
+    direction and the operator flow with `read_holder_info` remains
+    for it). Removal itself goes through the same-writer rule with
+    the doc's own writer_id. Returns True when a stale lock was
+    removed."""
+    import errno
+    import socket
+
+    doc = read_holder_info(db_dir, metrics)
+    wid = str(doc.get("writer_id", ""))
+    pid = doc.get("pid")
+    host = doc.get("host")
+    if not wid or not isinstance(pid, int) or not host:
+        return False
+    if host != socket.gethostname():
+        return False
+    try:
+        os.kill(pid, 0)
+        return False  # a process with that pid exists: keep the lock
+    except ProcessLookupError:
+        pass  # recorded holder is gone — provably crashed
+    except PermissionError:
+        return False  # pid exists under another uid: keep
+    except OSError as e:
+        if e.errno != errno.ESRCH:
+            return False
+    return remove_lock_if_same_writer(db_dir, metrics, wid)
+
+
 def remove_lock_if_same_writer(db_dir: str, metrics: str, writer_id: str) -> bool:
     """Stale-lock cleanup after a crash: remove the lock only when its
     recorded writer id matches (`remove_local_lock_file_if_same_writer`,
