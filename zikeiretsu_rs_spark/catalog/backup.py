@@ -132,6 +132,21 @@ def create(
     return backup_root
 
 
+def read_meta_at(src: str) -> dict | None:
+    """The `meta` document inside an ALREADY-RESOLVED snapshot source
+    (what `snapshot_source` returned). Readers that pair the meta
+    with a plan built from the same source must use this — resolving
+    twice can straddle a window close and pair pre-rewrite codes with
+    the post-rewrite manifest (round 13). None when absent."""
+    path = os.path.join(src, _META_NAME)
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        return doc if isinstance(doc, dict) else None
+    except (OSError, ValueError):
+        return None
+
+
 def read_meta(backup_root: str) -> dict | None:
     """The `meta` document recorded at `create` time, resolved
     through `snapshot_source` (a `__restoring` tree still carries
@@ -140,13 +155,7 @@ def read_meta(backup_root: str) -> dict | None:
     src = snapshot_source(backup_root)
     if src is None:
         return None
-    path = os.path.join(src, _META_NAME)
-    try:
-        with open(path) as f:
-            doc = json.load(f)
-        return doc if isinstance(doc, dict) else None
-    except (OSError, ValueError):
-        return None
+    return read_meta_at(src)
 
 
 def leaf_rels(backup_root: str) -> list[str]:

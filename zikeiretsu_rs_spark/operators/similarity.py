@@ -4362,7 +4362,18 @@ class IvfpqLakeIndex:
         self.add_batch(vectors, id_col=id_col, vec_col=vec_col, epoch=epoch)
 
     def _codes_lake(self) -> DataFrame | None:
-        """The codes view probes read. Normally the live tree; while
+        return self._codes_lake_with_src()[0]
+
+    def _codes_lake_with_src(
+        self,
+    ) -> tuple[DataFrame | None, str | None]:
+        """The codes view probes read, plus the RESOLVED snapshot
+        source it was built from (None when serving the live tree) —
+        `probe` pairs the source's recorded pre-rewrite fitted set
+        with the plan built from the SAME source, so a window closing
+        between two separate resolutions can never mix snapshot codes
+        with the post-rewrite manifest (round 13). Normally the live
+        tree; while
         a maintenance rewrite's backup exists (refresh_books /
         purge_deleted mid-flight, or crashed), the PRE-REWRITE
         SNAPSHOT: the backup's copies of every replaced partition ∪
@@ -4419,18 +4430,20 @@ class IvfpqLakeIndex:
             eps = self._epochs()
             if src is None:
                 if not eps:
-                    return None
-                return self.spark.read.parquet(self.codes_dir)
+                    return None, None
+                return self.spark.read.parquet(self.codes_dir), None
             rels = backuplib.leaf_rels(src)
             if not rels:
                 # the rewrite replaces no pre-existing partition (its
                 # targets were all absent): live IS the snapshot —
-                # but only if the window didn't close mid-listing
+                # but only if the window didn't close mid-listing.
+                # The source still rides out: the window is OPEN, so
+                # the caller must pair the plan with ITS fitted set
                 if backuplib.snapshot_source(backup_root) != src:
                     continue
                 if not eps:
-                    return None
-                return self.spark.read.parquet(self.codes_dir)
+                    return None, src
+                return self.spark.read.parquet(self.codes_dir), src
             snap = self.spark.read.option("basePath", src).parquet(src)
             replaced = {
                 tuple(
@@ -4478,12 +4491,12 @@ class IvfpqLakeIndex:
                 backuplib.snapshot_source(backup_root) == src
                 and backuplib.leaf_rels(src) == rels
             ):
-                return out
+                return out, src
         # window kept moving across every retry: serve the live tree
         # (the only stable state a closing window converges to)
         if not self._epochs():
-            return None
-        return self.spark.read.parquet(self.codes_dir)
+            return None, None
+        return self.spark.read.parquet(self.codes_dir), None
 
     def _live_codes(self, lake: DataFrame) -> DataFrame:
         """Apply tombstones to a codes-lake view: anti-join out rows
@@ -4550,7 +4563,7 @@ class IvfpqLakeIndex:
         # torn state probes exactly what recovery would restore.
         centroids = meta["centroids"]
         q_t = queries.schema[id_col].dataType.simpleString()
-        snapshot = self._codes_lake()
+        snapshot, snap_src = self._codes_lake_with_src()
         if snapshot is None:
             if fsio.list_dir_names(self.store_dir, "cell="):
                 # pre-round-8 one-shot layout: cell=*/ parquet at the
@@ -4613,11 +4626,17 @@ class IvfpqLakeIndex:
                 # either would silently corrupt scores. The kernel's
                 # manifest-authoritative rule (see
                 # _adc_score_joined_percell) then guarantees those
-                # cells ignore the new book dirs entirely.
+                # cells ignore the new book dirs entirely. The meta
+                # is read from the SAME resolved source the codes
+                # plan was built from — re-resolving here could
+                # straddle the window's close and pair snapshot codes
+                # with the post-rewrite manifest.
                 from ..catalog import backup as backuplib
 
-                snap_meta = backuplib.read_meta(
-                    self.codes_dir + "__refresh_backup"
+                snap_meta = (
+                    backuplib.read_meta_at(snap_src)
+                    if snap_src is not None
+                    else None
                 )
                 if snap_meta is not None and "fitted_cells" in snap_meta:
                     fitted = set(snap_meta["fitted_cells"])
