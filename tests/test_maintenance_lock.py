@@ -229,3 +229,53 @@ class TestDeadHolderScavenging:
                 f,
             )
         assert lockfile.scavenge_if_dead_local(db, "cpu") is False
+
+    def test_mutation_lock_auto_scavenges_provably_dead_holder(
+        self, tmp_path
+    ):
+        """A maintenance verb no longer wedges on a crashed holder's
+        lock when the crash is provable (same host, dead pid): the
+        acquisition scavenges once and retries. An undecidable
+        (foreign-host) lock still fails loudly."""
+        import json
+        import subprocess
+        import sys
+
+        from zikeiretsu_rs_spark.catalog import lockfile
+
+        class Owner:
+            store_dir = str(tmp_path)
+
+        owner = Owner()
+        repo = str(__import__("pathlib").Path(__file__).resolve().parents[1])
+        path = lockfile.lockfile_path(owner.store_dir, "__maintenance")
+        subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import sys; sys.path.insert(0, sys.argv[1]);"
+                "from zikeiretsu_rs_spark.catalog.lockfile import"
+                " _try_create, new_writer_id;"
+                f"_try_create({path!r}, new_writer_id())",
+                repo,
+            ],
+            check=True,
+        )
+        with lockfile.store_mutation_lock(owner, owner.store_dir) as p:
+            assert p is not None  # scavenged the dead holder, acquired
+        # foreign-host lock: undecidable -> still loud
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "writer_id": lockfile.new_writer_id(),
+                    "pid": 1,
+                    "host": "some-other-host.invalid",
+                    "acquired_at": 0,
+                },
+                f,
+            )
+        import pytest as _pytest
+
+        with _pytest.raises(lockfile.AcquireLockError):
+            with lockfile.store_mutation_lock(owner, owner.store_dir):
+                pass

@@ -194,7 +194,12 @@ def store_mutation_lock(owner, store_dir: str, timeout_sec: float = 0.0):
     T5 scavenging discipline applies unchanged: a crashed holder's
     lock is removed by `remove_lock_if_same_writer(store_dir,
     MAINTENANCE_LOCK_NAME, writer_id)` — never by a different live
-    writer."""
+    writer. Contention additionally auto-scavenges the PROVABLY-DEAD
+    holder case (same host, recorded pid gone — the round-13
+    evidence makes it decidable; `scavenge_if_dead_local`) and
+    retries once, so a crashed maintenance run doesn't wedge the
+    store; live and undecidable holders still fail loudly with the
+    recorded evidence."""
     me = threading.get_ident()
     with _REENTRANCY_GUARD:
         depth = getattr(owner, "_store_lock_depth", 0)
@@ -212,9 +217,25 @@ def store_mutation_lock(owner, store_dir: str, timeout_sec: float = 0.0):
     wid = getattr(owner, "_writer_id", None)
     if wid is None:
         wid = owner._writer_id = new_writer_id()
-    with metrics_lock(
-        store_dir, MAINTENANCE_LOCK_NAME, wid, timeout_sec
-    ) as path:
+    try:
+        held = metrics_lock(
+            store_dir, MAINTENANCE_LOCK_NAME, wid, timeout_sec
+        )
+        path = held.__enter__()
+    except AcquireLockError:
+        # the holder may be a crashed process: scavenge ONLY the
+        # provably-dead case (same host, recorded pid gone — round
+        # 13; see scavenge_if_dead_local) and retry once, so a
+        # crashed maintenance run doesn't wedge every future verb on
+        # the store until an operator intervenes. A live or
+        # undecidable holder re-raises with its evidence.
+        if not scavenge_if_dead_local(store_dir, MAINTENANCE_LOCK_NAME):
+            raise
+        held = metrics_lock(
+            store_dir, MAINTENANCE_LOCK_NAME, wid, timeout_sec
+        )
+        path = held.__enter__()
+    try:
         with _REENTRANCY_GUARD:
             owner._store_lock_depth = 1
             owner._store_lock_tid = me
@@ -224,6 +245,8 @@ def store_mutation_lock(owner, store_dir: str, timeout_sec: float = 0.0):
             with _REENTRANCY_GUARD:
                 owner._store_lock_depth = 0
                 owner._store_lock_tid = None
+    finally:
+        held.__exit__(None, None, None)
 
 
 def read_holder(db_dir: str, metrics: str) -> str:
