@@ -390,3 +390,60 @@ class TestNearDupCdc:
             == state
         )
         assert idx._epochs() == [0, 1]
+
+
+class TestWindowCloseRetry:
+    """Deterministic pin of the snapshot readers' stability retry
+    (judged ADVICE r12 medium): when the window moves UNDER the
+    listing — the source renamed away or a leaf restored mid-walk —
+    the reader must retry against the new state instead of serving a
+    silently partial union."""
+
+    def test_codes_lake_retries_when_window_closes_mid_listing(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import numpy as np
+
+        from zikeiretsu_rs_spark.catalog import backup as backuplib
+        from zikeiretsu_rs_spark.operators import similarity
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (i, [float(x) for x in rng.normal(size=8)]) for i in range(64)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = similarity.head_centroids(emb, 4, "vec_id", "embedding")
+        book = similarity.pq_codebook(emb, m=4, ksub=4)
+        p = str(tmp_path / "idx")
+        idx = similarity.IvfpqLakeIndex(spark, p)
+        idx.build(emb, cents, codebook=book)
+        want = idx._codes_lake().count()
+        # open a window over one cell
+        codes = os.path.join(p, "codes")
+        cells = sorted(
+            d
+            for d in os.listdir(os.path.join(codes, "epoch=0"))
+            if d.startswith("cell=")
+        )
+        backuplib.create(codes, codes + "__refresh_backup", [f"epoch=0/{cells[0]}"])
+        # simulate the close landing mid-listing: the FIRST resolution
+        # sees the open window, the re-check sees it gone (recover
+        # completed) — the reader must retry and serve the live tree
+        real_source = backuplib.snapshot_source
+        calls = {"n": 0}
+
+        def flaky_source(root):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return real_source(root)
+            if calls["n"] == 2:
+                # the window "closed" between listing and re-check
+                backuplib.recover(codes, codes + "__refresh_backup")
+                return None
+            return real_source(root)
+
+        monkeypatch.setattr(backuplib, "snapshot_source", flaky_source)
+        got = idx._codes_lake()
+        monkeypatch.undo()
+        assert got.count() == want  # full live tree, nothing missing
+        assert calls["n"] >= 3  # it actually retried
