@@ -989,3 +989,110 @@ class TestRound12PlanShapes:
         assert all("cell#" in ln for ln in pf), plan[:4000]
         assert "CartesianProduct" not in plan, plan[:4000]
         assert "BroadcastNestedLoopJoin" not in plan, plan[:4000]
+
+
+class TestRound13PlanShapes:
+    def test_dedup_snapshot_history_is_path_pruned_and_static(
+        self, spark, tmp_path
+    ):
+        """Round 13: the dedup family's snapshot history read
+        (`_snapshot_history_read`). Scale shapes pinned:
+
+        - EPOCH-LEVEL tables (docs/sigs/prefix/buckets): replaced
+          epochs resolve by PATH SELECTION — the live scan's file
+          listing simply omits them and the backup scan lists only
+          its copies. No filter at all, no join, no cartesian: the
+          union is two pruned file lists.
+        - (EPOCH, CELL) tables (semantic cells): the live scan
+          carries the replaced-pair exclusion as a static
+          PartitionFilter (file pruning), exactly the ANN
+          `_codes_lake` shape."""
+        import os
+        import shutil
+
+        from zikeiretsu_rs_spark.streaming.neardup import (
+            _snapshot_history_read,
+        )
+
+        store = str(tmp_path / "store")
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+        )
+        for e in (0, 1):
+            docs.write.mode("overwrite").parquet(
+                f"{store}/docs/epoch={e}"
+            )
+        backup = os.path.join(store, "__forget_backup")
+        os.makedirs(os.path.join(backup, "docs"))
+        shutil.copytree(
+            os.path.join(store, "docs", "epoch=1"),
+            os.path.join(backup, "docs", "epoch=1"),
+        )
+        df = _snapshot_history_read(
+            spark,
+            store,
+            "docs",
+            f"{store}/docs",
+            "doc_id long, text string",
+            ["epoch"],
+            2,
+        )
+        assert df.count() == 16  # nothing doubled, nothing missing
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # path-selected: both scans carry NO partition filters (the
+        # replaced epoch is excluded from the live scan's paths) and
+        # no join appears anywhere
+        assert "PartitionFilters: [dynamic" not in plan, plan[:3000]
+        assert "Join" not in plan and "Cartesian" not in plan, (
+            plan[:3000]
+        )
+        # the live read must NOT list the replaced epoch's live files:
+        # the union serves epoch 1 from the backup copy alone (the
+        # plan's Location strings truncate, so assert on inputFiles)
+        lines = plan.splitlines()
+        locs = [ln for ln in lines if "Location" in ln]
+        assert len(locs) == 2, plan[:3000]
+        files = df.inputFiles()
+        assert any("__forget_backup" in f for f in files), files
+        assert not any(
+            "__forget_backup" not in f and "epoch=1" in f for f in files
+        ), files
+
+        # (epoch, cell) layout: static exclusion filter on the live
+        # side, like the ANN probe's
+        vecs = spark.createDataFrame(
+            [(i, [float(i)], 1.0, i % 2) for i in range(8)],
+            "vec_id long, vec array<double>, norm double, cell int",
+        )
+        for e in (0,):
+            vecs.write.mode("overwrite").partitionBy("cell").parquet(
+                f"{store}/cells/epoch={e}"
+            )
+        os.makedirs(os.path.join(backup, "cells", "epoch=0"))
+        shutil.copytree(
+            os.path.join(store, "cells", "epoch=0", "cell=0"),
+            os.path.join(backup, "cells", "epoch=0", "cell=0"),
+        )
+        df2 = _snapshot_history_read(
+            spark,
+            store,
+            "cells",
+            f"{store}/cells",
+            "vec_id long, vec array<double>, norm double",
+            ["epoch", "cell"],
+            1,
+        )
+        assert df2.count() == 8
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        pf = [
+            ln
+            for ln in plan2.splitlines()
+            if "PartitionFilters" in ln
+            and "PartitionFilters: []" not in ln
+        ]
+        # exactly one filtered scan (live, excluding the backed-up
+        # (epoch 0, cell 0) pair); the backup scan is path-selected
+        assert len(pf) == 1 and "cell#" in pf[0], plan2[:3000]
+        assert "Join" not in plan2 and "Cartesian" not in plan2, (
+            plan2[:3000]
+        )

@@ -447,3 +447,113 @@ class TestWindowCloseRetry:
         monkeypatch.undo()
         assert got.count() == want  # full live tree, nothing missing
         assert calls["n"] >= 3  # it actually retried
+
+
+class TestMaintenanceStatus:
+    """Round 13: `maintenance_status()` — the read-only operator view
+    of the state the window/lock/tombstone machinery manages
+    (catalog/maintenance.py). Bounded metadata-only work; reflects
+    lock evidence, window state (open / restoring / dropping-debris),
+    pending tombstone batches, and epochs."""
+
+    def test_ann_index_status_lifecycle(self, spark, tmp_path):
+        import numpy as np
+
+        from zikeiretsu_rs_spark.catalog import backup as backuplib
+        from zikeiretsu_rs_spark.catalog import lockfile
+        from zikeiretsu_rs_spark.operators import similarity
+
+        rng = np.random.default_rng(3)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)]) for i in range(48)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = similarity.head_centroids(emb, 4, "vec_id", "embedding")
+        book = similarity.pq_codebook(emb, m=4, ksub=4)
+        p = str(tmp_path / "idx")
+        idx = similarity.IvfpqLakeIndex(spark, p)
+        idx.build(emb, cents, codebook=book)
+        st = idx.maintenance_status()
+        assert st["lock"] is None and st["window"] is None
+        assert st["epochs"] == [0] and st["tombstone_batches"] == []
+        assert st["epoch_floor"] is None
+        # a takedown shows up as a pending batch
+        idx.delete(emb.limit(3).select("vec_id"))
+        assert idx.maintenance_status()["tombstone_batches"] == [0]
+        # a held lock surfaces its evidence
+        class Other:
+            pass
+
+        with lockfile.store_mutation_lock(Other(), p):
+            st = idx.maintenance_status()
+            assert st["lock"]["pid"] == os.getpid()
+            assert st["lock"]["writer_id"]
+        assert idx.maintenance_status()["lock"] is None
+        # an open window reports its source, size, and meta
+        codes = os.path.join(p, "codes")
+        cell0 = sorted(
+            d for d in os.listdir(f"{codes}/epoch=0") if d.startswith("cell=")
+        )[0]
+        backuplib.create(
+            codes,
+            codes + "__refresh_backup",
+            [f"epoch=0/{cell0}"],
+            meta={"verb": "purge_deleted"},
+        )
+        st = idx.maintenance_status()
+        assert st["window"]["state"] == "open"
+        assert st["window"]["replaced_partitions"] == 1
+        assert st["window"]["meta"]["verb"] == "purge_deleted"
+        # mid-rollback: the __restoring tree is the source
+        os.rename(
+            codes + "__refresh_backup",
+            codes + "__refresh_backup__restoring",
+        )
+        assert idx.maintenance_status()["window"]["state"] == "restoring"
+        # committed close crashed mid-delete: debris, not a source
+        os.rename(
+            codes + "__refresh_backup__restoring",
+            codes + "__refresh_backup__dropping",
+        )
+        st = idx.maintenance_status()
+        assert st["window"]["state"] == "dropping-debris"
+        assert st["window"]["source"] is None
+        # purge resolves everything; floor is pinned
+        idx.purge_deleted()
+        st = idx.maintenance_status()
+        assert st["window"] is None
+        assert st["tombstone_batches"] == []
+        assert st["epoch_floor"] == 0
+
+    def test_dedup_family_status(self, spark, tmp_path):
+        from zikeiretsu_rs_spark.streaming.neardup import (
+            IncrementalDedupIndex,
+            NearDupIndex,
+        )
+
+        nd = NearDupIndex(spark, str(tmp_path / "nd"), threshold=0.5)
+        nd.ensure_seed_epoch()
+        st = nd.maintenance_status()
+        assert st["epochs"] == {"buckets": [0], "matches": [0]}
+        assert st["lock"] is None and st["window"] is None
+
+        p = str(tmp_path / "inc")
+        idx = IncrementalDedupIndex(spark, p, n=3, threshold=0.5)
+        idx.build(_docs(spark, DOCS_B1))
+        idx.forget(spark.createDataFrame([(2,)], "doc_id long"))
+        st = idx.maintenance_status()
+        assert st["epochs"]["docs"] == [0]
+        assert st["tombstone_batches"] == [0]
+        # torn window over docs/epoch=0
+        backup = os.path.join(p, "__forget_backup")
+        os.makedirs(os.path.join(backup, "docs"))
+        shutil.copytree(
+            os.path.join(p, "docs", "epoch=0"),
+            os.path.join(backup, "docs", "epoch=0"),
+        )
+        st = idx.maintenance_status()
+        assert st["window"]["state"] == "open"
+        assert st["window"]["replaced_partitions"] == 1
+        idx.purge_forgotten()
+        st = idx.maintenance_status()
+        assert st["window"] is None and st["tombstone_batches"] == []

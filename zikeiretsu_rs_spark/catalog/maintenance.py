@@ -1,0 +1,95 @@
+"""Operator-facing maintenance status for the lake indexes (round 13).
+
+Rounds 11-13 built the maintenance MACHINERY — mutation locks with
+crash-scavenging evidence, snapshot-served backup windows with atomic
+open/close, log-structured tombstones — but an operator deciding "is
+it safe to run compact now?" or "why is this store still holding a
+window?" had to know which directories to stat. This module is the
+single read-only view of that state; every lake index exposes it as
+`maintenance_status()`.
+
+Everything here is BOUNDED driver-side metadata work: one lockfile
+read, one snapshot-source resolution + leaf walk per backup root, one
+tombstone-batch directory listing. Nothing mutates, nothing takes the
+lock, nothing reads data files — safe to call from monitoring at any
+frequency, concurrent with any verb.
+
+Shape:
+
+    {
+      "lock": {writer_id, pid, host, acquired_at} | None,
+      "window": {
+        "state": "open" | "restoring" | "dropping-debris",
+        "source": <dir currently serving the snapshot> | None,
+        "replaced_partitions": <leaf count>,
+        "meta": <the create-time snapshot meta> | None,
+      } | None,
+      "tombstone_batches": [batch ids],   # [] when none
+      ... index-specific keys (epochs per table, epoch floor)
+    }
+
+Interpretation guide (the contracts these reflect):
+
+- `lock` non-None: a mutating verb is in flight (or its process
+  crashed — check the recorded pid/host; `scavenge_if_dead_local`
+  mechanizes the same-host-dead case, and contention already
+  auto-applies it).
+- `window.state == "open"`: a rewrite is mid-flight or crashed
+  mid-commit; reads serve the pre-rewrite snapshot and the next
+  maintenance verb resolves the window (roll-forward or roll-back).
+- `window.state == "restoring"`: a rollback is resuming; same read
+  guarantees (the `__restoring` tree is the snapshot source).
+- `window.state == "dropping-debris"`: the rewrite COMMITTED and only
+  the close's delete crashed; live is the truth, the debris is swept
+  by the next verb. Never a snapshot source.
+- `tombstone_batches` non-empty: deletes awaiting physical purge;
+  negative ids are system (CDC/upsert) batches, non-negative are user
+  takedowns.
+"""
+
+from __future__ import annotations
+
+from . import backup as backuplib
+from . import lockfile, tombstones
+
+
+def window_status(backup_root: str) -> dict | None:
+    """The backup window's state at `backup_root`, or None when no
+    window (and no debris) exists. Resolution order mirrors the
+    readers': root, then `__restoring`; `__dropping` is reported as
+    debris because it is NOT a snapshot source."""
+    import os
+
+    src = backuplib.snapshot_source(backup_root)
+    if src is not None:
+        return {
+            "state": (
+                "open" if src == backup_root else "restoring"
+            ),
+            "source": src,
+            "replaced_partitions": len(backuplib.leaf_rels(src)),
+            "meta": backuplib.read_meta_at(src),
+        }
+    dropping = backup_root + "__dropping"
+    if os.path.isdir(dropping):
+        return {
+            "state": "dropping-debris",
+            "source": None,
+            "replaced_partitions": 0,
+            "meta": None,
+        }
+    return None
+
+
+def store_status(
+    store_dir: str, backup_root: str, tomb_dir: str
+) -> dict:
+    """The shared core of every index's `maintenance_status()`."""
+    doc = lockfile.read_holder_info(
+        store_dir, lockfile.MAINTENANCE_LOCK_NAME
+    )
+    return {
+        "lock": doc or None,
+        "window": window_status(backup_root),
+        "tombstone_batches": tombstones.batch_ids(tomb_dir),
+    }

@@ -4533,6 +4533,32 @@ class IvfpqLakeIndex:
             self.spark, self.tombstones_dir, "neighbor_id", nid_type
         )
 
+    # -- observability ----------------------------------------------------
+    def maintenance_status(self) -> dict:
+        """Read-only operator view of the store's maintenance state
+        (round 13 — `catalog/maintenance.py` documents the shape and
+        the interpretation guide): the mutation lock's recorded
+        evidence, the backup window (open / restoring /
+        dropping-debris, with its snapshot meta), pending tombstone
+        batches, plus this index's epochs and pinned epoch floor.
+        Bounded metadata-only work; never locks, never mutates, safe
+        concurrent with any verb."""
+        from ..catalog import fsio, maintenance
+
+        out = maintenance.store_status(
+            self.store_dir,
+            self.codes_dir + "__refresh_backup",
+            self.tombstones_dir,
+        )
+        out["epochs"] = self._epochs()
+        floor_path = fsio.join(self.store_dir, "epoch_floor.json")
+        out["epoch_floor"] = (
+            fsio.read_json(floor_path).get("epoch_high_water")
+            if fsio.exists(floor_path)
+            else None
+        )
+        return out
+
     # -- read -----------------------------------------------------------
     def probe(
         self,

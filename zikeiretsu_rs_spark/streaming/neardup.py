@@ -179,6 +179,23 @@ def _snapshot_history_read(
     # the live tree, the only state it converges to
     return _live_only()
 
+def _maintenance_status(index, tables: dict[str, str]) -> dict:
+    """Shared `maintenance_status()` body for the dedup-family
+    indexes (round 13 — `catalog/maintenance.py` documents the shape
+    and interpretation): lock evidence, the `__forget_backup` window,
+    pending tombstone batches, and per-table epoch lists. Read-only,
+    bounded metadata work — safe concurrent with any verb."""
+    from ..catalog import maintenance
+
+    out = maintenance.store_status(
+        index.store_dir,
+        fsio.join(index.store_dir, "__forget_backup"),
+        index.tombstones_dir,
+    )
+    out["epochs"] = {t: _epoch_dirs(base) for t, base in tables.items()}
+    return out
+
+
 def _require_integral_id(df: DataFrame, id_col: str, who: str) -> None:
     """Both index classes persist ids as LONG (epoch-partitioned
     parquet read back with fixed schemas) and NearDupIndex's
@@ -407,6 +424,14 @@ class NearDupIndex:
                     T.StructField("est_jaccard", T.DoubleType()),
                 ]
             ),
+        )
+
+    def maintenance_status(self) -> dict:
+        """Operator view of lock / window / tombstone / epoch state
+        (round 13 — see catalog/maintenance.py). Read-only."""
+        return _maintenance_status(
+            self,
+            {"buckets": self.bucket_dir, "matches": self.matches_dir},
         )
 
     @locked_mutation
@@ -1220,6 +1245,19 @@ class IncrementalDedupIndex:
             *[f"{self.verdicts_dir}/epoch={e}" for e in eps]
         )
 
+    def maintenance_status(self) -> dict:
+        """Operator view of lock / window / tombstone / epoch state
+        (round 13 — see catalog/maintenance.py). Read-only."""
+        return _maintenance_status(
+            self,
+            {
+                "docs": self.docs_dir,
+                "sigs": self.sigs_dir,
+                "prefix": self.prefix_dir,
+                "verdicts": self.verdicts_dir,
+            },
+        )
+
     # -- epoch compaction (VERDICT r06 item 4) ---------------------------
 
     _TABLE_SCHEMAS = {
@@ -1721,6 +1759,14 @@ class SemanticDedupIndex:
             return self.spark.createDataFrame([], empty)
         return self.spark.read.parquet(
             *[f"{self.verdicts_dir}/epoch={e}" for e in eps]
+        )
+
+    def maintenance_status(self) -> dict:
+        """Operator view of lock / window / tombstone / epoch state
+        (round 13 — see catalog/maintenance.py). Read-only."""
+        return _maintenance_status(
+            self,
+            {"cells": self.cells_dir, "verdicts": self.verdicts_dir},
         )
 
     # -- maintenance ------------------------------------------------------
