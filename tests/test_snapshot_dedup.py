@@ -557,3 +557,135 @@ class TestMaintenanceStatus:
         idx.purge_forgotten()
         st = idx.maintenance_status()
         assert st["window"] is None and st["tombstone_batches"] == []
+
+
+class TestRound14WindowHardening:
+    """Round 14: two judged ADVICE r13 lows on the window machinery.
+
+    - `create` beside a surviving `__restoring` is a hard error: the
+      restoring tree's remaining leaves are pre-rewrite truth not yet
+      restored, and a new window created beside it would let
+      `snapshot_source` fall back to the STALE tree after the new
+      window closes — silently serving ancient rows.
+    - the readers' retry loops also ride out the source being
+      renamed AWAY between `snapshot_source` and the eager spark.read
+      file listing (PATH_NOT_FOUND used to propagate out of the loop
+      mid-close); an unmoved source with a persistent read failure
+      still propagates — only the provable race retries.
+    """
+
+    def test_create_refuses_beside_restoring(self, tmp_path):
+        from zikeiretsu_rs_spark.catalog import backup as backuplib
+
+        base = tmp_path / "codes" / "epoch=0" / "cell=0"
+        base.mkdir(parents=True)
+        (base / "part-0.parquet").write_bytes(b"x" * 8)
+        root = str(tmp_path / "codes")
+        backuplib.create(root, root + "__bk", ["epoch=0/cell=0"])
+        os.rename(root + "__bk", root + "__bk__restoring")
+        with pytest.raises(RuntimeError, match="crashed rollback"):
+            backuplib.create(root, root + "__bk", ["epoch=0/cell=0"])
+        # recover resolves it; create then proceeds
+        backuplib.recover(root, root + "__bk")
+        backuplib.create(root, root + "__bk", ["epoch=0/cell=0"])
+        assert backuplib.snapshot_source(root + "__bk") == root + "__bk"
+
+    def test_is_vanished_source_classifier(self):
+        from zikeiretsu_rs_spark.catalog import backup as backuplib
+
+        assert backuplib.is_vanished_source(
+            Exception("[PATH_NOT_FOUND] Path does not exist: /x")
+        )
+        assert not backuplib.is_vanished_source(
+            Exception("[UNABLE_TO_INFER_SCHEMA] ...")
+        )
+
+    def test_codes_lake_retries_when_source_vanishes_before_listing(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The source is renamed away AFTER leaf_rels but BEFORE the
+        eager spark.read listing: the read raises PATH_NOT_FOUND, the
+        loop must detect the moved source and retry (here: converge
+        to the live tree) instead of propagating."""
+        import numpy as np
+
+        from zikeiretsu_rs_spark.catalog import backup as backuplib
+        from zikeiretsu_rs_spark.operators import similarity
+
+        rng = np.random.default_rng(14)
+        rows = [
+            (i, [float(x) for x in rng.normal(size=8)]) for i in range(64)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        cents = similarity.head_centroids(emb, 4, "vec_id", "embedding")
+        book = similarity.pq_codebook(emb, m=4, ksub=4)
+        p = str(tmp_path / "idx")
+        idx = similarity.IvfpqLakeIndex(spark, p)
+        idx.build(emb, cents, codebook=book)
+        want = idx._codes_lake().count()
+        codes = os.path.join(p, "codes")
+        cells = sorted(
+            d
+            for d in os.listdir(os.path.join(codes, "epoch=0"))
+            if d.startswith("cell=")
+        )
+        backuplib.create(
+            codes, codes + "__refresh_backup", [f"epoch=0/{cells[0]}"]
+        )
+        real_rels = backuplib.leaf_rels
+        calls = {"n": 0}
+
+        def racing_rels(src):
+            rels = real_rels(src)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # the window closes between the rels walk and the
+                # eager parquet listing: src vanishes
+                backuplib.recover(codes, codes + "__refresh_backup")
+            return rels
+
+        monkeypatch.setattr(backuplib, "leaf_rels", racing_rels)
+        got = idx._codes_lake()  # would raise PATH_NOT_FOUND unfixed
+        monkeypatch.undo()
+        assert got.count() == want
+        assert calls["n"] >= 1
+
+    def test_history_read_retries_when_source_vanishes(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Same race, dedup family: the `__forget_backup` source
+        vanishes between the rels walk and the backup-side eager
+        listing — matches() must serve the (recovered) live tree."""
+        from zikeiretsu_rs_spark.catalog import backup as backuplib
+        from zikeiretsu_rs_spark.streaming.neardup import NearDupIndex
+
+        p = str(tmp_path / "nd")
+        idx = NearDupIndex(spark, p, threshold=0.5)
+        idx.add_batch(_docs(spark, DOCS_B1), epoch=0)
+        # open a real window over the buckets epoch
+        backuplib.create(
+            p,
+            os.path.join(p, "__forget_backup"),
+            ["buckets/epoch=0"],
+            meta={"verb": "purge_forgotten"},
+        )
+        real_rels = backuplib.leaf_rels
+        calls = {"n": 0}
+
+        def racing_rels(src):
+            rels = real_rels(src)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                backuplib.recover(p, os.path.join(p, "__forget_backup"))
+            return rels
+
+        monkeypatch.setattr(backuplib, "leaf_rels", racing_rels)
+        got = _m(
+            spark.read.parquet(f"{p}/matches/epoch={_add(idx, spark, DOCS_B2)}")
+        )
+        monkeypatch.undo()
+        # 10 dups 1 and 3; 12 dups 2 — the full pre-window history
+        assert {(d, o) for d, o, _ in got} == {(10, 1), (10, 3), (12, 2)}
+        assert calls["n"] >= 1

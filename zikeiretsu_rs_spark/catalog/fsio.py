@@ -196,6 +196,65 @@ def delete_dir(path: str) -> None:
         f.delete_dir(p)
 
 
+def local_or_none(path: str) -> str | None:
+    """The local filesystem path behind `path`, or None when it is a
+    real object-store URI. The non-raising sibling of `as_local`, for
+    verbs that have BOTH a local fast path (directory renames) and an
+    object-store path (pointer swaps — round 14): plain paths and
+    file:// URIs take the rename machinery, everything else the
+    pointer machinery."""
+    if not is_uri(path):
+        return path
+    if path.startswith("file://"):
+        return path[len("file://") :]
+    return None
+
+
+def copy_dir(src: str, dst: str) -> None:
+    """Recursive directory copy, URI-safe (both endpoints on the same
+    filesystem). Local paths use shutil; URIs walk a recursive
+    FileSelector and stream each file — bounded by the directory's
+    bytes, exactly like the local copytree. Missing `src` raises
+    (callers copy only directories they just listed)."""
+    if not is_uri(src):
+        import shutil
+
+        shutil.copytree(src, dst)
+        return
+    from pyarrow import fs as pafs
+
+    f, sp = _fs(src)
+    _f2, dp = _fs(dst)
+    f.create_dir(dp, recursive=True)
+    sel = pafs.FileSelector(sp, recursive=True)
+    infos = f.get_file_info(sel)
+    for info in sorted(infos, key=lambda i: i.path):
+        rel = info.path[len(sp) :].lstrip("/")
+        if info.type is pafs.FileType.Directory:
+            f.create_dir(f"{dp}/{rel}", recursive=True)
+    for info in infos:
+        if info.type is pafs.FileType.File:
+            rel = info.path[len(sp) :].lstrip("/")
+            with f.open_input_stream(info.path) as r, f.open_output_stream(
+                f"{dp}/{rel}"
+            ) as w:
+                while True:
+                    chunk = r.read(8 << 20)
+                    if not chunk:
+                        break
+                    w.write(chunk)
+
+
+def is_dir(path: str) -> bool:
+    """True when `path` exists and is a directory (URI-safe)."""
+    if not is_uri(path):
+        return os.path.isdir(path)
+    from pyarrow import fs as pafs
+
+    f, p = _fs(path)
+    return f.get_file_info(p).type is pafs.FileType.Directory
+
+
 def as_local(path: str, operation: str) -> str:
     """Resolve a path for operations built on directory renames
     (compaction swaps, purge rebuilds): those are only atomic on a real

