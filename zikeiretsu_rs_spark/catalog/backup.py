@@ -100,13 +100,17 @@ already relies on for every metadata commit:
   with one fewer moving part (rels are a frozen document, not a
   re-walked tree).
 
-Local paths keep the rename fast path below; file:// URIs take the
-pointer form — they exercise the exact object-store code path (the
-`test_fsio_cloud.py` discipline) while remaining runnable anywhere.
-The two forms never mix on one store: `create`/`recover` refuse
-loudly when they find the other form's debris (a store previously
-maintained through a plain local path must finish that recovery via
-the same access form before switching to URIs, and vice versa).
+Local paths keep the rename fast path below; file:// URIs open NEW
+windows in the pointer form — they exercise the exact object-store
+code path (the `test_fsio_cloud.py` discipline) while remaining
+runnable anywhere. The two forms COMPOSE on one store rather than
+conflict: `snapshot_source`/`leaf_rels`/`read_meta_at` resolve a
+window of either form regardless of the access form (a file:// probe
+sees the rename window a local-path refresh opened, and a local-path
+probe sees a pointer window), and `recover`/`drop` resolve both.
+Only `create` refuses the OTHER form's live window — every caller
+runs `recover` first, which resolves it, so hitting that refusal
+means the recover-first discipline was skipped.
 """
 
 from __future__ import annotations
@@ -178,35 +182,76 @@ def exists(backup_root: str) -> bool:
     """True only for a COMPLETE backup (the renamed root / an open
     pointer) — a stranded `__tmp` or unreferenced `__v` dir is not a
     backup, it is debris from a crash before the rewrite started."""
-    if _is_pointer_store(backup_root):
-        doc = _ptr_read(backup_root)
-        return doc is not None and doc["state"] == "open"
-    return os.path.isdir(backup_root)
+    doc = _ptr_read(backup_root)
+    if doc is not None and doc["state"] == "open":
+        return True
+    local = fsio.local_or_none(backup_root)
+    return local is not None and os.path.isdir(local)
 
 
 def snapshot_source(backup_root: str) -> str | None:
     """The directory currently serving the pre-rewrite copies, or
-    None when no maintenance window is open: the complete backup
-    root itself, else a crashed/ in-flight rollback's `__restoring`
-    tree (same content — `recover` renames the root there before
-    touching any live dir). A `__dropping` tree is NOT a source: it
-    only exists after the rewrite committed, when live is already
-    the truth. Pointer stores resolve through the pointer: an
-    "open" or "restoring" document names the immutable versioned
-    directory (its copies are untouched until the closed-PUT, so it
-    serves through an in-flight rollback exactly like `__restoring`
-    does); "closed"/absent is no source."""
-    if _is_pointer_store(backup_root):
-        doc = _ptr_read(backup_root)
-        if doc is not None and doc["state"] in ("open", "restoring"):
-            return _versioned(backup_root, doc["version"])
+    None when no maintenance window is open. Resolves BOTH window
+    forms regardless of the access form (round 14): an "open"/
+    "restoring" pointer names the immutable versioned directory (its
+    copies are untouched until the closed-PUT, so it serves through
+    an in-flight rollback exactly like `__restoring` does); else the
+    rename form — the complete backup root itself, or a crashed/
+    in-flight rollback's `__restoring` tree (same content — `recover`
+    renames the root there before touching any live dir). Rename-form
+    sources resolve to their LOCAL path even when accessed via a
+    file:// URI, so a URI probe sees the window a local-path refresh
+    opened. A `__dropping` tree / "closed" pointer is NOT a source:
+    it only exists after the rewrite committed, when live is already
+    the truth."""
+    ws = window_state(backup_root)
+    return None if ws is None else ws[1]
+
+
+def window_state(backup_root: str) -> tuple[str, str] | None:
+    """("open" | "restoring", source_dir) for a live window of
+    EITHER form, else None — the operator-status twin of
+    `snapshot_source` (catalog/maintenance.py renders it; readers
+    only need the source)."""
+    doc = _ptr_read(backup_root)
+    if doc is not None and doc["state"] in ("open", "restoring"):
+        return doc["state"], _versioned(backup_root, doc["version"])
+    local = fsio.local_or_none(backup_root)
+    if local is None:
         return None
-    if os.path.isdir(backup_root):
-        return backup_root
-    restoring = backup_root + "__restoring"
+    if os.path.isdir(local):
+        return "open", local
+    restoring = local + "__restoring"
     if os.path.isdir(restoring):
-        return restoring
+        return "restoring", restoring
     return None
+
+
+def has_close_debris(backup_root: str) -> bool:
+    """True when only a CLOSED window's physical cleanup is pending:
+    a rename-form `__dropping` tree, or a pointer-form versioned dir
+    not referenced by a live pointer (close — or create — crashed
+    around its delete). Never a snapshot source; swept by the next
+    create/recover."""
+    local = fsio.local_or_none(backup_root)
+    if local is not None and os.path.isdir(local + "__dropping"):
+        return True
+    doc = _ptr_read(backup_root)
+    live = (
+        doc["version"]
+        if doc is not None and doc["state"] in ("open", "restoring")
+        else None
+    )
+    parent, _, stem = backup_root.rpartition("/")
+    prefix = stem + "__v"
+    for name in fsio.list_dir_names(parent or ".", prefix):
+        try:
+            v = int(name[len(prefix) :])
+        except ValueError:
+            continue
+        if live is None or v != live:
+            return True
+    return False
 
 
 def create(
@@ -277,34 +322,34 @@ def create(
 
 
 def _refuse_pointer_form(backup_root: str) -> None:
-    """The mirror of `_refuse_cross_form`: a RENAME-form verb finding
-    a live POINTER window (the store was previously maintained via a
-    URI) must not proceed — its rollback would ignore the pointer's
-    versioned copies."""
+    """A rename-form `create` finding a live POINTER window means the
+    caller skipped the recover-first discipline (recover resolves
+    windows of either form) — a new rename window created beside the
+    pointer's versioned copies would leave two live snapshot sources.
+    Refuse with the fix."""
     doc = _ptr_read(backup_root)
     if doc is not None and doc["state"] in ("open", "restoring"):
         raise RuntimeError(
-            f"{backup_root} has a POINTER-form backup window (created "
-            "through URI access); finish its recovery through the "
-            "same URI form before maintaining this store via a plain "
-            "local path"
+            f"cannot open a new backup window at {backup_root}: a "
+            "pointer-form window is live (state "
+            f"{doc['state']!r}). Run recover(base_root, backup_root) "
+            "first — it resolves windows of either form."
         )
 
 
 def _refuse_cross_form(backup_root: str) -> None:
-    """A pointer-form verb finding RENAME-form debris (or the other
-    way round) means the store changed access form mid-recovery —
-    continuing would silently ignore the other form's pre-rewrite
-    copies. Refuse with the fix."""
+    """The pointer-form mirror of `_refuse_pointer_form`: a
+    pointer-form `create` finding a live RENAME window means the
+    recover-first discipline was skipped. Refuse with the fix."""
     local = fsio.local_or_none(backup_root)
     if local is not None and (
         os.path.isdir(local) or os.path.isdir(local + "__restoring")
     ):
         raise RuntimeError(
-            f"{backup_root} has a RENAME-form backup window (created "
-            "through a plain local path); finish its recovery through "
-            "the same local path before maintaining this store via a "
-            "URI"
+            f"cannot open a new backup window at {backup_root}: a "
+            "rename-form window (or its mid-restore tree) is live. "
+            "Run recover(base_root, backup_root) first — it resolves "
+            "windows of either form."
         )
 
 
@@ -372,20 +417,13 @@ def read_meta_at(src: str) -> dict | None:
     (what `snapshot_source` returned). Readers that pair the meta
     with a plan built from the same source must use this — resolving
     twice can straddle a window close and pair pre-rewrite codes with
-    the post-rewrite manifest (round 13). None when absent."""
-    if fsio.is_uri(src):
-        try:
-            doc = fsio.read_json(fsio.join(src, _META_NAME))
-        except Exception:
-            return None
-        return doc if isinstance(doc, dict) else None
-    path = os.path.join(src, _META_NAME)
+    the post-rewrite manifest (round 13). None when absent. Uniform
+    across access forms (fsio handles local paths and URIs)."""
     try:
-        with open(path) as f:
-            doc = json.load(f)
-        return doc if isinstance(doc, dict) else None
-    except (OSError, ValueError):
+        doc = fsio.read_json(fsio.join(src, _META_NAME))
+    except Exception:
         return None
+    return doc if isinstance(doc, dict) else None
 
 
 def read_meta(backup_root: str) -> dict | None:
@@ -405,23 +443,28 @@ def leaf_rels(backup_root: str) -> list[str]:
     the rewrite replaces. Snapshot readers exclude these rels from
     the live side and read the backup's copies instead. Accepts the
     root OR a `__restoring` tree (pass what `snapshot_source`
-    returned). A pointer-form source reads its FROZEN rels document
-    instead of walking — written before the open-PUT and immutable
-    with the versioned dir, so the returned set can never change
-    under a reader (the rename form's stability re-walk is
-    unnecessary there; a vanished source reads as [], the same shape
-    a vanished rename-form tree walks to)."""
-    if fsio.is_uri(backup_root):
-        try:
-            doc = fsio.read_json(fsio.join(backup_root, _RELS_NAME))
-        except Exception:
-            return []
+    returned). A pointer-form (versioned) source reads its FROZEN
+    rels document instead of walking — written before the open-PUT
+    and immutable with the versioned dir, so the returned set can
+    never change under a reader (the rename form's stability re-walk
+    is unnecessary there; a vanished source reads as [], the same
+    shape a vanished rename-form tree walks to). The rels document
+    is probed in EITHER access form (a versioned dir can be handed
+    in as a plain local path); only a rename-form source walks."""
+    try:
+        doc = fsio.read_json(fsio.join(backup_root, _RELS_NAME))
         rels = doc.get("rels") if isinstance(doc, dict) else None
-        return sorted(rels) if isinstance(rels, list) else []
+        if isinstance(rels, list):
+            return sorted(str(r) for r in rels)
+    except Exception:
+        pass
+    local = fsio.local_or_none(backup_root)
+    if local is None:
+        return []
     rels = []
-    for root, dirs, _files in os.walk(backup_root):
+    for root, dirs, _files in os.walk(local):
         if not dirs:
-            rel = os.path.relpath(root, backup_root)
+            rel = os.path.relpath(root, local)
             if rel != ".":
                 rels.append(rel)
     return sorted(rels)
@@ -457,26 +500,30 @@ def recover(base_root: str, backup_root: str) -> bool:
     source stays intact, so re-running after any crash redoes the
     copy from complete truth), PUTting "closed", then deleting the
     versioned dir. A closed/absent pointer just sweeps unreferenced
-    `__v` debris."""
-    if _is_pointer_store(backup_root):
-        return _recover_pointer(base_root, backup_root)
-    _refuse_pointer_form(backup_root)
-    shutil.rmtree(backup_root + "__tmp", ignore_errors=True)
-    shutil.rmtree(backup_root + "__dropping", ignore_errors=True)
-    restoring = backup_root + "__restoring"
-    did = False
+    `__v` debris. BOTH forms are resolved in one call regardless of
+    the access form — a URI recover also finishes a rename-form
+    window when the path is locally resolvable, and a local recover
+    also finishes a pointer window — so callers never need to know
+    which access form opened the torn window."""
+    did = _recover_pointer(base_root, backup_root)
+    local = fsio.local_or_none(backup_root)
+    if local is None:
+        return did
+    local_base = fsio.local_or_none(base_root)
+    shutil.rmtree(local + "__tmp", ignore_errors=True)
+    shutil.rmtree(local + "__dropping", ignore_errors=True)
+    restoring = local + "__restoring"
     if os.path.isdir(restoring):
-        _restore_leaves(base_root, restoring)
+        _restore_leaves(local_base, restoring)
         did = True
-    if os.path.isdir(backup_root):
-        os.rename(backup_root, restoring)
-        _restore_leaves(base_root, restoring)
+    if os.path.isdir(local):
+        os.rename(local, restoring)
+        _restore_leaves(local_base, restoring)
         did = True
     return did
 
 
 def _recover_pointer(base_root: str, backup_root: str) -> bool:
-    _refuse_cross_form(backup_root)
     doc = _ptr_read(backup_root)
     if doc is None or doc["state"] == "closed":
         # no window: sweep debris from a crash before an open-PUT or
@@ -515,27 +562,26 @@ def drop(backup_root: str) -> None:
     unreferenced `__v` dir swept by the next create/recover. A
     mid-restore ("restoring") pointer is NOT closed here — that is
     recover's job (the rename form likewise never drops a
-    `__restoring` tree)."""
-    if _is_pointer_store(backup_root):
-        doc = _ptr_read(backup_root)
-        if doc is None:
-            _sweep_stranded_versions(backup_root, keep=None)
-            return
-        if doc["state"] == "restoring":
-            _sweep_stranded_versions(backup_root, keep=doc["version"])
-            return
-        if doc["state"] == "open":
-            fsio.write_json_atomic(
-                _ptr_path(backup_root),
-                {"state": "closed", "version": doc["version"]},
-            )
-        _sweep_stranded_versions(backup_root, keep=None)
+    `__restoring` tree). Like recover, drop resolves BOTH forms in
+    one call regardless of the access form."""
+    doc = _ptr_read(backup_root)
+    if doc is not None and doc["state"] == "restoring":
+        _sweep_stranded_versions(backup_root, keep=doc["version"])
         return
-    dropping = backup_root + "__dropping"
+    if doc is not None and doc["state"] == "open":
+        fsio.write_json_atomic(
+            _ptr_path(backup_root),
+            {"state": "closed", "version": doc["version"]},
+        )
+    _sweep_stranded_versions(backup_root, keep=None)
+    local = fsio.local_or_none(backup_root)
+    if local is None:
+        return
+    dropping = local + "__dropping"
     shutil.rmtree(dropping, ignore_errors=True)
-    if os.path.isdir(backup_root):
+    if os.path.isdir(local):
         try:
-            os.rename(backup_root, dropping)
+            os.rename(local, dropping)
         except OSError:
             # a concurrent recover/drop already moved it
             return

@@ -55,23 +55,21 @@ from . import lockfile, tombstones
 
 def window_status(backup_root: str) -> dict | None:
     """The backup window's state at `backup_root`, or None when no
-    window (and no debris) exists. Resolution order mirrors the
-    readers': root, then `__restoring`; `__dropping` is reported as
-    debris because it is NOT a snapshot source."""
-    import os
-
-    src = backuplib.snapshot_source(backup_root)
-    if src is not None:
+    window (and no debris) exists. Resolution mirrors the readers'
+    (`backup.window_state` — round 14: covers BOTH the rename form
+    and the pointer form URI stores use); close/create debris that is
+    never a snapshot source (`__dropping` trees, unreferenced
+    versioned dirs) is reported as debris."""
+    ws = backuplib.window_state(backup_root)
+    if ws is not None:
+        state, src = ws
         return {
-            "state": (
-                "open" if src == backup_root else "restoring"
-            ),
+            "state": state,
             "source": src,
             "replaced_partitions": len(backuplib.leaf_rels(src)),
             "meta": backuplib.read_meta_at(src),
         }
-    dropping = backup_root + "__dropping"
-    if os.path.isdir(dropping):
+    if backuplib.has_close_debris(backup_root):
         return {
             "state": "dropping-debris",
             "source": None,

