@@ -273,3 +273,145 @@ class TestDedupPurgeOnUri:
             "vec_id long, vec array<double>, norm double, epoch int, cell int"
         ).option("basePath", f"{uri}/cells").parquet(f"{uri}/cells")
         assert cells.where(F.col("vec_id").isin([0, 1])).count() == 0
+
+
+class TestRefreshOnUri:
+    """Round 14 extension of the pointer-form window to
+    `refresh_books` — every step was already fsio/Spark-native, so a
+    drifted percell store at a file:// URI refreshes through the
+    pointer window exactly like a local store through the rename one;
+    `compact` is now the ONLY local-only maintenance verb (its
+    epoch-merge swap genuinely needs renames)."""
+
+    @pytest.fixture(scope="class")
+    def split(self, spark, emb, cents):
+        from zikeiretsu_rs_spark.operators import similarity
+
+        asg = similarity.assign_cells_arrow(
+            emb, cents, "vec_id", "embedding", metric="dot"
+        ).select("vec_id", "cell")
+        counts = {
+            int(r["cell"]): int(r["n"])
+            for r in asg.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        }
+        victim = max(counts, key=lambda c: counts[c])
+        seed = emb.join(
+            asg.where(F.col("cell") != victim).select("vec_id"), "vec_id"
+        ).cache()
+        batch = emb.join(
+            asg.where(F.col("cell") == victim).select("vec_id"), "vec_id"
+        ).cache()
+        return victim, seed, batch
+
+    def _build_drifted(self, spark, cents, split, store):
+        from zikeiretsu_rs_spark.operators import similarity
+
+        victim, seed, batch = split
+        books_df = similarity.pq_codebook_residual_percell_df(
+            seed, cents, m=M, ksub=KSUB
+        )
+        idx = similarity.IvfpqLakeIndex(spark, store)
+        idx.build(seed, cents, books_df=books_df, m=M, ksub=KSUB)
+        idx.add_batch(batch)
+        return idx
+
+    def test_refresh_parity_across_window_forms(
+        self, spark, emb, cents, split, tmp_path
+    ):
+        """The same drifted store refreshed at a file:// URI (pointer
+        window) and at a plain path (rename window): identical
+        refreshed-cell sets, identical manifests, row-identical
+        post-refresh probes, and the URI window closed the pointer
+        way."""
+        victim, seed, batch = split
+        uri = f"file://{tmp_path}/ru"
+        idx_u = self._build_drifted(spark, cents, split, uri)
+        idx_l = self._build_drifted(
+            spark, cents, split, str(tmp_path / "rl")
+        )
+        queries = emb.where(F.col("vec_id") < 6)
+        got = {}
+        for key, idx in (("uri", idx_u), ("loc", idx_l)):
+            res = idx.refresh_books(emb)
+            assert res["refreshed_cells"] == [victim]
+            assert res["rows_reencoded"] == batch.count()
+            got[key] = _rows(
+                idx.probe(queries, k=5, nprobe=N_CELLS).select(
+                    "query_id", "neighbor_id", "adc_cosine", "rank"
+                )
+            )
+        assert got["uri"] == got["loc"] and got["uri"]
+        man = fsio.read_json(f"{uri}/books_manifest.json")
+        assert victim in set(man["cells"])
+        ptr = fsio.read_json(f"{uri}/codes__refresh_backup__ptr.json")
+        assert ptr["state"] == "closed"
+        local = str(tmp_path / "ru")
+        assert not [
+            d
+            for d in os.listdir(local)
+            if d.startswith("codes__refresh_backup__v")
+        ]
+
+    def test_torn_uri_refresh_rolls_back_and_converges(
+        self, spark, emb, cents, split, tmp_path
+    ):
+        """The r13 HIGH scenario, pointer-form: a refresh that
+        crashed after writing the new books but before the manifest
+        extension (window open, live codes partition gone, donor-book
+        debris on disk). The mid-window probe must serve the
+        pre-rewrite snapshot bit-identically; the re-run must roll
+        back and converge to the same refreshed state as a clean
+        run."""
+        victim, seed, batch = split
+        uri = f"file://{tmp_path}/rt"
+        idx = self._build_drifted(spark, cents, split, uri)
+        queries = emb.where(F.col("vec_id") < 6)
+        pre = _rows(idx.probe(queries, k=5, nprobe=N_CELLS))
+        codes = f"{uri}/codes"
+        eps = idx._epochs()
+        # the window opens with the refresh's own meta (pre-rewrite
+        # fitted set + drifted set), pointer-form
+        man = fsio.read_json(f"{uri}/books_manifest.json")
+        backuplib.create(
+            codes,
+            codes + "__refresh_backup",
+            [f"epoch={ep}/cell={victim}" for ep in eps],
+            meta={
+                "verb": "refresh_books",
+                "fitted_cells": sorted(man["cells"]),
+                "drifted": [victim],
+            },
+        )
+        # the torn job commit: live drifted partitions gone; the NEW
+        # book landed (a DIFFERENT fitted cell's book as donor — a
+        # wrongful read diverges loudly)
+        for ep in eps:
+            fsio.delete_dir(f"{codes}/epoch={ep}/cell={victim}")
+        donor = sorted(man["cells"])[0]
+        fsio.copy_dir(
+            f"{uri}/books/cell={donor}", f"{uri}/books/cell={victim}"
+        )
+        mid = _rows(idx.probe(queries, k=5, nprobe=N_CELLS))
+        assert mid == pre  # bit-identical snapshot through the window
+        # the re-run rolls back (manifest lacks the drifted cell) and
+        # converges to the clean refresh
+        res = idx.refresh_books(emb)
+        assert res["refreshed_cells"] == [victim]
+        assert res["rows_reencoded"] == batch.count()
+        assert (
+            backuplib.snapshot_source(codes + "__refresh_backup") is None
+        )
+        post = idx.probe(queries, k=5, nprobe=N_CELLS)
+        assert len(_rows(post)) == len(pre)
+        # the twin clean-run store probes identically
+        idx2 = self._build_drifted(
+            spark, cents, split, str(tmp_path / "rc")
+        )
+        idx2.refresh_books(emb)
+        assert _rows(
+            post.select("query_id", "neighbor_id", "adc_cosine", "rank")
+        ) == _rows(
+            idx2.probe(queries, k=5, nprobe=N_CELLS).select(
+                "query_id", "neighbor_id", "adc_cosine", "rank"
+            )
+        )

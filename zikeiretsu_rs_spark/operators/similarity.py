@@ -4847,8 +4847,12 @@ class IvfpqLakeIndex:
         pre-rewrite state for the entire window, crashed or healthy
         (pytest-pinned incl. the new-books-on-disk state a real
         crash always leaves). Must not run concurrently with
-        add_batch; requires a local store_dir (same rule as
-        `compact`).
+        add_batch. Runs against LOCAL stores (rename-form backup
+        window) AND object-store URIs (pointer-form window — round
+        14: every step was already fsio/Spark-native, so lifting the
+        `as_local` gate leaves `compact` as the only local-only verb,
+        and that one genuinely needs renames for its epoch-merge
+        swap).
 
         Replay safety: `_encode` reads the books tree live, so a
         foreachBatch redelivery AFTER a refresh re-encodes under the
@@ -4862,16 +4866,12 @@ class IvfpqLakeIndex:
 
         meta = self._meta()
         self._require_refreshable(meta)
-        import os
-
-        local_store = fsio.as_local(
-            self.store_dir, "ivfpq-index book refresh"
-        )
-        local_codes = os.path.join(local_store, "codes")
         # roll back a torn codes rewrite from a crashed prior refresh
         # BEFORE drift detection — the restored cells are manifest-
         # absent, so they re-select and the run converges
-        self._recover_codes_backup(local_codes)
+        # (backup.recover resolves rename-form AND pointer-form
+        # windows, so the store's own access form passes through)
+        self._recover_codes_backup(self.codes_dir)
         m, ksub = int(meta["m"]), int(meta["ksub"])
         centroids = meta["centroids"]
         if min_rows is None:
@@ -5027,7 +5027,7 @@ class IvfpqLakeIndex:
             # the drifted set for the recovery roll-forward verdict.
             # Bounded to the drifted cells' code bytes.
             backup = self._backup_code_partitions(
-                local_codes,
+                self.codes_dir,
                 [
                     (ep, c)
                     for ep in self._epochs()
