@@ -415,3 +415,113 @@ class TestRefreshOnUri:
                 "query_id", "neighbor_id", "adc_cosine", "rank"
             )
         )
+
+
+class TestPointerWindowOnPureUriScheme:
+    """The pointer-form window machinery on a PURE object-store URI —
+    a scheme with NO local-path translation at all (`fsio.local_or_none`
+    returns None), routed through `fsio.register_scheme_filesystem`
+    exactly like a deployment would route a custom store. file:// is
+    the e2e vehicle elsewhere in this file because Spark can read it;
+    THIS class pins that the window machinery itself (create /
+    snapshot_source / leaf_rels / read_meta_at / recover / drop /
+    window_state / has_close_debris) never falls back to an os.* code
+    path — any hidden local-API dependency would fail loudly on the
+    mock:// paths."""
+
+    @pytest.fixture()
+    def mock_fs(self, tmp_path):
+        from pyarrow import fs as pafs
+
+        fsio.register_scheme_filesystem(
+            "mock",
+            pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem()),
+        )
+        yield str(tmp_path)
+        fsio.unregister_scheme_filesystem("mock")
+
+    def _seed(self, base, rel, doc):
+        fsio.write_json_atomic(fsio.join(base, rel, "part-0.json"), doc)
+
+    def test_full_window_lifecycle(self, mock_fs):
+        base = "mock://store/codes"
+        root = base + "__refresh_backup"
+        assert fsio.local_or_none(base) is None  # pure URI, no fallback
+        self._seed(base, "epoch=0/cell=0", {"v": "live0"})
+        self._seed(base, "epoch=0/cell=1", {"v": "live1"})
+        # open
+        backuplib.create(
+            base, root, ["epoch=0/cell=0"], meta={"verb": "purge_deleted"}
+        )
+        src = backuplib.snapshot_source(root)
+        assert src == root + "__v1"
+        assert backuplib.leaf_rels(src) == ["epoch=0/cell=0"]
+        assert backuplib.read_meta_at(src)["verb"] == "purge_deleted"
+        assert backuplib.window_state(root) == ("open", src)
+        assert backuplib.exists(root)
+        # the rewrite mutates live; recover restores the copy
+        self._seed(base, "epoch=0/cell=0", {"v": "REWRITTEN"})
+        assert backuplib.recover(base, root) is True
+        assert (
+            fsio.read_json(f"{base}/epoch=0/cell=0/part-0.json")["v"]
+            == "live0"
+        )
+        assert backuplib.snapshot_source(root) is None
+        assert not backuplib.has_close_debris(root)
+        # versions are monotone: the next window is __v2, never __v1
+        backuplib.create(base, root, ["epoch=0/cell=1"])
+        assert backuplib.snapshot_source(root) == root + "__v2"
+        backuplib.drop(root)
+        assert backuplib.snapshot_source(root) is None
+        ptr = fsio.read_json(root + "__ptr.json")
+        assert ptr == {"state": "closed", "version": 2}
+
+    def test_crash_matrix_on_pure_uri(self, mock_fs):
+        base = "mock://store/codes"
+        root = base + "__forget" 
+        self._seed(base, "epoch=0", {"v": "live"})
+        # crash BEFORE the open-PUT: stranded unreferenced __v dir is
+        # debris (the __tmp rule) — never a source, swept by recover
+        fsio.write_json_atomic(
+            fsio.join(root + "__v7", "epoch=0", "part-0.json"), {"v": "x"}
+        )
+        assert backuplib.snapshot_source(root) is None
+        assert backuplib.has_close_debris(root)
+        assert backuplib.recover(base, root) is False
+        assert not fsio.exists(fsio.join(root + "__v7", "epoch=0"))
+        # crash MID-RESTORE: "restoring" pointer resumes idempotently
+        backuplib.create(base, root, ["epoch=0"])
+        fsio.write_json_atomic(
+            root + "__ptr.json", {"state": "restoring", "version": 1}
+        )
+        self._seed(base, "epoch=0", {"v": "torn"})
+        src = backuplib.snapshot_source(root)
+        assert src == root + "__v1"  # still a valid source mid-restore
+        assert backuplib.window_state(root)[0] == "restoring"
+        assert backuplib.recover(base, root) is True
+        assert (
+            fsio.read_json(f"{base}/epoch=0/part-0.json")["v"] == "live"
+        )
+        # drop never closes a mid-restore window (recover's job)
+        backuplib.create(base, root, ["epoch=0"])
+        fsio.write_json_atomic(
+            root + "__ptr.json", {"state": "restoring", "version": 2}
+        )
+        backuplib.drop(root)
+        assert backuplib.window_state(root)[0] == "restoring"
+        assert fsio.exists(
+            fsio.join(root + "__v2", "__snapshot_rels.json")
+        )
+        backuplib.recover(base, root)
+
+    def test_create_refuses_mid_restore_pointer(self, mock_fs):
+        base = "mock://store/codes"
+        root = base + "__bk"
+        self._seed(base, "epoch=0", {"v": "live"})
+        backuplib.create(base, root, ["epoch=0"])
+        fsio.write_json_atomic(
+            root + "__ptr.json", {"state": "restoring", "version": 1}
+        )
+        with pytest.raises(RuntimeError, match="recover"):
+            backuplib.create(base, root, ["epoch=0"])
+
