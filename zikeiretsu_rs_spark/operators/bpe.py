@@ -121,13 +121,15 @@ def learn_merges(
     early when the best pair's frequency falls below
     `min_pair_freq`.
 
-    `checkpoint_every=1` (default) eagerly localCheckpoints after
-    every merge pass, so each round's pair count re-runs ZERO prior
-    Arrow passes — measured 5.2 s vs 9.6 s for every-5 at sf0.1
-    (uncheckpointed lineage re-executes the accumulated merge chain
-    each round: quadratic in rounds). Raise it only if checkpoint
-    storage of the vocab relation ever dominates — at BPE's working
-    set (the distinct-word table) it does not."""
+    `checkpoint_every=1` (default) localCheckpoints after every merge
+    pass, so each round's pair count re-runs ZERO prior Arrow passes —
+    measured 5.2 s vs 9.6 s for every-5 at sf0.1 (uncheckpointed
+    lineage re-executes the accumulated merge chain each round:
+    quadratic in rounds). Raise it only if checkpoint storage of the
+    vocab relation ever dominates — at BPE's working set (the
+    distinct-word table) it does not. The checkpoint is lazy, so the
+    materializing action is the next round's own collect (one job per
+    round, not two)."""
     vocab = _initial_symbols(word_freqs(df, text_col)).cache()
     merges: list[tuple[str, str, int]] = []
     for r in range(n_merges):
@@ -153,7 +155,13 @@ def learn_merges(
         merges.append((left, right, pf))
         vocab = _merge_pass(vocab, left, right)
         if (r + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+            # LAZY checkpoint (optimization round 14): the next
+            # round's pair-count collect is the materializing action,
+            # so each round costs one Spark job instead of two — and
+            # the FINAL round's merge pass (whose output no action
+            # ever reads; learn returns only the merge list) is never
+            # computed at all. Checkpointed rows identical either way.
+            vocab = vocab.localCheckpoint(eager=False)
     return merges
 
 
@@ -364,5 +372,7 @@ def learn_merges_batched(
         done += len(selected)
         vocab = _batch_merge_pass(
             vocab, [(left, right) for left, right, _ in selected]
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # lazy: next round's collect
+        # materializes it; the final round's dead merge pass is never
+        # run (same fusion as learn_merges — optimization round 14)
     return rounds

@@ -628,9 +628,18 @@ def connected_components(
     decreases the integer label sum; DECIMAL(38) accumulation, exact)
     on the checkpointed table — no join, no second pass.
     localCheckpoint truncates the lineage per round (an iterative
-    plan otherwise grows exponentially). For adversarially deep
-    graphs swap in the large-star/small-star formulation; for dedup
-    workloads this is the right cost.
+    plan otherwise grows exponentially). Checkpoints are LAZY
+    (eager=False, optimization round 14): the convergence agg is the
+    action that materializes each round's table, so a round costs ONE
+    Spark job instead of two (checkpoint job + agg job) — the
+    checkpointed rows are identical whichever action computes them.
+    The pre-loop label-sum job is folded away the same way: `updated`
+    carries exactly one row per node (every node has a self-loop, so
+    the join can't drop it), hence sum(u) over round 1's table IS the
+    initial sum(label) and both sums come out of round 1's single
+    agg. For adversarially deep graphs swap in the
+    large-star/small-star formulation; for dedup workloads this is
+    the right cost.
 
     Output: (node, cluster_id) for every node appearing in `pairs`,
     cluster_id = min node id reachable through the pair graph.
@@ -641,18 +650,19 @@ def connected_components(
     ).distinct()
     nodes = edges.select("u").distinct()
     edges = edges.union(nodes.withColumn("v", F.col("u")))
-    # materialize the edge list ONCE: `pairs` is typically an expensive
-    # upstream (shingle self-join); without truncation every iteration's
-    # join AND every convergence action re-runs that whole pipeline
-    # (~2 actions x rounds). Edge rows are two longs — tiny to persist,
-    # reused by every subsequent action.
-    edges = edges.localCheckpoint(eager=True)
+    # checkpoint the edge list ONCE (lazily — round 1's agg is the
+    # materializing action): `pairs` is typically an expensive
+    # upstream (shingle self-join); without truncation every
+    # iteration's join AND every convergence action re-runs that
+    # whole pipeline (~2 actions x rounds). Edge rows are two longs —
+    # tiny to persist, reused by every subsequent action.
+    edges = edges.localCheckpoint(eager=False)
     labels = edges.where(F.col("u") == F.col("v")).select(
         "u", F.col("u").alias("label")
     )
     _decimal_sum = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_decimal_sum).first()[0]
-    for _ in range(max_iter):
+    prev_sum = None  # folded into round 1's agg (sum(u) == initial sum)
+    for r in range(max_iter):
         updated = (
             edges.join(
                 labels.select(
@@ -663,8 +673,13 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("_nl").alias("label"))
         )
-        updated = updated.localCheckpoint(eager=True)
-        new_sum = updated.agg(_decimal_sum).first()[0]
+        updated = updated.localCheckpoint(eager=False)
+        if r == 0:
+            new_sum, prev_sum = updated.agg(
+                _decimal_sum, F.sum(F.col("u").cast("decimal(38,0)"))
+            ).first()
+        else:
+            new_sum = updated.agg(_decimal_sum).first()[0]
         labels = updated
         if new_sum == prev_sum:
             break
