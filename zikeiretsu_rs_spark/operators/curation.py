@@ -77,15 +77,28 @@ def eval_ngram_overlap(
         .select("shingle")
         .distinct()
     )
-    totals = train_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    hits = (
-        train_grams.join(F.broadcast(eval_grams), "shingle", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_overlap"))
+    # single-pass formulation (optimization round 14): a broadcast
+    # LEFT join against the DISTINCT eval-gram set tags each train
+    # gram with a hit flag (multiplicity 1 — the eval side is
+    # distinct), so total and overlap counts come out of ONE
+    # map-side-combined groupBy. The former totals ⋈ hits shape
+    # re-derived the train-gram explode in both branches (Catalyst has
+    # no cross-branch subexpression reuse) and paid an extra join.
+    # Integers identical: n_grams counts the same rows, n_overlap
+    # counts exactly the semi-join survivors.
+    tagged = train_grams.join(
+        F.broadcast(eval_grams.withColumn("_m", F.lit(1))),
+        "shingle",
+        "left",
     )
     out = (
-        totals.join(hits, id_col, "left")
-        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        tagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("_m"), F.lit(0)).cast("long").alias(
+                "n_overlap"
+            ),
+        )
         .withColumn(
             "contamination",
             F.round(F.col("n_overlap") / F.col("n_grams"), 6),
@@ -353,7 +366,12 @@ def chunk_containment(
     from .dedup import ngram_jaccard_pairs
 
     surr = 100_000
-    chunks = chunk_documents(df, id_col, text_col, chunk_tokens, stride)
+    # checkpointed ONCE: the chunk table feeds both the pair pipeline
+    # and the per-doc chunk-count branch — without it the corpus
+    # tokenize + chunk explode runs twice (optimization round 14)
+    chunks = chunk_documents(
+        df, id_col, text_col, chunk_tokens, stride
+    ).localCheckpoint()
     cdf = chunks.select(
         (F.col(id_col) * surr + F.col("chunk_idx")).alias("cid"),
         "chunk_text",
@@ -835,6 +853,10 @@ def remove_dup_spans(
     (order-sensitive, engine-recomputable; empty survivors -> 0).
     """
     wv = "x -> length(x) * 131 + ascii(x) + ascii(substr(x, -1, 1))"
+    # checkpointed ONCE: the token-position table feeds both the
+    # anti-join (kept) and the totals branch — without it the corpus
+    # tokenize + posexplode runs twice (optimization round 14, the
+    # tfidf_topk posting-table pattern)
     toks = (
         df.select(F.col(id_col), words_col(F.col(text_col)).alias("_ws"))
         .where(F.size("_ws") > 0)
@@ -844,6 +866,7 @@ def remove_dup_spans(
                 "pos", "wval"
             ),
         )
+        .localCheckpoint()
     )
     grams = (
         df.select(F.col(id_col), words_col(F.col(text_col)).alias("_ws"))

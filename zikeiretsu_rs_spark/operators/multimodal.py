@@ -206,6 +206,15 @@ def _decode_bmp(payload: bytes | None):
     return w, abs_h, channels, pix_sum
 
 
+def _synth_parallelism(df: DataFrame) -> int:
+    """Task count for the fixture synthesizers: the session's
+    defaultParallelism (= total cores on local[N], cluster-wide cores
+    on a real deployment) instead of a hard-coded local core count —
+    the synthesize repartition must scale with the executor fleet, not
+    pin 32 tasks on a 1000-core cluster (optimization round 14)."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def synthesize_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
     """Fixture generator: one real BMP payload per row, dimensions and
     pixels a pure function of the id (schema = MEDIA_SCHEMA)."""
@@ -224,11 +233,12 @@ def synthesize_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
 
     # spread synthesis across tasks: the source table is often a
     # single input split, which would serialize the encoder
-    # (round-robin — an expression key hashes 32 values into 32
-    # partitions with balls-into-bins collisions and leaves cores idle)
+    # (round-robin — an expression key hashed into N partitions has
+    # balls-into-bins collisions and leaves cores idle; N follows
+    # defaultParallelism, see _synth_parallelism)
     return (
         df.select(F.col(id_col).cast("long").alias(id_col))
-        .repartition(32)
+        .repartition(_synth_parallelism(df))
         .mapInPandas(batches, MEDIA_SCHEMA)
     )
 
@@ -479,11 +489,12 @@ def synthesize_png_media(df: DataFrame, id_col: str) -> DataFrame:
 
     # spread synthesis across tasks: the source table is often a
     # single input split, which would serialize the encoder
-    # (round-robin — an expression key hashes 32 values into 32
-    # partitions with balls-into-bins collisions and leaves cores idle)
+    # (round-robin — an expression key hashed into N partitions has
+    # balls-into-bins collisions and leaves cores idle; N follows
+    # defaultParallelism, see _synth_parallelism)
     return (
         df.select(F.col(id_col).cast("long").alias(id_col))
-        .repartition(32)
+        .repartition(_synth_parallelism(df))
         .mapInPandas(batches, MEDIA_SCHEMA)
     )
 
@@ -604,11 +615,12 @@ def synthesize_wav_media(df: DataFrame, id_col: str) -> DataFrame:
 
     # spread synthesis across tasks: the source table is often a
     # single input split, which would serialize the encoder
-    # (round-robin — an expression key hashes 32 values into 32
-    # partitions with balls-into-bins collisions and leaves cores idle)
+    # (round-robin — an expression key hashed into N partitions has
+    # balls-into-bins collisions and leaves cores idle; N follows
+    # defaultParallelism, see _synth_parallelism)
     return (
         df.select(F.col(id_col).cast("long").alias(id_col))
-        .repartition(32)
+        .repartition(_synth_parallelism(df))
         .mapInPandas(batches, MEDIA_SCHEMA)
     )
 
@@ -775,11 +787,12 @@ def synthesize_video_media(df: DataFrame, id_col: str) -> DataFrame:
 
     # spread synthesis across tasks: the source table is often a
     # single input split, which would serialize the encoder
-    # (round-robin — an expression key hashes 32 values into 32
-    # partitions with balls-into-bins collisions and leaves cores idle)
+    # (round-robin — an expression key hashed into N partitions has
+    # balls-into-bins collisions and leaves cores idle; N follows
+    # defaultParallelism, see _synth_parallelism)
     return (
         df.select(F.col(id_col).cast("long").alias(id_col))
-        .repartition(32)
+        .repartition(_synth_parallelism(df))
         .mapInPandas(batches, MEDIA_SCHEMA)
     )
 
@@ -1256,11 +1269,12 @@ def synthesize_gif_media(df: DataFrame, id_col: str) -> DataFrame:
 
     # spread synthesis across tasks: the source table is often a
     # single input split, which would serialize the encoder
-    # (round-robin — an expression key hashes 32 values into 32
-    # partitions with balls-into-bins collisions and leaves cores idle)
+    # (round-robin — an expression key hashed into N partitions has
+    # balls-into-bins collisions and leaves cores idle; N follows
+    # defaultParallelism, see _synth_parallelism)
     return (
         df.select(F.col(id_col).cast("long").alias(id_col))
-        .repartition(32)
+        .repartition(_synth_parallelism(df))
         .mapInPandas(batches, MEDIA_SCHEMA)
     )
 

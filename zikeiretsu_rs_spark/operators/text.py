@@ -220,7 +220,16 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tokens = df.select(
         F.col(id_col), F.explode(words_col(F.col(text_col))).alias("term")
     )
-    tfd = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf_d"))
+    # the reduced per-(doc, term) table feeds BOTH the model branch
+    # (tf -> n_total) and the scoring join; checkpointed ONCE so the
+    # corpus tokenize+explode runs once, not three times (Catalyst has
+    # no cross-branch subexpression reuse — optimization round 14,
+    # the tfidf_topk posting-table pattern)
+    tfd = (
+        tokens.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf_d"))
+        .localCheckpoint()
+    )
     tf = tfd.groupBy("term").agg(F.sum("tf_d").alias("tf"))
     n_total = tf.agg(F.sum("tf").alias("n_total"))
     scored = (
@@ -434,7 +443,14 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), "")).alias("ch"),
     ).where(F.col("ch") != "")
-    counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("cnt"))
+    # reduced (doc, char) counts feed both the totals branch and the
+    # per-char terms — checkpointed once so the character explode
+    # (|corpus text| rows) runs once, not twice (optimization round 14)
+    counts = (
+        chars.groupBy(id_col, "ch")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
     totals = counts.groupBy(id_col).agg(F.sum("cnt").alias("n_chars"))
     terms = counts.join(totals, id_col).select(
         F.col(id_col),
