@@ -44,6 +44,23 @@ def with_double_vec(df: DataFrame, vec_col: str, out_col: str = "_vec") -> DataF
     return df.withColumn(out_col, F.col(vec_col).cast("array<double>"))
 
 
+def _vec_lit(values: list[float]) -> Column:
+    """One parsed SQL array(...) double literal for a fitted vector.
+    `F.array(*[F.lit(x) ...])` costs one py4j round trip PER ELEMENT —
+    pure driver time that dominates the centroid-literal quantizers
+    (same profile as joins.bloom_prefilter's bitmap, optimization round
+    14); the single expression string parses server-side in
+    milliseconds and yields the same literal array in the plan. Python
+    repr() emits the shortest decimal that round-trips the IEEE double,
+    and Java's parseDouble is correctly rounded, so every element is
+    bit-identical to what F.lit shipped. Non-finite values (no SQL
+    literal form) fall back to the per-element path."""
+    vals = [float(x) for x in values]
+    if all(v == v and v not in (float("inf"), float("-inf")) for v in vals):
+        return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -321,11 +338,8 @@ def assign_cells(
         *[
             F.struct(
                 (
-                    _dot(F.col("_vec"), F.array(*[F.lit(x) for x in c]))
-                    / (
-                        _norm(F.col("_vec"))
-                        * _norm(F.array(*[F.lit(x) for x in c]))
-                    )
+                    _dot(F.col("_vec"), _vec_lit(c))
+                    / (_norm(F.col("_vec")) * _norm(_vec_lit(c)))
                 ).alias("score"),
                 F.lit(i).alias("cell"),
             )
@@ -464,7 +478,7 @@ def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array(
         *[
             F.struct(
-                _dot(vec, F.array(*[F.lit(x) for x in cent])).alias("score"),
+                _dot(vec, _vec_lit(cent)).alias("score"),
                 F.lit(i).alias("cell"),
             )
             for i, cent in enumerate(centroids)
