@@ -379,6 +379,18 @@ def doc_signatures(
     )
 
 
+def _signatures_from_hashed(hashed_shingles: DataFrame, id_col: str) -> DataFrame:
+    """`doc_signatures` tail over a precomputed (id, shingle-hash)
+    table — lets a caller that already derived the hashed shingle
+    table (e.g. for prefix ranking) build the signature arrays from
+    it instead of re-tokenizing the text (optimization round 14).
+    Jaccard consumers only take set sizes/intersections, so the
+    collect_list element order is free."""
+    return hashed_shingles.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("_set")
+    )
+
+
 def jaccard_from_signatures(
     sigs: DataFrame,
     pairs: DataFrame,
@@ -1331,9 +1343,27 @@ def incremental_dedup_lake(
     corpus_pref = spark.read.parquet(f"{index_path}/prefix")
     shingle_df = spark.read.parquet(f"{index_path}/shingle_df")
     new_batch = flagged.where(F.col("_new"))
+    # the new batch's hashed shingle table feeds THREE consumers
+    # (prefix ranking + both sides of the signature-score join);
+    # derive it ONCE into an eager local checkpoint instead of
+    # re-tokenizing the batch text per consumer branch (optimization
+    # round 14: 7 Generates -> 1 in the plan). Spread the tokenize
+    # pass first when the batch scan has fewer splits than the
+    # session has cores (single-row-group files scan as one task) —
+    # a no-op at production split counts, same rule as
+    # exact_jaccard_for_pairs.
+    src = new_batch
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    new_sh = (
+        word_shingles(src, id_col, text_col, n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
     new_pref = rank_prefixes_under_stored_order(
         shingle_df, new_batch, id_col, text_col,
-        n, threshold,
+        n, threshold, hashed_shingles=new_sh,
     ).cache()
     build = (
         corpus_pref.select(id_col, "shingle", "_sz")
@@ -1344,7 +1374,7 @@ def incremental_dedup_lake(
     meta_path = fsio.join(index_path, "index_meta.json")
     if fsio.exists(meta_path) and fsio.read_json(meta_path).get("sigs"):
         sigs = spark.read.parquet(f"{index_path}/signature").unionByName(
-            doc_signatures(new_batch, id_col, text_col, n)
+            _signatures_from_hashed(new_sh, id_col)
         )
     return _incremental_verdicts(
         flagged, build, new_pref, id_col, text_col, n, threshold,
@@ -1359,6 +1389,7 @@ def rank_prefixes_under_stored_order(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Rank a batch's prefixes under a STORED corpus-frozen shingle
     order (the `shingle_df` table `write_prefix_index` persists):
@@ -1376,8 +1407,15 @@ def rank_prefixes_under_stored_order(
     from pyspark.sql import Window
 
     t = float(threshold)
-    sh = word_shingles(docs, id_col, text_col, n).select(
-        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    # `hashed_shingles`: a precomputed (id, xxhash64-shingle) table
+    # for `docs` — callers that need the same table for signature
+    # building pass it so the tokenize+explode runs once (r14)
+    sh = (
+        hashed_shingles
+        if hashed_shingles is not None
+        else word_shingles(docs, id_col, text_col, n).select(
+            F.col(id_col), F.xxhash64("shingle").alias("shingle")
+        )
     )
     # stored-df join FIRST (shingle-keyed exchange), then both per-doc
     # windows on one id-keyed exchange — same two-exchange shape as
