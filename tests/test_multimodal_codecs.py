@@ -152,6 +152,39 @@ class TestSparkPlumbing:
         assert out[1]["width"] is None
 
 
+class TestSpreadForDecode:
+    """Decode-side partitioning rules (optimization round 14): spread
+    only map-only narrow lineages; never touch (or .rdd-probe, which
+    would materialize AQE stages) a lineage that already shuffled."""
+
+    def test_synth_lineage_untouched(self, spark):
+        df = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+        media = multimodal.synthesize_bmp_media(df, "doc_id")
+        # the synthesizer's round-robin repartition is in the lineage,
+        # so the decode adds no second exchange
+        assert multimodal._spread_for_decode(media) is media
+
+    def test_shuffle_lineage_untouched(self, spark):
+        rows = [(1, "image", bytearray(b"x"), "m")]
+        media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        agg = media.groupBy("media_id", "kind", "mime").agg(
+            F.first("payload").alias("payload")
+        )
+        assert multimodal._spread_for_decode(agg) is agg
+
+    def test_narrow_scan_is_spread(self, spark, tmp_path):
+        df = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+        p = str(tmp_path / "media.parquet")
+        multimodal.synthesize_bmp_media(df, "doc_id").coalesce(1).write.parquet(p)
+        media = spark.read.parquet(p)
+        sc = spark.sparkContext
+        spread = multimodal._spread_for_decode(media)
+        assert spread is not media
+        assert spread.rdd.getNumPartitions() == sc.defaultParallelism
+        out = {r["media_id"]: r for r in multimodal.decode_image(media).collect()}
+        assert len(out) == 50 and all(r["ok"] for r in out.values())
+
+
 class TestResizeKernel:
     @pytest.mark.parametrize("media_id", [0, 1, 7, 13, 91, 12345])
     def test_resize_then_decode_matches_reference(self, media_id):

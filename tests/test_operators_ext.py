@@ -731,6 +731,34 @@ class TestQuantizeEmbeddings:
         assert r["qvec"][1] == 1
         assert r["qvec"][2] == 0  # floor(-0.5 + 0.5) = 0
 
+    def test_staged_quantize_keeps_vec_and_matches(self, spark):
+        """The staged projection form (optimization round 14) carries
+        `_vec` through and reproduces quantize_embeddings exactly —
+        the audit query reads all three from one scan."""
+        from zikeiretsu_rs_spark.operators import similarity
+
+        rows = [
+            (1, [0.5, -0.25, 0.125, 1.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [1e-6, -3.2, 0.7, 2.5]),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        staged = similarity._staged_quantize(
+            similarity.with_double_vec(df, "embedding")
+        )
+        assert {"_vec", "scale", "qvec"} <= set(staged.columns)
+        a = {r["vec_id"]: r for r in staged.collect()}
+        b = {
+            r["vec_id"]: r
+            for r in similarity.quantize_embeddings(
+                df, "vec_id", "embedding"
+            ).collect()
+        }
+        for vid in b:
+            assert a[vid]["scale"] == b[vid]["scale"]
+            assert list(a[vid]["qvec"]) == list(b[vid]["qvec"])
+            assert a[vid]["_vec"] == [float(x) for x in dict(rows)[vid]]
+
 
 class TestSourceOverlapMatrix:
     def test_counts_unordered_source_pairs(self, spark):

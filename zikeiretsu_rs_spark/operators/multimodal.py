@@ -89,14 +89,7 @@ def decode_unsupported(df: DataFrame) -> DataFrame:
                 }
             )
 
-    sized = df.withColumn(
-        "_szb", F.pmod(F.coalesce(F.length("payload"), F.lit(0)), F.lit(64))
-    )
-    return (
-        sized.repartition(F.col("_szb"))
-        .drop("_szb")
-        .mapInPandas(batches, IMAGE_META_SCHEMA)
-    )
+    return _spread_for_decode(df).mapInPandas(batches, IMAGE_META_SCHEMA)
 
 
 # retained alias: the former stub's call sites keep working; JPEG is
@@ -206,6 +199,50 @@ def _decode_bmp(payload: bytes | None):
     return w, abs_h, channels, pix_sum
 
 
+# logical-plan node names that introduce (or follow) an exchange: if
+# any appears in the decode input's lineage, upstream partitioning
+# already spread the rows (shuffle output is >= shuffle.partitions,
+# or AQE-advised), so the decode needs no respread — and probing
+# `.rdd` there would be actively harmful: under AQE, toRdd finalizes
+# the plan by MATERIALIZING every upstream shuffle stage, running the
+# real work twice. The probe is therefore gated to shuffle-free
+# (map-only-over-scan) lineages, where toRdd is a metadata-only call.
+_SHUFFLE_NODE_MARKERS = (
+    "Repartition",
+    "Join",
+    "Aggregate",
+    "Sort",
+    "Window",
+    "Deduplicate",
+    "Distinct",
+    "Intersect",
+    "Except",
+)
+
+
+def _spread_for_decode(df: DataFrame) -> DataFrame:
+    """Decode-side partitioning: spread the payload rows only when the
+    input is a map-only lineage over fewer splits than the session has
+    cores (a single input split serializes the Python decode). The
+    former unconditional `repartition(pmod(length(payload), 64))`
+    shuffled every payload byte through an exchange on EVERY decode —
+    even when the input was already evenly spread (the synthesizers'
+    round-robin output, or a production scan with >= cores splits) —
+    and its 64 distinct keys cap decode parallelism at 64 tasks
+    regardless of cluster size. Round-robin spread is retry-safe
+    (Spark's sort-before-repartition) and has no key-collision idle
+    cores (optimization round 14; guide §2.3 shuffle fewer bytes /
+    §2.5 synthetic-key collisions / scale-adaptive partitioning
+    rule)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(m in plan for m in _SHUFFLE_NODE_MARKERS):
+        return df
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _synth_parallelism(df: DataFrame) -> int:
     """Task count for the fixture synthesizers: the session's
     defaultParallelism (= total cores on local[N], cluster-wide cores
@@ -264,14 +301,7 @@ def decode_image(df: DataFrame) -> DataFrame:
                 }
             )
 
-    sized = df.withColumn(
-        "_szb", F.pmod(F.coalesce(F.length("payload"), F.lit(0)), F.lit(64))
-    )
-    return (
-        sized.repartition(F.col("_szb"))
-        .drop("_szb")
-        .mapInPandas(batches, DECODED_IMAGE_SCHEMA)
-    )
+    return _spread_for_decode(df).mapInPandas(batches, DECODED_IMAGE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -523,14 +553,7 @@ def decode_png(df: DataFrame) -> DataFrame:
     schema = T.StructType(
         [f for f in DECODED_IMAGE_SCHEMA.fields if f.name != "n_bytes"]
     )
-    sized = df.withColumn(
-        "_szb", F.pmod(F.coalesce(F.length("payload"), F.lit(0)), F.lit(64))
-    )
-    return (
-        sized.repartition(F.col("_szb"))
-        .drop("_szb")
-        .mapInPandas(batches, schema)
-    )
+    return _spread_for_decode(df).mapInPandas(batches, schema)
 
 
 WAV_SAMPLE_RATE = 16_000
@@ -646,12 +669,8 @@ def decode_audio(df: DataFrame) -> DataFrame:
                 }
             )
 
-    sized = df.withColumn(
-        "_szb", F.pmod(F.coalesce(F.length("payload"), F.lit(0)), F.lit(64))
-    )
     return (
-        sized.repartition(F.col("_szb"))
-        .drop("_szb")
+        _spread_for_decode(df)
         .mapInPandas(batches, DECODED_AUDIO_SCHEMA)
         .withColumn("rms", F.round("rms", 6))
     )
@@ -845,14 +864,7 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
                     out["ok"].append(True)
             yield pd.DataFrame(out)
 
-    sized = df.withColumn(
-        "_szb", F.pmod(F.coalesce(F.length("payload"), F.lit(0)), F.lit(64))
-    )
-    return (
-        sized.repartition(F.col("_szb"))
-        .drop("_szb")
-        .mapInPandas(batches, FRAME_SCHEMA)
-    )
+    return _spread_for_decode(df).mapInPandas(batches, FRAME_SCHEMA)
 
 
 AUDIO_FRAMES_SCHEMA = T.StructType(
@@ -1300,14 +1312,7 @@ def decode_gif(df: DataFrame) -> DataFrame:
                 }
             )
 
-    sized = df.withColumn(
-        "_szb", F.pmod(F.coalesce(F.length("payload"), F.lit(0)), F.lit(64))
-    )
-    return (
-        sized.repartition(F.col("_szb"))
-        .drop("_szb")
-        .mapInPandas(batches, DECODED_GIF_SCHEMA)
-    )
+    return _spread_for_decode(df).mapInPandas(batches, DECODED_GIF_SCHEMA)
 
 
 def sniff_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -107,7 +107,16 @@ def stratified_sample(
         * F.col("__quota")
         / F.col("__cnt"),
     )
-    survivors = pre.where(hash32 < threshold).drop("__cnt")
+    # the survivor set is REDUCED (~overselect×quota rows per stratum)
+    # and feeds two consumers — the sufficiency count below and the
+    # rank itself — which would otherwise each re-scan the corpus and
+    # re-apply the threshold; the eager checkpoint makes the corpus
+    # scan run once (optimization round 14 — the checkpoint-the-
+    # reduced-intermediate rule; the deficient-strata collect right
+    # after forces materialization at build time anyway)
+    survivors = (
+        pre.where(hash32 < threshold).drop("__cnt").localCheckpoint()
+    )
     # sufficiency: a stratum is safe iff survivors >= min(quota, cnt);
     # left join from the counts side so a stratum with ZERO survivors
     # still shows up as deficient

