@@ -52,12 +52,43 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin the rows to defaultParallelism when a map-only scan
+    lineage has fewer splits than the session has cores (a
+    single-row-group parquet file scans as ONE task, serializing every
+    downstream explode). No-op at production split counts, and never
+    probed on a lineage that already shuffled: partitioning there is
+    >= shuffle.partitions already, and under AQE the `.rdd` probe
+    itself would materialize every upstream shuffle stage — running
+    real work twice (optimization round 14; same rule as multimodal's
+    `_spread_for_decode`)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    markers = (
+        "Repartition",
+        "Join",
+        "Aggregate",
+        "Sort",
+        "Window",
+        "Deduplicate",
+        "Distinct",
+    )
+    if any(m in plan for m in markers):
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct word-n-gram shingles per document: (id, shingle).
     Tokenization = lowercase + whitespace split (matches the DuckDB
-    oracle formulation in the test suite)."""
+    oracle formulation in the test suite). `distinct=False` skips the
+    corpus-wide dedup exchange for consumers whose aggregate is
+    duplicate-insensitive (minhash minima)."""
     ws = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     shingles = F.expr(
         f"transform(sequence(0, size(_ws) - {n}), i -> "
@@ -65,12 +96,12 @@ def word_shingles(
         + ", ".join(f"_ws[i + {j}]" for j in range(n))
         + "))"
     )
-    return (
+    out = (
         df.select(F.col(id_col), ws.alias("_ws"))
         .where(F.size("_ws") >= n)
         .select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -162,12 +193,22 @@ def minhash_signatures(
 
     Permutation j is simulated by murmur3 seeded with j
     (`F.hash(lit(j), shingle)`); the signature component is the min over
-    the document's shingles. One groupBy with k min-aggregates — a
-    single shuffle of (id, k*4 bytes), independent of document length.
+    the document's shingles. Min is duplicate-insensitive, so the
+    shingle rows feed the groupBy UN-deduplicated: the corpus-wide
+    (id, shingle) distinct exchange the row form paid bought nothing —
+    the k-min groupBy partial-aggregates map-side, so the only shuffle
+    left is (id, k*4 bytes), independent of document length. The
+    explode is spread first when the scan is narrower than the session
+    (single-split fixture files; no-op at production split counts) —
+    without that, dropping the distinct serializes the whole
+    tokenize+hash pipeline into one task (measured 1.46x SLOWER;
+    optimization round 14).
 
     Output: id, mh0..mh{k-1}.
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(
+        _spread_if_narrow(df), id_col, text_col, n, distinct=False
+    )
     aggs = [
         F.min(F.hash(F.lit(j), F.col("shingle"))).alias(f"mh{j}") for j in range(k)
     ]
@@ -283,7 +324,6 @@ def exact_jaccard_for_pairs(
         # cheaper than writing + reading the 50 MB block store, and
         # earlier one-directional measurements suggesting otherwise
         # were page-cache ordering artifacts.
-        src = df
         # spread the tokenize+shingle work when the source scan has
         # fewer splits than the session has cores (a single-row-group
         # parquet file scans as ONE task, serializing all three
@@ -292,9 +332,7 @@ def exact_jaccard_for_pairs(
         # has >= defaultParallelism splits and this is a no-op
         # (optimization round 14; measured 1.03 -> 0.73 s per
         # derivation at sf0.1)
-        par = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
-            src = df.repartition(par)
+        src = _spread_if_narrow(df)
         sh = word_shingles(src, id_col, text_col, n)
         sz = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
         p = pairs.select("id_a", "id_b", *keep_cols)
@@ -1352,10 +1390,7 @@ def incremental_dedup_lake(
     # session has cores (single-row-group files scan as one task) —
     # a no-op at production split counts, same rule as
     # exact_jaccard_for_pairs.
-    src = new_batch
-    par = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    src = _spread_if_narrow(new_batch)
     new_sh = (
         word_shingles(src, id_col, text_col, n)
         .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
