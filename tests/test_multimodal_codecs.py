@@ -185,6 +185,44 @@ class TestSpreadForDecode:
         assert len(out) == 50 and all(r["ok"] for r in out.values())
 
 
+class TestMixedSynthesizer:
+    """synthesize_mixed_media (optimization round 14) must equal the
+    union of the five per-format synthesizers over the id%5 routes —
+    byte-identical payloads, kinds and mimes."""
+
+    def test_mixed_equals_five_branch_union(self, spark):
+        df = spark.range(0, 25).select(F.col("id").alias("doc_id"))
+        branches = [
+            multimodal.synthesize_bmp_media(
+                df.where(F.col("doc_id") % 5 == 0), "doc_id"
+            ),
+            multimodal.synthesize_png_media(
+                df.where(F.col("doc_id") % 5 == 1), "doc_id"
+            ),
+            multimodal.synthesize_wav_media(
+                df.where(F.col("doc_id") % 5 == 2), "doc_id"
+            ),
+            multimodal.synthesize_gif_media(
+                df.where(F.col("doc_id") % 5 == 3), "doc_id"
+            ),
+            multimodal.synthesize_video_media(
+                df.where(F.col("doc_id") % 5 == 4), "doc_id"
+            ),
+        ]
+        union = branches[0]
+        for b in branches[1:]:
+            union = union.unionByName(b)
+        want = {
+            r["media_id"]: (r["kind"], bytes(r["payload"]), r["mime"])
+            for r in union.collect()
+        }
+        got = {
+            r["media_id"]: (r["kind"], bytes(r["payload"]), r["mime"])
+            for r in multimodal.synthesize_mixed_media(df, "doc_id").collect()
+        }
+        assert got == want and len(got) == 25
+
+
 class TestResizeKernel:
     @pytest.mark.parametrize("media_id", [0, 1, 7, 13, 91, 12345])
     def test_resize_then_decode_matches_reference(self, media_id):

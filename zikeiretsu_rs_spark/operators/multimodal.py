@@ -1263,6 +1263,45 @@ def _decode_gif(payload: bytes | None):
     return bad
 
 
+def synthesize_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
+    """One-pass fixture generator for the five-format triage mix: each
+    row routed by id % 5 to the BMP/PNG/WAV/GIF/RV01 encoder —
+    byte-identical payloads, kinds and mimes to the union of the five
+    per-format synthesizers over the id%5 partitions of the input.
+    Replaces five filtered synth branches (5 exchanges + 5 Python
+    stages, each over 1/5 of the ids, whose task scheduling dominates
+    the tiny per-branch encode work) with ONE round-robin spread and
+    ONE Arrow stage (optimization round 14; guide §2.4 remove shuffles
+    outright)."""
+    routes = {
+        0: ("image", _encode_bmp, "image/bmp"),
+        1: ("image", _encode_png, "image/png"),
+        2: ("audio", _encode_wav, "audio/wav"),
+        3: ("image", _encode_gif, "image/gif"),
+        4: ("video", _encode_rawvideo, "video/x-raw"),
+    }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            mods = (ids % 5).tolist()
+            vals = ids.tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": [routes[m][0] for m in mods],
+                    "payload": [routes[m][1](i) for i, m in zip(vals, mods)],
+                    "mime": [routes[m][2] for m in mods],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col))
+        .repartition(_synth_parallelism(df))
+        .mapInPandas(batches, MEDIA_SCHEMA)
+    )
+
+
 def synthesize_gif_media(df: DataFrame, id_col: str) -> DataFrame:
     """Fixture generator: one real GIF89a payload per row, palette
     indices a pure function of the id (schema = MEDIA_SCHEMA)."""

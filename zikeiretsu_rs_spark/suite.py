@@ -3296,27 +3296,14 @@ def q_multimodal_sniff(spark, sf_dir):
     oracle re-derives format and dimensions from doc_id arithmetic
     (the same formulas the encoders use)."""
     base = load(spark, sf_dir, "documents").select("doc_id")
-    parts = [
-        multimodal.synthesize_bmp_media(
-            base.where(F.col("doc_id") % 5 == 0), "doc_id"
-        ),
-        multimodal.synthesize_png_media(
-            base.where(F.col("doc_id") % 5 == 1), "doc_id"
-        ),
-        multimodal.synthesize_wav_media(
-            base.where(F.col("doc_id") % 5 == 2), "doc_id"
-        ),
-        multimodal.synthesize_gif_media(
-            base.where(F.col("doc_id") % 5 == 3), "doc_id"
-        ),
-        multimodal.synthesize_video_media(
-            base.where(F.col("doc_id") % 5 == 4), "doc_id"
-        ),
-    ]
-    mixed = parts[0]
-    for p in parts[1:]:
-        mixed = mixed.unionByName(p)
-    return multimodal.sniff_media(mixed)
+    # single-pass mixed synthesis (optimization round 14): the former
+    # five filtered per-format synth branches + unionByName cost five
+    # exchanges and five tiny Python stages; the router produces the
+    # identical row set (same payload bytes per id) from ONE spread +
+    # ONE Arrow stage
+    return multimodal.sniff_media(
+        multimodal.synthesize_mixed_media(base, "doc_id")
+    )
 
 
 def q_dedup_incremental(spark, sf_dir):
