@@ -1096,3 +1096,35 @@ class TestRound13PlanShapes:
         assert "Join" not in plan2 and "Cartesian" not in plan2, (
             plan2[:3000]
         )
+
+
+class TestRound14OptPlanShapes:
+    def test_limit_distinct_ts_threshold_reaches_pushed_filters(
+        self, spark, tmp_path
+    ):
+        """Optimization round 14: the distinct-ts limit bound is a
+        LITERAL comparison, so on a raw scan column it lands in
+        PushedFilters (Parquet row-group min/max pruning at scale).
+        The former 1-row-broadcast-join form left the bound above the
+        scan (BroadcastNestedLoopJoin, full scan at 100 TB)."""
+        from zikeiretsu_rs_spark.operators.limits import limit_distinct_ts
+
+        path = str(tmp_path / "t")
+        spark.range(0, 1000).selectExpr(
+            "id * 1000 as ts", "id as v"
+        ).write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+
+        head = limit_distinct_ts(df, 10)
+        plan = plan_of(spark, head)
+        assert "NestedLoopJoin" not in plan and "BroadcastExchange" not in plan
+        assert "LessThanOrEqual(ts,9000)" in plan, plan[:2000]
+
+        tail = limit_distinct_ts(df, 10, tail=True)
+        plan_t = plan_of(spark, tail)
+        assert "GreaterThanOrEqual(ts,990000)" in plan_t, plan_t[:2000]
+
+        # n == 0 and empty-input edges stay collect-safe
+        assert limit_distinct_ts(df, 0).count() == 0
+        empty = spark.createDataFrame([], "ts long, v long")
+        assert limit_distinct_ts(empty, 5).count() == 0

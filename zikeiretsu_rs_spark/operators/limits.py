@@ -16,10 +16,20 @@ distinct timestamp as a scalar threshold and semi-filter on it:
     df.filter(ts <= threshold)                # pushed down to the scan
 
 Both stages are fully parallel: `distinct` is a map-side-combined
-shuffle on ts, `orderBy().limit(n)` compiles to TakeOrderedAndProject
-(no global sort), and the final filter is a broadcast of one scalar.
-The filter is re-evaluated against Parquet row-group stats, so at scale
-most files are skipped entirely.
+shuffle on ts and `orderBy().limit(n)` compiles to
+TakeOrderedAndProject (no global sort). The threshold is collected as
+ONE bounded row and applied as a LITERAL comparison (optimization
+round 14): the former 1-row-broadcast-join form kept the build
+collect-free, but a join predicate never reaches the Parquet scan —
+the plan carried a BroadcastExchange + BroadcastNestedLoopJoin and
+the limit bound was evaluated row-by-row ABOVE the scan, a full scan
+at 100 TB. The literal form is a pushable predicate: on a raw scan
+column it lands in PushedFilters and skips row groups via Parquet
+min/max stats (plan-pinned in tests/test_plan_shape.py); the dialect
+path additionally pre-prunes block FILES from the manifest before
+this operator runs (translator.py limit pushdown). Same precedent as
+the translator's manifest-prune path, which has always collected its
+1-row threshold.
 """
 
 from __future__ import annotations
@@ -38,17 +48,21 @@ def limit_distinct_ts(
         return df.limit(0)
     order: Column = F.col(ts_col).desc() if tail else F.col(ts_col).asc()
     bound = F.min(ts_col) if tail else F.max(ts_col)
-    thr = (
+    # ONE bounded row (the n-th distinct ts) collected at build time —
+    # the repo's bounded-collect rule; a NULL threshold means the
+    # input had no non-null ts at all
+    row = (
         df.select(ts_col)
         .distinct()
         .orderBy(order)
         .limit(n)
         .agg(bound.alias("__ts_threshold"))
+        .first()
     )
-    pred = (
-        F.col(ts_col) >= F.col("__ts_threshold")
-        if tail
-        else F.col(ts_col) <= F.col("__ts_threshold")
-    )
-    # 1-row broadcast cross join, then a scan-pushable comparison
-    return df.join(F.broadcast(thr)).where(pred).drop("__ts_threshold")
+    thr = row["__ts_threshold"]
+    if thr is None:
+        return df.limit(0)
+    # literal comparison: pushable to the Parquet scan (row-group
+    # min/max pruning), unlike the former broadcast-join predicate
+    pred = F.col(ts_col) >= F.lit(thr) if tail else F.col(ts_col) <= F.lit(thr)
+    return df.where(pred)
