@@ -388,10 +388,20 @@ def exact_jaccard_for_pairs(
     # A candidate-hot doc replicates its array across its pairs
     # exactly as it replicated its shingle rows in the sparse shape
     # (same shuffle bytes, far fewer rows).
+    #
+    # collect_set over the UN-deduplicated explode (optimization
+    # round 15, guide §2.4): the former distinct().groupBy()
+    # .collect_list() shape paid TWO full-shingle-table exchanges —
+    # one keyed (id, shingle) for the distinct, one keyed id for the
+    # array build. collect_set IS the distinct, partial-aggregated
+    # map-side (in-doc duplicate shingles never leave their task), so
+    # the same set arrays come out of ONE id-keyed exchange. Element
+    # order differs (both formulations were unordered); consumers
+    # take only size/array_intersect, which are order-free.
     sets = (
-        word_shingles(df, id_col, text_col, n)
+        word_shingles(df, id_col, text_col, n, distinct=False)
         .groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("_set"))
+        .agg(F.collect_set("shingle").alias("_set"))
     )
     return jaccard_from_signatures(
         sets, pairs, id_col=id_col, threshold=threshold,
