@@ -1155,11 +1155,18 @@ def main() -> None:
     ]
     if not explicit and "SPARK_GRAFT_SF_DIR" in os.environ:
         out_paths.append(os.path.join(repo, "BENCH_full_latest.json"))
+    # The files are BYTE-IDENTICAL to the printed line (round 15,
+    # VERDICT r14 item 7): the driver's stdout tail-capture truncated
+    # r13's ~10 KB line mid-object and the round-over-round comparison
+    # was lost; r14's driver evidently recovered it from the committed
+    # full artifact. Keeping file == line means either source yields
+    # the same parse, and the line stays the LAST stdout line.
+    line = json.dumps(payload)
     for out_path in out_paths:
         with open(out_path, "w") as fh:
-            json.dump(payload, fh, indent=1)
+            fh.write(line)
             fh.write("\n")
-    print(json.dumps(payload))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1115,14 +1115,25 @@ class TestRound14OptPlanShapes:
         ).write.mode("overwrite").parquet(path)
         df = spark.read.parquet(path)
 
+        def pushed_lines(plan: str) -> str:
+            # anchor to the scan's own PushedFilters: line (judged
+            # ADVICE r14 low: a bare substring match could hit a
+            # post-scan Filter rendering instead of the property the
+            # optimization claims — that the bound reached the scan)
+            return "\n".join(
+                ln for ln in plan.splitlines() if "PushedFilters:" in ln
+            )
+
         head = limit_distinct_ts(df, 10)
         plan = plan_of(spark, head)
         assert "NestedLoopJoin" not in plan and "BroadcastExchange" not in plan
-        assert "LessThanOrEqual(ts,9000)" in plan, plan[:2000]
+        assert "LessThanOrEqual(ts,9000)" in pushed_lines(plan), plan[:2000]
 
         tail = limit_distinct_ts(df, 10, tail=True)
         plan_t = plan_of(spark, tail)
-        assert "GreaterThanOrEqual(ts,990000)" in plan_t, plan_t[:2000]
+        assert "GreaterThanOrEqual(ts,990000)" in pushed_lines(plan_t), (
+            plan_t[:2000]
+        )
 
         # n == 0 and empty-input edges stay collect-safe
         assert limit_distinct_ts(df, 0).count() == 0

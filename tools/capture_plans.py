@@ -11,6 +11,8 @@ those, so keep heavy iterative rows out unless needed.
 
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import re
 import sys
@@ -46,9 +48,14 @@ def main() -> int:
     for name in names:
         try:
             df = suite.QUERIES[name](spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # supported surface only (judged ADVICE r14 low: the former
+            # df._sc/_jdf/PythonSQLUtils path is classic-only private
+            # API — absent under Spark Connect and already shifted
+            # across 4.x); explain(mode=...) works on both backends
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            plan = buf.getvalue()
         except Exception as e:  # noqa: BLE001
             print(f"ERR   {name}: {e}")
             continue

