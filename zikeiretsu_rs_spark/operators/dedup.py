@@ -129,16 +129,26 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(df, id_col, text_col, n, distinct=False)
     if hash_shingles:
         sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-    # attach |doc| via a keyed window instead of a separate sizes
-    # aggregate: the set size rides along through the shingle join, so
-    # no post-join size lookups are needed and the two join sides share
-    # one exchange (ReusedExchange). Sizes are computed BEFORE any
-    # doc-freq filtering — the Jaccard denominator uses full set sizes.
-    sized = sh.withColumn(
-        "_sz", F.count("*").over(Window.partitionBy(id_col))
+    # per-doc set build instead of distinct + size window (optimization
+    # round 15, guide §2.4): the former shape paid an (id, shingle)
+    # exchange for the distinct PLUS an id exchange for the _sz window.
+    # collect_set IS the distinct (in-doc duplicate shingles are
+    # removed by the map-side partial aggregate, so they never ship),
+    # the re-explode yields exactly the old distinct rows, and the set
+    # size is the _sz value — one id-keyed exchange, no window. Sizes
+    # are computed BEFORE any doc-freq filtering, as before — the
+    # Jaccard denominator uses full set sizes.
+    sized = (
+        sh.groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_set"))
+        .select(
+            F.col(id_col),
+            F.explode("_set").alias("shingle"),
+            F.size("_set").alias("_sz"),
+        )
     )
     if max_shingle_doc_freq is not None:
         # doc-frequency cap as a shingle-keyed WINDOW on the same
