@@ -343,12 +343,27 @@ def exact_jaccard_for_pairs(
         # (optimization round 14; measured 1.03 -> 0.73 s per
         # derivation at sf0.1)
         src = _spread_if_narrow(df)
-        sh = word_shingles(src, id_col, text_col, n)
-        sz = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+        # per-doc set derivation (optimization round 15, guide §2.4):
+        # each of the three consumers below used to pay the distinct's
+        # (id, shingle) exchange AND its own downstream exchange per
+        # re-derivation. collect_set IS the distinct (map-side partial
+        # aggregation), so every re-derivation now costs ONE id-keyed
+        # exchange, the size is free (size(_set)), and the explodes
+        # back to rows stay id-partitioned.
+        sets = (
+            word_shingles(src, id_col, text_col, n, distinct=False)
+            .groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("_set"))
+        )
+        sz = sets.select(F.col(id_col), F.size("_set").alias("_sz"))
         p = pairs.select("id_a", "id_b", *keep_cols)
         slim = p.select("id_a", "id_b")
-        a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
-        b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        a_sh = sets.select(
+            F.col(id_col).alias("id_a"), F.explode("_set").alias("shingle")
+        )
+        b_sh = sets.select(
+            F.col(id_col).alias("id_b"), F.explode("_set").alias("shingle")
+        )
         inter = (
             slim.join(a_sh, "id_a")
             .join(b_sh, ["id_b", "shingle"])
@@ -842,26 +857,40 @@ def ranked_prefixes(
     from pyspark.sql import Window
 
     base = df.select(F.col(id_col), F.col(text_col), *extra_cols)
-    sh = word_shingles(base, id_col, text_col, n)
+    # per-doc set build (optimization round 15, guide §2.4): collect_set
+    # over the un-deduplicated explode IS the distinct — in-doc
+    # duplicate shingles are removed by the map-side partial aggregate
+    # — and the set size IS _sz, so the former count-per-id window
+    # aggregate disappears; the re-explode yields exactly the old
+    # distinct rows. (With hash_shingles a 64-bit in-doc collision now
+    # also merges inside the set — the same "collision can only merge
+    # two shingles" trade the docstring already makes for the join.)
+    sh = word_shingles(base, id_col, text_col, n, distinct=False)
     if hash_shingles:
         sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    sh = (
+        sh.groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_set"))
+        .select(
+            F.col(id_col),
+            F.explode("_set").alias("shingle"),
+            F.size("_set").alias("_sz"),
+        )
+    )
     t = float(threshold)
     if skew_safe:
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         with_df = sh.join(dfreq, "shingle")
     else:
         # window order is exchange-count-load-bearing: doc-frequency
-        # FIRST (one shingle-keyed exchange), then BOTH per-doc
-        # windows (_sz and the rank) on the same id partitioning —
-        # Spark runs them over one id-keyed exchange. The naive
-        # _sz -> _df -> _rk order shuffles the full shingle table a
-        # third time (id, shingle, id).
+        # FIRST (one shingle-keyed exchange), then the per-doc rank
+        # window on the id partitioning. The naive _rk -> _df order
+        # would shuffle the full shingle table a third time.
         with_df = sh.withColumn(
             "_df", F.count("*").over(Window.partitionBy("shingle"))
         )
     ranked = (
         with_df
-        .withColumn("_sz", F.count("*").over(Window.partitionBy(id_col)))
         .withColumn(
             "_rk",
             F.row_number().over(
