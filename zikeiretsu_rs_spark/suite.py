@@ -4868,26 +4868,129 @@ def q_semantic_dedup_incremental(spark, sf_dir):
 # empirically checks the FIRST 50 declared queries (CORRECTNESS_r01-r13
 # each had rows for exactly queries[0:50] in declaration order). The
 # head-50 is rotated every round so every declared query has a driver
-# hash row within a bounded window. Round 14 rotation (the r13
-# rotation comment's standing mandate): (a) the 29 queries whose
-# newest driver row is r10 — the exact set the r13 tail comment named
-# as MUST-lead; (b) the two round-14 debuts (new queries always get a
-# head slot, per the round-3 discipline); (c) the 19
-# alphabetically-first of the 50 r11-fresh rows. The 31 remaining
-# r11 rows lead the tail and MUST lead the r15 head.
+# hash row within a bounded window. Round 15 rotation (the r14
+# rotation comment's standing mandate, restated by name in
+# CHANGES_r14.md and VERDICT r14 item 8): (a) the 31 queries whose
+# newest driver row is r11 — the exact set the r14 tail comment named
+# as MUST-lead; (b) no round-15 debuts (optimization round, no new
+# queries); (c) the 19 alphabetically-first of the 50 r12-fresh rows.
+# The 31 remaining r12 rows lead the tail and MUST lead the r16 head
+# (named in the tail comment below).
 #
 # Capacity math (r08 verdict #8 — restate before declaring new
 # queries): tests/test_gate_freshness.py enforces MAX_LAG = 5, so
 # every query needs a head slot at least once per 4 driver rounds.
-# With the r14 additions (dedup_purge_uri_check,
-# ann_purge_uri_parity_check — both head-slotted in their debut
-# round) the catalog is 181: steady-state slot demand =
+# The catalog is unchanged at 181: steady-state slot demand =
 # ceil(181 / 4) = 46 <= 50 head slots, ~4 spare slots/round for newly
 # declared queries before the arithmetic breaks again.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- head-50: checked by the driver gate this round ------------------
-    # -- (a) the 29 r10-stale rows (newest driver row r10 — the r13
-    # -- rotation comment's mandate: they LEAD the r14 head)
+    # -- (a) the 31 r11-stale rows (newest driver row r11 — the r14
+    # -- rotation comment named them as MUST-lead for this head)
+    "dedup_incremental_forget_check": q_dedup_incremental_forget_check,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash_check": q_dedup_simhash_check,
+    "deterministic_sample": q_deterministic_sample,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_repetition": q_doc_repetition,
+    "doc_rolling_fp": q_doc_rolling_fp,
+    "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh_check": q_embedding_neardup_lsh_check,
+    "embedding_quantize": q_embedding_quantize,
+    "topk_events_per_type": q_topk_events_per_type,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q9": q_tpch_q9,
+    "ts_delta_range": q_ts_delta_range,
+    "ts_eq_day": q_ts_eq_day,
+    "ts_eq_hour_jst": q_ts_eq_hour_jst,
+    "ts_gt": q_ts_gt,
+    "ts_head_limit": q_ts_head_limit,
+    "ts_lte": q_ts_lte,
+    "ts_range_scan": q_ts_range_scan,
+    "ts_tail_limit": q_ts_tail_limit,
+    "value_histogram": q_value_histogram,
+    # -- (b) no round-15 debuts (optimization round — no new queries)
+    # -- (c) the 19 alphabetically-first of the 50 r12-fresh rows
+    "ann_ivf_partitioned_recall_check": q_ann_ivf_partitioned_recall_check,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivfadc_percell_join_parity_check": (
+        q_ann_ivfadc_percell_join_parity_check
+    ),
+    "ann_ivfadc_percell_lake_parity_check": (
+        q_ann_ivfadc_percell_lake_parity_check
+    ),
+    "ann_ivfadc_percell_recall_check": q_ann_ivfadc_percell_recall_check,
+    "ann_ivfpq_lake_snapshot_probe_check": (
+        q_ann_ivfpq_lake_snapshot_probe_check
+    ),
+    "ann_ivfpq_recall_check": q_ann_ivfpq_recall_check,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_pq_recall_check": q_ann_pq_recall_check,
+    "ann_pq_refined_recall_check": q_ann_pq_refined_recall_check,
+    "asof_next_purchase": q_asof_next_purchase,
+    "bigram_logprob": q_bigram_logprob,
+    "bloom_filtered_join": q_bloom_filtered_join,
+    "bpe_batch_learn": q_bpe_batch_learn,
+    "bpe_learn": q_bpe_learn,
+    "cdc_chunks": q_cdc_chunks,
+    "dedup_incremental_cdc_takedown_check": (
+        q_dedup_incremental_cdc_takedown_check
+    ),
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    # -- tail: r12-fresh remainder LEADS (these 31 MUST lead the r16
+    # -- head): 
+    # -- embedding_neardup_lsh, event_type_share, events_cap_per_user,
+    # -- events_mad_outliers, ewma_user, gapfill_user_6h,
+    # -- heavy_hitters_check, line_dedup, moving_avg_1h, multimodal_audio,
+    # -- multimodal_audio_frames, multimodal_decode, multimodal_frames,
+    # -- multimodal_gif, multimodal_png, multimodal_resize,
+    # -- part_brand_stats, phrase_search, revenue_by_segment,
+    # -- semantic_dedup_incremental, semantic_dedup_lake,
+    # -- sketch_hll_rollup_check, source_overlap_matrix, tpch_q14, tpch_q5,
+    # -- ts_clock_delta_range, ts_eq_minute, ts_head_limit_excl,
+    # -- ts_tail_limit_excl, value_quantiles_by_type, weekly_retention
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "event_type_share": q_event_type_share,
+    "events_cap_per_user": q_events_cap_per_user,
+    "events_mad_outliers": q_events_mad_outliers,
+    "ewma_user": q_ewma_user,
+    "gapfill_user_6h": q_gapfill_user_6h,
+    "heavy_hitters_check": q_heavy_hitters_check,
+    "line_dedup": q_line_dedup,
+    "moving_avg_1h": q_moving_avg_1h,
+    "multimodal_audio": q_multimodal_audio,
+    "multimodal_audio_frames": q_multimodal_audio_frames,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_gif": q_multimodal_gif,
+    "multimodal_png": q_multimodal_png,
+    "multimodal_resize": q_multimodal_resize,
+    "part_brand_stats": q_part_brand_stats,
+    "phrase_search": q_phrase_search,
+    "revenue_by_segment": q_revenue_by_segment,
+    "semantic_dedup_incremental": q_semantic_dedup_incremental,
+    "semantic_dedup_lake": q_semantic_dedup_lake,
+    "sketch_hll_rollup_check": q_sketch_hll_rollup_check,
+    "source_overlap_matrix": q_source_overlap_matrix,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q5": q_tpch_q5,
+    "ts_clock_delta_range": q_ts_clock_delta_range,
+    "ts_eq_minute": q_ts_eq_minute,
+    "ts_head_limit_excl": q_ts_head_limit_excl,
+    "ts_tail_limit_excl": q_ts_tail_limit_excl,
+    "value_quantiles_by_type": q_value_quantiles_by_type,
+    "weekly_retention": q_weekly_retention,
+    # -- r13/r14-fresh rows (current declaration order preserved)
     "pivot_user_event_counts": q_pivot_user_event_counts,
     "quality_rank_calibration": q_quality_rank_calibration,
     "range_join_click_context": q_range_join_click_context,
@@ -4917,12 +5020,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shards": q_training_shards,
     "url_dedup": q_url_dedup,
     "vocab_topk": q_vocab_topk,
-    # -- (b) new this round (debuts always get a head slot)
     "dedup_purge_uri_check": q_dedup_purge_uri_check,
     "ann_purge_uri_parity_check": q_ann_purge_uri_parity_check,
-    # -- (c) the 19 alphabetically-first of the 50 r11-fresh rows
-    # -- (newest driver row r11 — due by r15; the rest lead the r15
-    # -- head)
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_recall_check": q_ann_ivf_recall_check,
     "ann_ivfadc_join_parity_check": q_ann_ivfadc_join_parity_check,
@@ -4944,100 +5043,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_eval": q_decontaminate_eval,
     "dedup_clusters": q_dedup_clusters,
     "dedup_exact": q_dedup_exact,
-    # -- tail: stalest first -----------------------------------------
-    # -- the 31 remaining r11 rows (they hit lag 4 when the r14
-    # -- artifact lands — MUST lead the r15 head)
-    "topk_events_per_type": q_topk_events_per_type,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q11": q_tpch_q11,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q2": q_tpch_q2,
-    "tpch_q20": q_tpch_q20,
-    "tpch_q21": q_tpch_q21,
-    "tpch_q22": q_tpch_q22,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q9": q_tpch_q9,
-    "ts_delta_range": q_ts_delta_range,
-    "ts_eq_day": q_ts_eq_day,
-    "ts_eq_hour_jst": q_ts_eq_hour_jst,
-    "ts_gt": q_ts_gt,
-    "ts_head_limit": q_ts_head_limit,
-    "ts_lte": q_ts_lte,
-    "ts_range_scan": q_ts_range_scan,
-    "ts_tail_limit": q_ts_tail_limit,
-    "value_histogram": q_value_histogram,
-    "dedup_incremental_forget_check": q_dedup_incremental_forget_check,
-    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_simhash_check": q_dedup_simhash_check,
-    "deterministic_sample": q_deterministic_sample,
-    "doc_fingerprint": q_doc_fingerprint,
-    "doc_repetition": q_doc_repetition,
-    "doc_rolling_fp": q_doc_rolling_fp,
-    "embedding_neardup": q_embedding_neardup,
-    "embedding_neardup_lsh_check": q_embedding_neardup_lsh_check,
-    "embedding_quantize": q_embedding_quantize,
-    # -- r12-fresh rows (the r12 head-50)
-    "event_type_share": q_event_type_share,
-    "gapfill_user_6h": q_gapfill_user_6h,
-    "heavy_hitters_check": q_heavy_hitters_check,
-    "moving_avg_1h": q_moving_avg_1h,
-    "multimodal_audio": q_multimodal_audio,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_frames": q_multimodal_frames,
-    "multimodal_png": q_multimodal_png,
-    "multimodal_resize": q_multimodal_resize,
-    "part_brand_stats": q_part_brand_stats,
-    "phrase_search": q_phrase_search,
-    "revenue_by_segment": q_revenue_by_segment,
-    "semantic_dedup_incremental": q_semantic_dedup_incremental,
-    "semantic_dedup_lake": q_semantic_dedup_lake,
-    "sketch_hll_rollup_check": q_sketch_hll_rollup_check,
-    "source_overlap_matrix": q_source_overlap_matrix,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q5": q_tpch_q5,
-    "ts_clock_delta_range": q_ts_clock_delta_range,
-    "ts_eq_minute": q_ts_eq_minute,
-    "ts_head_limit_excl": q_ts_head_limit_excl,
-    "ts_tail_limit_excl": q_ts_tail_limit_excl,
-    "value_quantiles_by_type": q_value_quantiles_by_type,
-    "weekly_retention": q_weekly_retention,
-    "ann_ivfpq_lake_snapshot_probe_check": (
-        q_ann_ivfpq_lake_snapshot_probe_check
-    ),
-    "dedup_incremental_cdc_takedown_check": (
-        q_dedup_incremental_cdc_takedown_check
-    ),
-    "ann_ivf_partitioned_recall_check": q_ann_ivf_partitioned_recall_check,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_ivfadc_percell_join_parity_check": (
-        q_ann_ivfadc_percell_join_parity_check
-    ),
-    "ann_ivfadc_percell_lake_parity_check": (
-        q_ann_ivfadc_percell_lake_parity_check
-    ),
-    "ann_ivfadc_percell_recall_check": q_ann_ivfadc_percell_recall_check,
-    "ann_ivfpq_recall_check": q_ann_ivfpq_recall_check,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_pq_recall_check": q_ann_pq_recall_check,
-    "ann_pq_refined_recall_check": q_ann_pq_refined_recall_check,
-    "asof_next_purchase": q_asof_next_purchase,
-    "bigram_logprob": q_bigram_logprob,
-    "bloom_filtered_join": q_bloom_filtered_join,
-    "bpe_batch_learn": q_bpe_batch_learn,
-    "bpe_learn": q_bpe_learn,
-    "cdc_chunks": q_cdc_chunks,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    "events_cap_per_user": q_events_cap_per_user,
-    "events_mad_outliers": q_events_mad_outliers,
-    "ewma_user": q_ewma_user,
-    "line_dedup": q_line_dedup,
-    "multimodal_audio_frames": q_multimodal_audio_frames,
-    "multimodal_gif": q_multimodal_gif,
-    # -- r13-fresh rows (the r13 head-50)
     "multimodal_sniff": q_multimodal_sniff,
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
     "pmi_collocations": q_pmi_collocations,
