@@ -1139,3 +1139,71 @@ class TestRound14OptPlanShapes:
         assert limit_distinct_ts(df, 0).count() == 0
         empty = spark.createDataFrame([], "ts long, v long")
         assert limit_distinct_ts(empty, 5).count() == 0
+
+
+class TestRound15OptPlanShapes:
+    """Optimization round 15: the per-doc SET derivations. distinct()
+    + count-per-key shapes were replaced by one collect_set aggregate
+    (the distinct happens map-side in the partial aggregate, the set
+    size replaces the size window, the re-explode reproduces the old
+    distinct rows)."""
+
+    def test_unguarded_pair_table_has_no_window_and_fewer_exchanges(
+        self, spark
+    ):
+        """ngram_jaccard_pairs (unguarded): formerly 8 Exchanges and
+        4 Windows (distinct + _sz window, twice — one per join
+        branch); the set shape needs one id-keyed exchange per branch
+        and no window at all."""
+        import re
+
+        df = suite.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+        plan = plan_of(spark, df)
+        assert "Window" not in plan, plan[:3000]
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 4, plan[:3000]
+
+    def test_set_derivation_results_match_distinct_formulation(self, spark):
+        """Value pin for the collect_set rewrite, on a corpus with
+        IN-DOCUMENT duplicate shingles (the rows the map-side partial
+        dedup must remove): pair jaccards equal the brute distinct
+        formulation bit-for-bit."""
+        from pyspark.sql import functions as F
+
+        from zikeiretsu_rs_spark.operators import dedup
+
+        rows = [
+            (1, "a b c a b c a b c x y z"),      # repeated trigrams
+            (2, "a b c a b c q r s x y z"),
+            (3, "unrelated words only here now"),
+            (4, "a b c x y z a b c x y z"),      # whole-doc repeat
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.1
+        )
+        # brute reference: explicit distinct shingle sets in python
+        import itertools
+
+        def shset(t):
+            w = t.lower().split()
+            return {tuple(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        want = []
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+            a, b = shset(ta), shset(tb)
+            j = len(a & b) / len(a | b)
+            if j >= 0.1:
+                want.append((ia, ib, round(j, 6)))
+        got_rows = sorted(
+            (r.id_a, r.id_b, r.jaccard) for r in got.collect()
+        )
+        assert got_rows == sorted(want), (got_rows, sorted(want))
+        # and the guarded/hashed twin agrees on the same corpus
+        guarded = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.1,
+            max_shingle_doc_freq=64, hash_shingles=True,
+        )
+        g_rows = sorted(
+            (r.id_a, r.id_b, r.jaccard) for r in guarded.collect()
+        )
+        assert g_rows == got_rows, (g_rows, got_rows)
